@@ -1,0 +1,54 @@
+"""Table loading helpers over the driver-provided parquet test data.
+
+The synthetic star schema stands in for the purldb catalog per FIXTURES.md §9:
+``part`` ~ packages, ``lineitem`` ~ resources (FK join), ``orders`` ~ scan
+queue, ``events`` ~ resource_uris stream, ``documents``/``embeddings`` for the
+training-data-pipeline operators.
+
+Scale notes (100 TB design): these helpers read plain parquet directories.
+On a production lake the same tables would be written partitioned by a
+low-cardinality dispatch column (``type`` for packages — SURVEY §4), with
+files sorted/Z-ORDERed on the point-lookup keys (sha1, name, download_url)
+so min/max file skipping replaces the reference's B-tree indexes. The query
+code below never relies on single-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

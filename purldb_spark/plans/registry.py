@@ -1,0 +1,49 @@
+"""Query registry: every operator from SURVEY.md §2 that we claim as done
+registers here as (name -> DataFrame builder) plus, where the semantics are
+SQL-expressible, a DuckDB oracle SQL string over the same parquet views.
+
+The driver (and tests/test_oracle.py) runs both sides and compares
+row-count + schema + order-insensitive value hash, so builders must be
+deterministic: every window/sort carries a total-order tie-break, and
+floating-point aggregates go through exact decimal arithmetic before a final
+cast to double (identical bit patterns on both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query builder and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_inventory() -> None:
+    """Import every plan module so its @query decorators run."""
+    from purldb_spark.plans import (  # noqa: F401
+        q_aggs,
+        q_filters,
+        q_joins,
+        q_llm,
+        q_match,
+        q_scans,
+        q_versions,
+        q_windows,
+    )
