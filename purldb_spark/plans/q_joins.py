@@ -1,1 +1,414 @@
-"""placeholder — filled in as operators land."""
+"""Join operators — SURVEY §2.3 (J1-J12).
+
+Table roles per FIXTURES.md §9: `part` ~ packages, `lineitem` ~ resources,
+`orders` ~ queue, `documents` carries md5-derived fingerprints so the
+LSH-banding join (J6) and exact-fingerprint join (J7) are computable on BOTH
+engines (md5 is identical in Spark and DuckDB — no fixture smuggling).
+
+Scale notes: dimension sides carry explicit ``broadcast()`` hints where they
+are bounded (nation/region, filtered key sets); the banding join is the
+query shape that replaces an O(N²) hamming crossjoin with 4 hash joins —
+the single most important scale decision in the match engine (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+
+
+@query(
+    "j1_fk_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderstatus, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 49.5
+    """,
+)
+def j1_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: N:1 FK equi-join (Resource -> Package, `select_related`,
+    packagedb/api.py:199). Filter applied before the join so only matching
+    resource rows shuffle; Catalyst/AQE picks the physical join."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.5)
+    o = load(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@query(
+    "j2_prefetch_nest",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           count(*) AS n_lines,
+           string_agg(CAST(l.l_linenumber AS VARCHAR), ',' ORDER BY l.l_linenumber) AS line_numbers
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def j2_prefetch_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 1:N prefetch — children nested under the parent
+    (`prefetch_related("dependencies","parties")`, packagedb/api.py:374).
+    Spark shape: join + groupBy parent + sorted collect_list; rendered as a
+    CSV string for engine-portable comparison."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(l_linenumber)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("line_numbers"),
+        )
+    )
+
+
+@query(
+    "j3_m2m_double_join",
+    oracle="""
+    SELECT r.r_name AS region_name, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j3_m2m_double_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: M2M through a bridge table (package <-> package_sets,
+    packagedb/models.py:1467-1474) — double join through `nation` with both
+    dimensions broadcast (they are bounded small, like package_sets)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "j4_hash_semijoin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = lineitem.l_partkey AND p.p_size = 50)
+    """,
+)
+def j4_hash_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: batched hash probe as one semi-join (matchcode/pipes/
+    matching.py:106-168 probes 1000 sha1s per chunk; Spark replaces the
+    chunking loop with a single left-semi hash join — SURVEY §4). The probe
+    side is small after its filter, so it broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    probe = (
+        load(spark, sf_dir, "part").filter(F.col("p_size") == 50).select("p_partkey")
+    )
+    return li.join(
+        F.broadcast(probe), li.l_partkey == probe.p_partkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+@query(
+    "j5_earliest_per_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM part p
+                    WHERE p.p_partkey = lineitem.l_partkey AND p.p_size >= 48)
+    )
+    SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j5_earliest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: correlated earliest-per-key subquery (packagedb/api.py:474-492 —
+    per checksum, the Package with earliest release_date) decorrelated into
+    a row_number window with a total-order tie-break."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    probe = (
+        load(spark, sf_dir, "part").filter(F.col("p_size") >= 48).select("p_partkey")
+    )
+    li = li.join(F.broadcast(probe), li.l_partkey == probe.p_partkey, "left_semi")
+    w = W.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+# --- fingerprint joins on documents: fp = md5(text), 4 chunks of 8 hex ---
+
+_FP_CHUNKS_SQL = """
+  SELECT doc_id, n_chars,
+         substr(md5(text), 1, 8)  AS chunk1,
+         substr(md5(text), 9, 8)  AS chunk2,
+         substr(md5(text), 17, 8) AS chunk3,
+         substr(md5(text), 25, 8) AS chunk4
+  FROM documents
+"""
+
+
+def _fp_chunks(df: DataFrame) -> DataFrame:
+    fp = F.md5("text")
+    return df.select(
+        "doc_id",
+        "n_chars",
+        F.substring(fp, 1, 8).alias("chunk1"),
+        F.substring(fp, 9, 8).alias("chunk2"),
+        F.substring(fp, 17, 8).alias("chunk3"),
+        F.substring(fp, 25, 8).alias("chunk4"),
+    )
+
+
+@query(
+    "j6_banding_join",
+    oracle=f"""
+    WITH idx AS ({_FP_CHUNKS_SQL}),
+    q AS (
+      SELECT doc_id AS q_doc_id, chunk1,
+             'ffffffff' AS chunk2, chunk3, chunk4,
+             CAST(floor(n_chars * 0.98) AS BIGINT) AS q_count
+      FROM idx WHERE doc_id % 10 = 0
+    ),
+    hits AS (
+      SELECT q.q_doc_id, i.doc_id AS index_doc_id FROM q JOIN idx i ON q.chunk1 = i.chunk1
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+      UNION
+      SELECT q.q_doc_id, i.doc_id FROM q JOIN idx i ON q.chunk2 = i.chunk2
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+      UNION
+      SELECT q.q_doc_id, i.doc_id FROM q JOIN idx i ON q.chunk3 = i.chunk3
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+      UNION
+      SELECT q.q_doc_id, i.doc_id FROM q JOIN idx i ON q.chunk4 = i.chunk4
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+    )
+    SELECT q_doc_id, index_doc_id FROM hits
+    """,
+)
+def j6_banding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: LSH-banding candidate join (matchcode/models.py:258-265) — a
+    4-way UNION of chunk equi-joins with the ±5% element-count gate, NOT a
+    crossjoin+hamming scan. Query fingerprints simulate near-duplicates: one
+    corrupted chunk (so 3 of 4 bands still hit) and a count drifted -2%
+    (inside the gate), per FIXTURES.md §5's generator hint.
+
+    At 100 TB each branch is a shuffle-hash join on a high-cardinality chunk
+    key; candidates ~ O(true matches), never O(N²)."""
+    idx = _fp_chunks(load(spark, sf_dir, "documents"))
+    # fresh read for the query side: separate plan lineage avoids self-join
+    # attribute ambiguity
+    q = (
+        _fp_chunks(load(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("q_doc_id"),
+            "chunk1",
+            F.lit("ffffffff").alias("chunk2"),
+            "chunk3",
+            "chunk4",
+            F.floor(F.col("n_chars") * 0.98).cast("long").alias("q_count"),
+        )
+    )
+    branches = []
+    for i in (1, 2, 3, 4):
+        ck = f"chunk{i}"
+        branches.append(
+            q.join(idx, on=[q[ck] == idx[ck]], how="inner")
+            .filter(
+                idx.n_chars.between(
+                    F.floor(q.q_count * 0.95), F.ceil(q.q_count * 1.05)
+                )
+            )
+            .select(q.q_doc_id, idx.doc_id.alias("index_doc_id"))
+        )
+    return reduce(lambda a, b: a.unionByName(b), branches).dropDuplicates()
+
+
+@query(
+    "j7_exact_fp_join",
+    oracle=f"""
+    WITH idx AS ({_FP_CHUNKS_SQL}),
+    q AS (SELECT * FROM idx WHERE doc_id % 7 = 0)
+    SELECT q.doc_id AS q_doc_id, i.doc_id AS index_doc_id, i.n_chars
+    FROM q JOIN idx i
+      ON q.chunk1 = i.chunk1 AND q.chunk2 = i.chunk2
+     AND q.chunk3 = i.chunk3 AND q.chunk4 = i.chunk4
+     AND q.n_chars = i.n_chars
+    """,
+)
+def j7_exact_fp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: exact fingerprint match — all 4 chunks + element count equal
+    (matchcode/models.py:247-255, exact_match=True). One multi-column hash
+    join."""
+    idx = _fp_chunks(load(spark, sf_dir, "documents"))
+    q = _fp_chunks(load(spark, sf_dir, "documents")).filter(F.col("doc_id") % 7 == 0)
+    cond = (
+        (q.chunk1 == idx.chunk1)
+        & (q.chunk2 == idx.chunk2)
+        & (q.chunk3 == idx.chunk3)
+        & (q.chunk4 == idx.chunk4)
+        & (q.n_chars == idx.n_chars)
+    )
+    return q.join(idx, cond, "inner").select(
+        q.doc_id.alias("q_doc_id"), idx.doc_id.alias("index_doc_id"), idx.n_chars
+    )
+
+
+@query(
+    "j9_path_suffix_join",
+    oracle="""
+    WITH paths AS (
+      SELECT p_partkey, replace(p_name, ' ', '/') AS path,
+             string_split(replace(p_name, ' ', '/'), '/') AS segs
+      FROM part
+    ),
+    q AS (SELECT * FROM paths WHERE p_partkey % 100 = 0),
+    suffixes AS (
+      SELECT q.p_partkey AS q_partkey,
+             array_to_string(list_slice(q.segs, i, len(q.segs)), '/') AS suffix
+      FROM q, unnest(generate_series(1, len(q.segs))) AS t(i)
+    )
+    SELECT DISTINCT s.q_partkey, p.p_partkey AS index_partkey, p.path
+    FROM suffixes s JOIN paths p ON s.suffix = p.path
+    """,
+)
+def j9_path_suffix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: path-suffix containment join (matchcode/match.py:275-287
+    path_suffixes) — explode every suffix of the query path, equi-join
+    against indexed paths. Pure SQL suffix generation (C6): split +
+    transform + slice + array_join, no UDF."""
+    def paths_df() -> DataFrame:
+        return (
+            load(spark, sf_dir, "part")
+            .select("p_partkey", F.regexp_replace("p_name", " ", "/").alias("path"))
+            .withColumn("segs", F.split("path", "/"))
+        )
+
+    paths = paths_df()
+    q = paths_df().filter(F.col("p_partkey") % 100 == 0)
+    suffixes = q.select(
+        F.col("p_partkey").alias("q_partkey"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(segs)),"
+                " i -> array_join(slice(segs, i, size(segs) - i + 1), '/'))"
+            )
+        ).alias("suffix"),
+    )
+    return (
+        suffixes.join(paths, suffixes.suffix == paths.path, "inner")
+        .select("q_partkey", F.col("p_partkey").alias("index_partkey"), "path")
+        .dropDuplicates()
+    )
+
+
+@query(
+    "j10_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = customer.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: anti-join existence check (packages without matched resources,
+    matchcode/pipelines/matching.py:134-139) — customers with no URGENT
+    order. The filter narrows the build side before the anti-join."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j11_self_join_coords",
+    oracle="""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_brand, a.p_type, a.p_size
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    """,
+)
+def j11_self_join_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: self-join on purl coordinates — packages sharing
+    type/ns/name/version land in one PackageSet (minecode/model_utils.py:
+    342-348). Equi-join on the coordinate columns + key inequality to emit
+    each unordered pair once."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    a = p.alias("a")
+    b = p.alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        "inner",
+    ).select(
+        F.col("a.p_partkey").alias("partkey_a"),
+        F.col("b.p_partkey").alias("partkey_b"),
+        F.col("a.p_brand").alias("p_brand"),
+        F.col("a.p_type").alias("p_type"),
+        F.col("a.p_size").alias("p_size"),
+    )
+
+
+@query(
+    "j12_json_extract_join",
+    oracle="""
+    SELECT e.event_id, e.event_type,
+           CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k,
+           n.n_name
+    FROM events e
+    JOIN nation n ON CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 25 = n.n_nationkey
+    WHERE e.event_type = 'purchase' AND e.value > 95
+    """,
+)
+def j12_json_extract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: join on a key derived from a semi-structured column (the
+    sourcemap-sha1 shape, matchcode/pipes/matching.py:306-308): extract from
+    JSON props, transform, equi-join a broadcast dimension."""
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    )
+    n = load(spark, sf_dir, "nation")
+    e = e.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return e.join(F.broadcast(n), e.k % 25 == n.n_nationkey, "inner").select(
+        "event_id", "event_type", "k", "n_name"
+    )

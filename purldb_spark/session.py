@@ -35,6 +35,9 @@ def get_spark(app_name: str = "purldb_spark", cpus: str | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the synthetic events table stores TIMESTAMP(NANOS); read as long
+        # and convert in catalog.tables.load (Spark has no nanos timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
