@@ -6,7 +6,7 @@ order-insensitive value check.
 
 from __future__ import annotations
 
-import math
+
 import os
 
 import duckdb
@@ -36,52 +36,20 @@ def oracle():
     con.close()
 
 
-def _norm(v):
-    """Normalize a cell for comparison."""
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
-
-
-def assert_same_result(spark_df, con, sql, exact_floats=True):
-    """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL."""
+def assert_same_result(spark_df, con, sql):
+    """Order-insensitive, repr-strict comparison of a Spark DataFrame vs
+    DuckDB SQL. repr-strict means dtype drift (e.g. DuckDB HUGEINT coming
+    back as Python int vs Spark's int64) fails too — the driver hashes
+    values, so representation matters, not just Python ``==``."""
     sp = spark_df.toPandas()
     du = con.execute(sql).fetchdf()
     sp_cols = sorted(sp.columns)
     du_cols = sorted(du.columns)
     assert sp_cols == du_cols, f"column names differ: {sp_cols} vs {du_cols}"
     assert len(sp) == len(du), f"row counts differ: {len(sp)} vs {len(du)}"
-    sp_rows = sorted(
-        (tuple(_norm(v) for v in row) for row in sp[sp_cols].itertuples(index=False)),
-        key=repr,
-    )
-    du_rows = sorted(
-        (tuple(_norm(v) for v in row) for row in du[du_cols].itertuples(index=False)),
-        key=repr,
-    )
-    mismatches = []
-    for i, (a, b) in enumerate(zip(sp_rows, du_rows)):
-        if a == b:
-            continue
-        if not exact_floats and _approx_eq_row(a, b):
-            continue
-        mismatches.append((i, a, b))
-        if len(mismatches) >= 5:
-            break
+    sp_rows = sorted(map(repr, sp[sp_cols].itertuples(index=False)))
+    du_rows = sorted(map(repr, du[du_cols].itertuples(index=False)))
+    mismatches = [
+        (a, b) for a, b in zip(sp_rows, du_rows) if a != b
+    ][:5]
     assert not mismatches, f"value mismatches (spark vs duckdb): {mismatches}"
-
-
-def _approx_eq_row(a, b, rtol=1e-9):
-    if len(a) != len(b):
-        return False
-    for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=rtol, abs_tol=1e-12):
-                return False
-        elif x != y:
-            return False
-    return True
