@@ -1,1 +1,298 @@
-"""placeholder — filled in as operators land."""
+"""Match-engine queries — SURVEY §2.7 (F1-F5, F8) and §2.4 A5.
+
+Fingerprints are md5(text) split into four 32-bit int chunks (computable
+identically in Spark and DuckDB, so the oracle can verify the full pipeline).
+Query-side fingerprints are derived from the index by XOR-ing known masks
+onto chunks — the FIXTURES.md §5 generator hint — giving three deterministic
+classes per query doc:
+
+  doc_id % 10 == 0 -> untouched            => exact match (stage 1)
+  doc_id % 15 == 0 -> 40 bits flipped      => banding finds it, hamming rejects
+  otherwise        -> 6 bits flipped       => approximate match (stage 2)
+
+plus an element count drifted -2% (inside the ±5% gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.functions.fingerprints import (
+    attach_chunks,
+    hamming128_sql,
+    hex_to_long_sql,
+)
+from purldb_spark.operators.matching import (
+    banded_candidates,
+    cascade,
+    hamming_matches,
+)
+from purldb_spark.plans.registry import query
+
+_LIGHT2, _LIGHT4 = 0x7, 0x38  # 3 + 3 bits -> hamming 6 (< 10: match)
+_HEAVY2, _HEAVY4 = 0xFFFFF, 0xFFFFF  # 20 + 20 bits -> hamming 40 (no match)
+
+
+def _index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5("text").alias("fp")
+    )
+    return attach_chunks(d, "fp").drop("fp").withColumnRenamed(
+        "n_chars", "element_count"
+    )
+
+
+def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_df(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    exact = F.col("doc_id") % 10 == 0
+    heavy = F.col("doc_id") % 15 == 0
+    mask2 = F.when(exact, 0).when(heavy, _HEAVY2).otherwise(_LIGHT2)
+    mask4 = F.when(exact, 0).when(heavy, _HEAVY4).otherwise(_LIGHT4)
+    return idx.select(
+        F.col("doc_id").alias("q_doc_id"),
+        F.floor(F.col("element_count") * 0.98).cast("long").alias("q_element_count"),
+        F.col("c1").alias("q_c1"),
+        F.col("c2").bitwiseXOR(mask2).alias("q_c2"),
+        F.col("c3").alias("q_c3"),
+        F.col("c4").bitwiseXOR(mask4).alias("q_c4"),
+    )
+
+
+# shared SQL fragments for the oracle side
+_IDX_SQL = f"""
+  SELECT doc_id, n_chars AS element_count,
+         {hex_to_long_sql("substr(md5(text), 1, 8)")}  AS c1,
+         {hex_to_long_sql("substr(md5(text), 9, 8)")}  AS c2,
+         {hex_to_long_sql("substr(md5(text), 17, 8)")} AS c3,
+         {hex_to_long_sql("substr(md5(text), 25, 8)")} AS c4
+  FROM documents
+"""
+
+_Q_SQL = f"""
+  SELECT doc_id AS q_doc_id,
+         CAST(floor(element_count * 0.98) AS BIGINT) AS q_element_count,
+         c1 AS q_c1,
+         xor(c2, CASE WHEN doc_id % 10 = 0 THEN 0
+                      WHEN doc_id % 15 = 0 THEN {_HEAVY2}
+                      ELSE {_LIGHT2} END) AS q_c2,
+         c3 AS q_c3,
+         xor(c4, CASE WHEN doc_id % 10 = 0 THEN 0
+                      WHEN doc_id % 15 = 0 THEN {_HEAVY4}
+                      ELSE {_LIGHT4} END) AS q_c4
+  FROM ({_IDX_SQL}) WHERE doc_id % 5 = 0
+"""
+
+_HAMMING_SQL = hamming128_sql(
+    ["q.q_c1", "q.q_c2", "q.q_c3", "q.q_c4"], ["i.c1", "i.c2", "i.c3", "i.c4"]
+)
+
+_GATE_SQL = (
+    "i.element_count BETWEEN floor(q.q_element_count * 0.95)"
+    " AND ceil(q.q_element_count * 1.05)"
+)
+
+
+@query(
+    "match_cascade",
+    oracle=f"""
+    WITH idx AS ({_IDX_SQL}), q AS ({_Q_SQL}),
+    exact AS (
+      SELECT q.q_doc_id, i.doc_id AS index_doc_id, 0 AS hamming
+      FROM q JOIN idx i ON q.q_c1 = i.c1 AND q.q_c2 = i.c2
+                       AND q.q_c3 = i.c3 AND q.q_c4 = i.c4
+    ),
+    remaining AS (
+      SELECT * FROM q WHERE q_doc_id NOT IN (SELECT q_doc_id FROM exact)
+    ),
+    cands AS (
+      SELECT DISTINCT q.q_doc_id, q.q_c1, q.q_c2, q.q_c3, q.q_c4,
+                      i.doc_id AS index_doc_id, i.c1, i.c2, i.c3, i.c4
+      FROM remaining q JOIN idx i
+        ON (q.q_c1 = i.c1 OR q.q_c2 = i.c2 OR q.q_c3 = i.c3 OR q.q_c4 = i.c4)
+       AND {_GATE_SQL}
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT q_doc_id, index_doc_id, {hamming128_sql(
+            ["q_c1", "q_c2", "q_c3", "q_c4"], ["c1", "c2", "c3", "c4"]
+        )} AS hamming
+        FROM cands
+      ) WHERE hamming < 10
+    )
+    SELECT q_doc_id, index_doc_id, CAST(hamming AS BIGINT) AS hamming,
+           'exact' AS match_type FROM exact
+    UNION ALL
+    SELECT q_doc_id, index_doc_id, CAST(hamming AS BIGINT) AS hamming,
+           'approximate' AS match_type FROM approx
+    """,
+)
+def match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: the matcher cascade (matchcode/pipelines/matching.py:46-62) as a
+    set-oriented two-stage pipeline: exact fingerprint join first, then the
+    LSH-banding + hamming stage over only the unmatched remainder
+    (anti-join tagging, matchcode/match.py:244-279).
+
+    Note the oracle writes the banding as one OR-join; the Spark plan uses
+    the 4-way union of equi-joins deliberately — an OR join condition would
+    force a nested-loop/cartesian strategy, the union keeps every branch a
+    hash join (SURVEY §4)."""
+    idx = _index_df(spark, sf_dir)
+
+    def stage_exact(q: DataFrame) -> DataFrame:
+        cond = (
+            (q.q_c1 == idx.c1)
+            & (q.q_c2 == idx.c2)
+            & (q.q_c3 == idx.c3)
+            & (q.q_c4 == idx.c4)
+        )
+        return q.join(idx, cond, "inner").select(
+            "q_doc_id",
+            idx.doc_id.alias("index_doc_id"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+
+    def stage_approx(q: DataFrame) -> DataFrame:
+        cands = banded_candidates(q, idx)
+        return hamming_matches(cands).select(
+            "q_doc_id",
+            F.col("doc_id").alias("index_doc_id"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+
+    return cascade(
+        _query_df(spark, sf_dir),
+        [("exact", stage_exact), ("approximate", stage_approx)],
+        "q_doc_id",
+    )
+
+
+@query(
+    "f5_rank_tiebreak",
+    oracle="""
+    WITH q AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    scored AS (
+      SELECT q.doc_id AS q_doc_id, i.doc_id AS cand_doc_id,
+             abs(q.n_chars - i.n_chars) AS size_diff,
+             levenshtein(substr(q.text, 1, 24), substr(i.text, 1, 24)) AS name_dist,
+             row_number() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY abs(q.n_chars - i.n_chars),
+                        levenshtein(substr(q.text, 1, 24), substr(i.text, 1, 24)),
+                        i.doc_id
+             ) AS rn
+      FROM q JOIN documents i ON q.lang = i.lang AND q.doc_id <> i.doc_id
+    )
+    SELECT q_doc_id, cand_doc_id, CAST(size_diff AS BIGINT) AS size_diff,
+           CAST(name_dist AS BIGINT) AS name_dist
+    FROM scored WHERE rn = 1
+    """,
+)
+def f5_rank_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/W5: tie-break heuristics — candidates ranked by
+    (size difference, name edit distance) and only the best kept
+    (matchcode/models.py:339-366; levenshtein is the declared substitute for
+    SequenceMatcher.ratio, available in both engines). Total order ends in
+    the candidate key for determinism."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    q = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    joined = q.alias("q").join(
+        d.alias("i"),
+        (F.col("q.lang") == F.col("i.lang"))
+        & (F.col("q.doc_id") != F.col("i.doc_id")),
+        "inner",
+    )
+    scored = joined.select(
+        F.col("q.doc_id").alias("q_doc_id"),
+        F.col("i.doc_id").alias("cand_doc_id"),
+        F.abs(F.col("q.n_chars") - F.col("i.n_chars")).alias("size_diff"),
+        F.levenshtein(
+            F.substring(F.col("q.text"), 1, 24), F.substring(F.col("i.text"), 1, 24)
+        )
+        .cast("long")
+        .alias("name_dist"),
+    )
+    w = W.partitionBy("q_doc_id").orderBy("size_diff", "name_dist", "cand_doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w) - 2)) AS t(i)
+"""
+
+
+@query(
+    "a5_snippet_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, intersection,
+           CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.3
+    """,
+)
+def a5_snippet_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: snippet jaccard |q∩r| / (|q|+|r|-|q∩r|)
+    (matchcode/models.py:569-579) over word-3-gram shingle sets, via the
+    inverted-index self-join (J8 shape): explode distinct shingles, join on
+    shingle, count intersections per pair, divide by exact set sizes.
+
+    Scale: the pair blow-up is bounded by shingle frequency — at 100 TB add
+    a document-frequency cap (drop shingles appearing in >k docs, they carry
+    no signal), which is also what makes MinHash-LSH (q_llm) the preferred
+    path; this operator is the exact verifier behind it."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")
+        ).alias("sh"),
+    ).dropDuplicates()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+    return out
