@@ -1,0 +1,230 @@
+"""Document deduplication — exact, MinHash-LSH, SimHash.
+
+Not reference operators (purldb dedups packages by sha1 — U5); these are the
+training-data-pipeline dedup family the brief asks for, built Spark-first:
+
+- exact: hash-groupBy on md5(text) — one shuffle on the hash.
+- MinHash-LSH: shingle -> k seeded min-hashes -> band keys -> candidate
+  pairs via ONE equi-join on (band_idx, band_key) -> exact-jaccard verify of
+  candidates only. The verify cost is O(candidates), not O(N²).
+- SimHash: per-token hashes vote per bit -> b-bit fingerprint; near-dups =
+  hamming ≤ t, found via banded equi-join (pigeonhole: hamming ≤ t over
+  `t+1` bands means at least one band is identical).
+
+Hashing is md5-based everywhere (the only hash both Spark and DuckDB share,
+which keeps the oracle honest); the min-hash is the lexicographic min of the
+seeded md5 hex — a uniform permutation of the shingle space, so the standard
+MinHash estimator applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.windows import flag_duplicates_keep_best
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5(text) groups; lowest id is canonical, rest flagged."""
+    hashed = df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+    return flag_duplicates_keep_best(
+        hashed, ["content_hash"], [F.asc(id_col)], id_col
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh). Documents
+    shorter than n words are dropped (Spark's `sequence` would run BACKWARD
+    on a negative length — sequence(1, 0) is [1, 0] — so the guard is
+    load-bearing, not cosmetic)."""
+    return (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {n})))"
+                )
+            ).alias("sh"),
+        )
+        .dropDuplicates()
+    )
+
+
+def minhash_bands(
+    shingles: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_key): min-hash signature folded into bands.
+
+    h_s(doc) = min over shingles of md5(s || '|' || shingle); band key =
+    concat of `band_size` consecutive signature slots. One aggregation pass
+    computes all hashes (map-side partial min)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    sig = shingles.groupBy(id_col).agg(*aggs)
+    n_bands = n_hashes // band_size
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat(
+                *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx"), F.col("band.band_key"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band — a single
+    self-equi-join on (band_idx, band_key)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact jaccard for candidate pairs only (the cheap LSH output gates the
+    expensive exact verify — same cascade philosophy as the match engine)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.withColumnRenamed(id_col, "id_a")
+    sb = shingles.withColumnRenamed(id_col, "id_b")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb.withColumnRenamed("sh", "sh_b"), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash --
+
+SIMHASH_BITS = 32
+
+
+def simhash(df_tokens: DataFrame, id_col: str) -> DataFrame:
+    """32-bit SimHash per document from distinct tokens (id, tok).
+
+    Token hash = first 8 hex of md5 as int; bit b of the fingerprint is the
+    sign of sum(±1) of that bit over tokens. All bit votes aggregate in one
+    groupBy pass (32 conditional sums — wide but single-shuffle)."""
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = df_tokens.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, 1 << b).otherwise(0)
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_sql(id_col: str, tokens_sql: str) -> str:
+    """DuckDB rendering of the same SimHash (oracle side)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+      SELECT {id_col}, CAST({fp} AS BIGINT) AS simhash FROM (
+        SELECT {id_col}, {votes}
+        FROM (SELECT {id_col}, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+              FROM ({tokens_sql}))
+        GROUP BY {id_col}
+      )
+    """
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ max_hamming, via banded join:
+    split the 32-bit fingerprint into `n_bands` bytes; hamming ≤ n_bands-1
+    guarantees ≥1 identical band (pigeonhole), so candidates come from a
+    hash join, then bit_count verifies."""
+    assert max_hamming < n_bands, "pigeonhole needs bands > max_hamming"
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(mask)
+            .alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sim.select(
+        id_col, "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "simhash", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -1,1 +1,392 @@
-"""placeholder — filled in as operators land."""
+"""Training-data-pipeline queries: dedup family, similarity search, text
+analysis. First-class operators per the build brief (BASELINE.json
+north_star), all DuckDB-oracle-verified.
+
+Dedup coverage map:
+  exact            -> dedup_exact           (hash groupBy)
+  MinHash+LSH      -> dedup_minhash_lsh     (shingle→minhash→band→join→verify)
+  SimHash          -> dedup_simhash         (bit votes→banded join→hamming)
+  n-gram jaccard   -> dedup_ngram_jaccard   (inverted-index exact pairs)
+  embedding cosine -> dedup_embedding_cosine
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.functions.text import (
+    n_tokens_bpe,
+    n_tokens_ws,
+    predicted_lang,
+    predicted_lang_sql,
+    quality_features,
+    quality_sql,
+    TOKEN_REGEX,
+)
+from purldb_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_bands,
+    simhash,
+    simhash_near_pairs,
+    simhash_sql,
+    verify_jaccard,
+    word_shingles,
+)
+from purldb_spark.operators.knn import (
+    brute_force_topk,
+    bucket_expr,
+    bucket_sql,
+    cosine_expr,
+    cosine_sql_duckdb,
+    hyperplanes,
+)
+from purldb_spark.plans.q_match import a5_snippet_jaccard
+from purldb_spark.plans.registry import ORACLES, query
+
+# ------------------------------------------------------------------ dedup --
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    marked AS (
+      SELECT doc_id, content_hash,
+             first_value(doc_id) OVER (PARTITION BY content_hash ORDER BY doc_id)
+               AS canonical_doc_id
+      FROM hashed
+    )
+    SELECT doc_id, content_hash, canonical_doc_id,
+           doc_id <> canonical_doc_id AS is_duplicate
+    FROM marked
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) hash-groupBy; lowest doc_id canonical. One
+    shuffle on the content hash — at 100 TB partition the write by a hash
+    prefix and this runs fully parallel with no skew (md5 is uniform)."""
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w) - 2)) AS t(i)
+"""
+
+_N_HASHES, _BAND_SIZE = 8, 2
+_MINHASH_AGGS_SQL = ", ".join(
+    f"min(md5('{s}|' || sh)) AS h{s}" for s in range(_N_HASHES)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, h{b * _BAND_SIZE} || h{b * _BAND_SIZE + 1} AS band_key FROM sig"
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM shingles GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS intersection
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, intersection,
+           CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: word-3-gram shingles -> 8 seeded
+    min-hashes -> 4 bands of 2 -> candidate pairs from ONE equi-join on
+    (band_idx, band_key) -> exact-jaccard verify of candidates only,
+    keep ≥ 0.5.
+
+    This is the 100 TB dedup path: signature computation is a single
+    aggregation (partial min map-side), banding makes candidate generation
+    O(colliding pairs), and the expensive exact verify runs only on
+    candidates. The all-pairs variant (dedup_ngram_jaccard) is the oracle's
+    ground truth at small scale."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    bands = minhash_bands(sh, "doc_id", _N_HASHES, _BAND_SIZE)
+    cands = lsh_candidate_pairs(bands, "doc_id")
+    return verify_jaccard(cands, sh, "doc_id", 0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=ORACLES["a5_snippet_jaccard"].replace(">= 0.3", ">= 0.5"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram jaccard dedup — the all-pairs ground truth (shares the
+    inverted-index implementation with a5_snippet_jaccard, threshold 0.5)."""
+    return a5_snippet_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+
+
+# SimHash features are 3-word shingles, not raw tokens: the synthetic corpus
+# has a ~30-word vocabulary, so token SETS are nearly identical across
+# documents and token-level simhash degenerates (every pair within hamming 3).
+# Shingles are high-cardinality and shared only by near-duplicates.
+_TOKENS_SQL = _SHINGLES_SQL.replace("AS sh", "AS tok")
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sim AS ({simhash_sql("doc_id", _TOKENS_SQL)}),
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_key
+      FROM sim, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 32-bit fingerprint from per-shingle bit
+    votes; pairs at hamming ≤ 3 found via 4-band pigeonhole join (hamming ≤ 3
+    over 4 bands forces ≥ 1 identical byte), then exact bit_count verify.
+    Features are 3-word shingles (see _TOKENS_SQL note)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = word_shingles(docs, "doc_id", "text", n=3).withColumnRenamed("sh", "tok")
+    sim = simhash(toks, "doc_id")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {cosine_sql_duckdb("a.embedding", "b.embedding")} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql_duckdb("a.embedding", "b.embedding")} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.4 (the synthetic
+    vectors are near-orthogonal, so 0.4 is the planted-similarity tail).
+    Brute force is the correctness baseline; knn_lsh_bucketed is the scale
+    path. All arithmetic double, fold in index order -> bit-exact vs oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("q_embedding"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("embedding"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"), "inner")
+        .withColumn("cosine", cosine_expr("q_embedding", "embedding"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ------------------------------------------------------- similarity search --
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_embedding
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_vec_id, i.vec_id,
+             {cosine_sql_duckdb("q.q_embedding", "i.embedding")} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {cosine_sql_duckdb("q.q_embedding", "i.embedding")} DESC,
+                        i.vec_id
+             ) AS rank
+      FROM q JOIN embeddings i ON q.q_vec_id <> i.vec_id
+    )
+    SELECT q_vec_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact top-5 cosine neighbors for each query vector
+    (vec_id % 50 == 0). crossJoin + higher-order-function dot products, all
+    JVM-side; the window keeps 5 per query with an id tie-break."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = brute_force_topk(q, e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_PLANES = hyperplanes(dim=64, n_planes=8, seed=42)
+
+
+@query(
+    "knn_lsh_bucketed",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {bucket_sql("embedding", _PLANES, dialect="duckdb")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS q_embedding, bucket
+          FROM bucketed WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_vec_id, i.vec_id,
+             {cosine_sql_duckdb("q.q_embedding", "i.embedding")} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {cosine_sql_duckdb("q.q_embedding", "i.embedding")} DESC,
+                        i.vec_id
+             ) AS rank
+      FROM q JOIN bucketed i ON q.bucket = i.bucket AND q.q_vec_id <> i.vec_id
+    )
+    SELECT q_vec_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: 8 deterministic hyperplanes -> 8-bit signature;
+    neighbors searched only within the query's bucket (equi-join on the
+    bucket key instead of a crossJoin — ~256x less work at equal data).
+    Recall < 1 by construction; raise it with multiple independent bands
+    exactly like the MinHash LSH. At 100 TB the bucket is the partition key."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", bucket_expr("embedding", _PLANES)
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    joined = q.join(
+        e, (F.col("q_bucket") == F.col("bucket")) & (F.col("q_vec_id") != F.col("vec_id"))
+    )
+    scored = joined.withColumn("cosine", cosine_expr("q_embedding", "embedding"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_vec_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------ text analysis --
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang, {predicted_lang_sql("text")} AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword ratios (≥2%
+    floor, deterministic first-wins ties). A lexicon heuristic, not a model —
+    the Spark shape (pure column expressions over a literal lexicon) is what
+    a real fastText-style scorer would replace via pandas_udf."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", predicted_lang("text").alias("pred_lang"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, {quality_sql("text")}
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword features + linear score
+    (the C4/Gopher-rule shape). Pure JVM expressions; bit-exact vs oracle."""
+    d = load(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizer."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens_ws("text").alias("n_tokens_ws"),
+        n_tokens_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
+_W = 4  # winnowing window (fingerprints per ~w tokens)
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS g
+      FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT doc_id, count(DISTINCT fp) AS n_fingerprints
+    FROM winnowed GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (the matchcode snippet-index
+    construction, matchcode/models.py:425-657 consumes exactly such
+    fingerprints): hash every 5-token gram, slide a window of 4, keep the
+    window minimum — the classic winnowing guarantee (one fingerprint per
+    window, shared grams -> shared fingerprints). Windowed min per doc, no
+    UDF."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 5)  # sequence() runs backward on n<1 — guard
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(w) - 4), i -> md5(concat_ws(' ', slice(w, i, 5))))")
+        ).alias("pos", "g"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _W - 1)
+    winnowed = grams.withColumn("fp", F.min("g").over(win))
+    return winnowed.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints")
+    )

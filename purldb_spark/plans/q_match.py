@@ -258,8 +258,10 @@ def a5_snippet_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a document-frequency cap (drop shingles appearing in >k docs, they carry
     no signal), which is also what makes MinHash-LSH (q_llm) the preferred
     path; this operator is the exact verifier behind it."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)  # sequence() runs backward on n<1 — guard
     )
     shingles = d.select(
         "doc_id",

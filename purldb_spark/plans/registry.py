@@ -43,6 +43,8 @@ def load_inventory() -> None:
         q_joins,
         q_llm,
         q_match,
+        q_merge,
+        q_multimodal,
         q_scans,
         q_versions,
         q_windows,

@@ -1,0 +1,192 @@
+"""Tests for the non-oracle surface: scan-JSON ingest (S7), listing parser
+(S5), SBOM projection (S8), queue dataflow (T1-T6), multimodal plumbing.
+Mirrors the reference's golden-fixture style (SURVEY §5) on small inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from purldb_spark.sources.listings import parse_listing
+from purldb_spark.sources.sbom import to_cyclonedx
+from purldb_spark.sources.scan_json import ingest_scan
+from purldb_spark.streaming.queue import (
+    SCAN_COMPLETED,
+    SCAN_NEW,
+    take_batch,
+    transition,
+    visit_to_fixpoint,
+    watch_new_versions,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_scan_json_ingest(spark):
+    out = ingest_scan(spark, os.path.join(FIXTURES, "scan1.json"))
+    res = out["resources"].collect()
+    assert len(res) == 3
+    files = [r for r in res if r.is_file]
+    assert {r.path for r in files} == {"demo/index.js", "demo/lib/util.js"}
+    assert all(r.package_uid == "pkg:npm/demo@1.0.0?uuid=abc-123" for r in res)
+
+    exact = out["exact_file_index"].collect()
+    assert {r.sha1 for r in exact} == {
+        "356a192b7913b04c54574d18c28d46e6395428ab",
+        "da4b9237bacccdf19c0760cab7aec4a8359010b0",
+    }
+
+    dirs = out["approx_dir_content_index"].collect()
+    assert len(dirs) == 1
+    # '%08x' count prefix 0000000a -> 10 elements (F1 split)
+    assert dirs[0].element_count == 10
+    assert dirs[0].c1 == 0x5BD83A7F  # first 4 bytes of the BAH128 (F2 chunk)
+
+    snips = out["snippet_index"].collect()
+    assert len(snips) == 2
+    assert {s.position for s in snips} == {1, 9}
+    assert out["stemmed_snippet_index"].count() == 1
+
+
+def test_listing_parser(spark):
+    lines = spark.createDataFrame(
+        [
+            ("-rw-r--r--  4096 2024/01/31 10:22:01 pool/main/a/abc_1.2.tar.gz",),
+            ("drwxr-xr-x  4096 2024/01/31 10:22:01 pool/main/a",),
+            ("lrwxrwxrwx  11 2023/05/02 00:00:59 link/to/thing",),
+            ("total 812",),  # dropped
+            ("pool/main:",),  # dropped
+        ],
+        ["value"],
+    )
+    rows = {r.path: r for r in parse_listing(lines).collect()}
+    assert set(rows) == {"pool/main/a/abc_1.2.tar.gz", "pool/main/a", "link/to/thing"}
+    assert rows["pool/main/a/abc_1.2.tar.gz"].type == "file"
+    assert rows["pool/main/a"].type == "directory"
+    assert rows["link/to/thing"].type == "link"
+    assert rows["pool/main/a/abc_1.2.tar.gz"].size == 4096
+    assert str(rows["link/to/thing"].last_modified) == "2023-05-02 00:00:59"
+
+
+def test_sbom_projection(spark):
+    pkg = spark.createDataFrame(
+        [
+            (
+                "pkg:npm/demo@1.0.0",
+                "demo",
+                "1.0.0",
+                "356a192b7913b04c54574d18c28d46e6395428ab",
+                "https://registry.example/demo-1.0.0.tgz",
+                "mit",
+            )
+        ],
+        ["purl", "name", "version", "sha1", "download_url", "declared_license_expression"],
+    )
+    import json
+
+    row = to_cyclonedx(pkg).select("cyclonedx").first()
+    doc = json.loads(row.cyclonedx)
+    assert doc["type"] == "library"
+    assert doc["purl"] == "pkg:npm/demo@1.0.0"
+    assert doc["hashes"][0] == {
+        "alg": "SHA-1",
+        "content": "356a192b7913b04c54574d18c28d46e6395428ab",
+    }
+    assert doc["licenses"][0]["license"]["expression"] == "mit"
+    assert doc["externalReferences"][0]["url"].startswith("https://registry")
+
+
+def test_visit_to_fixpoint(spark):
+    """Crawl recursion: uri 'n' discovers 'n+1' up to 5 — fixpoint = 0..5."""
+    seeds = spark.createDataFrame([("0",)], ["uri"])
+
+    def visit(frontier):
+        return frontier.select(
+            (F.col("uri").cast("int") + 1).cast("string").alias("uri")
+        ).filter(F.col("uri").cast("int") <= 5)
+
+    seen = visit_to_fixpoint(seeds, visit)
+    assert sorted(r.uri for r in seen.collect()) == ["0", "1", "2", "3", "4", "5"]
+
+
+def _queue(spark):
+    rows = [
+        (f"uri-{i}", i % 3, SCAN_NEW) for i in range(10)
+    ]
+    return spark.createDataFrame(rows, ["uri", "priority", "scan_status"])
+
+
+def test_take_batch_priority_order(spark):
+    batch = take_batch(_queue(spark), 4).collect()
+    # priority desc, uri desc inside each priority (minecode/models.py:272)
+    assert [r.uri for r in batch] == ["uri-8", "uri-5", "uri-2", "uri-7"]
+
+
+def test_transition_idempotent(spark):
+    q = _queue(spark)
+    batch = take_batch(q, 4)
+    once = transition(q, batch, "uri", new_status=SCAN_COMPLETED)
+    twice = transition(once, batch, "uri", new_status=SCAN_COMPLETED)
+    done = {r.uri for r in twice.filter(F.col("scan_status") == SCAN_COMPLETED).collect()}
+    assert done == {"uri-8", "uri-5", "uri-2", "uri-7"}
+    assert twice.count() == 10  # nothing lost, nothing duplicated
+
+
+def test_watch_new_versions(spark):
+    known = spark.createDataFrame(
+        [("demo", "1.0.0"), ("demo", "1.1.0")], ["name", "version"]
+    )
+    fetched = spark.createDataFrame(
+        [("demo", "1.0.0"), ("demo", "1.1.0"), ("demo", "1.2.0")],
+        ["name", "version"],
+    )
+    new = watch_new_versions(known, fetched, ["name", "version"]).collect()
+    assert [(r.name, r.version) for r in new] == [("demo", "1.2.0")]
+
+
+def test_streaming_queue_drain(spark, tmp_path):
+    """T2/T3: file-backed queue drained with AvailableNow into a foreachBatch
+    that records processed keys — the Structured Streaming consumption path."""
+    from purldb_spark.streaming.queue import stream_queue
+
+    src = str(tmp_path / "queue")
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("priority", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(
+        [("u1", 1), ("u2", 2), ("u3", 3)], schema
+    ).write.parquet(src)
+
+    seen: list[str] = []
+
+    def process(batch, epoch_id):
+        for r in batch.orderBy(F.desc("priority")).collect():
+            seen.append(r.uri)
+
+    q = stream_queue(spark, src, schema, process, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    assert sorted(seen) == ["u1", "u2", "u3"]
+
+
+def test_multimodal_decode_stub_and_embed(spark):
+    from purldb_spark.multimodal.binaryops import decode_media, embed_media
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media("image/png", b"\x89PNG")
+    assert decode_media("fake/image", b"abcd") == (4 % 640 + 1, 4 % 480 + 1)
+
+    media = spark.createDataFrame(
+        [(1, "fake/image", bytearray(b"hello world"))],
+        ["media_id", "media_type", "content"],
+    )
+    vec = embed_media(media).first()
+    assert len(vec.embedding) == 16
+    assert all(0.0 <= v <= 1.0 for v in vec.embedding)
