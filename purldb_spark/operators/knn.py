@@ -32,6 +32,39 @@ def cosine_expr(a: str, b: str) -> Column:
     return F.expr(_cosine_sql_spark(a, b))
 
 
+def normalize_expr(v: str) -> Column:
+    """Unit-normalize an array<float> -> array<double>. Precomputing this
+    once per vector turns per-pair cosine into a bare dot product — O(N)
+    norms instead of O(N²) (the dominant cost of all-pairs similarity)."""
+    norm = (
+        f"sqrt(aggregate({v}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    return F.expr(f"transform({v}, x -> cast(x as double) / {norm})")
+
+
+def normalize_sql_duckdb(v: str) -> str:
+    norm = (
+        f"sqrt(list_reduce(list_transform({v},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+    )
+    return f"list_transform({v}, x -> CAST(x AS DOUBLE) / {norm})"
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Plain dot product of two array<double> columns (use on normalized
+    vectors)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot_sql_duckdb(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> p[1] * p[2]), (acc, x) -> acc + x)"
+    )
+
+
 def _cosine_sql_spark(a: str, b: str) -> str:
     dot = (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"

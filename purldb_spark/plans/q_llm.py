@@ -41,7 +41,11 @@ from purldb_spark.operators.knn import (
     bucket_sql,
     cosine_expr,
     cosine_sql_duckdb,
+    dot_expr,
+    dot_sql_duckdb,
     hyperplanes,
+    normalize_expr,
+    normalize_sql_duckdb,
 )
 from purldb_spark.plans.q_match import a5_snippet_jaccard
 from purldb_spark.plans.registry import ORACLES, query
@@ -181,23 +185,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {cosine_sql_duckdb("a.embedding", "b.embedding")} AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {cosine_sql_duckdb("a.embedding", "b.embedding")} >= 0.4
+           {dot_sql_duckdb("a.u", "b.u")} AS cosine
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    WHERE {dot_sql_duckdb("a.u", "b.u")} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.4 (the synthetic
     vectors are near-orthogonal, so 0.4 is the planted-similarity tail).
-    Brute force is the correctness baseline; knn_lsh_bucketed is the scale
-    path. All arithmetic double, fold in index order -> bit-exact vs oracle."""
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("q_embedding"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("embedding"))
+
+    Vectors are unit-normalized ONCE (O(N)), so the O(N²) pair stage is a
+    bare dot product — 3x less flops and no per-pair norm recomputation; the
+    oracle mirrors the same normalize-then-dot association so doubles stay
+    bit-exact. Brute force is the correctness baseline; LSH bucketing
+    (knn_lsh_bucketed) is the scale path. At 100 TB: block the pair space
+    (bucket x bucket) and broadcast one side per block."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", normalize_expr("embedding").alias("u")
+    )
+    # the table is one parquet file; without an explicit repartition the
+    # nested-loop pair join runs on a single task — spread the streamed side
+    # across the cluster (partition count follows the session shuffle conf)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(
+        n_part, "id_a"
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"), "inner")
-        .withColumn("cosine", cosine_expr("q_embedding", "embedding"))
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
     )
