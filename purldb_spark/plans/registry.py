@@ -45,7 +45,9 @@ def load_inventory() -> None:
         q_match,
         q_merge,
         q_multimodal,
+        q_overlay,
         q_scans,
+        q_streaming,
         q_versions,
         q_windows,
     )
