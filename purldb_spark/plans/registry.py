@@ -47,6 +47,7 @@ def load_inventory() -> None:
         q_multimodal,
         q_overlay,
         q_scans,
+        q_snippet,
         q_streaming,
         q_versions,
         q_windows,
