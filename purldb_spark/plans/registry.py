@@ -39,6 +39,7 @@ def load_inventory() -> None:
     """Import every plan module so its @query decorators run."""
     from purldb_spark.plans import (  # noqa: F401
         q_aggs,
+        q_analytics,
         q_filters,
         q_joins,
         q_llm,
