@@ -41,6 +41,11 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events stores TIMESTAMP(NANOS), which Spark refuses by default.
+        # Set the legacy conf at runtime (works on any session — the DRIVER's
+        # session won't have it in its builder) and convert below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong); truncate to

@@ -41,17 +41,27 @@ def davg(col: str | Column, scale: int = 4) -> Column:
 
 
 def dec(col: str | Column, scale: int = 4) -> Column:
+    """Decimal cast for values that enter PRODUCTS. Precision 18 (not 30):
+    Spark caps decimal precision at 38 and silently ROUNDS when a product's
+    required precision exceeds it — (30,4)×(8,4) needs 39 and loses digits,
+    while (18,4)×(8,4)×(8,4) stays exact end-to-end. DuckDB keeps the wide
+    product exact, so an overflowing Spark product diverges from the oracle
+    in the 9th decimal."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal(30,{scale})")
+    return c.cast(f"decimal(18,{scale})")
 
 
-# SQL-side equivalents (DuckDB dialect == ANSI here)
+# SQL-side equivalents (DuckDB dialect == ANSI here).
+# The double cast routes through VARCHAR: DuckDB's direct DECIMAL->DOUBLE
+# cast computes int128->double then divides by 10^scale (two roundings, off
+# by 1 ulp for >2^53 unscaled values), while the string parse — like Spark's
+# BigDecimal.doubleValue — is correctly rounded.
 def sql_dsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS VARCHAR) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )

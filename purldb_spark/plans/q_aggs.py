@@ -119,7 +119,7 @@ def a6_rank_by_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey) AS n_customers,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS gross
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS gross
     FROM orders
     """,
 )

@@ -14,15 +14,17 @@ from purldb_spark.catalog.tables import load
 from purldb_spark.plans.registry import query
 
 _REVENUE_SQL = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))"
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
     " * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 )
 
 
 def _revenue() -> F.Column:
+    # precision 18, not 30: keeps the product within Spark's 38-digit cap so
+    # the decimal math stays exact (see functions/numeric.dec)
     return (
         F.sum(
-            F.col("l_extendedprice").cast("decimal(30,4)")
+            F.col("l_extendedprice").cast("decimal(18,4)")
             * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
         )
     ).cast("double")

@@ -77,7 +77,7 @@ def j2_prefetch_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_m2m_double_join",
     oracle="""
     SELECT r.r_name AS region_name, count(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey

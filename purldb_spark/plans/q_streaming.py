@@ -21,7 +21,7 @@ from purldb_spark.streaming.windows import tumbling_rollup
            time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
