@@ -9,8 +9,8 @@ order.
 
 Instead of a Python UDF we build an order-preserving STRING key entirely
 JVM-side (regexp_extract_all + lpad + array_join): numeric segments are
-zero-padded to fixed width, and a ``.~`` sentinel (~ sorts above any digit)
-is appended to releases so prereleases order below them. The identical
+zero-padded to fixed width, with sentinel suffixes separating prerelease
+from release ordering (see nat_version_key). The identical
 expression exists in DuckDB, which is what makes the oracle comparison
 possible — and at 100 TB the key stays inside whole-stage codegen, is
 cache-friendly for sorts, and never crosses the Python boundary.
@@ -27,31 +27,54 @@ _PAD = 12
 
 
 def nat_version_key(col: str | Column) -> Column:
-    """Order-preserving sort key for dotted versions w/ optional -suffix."""
+    """Order-preserving sort key for dotted versions w/ optional -suffix.
+
+    Core numeric segments (before the first '-') and prerelease segments are
+    kept SEPARATE: the key is `core + ('.+' for releases | '.!' + pre for
+    prereleases)`. Sentinels: '!'(33) < '+'(43) < '0'(48), giving all three
+    orderings at once — prerelease < its release ('!' < '+'), a release
+    sorts below a longer core ('+' < digit: '0' < '0.0'), and a prerelease
+    never outranks a longer core ('!' < digit: '1.2-beta3' < '1.2.1'). The
+    latter two cases were found by the hypothesis order-isomorphism test."""
     name = col if isinstance(col, str) else None
-    expr = (
-        f"concat(array_join(transform(regexp_extract_all({name}, '([0-9]+)', 1),"
-        f" x -> lpad(x, {_PAD}, '0')), '.'),"
-        f" case when contains({name}, '-') then '' else '.~' end)"
-    )
     if name is None:
         raise ValueError("pass the column name (expression builds SQL text)")
+    core = f"regexp_extract({name}, '^([^-]*)', 1)"
+    pre = f"regexp_extract({name}, '-(.*)$', 1)"
+    pad = lambda src: (  # noqa: E731
+        f"array_join(transform(regexp_extract_all({src}, '([0-9]+)', 1),"
+        f" x -> lpad(x, {_PAD}, '0')), '.')"
+    )
+    expr = (
+        f"concat({pad(core)},"
+        f" case when contains({name}, '-')"
+        f" then concat('.!', {pad(pre)}) else '.+' end)"
+    )
     return F.expr(expr)
 
 
 def nat_version_key_sql(col: str) -> str:
     """DuckDB rendering of the same key (oracle side)."""
-    return (
-        f"array_to_string(list_transform(regexp_extract_all({col}, '[0-9]+'),"
+    core = f"regexp_extract({col}, '^([^-]*)', 1)"
+    pre = f"regexp_extract({col}, '-(.*)$', 1)"
+    pad = lambda src: (  # noqa: E731
+        f"array_to_string(list_transform(regexp_extract_all({src}, '[0-9]+'),"
         f" x -> lpad(x, {_PAD}, '0')), '.')"
-        f" || CASE WHEN contains({col}, '-') THEN '' ELSE '.~' END"
+    )
+    return (
+        f"{pad(core)} || CASE WHEN contains({col}, '-')"
+        f" THEN '.!' || {pad(pre)} ELSE '.+' END"
     )
 
 
 def nat_version_key_py(version: str) -> str:
     """Driver-side reference implementation (tests, driver-side sorts)."""
-    segs = [s.zfill(_PAD) for s in re.findall(r"[0-9]+", version)]
-    return ".".join(segs) + ("" if "-" in version else ".~")
+    core, dash, pre = version.partition("-")
+    core_k = ".".join(s.zfill(_PAD) for s in re.findall(r"[0-9]+", core))
+    if not dash:
+        return core_k + ".+"
+    pre_k = ".".join(s.zfill(_PAD) for s in re.findall(r"[0-9]+", pre))
+    return core_k + ".!" + pre_k
 
 
 def version_in_range(

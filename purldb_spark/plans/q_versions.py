@@ -69,11 +69,14 @@ def a7_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rendered once so max_by and filters share the exact same expression text
+# the same key expression nat_version_key builds, as inline text for max_by
 _NAT_KEY_EXPR = (
-    "concat(array_join(transform(regexp_extract_all(version, '([0-9]+)', 1),"
-    " x -> lpad(x, 12, '0')), '.'),"
-    " case when contains(version, '-') then '' else '.~' end)"
+    "concat("
+    "array_join(transform(regexp_extract_all(regexp_extract(version, '^([^-]*)', 1),"
+    " '([0-9]+)', 1), x -> lpad(x, 12, '0')), '.'),"
+    " case when contains(version, '-') then concat('.!',"
+    " array_join(transform(regexp_extract_all(regexp_extract(version, '-(.*)$', 1),"
+    " '([0-9]+)', 1), x -> lpad(x, 12, '0')), '.')) else '.+' end)"
 )
 
 

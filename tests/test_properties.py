@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the pure-python kernels whose
+invariants the distributed operators lean on: the natural-version total
+order, purl round-tripping, and the query-string parser.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from purldb_spark.functions.purl import PackageURL
+from purldb_spark.functions.versions import nat_version_key_py as key
+from purldb_spark.operators.filters import parse_query_string
+
+# dotted numeric versions with optional prerelease suffix
+versions = st.builds(
+    lambda parts, pre: ".".join(map(str, parts)) + (f"-beta{pre}" if pre is not None else ""),
+    st.lists(st.integers(0, 999), min_size=1, max_size=4),
+    st.one_of(st.none(), st.integers(0, 9)),
+)
+
+
+def semantic(v: str):
+    """Ground-truth comparator: core segment tuple, then release flag
+    (prerelease < release), then prerelease segment tuple."""
+    core, dash, pre = v.partition("-")
+    core_nums = tuple(int(x) for x in re.findall(r"\d+", core))
+    pre_nums = tuple(int(x) for x in re.findall(r"\d+", pre))
+    return (core_nums, 0 if dash else 1, pre_nums)
+
+
+@given(versions, versions)
+@settings(max_examples=300)
+def test_version_key_is_order_isomorphic(a, b):
+    """key(a) < key(b) iff semantic(a) < semantic(b) — the string key is an
+    order isomorphism, so JVM-side string sorts equal true version sorts."""
+    # identical numeric tuples with same release-ness are equal-keyed
+    assert (key(a) < key(b)) == (semantic(a) < semantic(b))
+    assert (key(a) == key(b)) == (semantic(a) == semantic(b))
+
+
+purl_names = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-", min_size=1, max_size=20
+).filter(lambda s: not s.startswith((".", "-")))
+
+
+@given(
+    st.sampled_from(["npm", "pypi", "maven", "cargo", "gem"]),
+    st.one_of(st.none(), purl_names),
+    purl_names,
+    st.one_of(st.none(), versions),
+)
+@settings(max_examples=200)
+def test_purl_roundtrip_property(ptype, namespace, name, version):
+    p = PackageURL(ptype, namespace, name, version)
+    s = p.to_string()
+    q = PackageURL.parse(s)
+    assert (q.type, q.namespace, q.name, q.version) == (
+        ptype,
+        namespace,
+        name,
+        version,
+    )
+
+
+@given(st.lists(st.tuples(
+    st.sampled_from(["name", "type", "brand", "size"]),
+    st.sampled_from(["=", "^", "$", "~", ">", "<"]),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789.#", min_size=1, max_size=10),
+    st.booleans(),
+), min_size=1, max_size=5))
+@settings(max_examples=200)
+def test_query_string_parse_roundtrip(terms):
+    """Rendering terms back to the mini-language and reparsing is lossless."""
+    qs = " ".join(
+        f"{'-' if neg else ''}{field}{op}:{value}" for field, op, value, neg in terms
+    )
+    parsed = parse_query_string(qs)
+    from purldb_spark.operators.filters import LOOKUP_OPS
+
+    assert len(parsed) == len(terms)
+    for t, (field, op, value, neg) in zip(parsed, terms):
+        assert t.field == field
+        assert t.lookup == LOOKUP_OPS[op]
+        assert t.value == value
+        assert t.negated == neg
