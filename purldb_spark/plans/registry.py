@@ -40,6 +40,7 @@ def load_inventory() -> None:
     from purldb_spark.plans import (  # noqa: F401
         q_aggs,
         q_analytics,
+        q_bonus,
         q_filters,
         q_joins,
         q_llm,
