@@ -298,3 +298,135 @@ def a5_snippet_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "intersection", "jaccard")
     )
     return out
+
+
+@query(
+    "match_cascade_full",
+    oracle=f"""
+    WITH idx AS ({_IDX_SQL}), q AS ({_Q_SQL}),
+    exact AS (
+      SELECT q.q_doc_id, i.doc_id AS index_doc_id, 0 AS hamming
+      FROM q JOIN idx i ON q.q_c1 = i.c1 AND q.q_c2 = i.c2
+                       AND q.q_c3 = i.c3 AND q.q_c4 = i.c4
+    ),
+    rem1 AS (SELECT * FROM q WHERE q_doc_id NOT IN (SELECT q_doc_id FROM exact)),
+    cands AS (
+      SELECT DISTINCT q.q_doc_id, q.q_c1, q.q_c2, q.q_c3, q.q_c4,
+                      i.doc_id AS index_doc_id, i.c1, i.c2, i.c3, i.c4
+      FROM rem1 q JOIN idx i
+        ON (q.q_c1 = i.c1 OR q.q_c2 = i.c2 OR q.q_c3 = i.c3 OR q.q_c4 = i.c4)
+       AND {_GATE_SQL}
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT q_doc_id, index_doc_id, {hamming128_sql(
+            ["q_c1", "q_c2", "q_c3", "q_c4"], ["c1", "c2", "c3", "c4"]
+        )} AS hamming
+        FROM cands
+      ) WHERE hamming < 10
+    ),
+    rem2 AS (
+      SELECT q_doc_id FROM rem1
+      WHERE q_doc_id NOT IN (SELECT q_doc_id FROM approx)
+    ),
+    shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    content AS (
+      SELECT s.q_doc_id, s.index_doc_id, -1 AS hamming FROM (
+        SELECT a.doc_id AS q_doc_id, b.doc_id AS index_doc_id,
+               count(*) AS inter
+        FROM rem2 r
+        JOIN shingles a ON a.doc_id = r.q_doc_id
+        JOIN shingles b ON b.sh = a.sh
+        GROUP BY a.doc_id, b.doc_id
+      ) s
+      JOIN sizes sa ON sa.doc_id = s.q_doc_id
+      JOIN sizes sb ON sb.doc_id = s.index_doc_id
+      WHERE CAST(s.inter AS DOUBLE) / (sa.n + sb.n - s.inter) >= 0.5
+    )
+    SELECT q_doc_id, index_doc_id, CAST(hamming AS BIGINT) AS hamming,
+           'exact' AS match_type FROM exact
+    UNION ALL
+    SELECT q_doc_id, index_doc_id, CAST(hamming AS BIGINT) AS hamming,
+           'approximate' AS match_type FROM approx
+    UNION ALL
+    SELECT q_doc_id, index_doc_id, CAST(hamming AS BIGINT) AS hamming,
+           'content' AS match_type FROM content
+    """,
+)
+def match_cascade_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 complete: the reference's full matcher order — exact fingerprint,
+    approximate (banding+hamming), then CONTENT matching (shingle jaccard,
+    the snippet matcher's algebra) for whatever survives both fingerprint
+    stages (matchcode/pipelines/matching.py:46-62 runs matchers cheapest to
+    most expensive for exactly this reason).
+
+    The heavy-perturbed query class (fingerprint destroyed, 40 bits flipped)
+    is unmatchable by stages 1-2 but its TEXT is intact — stage 3 recovers
+    it by content, which is the cascade's whole point: each stage only pays
+    for the previous stages' failures."""
+    idx = _index_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+
+    def stage_exact(q: DataFrame) -> DataFrame:
+        cond = (
+            (q.q_c1 == idx.c1)
+            & (q.q_c2 == idx.c2)
+            & (q.q_c3 == idx.c3)
+            & (q.q_c4 == idx.c4)
+        )
+        return q.join(idx, cond, "inner").select(
+            "q_doc_id",
+            idx.doc_id.alias("index_doc_id"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+
+    def stage_approx(q: DataFrame) -> DataFrame:
+        cands = banded_candidates(q, idx)
+        return hamming_matches(cands).select(
+            "q_doc_id",
+            F.col("doc_id").alias("index_doc_id"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+
+    def stage_content(q: DataFrame) -> DataFrame:
+        from purldb_spark.operators.dedup import word_shingles
+
+        sh = word_shingles(docs, "doc_id", "text", n=3)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        q_sh = sh.join(
+            q.select(F.col("q_doc_id").alias("doc_id")), "doc_id", "left_semi"
+        ).withColumnRenamed("doc_id", "q_doc_id")
+        inter = (
+            q_sh.join(sh, "sh")
+            .groupBy("q_doc_id", F.col("doc_id").alias("index_doc_id"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.withColumnRenamed("doc_id", "q_doc_id").withColumnRenamed("n", "na")
+        sb = sizes.withColumnRenamed("doc_id", "index_doc_id").withColumnRenamed(
+            "n", "nb"
+        )
+        return (
+            inter.join(sa, "q_doc_id")
+            .join(sb, "index_doc_id")
+            .filter(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+                >= 0.5
+            )
+            .select(
+                "q_doc_id",
+                "index_doc_id",
+                F.lit(-1).cast("long").alias("hamming"),
+            )
+        )
+
+    return cascade(
+        _query_df(spark, sf_dir),
+        [
+            ("exact", stage_exact),
+            ("approximate", stage_approx),
+            ("content", stage_content),
+        ],
+        "q_doc_id",
+    )
