@@ -105,6 +105,39 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def incremental_lsh_dedup(
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Production dedup flow: candidate pairs of NEW documents against an
+    already-indexed corpus — one equi-join of the new batch's band table
+    against the stored band index, never an all-pairs recompute. Returns
+    (new_id, index_id) candidates; verify with verify_jaccard over the
+    combined shingle table, then append the surviving new docs' bands to the
+    index (idempotent keyed write).
+
+    At 100 TB the band index is the persistent dedup state: partitioned by
+    band_key hash, appended per batch, and the per-batch cost is
+    O(batch x collision rate)."""
+    a = new_bands.alias("a")
+    b = index_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+            "inner",
+        )
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("index_id"),
+        )
+        .dropDuplicates()
+    )
+
+
 def verify_jaccard(
     candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

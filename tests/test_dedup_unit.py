@@ -1,0 +1,74 @@
+"""Dedup operator unit tests: incremental LSH flow and empty/degenerate
+inputs (the edges the oracle queries' fixed datasets don't hit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.dedup import (
+    incremental_lsh_dedup,
+    lsh_candidate_pairs,
+    minhash_bands,
+    simhash,
+    simhash_near_pairs,
+    verify_jaccard,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+    (3, "completely different words about spark query engines here now"),
+]
+
+
+def test_incremental_dedup_finds_near_dup_against_index(spark):
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    sh = word_shingles(corpus, "doc_id", "text", n=3)
+    index_bands = minhash_bands(
+        sh.filter(F.col("doc_id").isin(1, 3)), "doc_id"
+    )  # docs 1,3 already indexed
+    new_bands = minhash_bands(sh.filter(F.col("doc_id") == 2), "doc_id")
+
+    cands = incremental_lsh_dedup(new_bands, index_bands, "doc_id")
+    pairs = {(r.new_id, r.index_id) for r in cands.collect()}
+    assert (2, 1) in pairs  # near-dup found against the index
+    assert (2, 3) not in pairs  # unrelated doc shares no band
+
+    verified = verify_jaccard(
+        cands.withColumnRenamed("new_id", "id_a").withColumnRenamed(
+            "index_id", "id_b"
+        ),
+        sh,
+        "doc_id",
+        threshold=0.5,
+    )
+    rows = verified.collect()
+    assert len(rows) == 1 and rows[0].id_a == 2 and rows[0].id_b == 1
+    assert rows[0].jaccard >= 0.6  # 6 shared of 8+8-6 shingles
+
+
+def test_empty_inputs_produce_empty_outputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sh = word_shingles(empty, "doc_id", "text")
+    assert sh.count() == 0
+    bands = minhash_bands(sh, "doc_id")
+    assert bands.count() == 0
+    assert lsh_candidate_pairs(bands, "doc_id").count() == 0
+    sim = simhash(
+        spark.createDataFrame([], "doc_id long, tok string"), "doc_id"
+    )
+    assert sim.count() == 0
+    assert simhash_near_pairs(sim, "doc_id").count() == 0
+
+
+def test_short_documents_are_skipped_not_crashed(spark):
+    # docs shorter than the shingle width would hit Spark's backward
+    # sequence() — the guard drops them
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a much longer document with enough words here")],
+        ["doc_id", "text"],
+    )
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    ids = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert ids == {2}
