@@ -142,3 +142,55 @@ def c_scalar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.length(md5k) == 32, md5k).alias("checked_md5"),
         F.upper(F.substring(md5k, 1, 8)).alias("hex_up"),
     )
+
+
+@query(
+    "c9_license_combine",
+    oracle="""
+    WITH detected AS (
+      SELECT p_brand,
+             CASE p_size % 4 WHEN 0 THEN 'mit'
+                             WHEN 1 THEN 'apache-2.0'
+                             WHEN 2 THEN 'gpl-2.0 WITH classpath-exception-2.0'
+                             ELSE 'bsd-new OR mit' END AS expr
+      FROM part
+    ),
+    uniq AS (SELECT DISTINCT p_brand, expr FROM detected),
+    rolled AS (
+      SELECT p_brand,
+             list(CASE WHEN contains(expr, ' OR ') OR contains(expr, ' AND ')
+                       THEN '(' || expr || ')' ELSE expr END
+                  ORDER BY expr) AS exprs
+      FROM uniq GROUP BY p_brand
+    )
+    SELECT p_brand, array_to_string(exprs, ' AND ') AS declared_license_expression,
+           len(exprs) AS n_licenses
+    FROM rolled
+    """,
+)
+def c9_license_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: roll per-file detected license expressions up to one package-level
+    declared expression (minecode/indexing.py:208-215): dedup, deterministic
+    sort, parenthesize compound sub-expressions, AND-join — entirely as
+    aggregation (sort_array + transform + array_join), no UDF. The Python
+    twin for driver-side use is functions/licenses.combine_expressions."""
+    p = load(spark, sf_dir, "part")
+    expr = (
+        F.when(F.col("p_size") % 4 == 0, "mit")
+        .when(F.col("p_size") % 4 == 1, "apache-2.0")
+        .when(F.col("p_size") % 4 == 2, "gpl-2.0 WITH classpath-exception-2.0")
+        .otherwise("bsd-new OR mit")
+    )
+    uniq = p.select("p_brand", expr.alias("expr")).dropDuplicates()
+    rolled = uniq.groupBy("p_brand").agg(
+        F.expr(
+            "transform(sort_array(collect_set(expr)),"
+            " e -> CASE WHEN e LIKE '% OR %' OR e LIKE '% AND %'"
+            " THEN concat('(', e, ')') ELSE e END)"
+        ).alias("exprs")
+    )
+    return rolled.select(
+        "p_brand",
+        F.array_join("exprs", " AND ").alias("declared_license_expression"),
+        F.size("exprs").alias("n_licenses"),
+    )
