@@ -172,17 +172,23 @@ def match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5_rank_tiebreak",
     oracle="""
     WITH q AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-    scored AS (
+    sized AS (
       SELECT q.doc_id AS q_doc_id, i.doc_id AS cand_doc_id,
              abs(q.n_chars - i.n_chars) AS size_diff,
-             levenshtein(substr(q.text, 1, 24), substr(i.text, 1, 24)) AS name_dist,
-             row_number() OVER (
-               PARTITION BY q.doc_id
-               ORDER BY abs(q.n_chars - i.n_chars),
-                        levenshtein(substr(q.text, 1, 24), substr(i.text, 1, 24)),
-                        i.doc_id
-             ) AS rn
+             substr(q.text, 1, 24) AS q_head, substr(i.text, 1, 24) AS i_head,
+             min(abs(q.n_chars - i.n_chars)) OVER (PARTITION BY q.doc_id)
+               AS min_size_diff
       FROM q JOIN documents i ON q.lang = i.lang AND q.doc_id <> i.doc_id
+    ),
+    tier AS (SELECT * FROM sized WHERE size_diff = min_size_diff),
+    scored AS (
+      SELECT q_doc_id, cand_doc_id, size_diff,
+             levenshtein(q_head, i_head) AS name_dist,
+             row_number() OVER (
+               PARTITION BY q_doc_id
+               ORDER BY levenshtein(q_head, i_head), cand_doc_id
+             ) AS rn
+      FROM tier
     )
     SELECT q_doc_id, cand_doc_id, CAST(size_diff AS BIGINT) AS size_diff,
            CAST(name_dist AS BIGINT) AS name_dist
@@ -193,8 +199,12 @@ def f5_rank_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/W5: tie-break heuristics — candidates ranked by
     (size difference, name edit distance) and only the best kept
     (matchcode/models.py:339-366; levenshtein is the declared substitute for
-    SequenceMatcher.ratio, available in both engines). Total order ends in
-    the candidate key for determinism."""
+    SequenceMatcher.ratio, available in both engines).
+
+    Tiered evaluation: the winner under (size_diff, name_dist, id) must sit
+    in the min-size_diff tier, so the expensive edit distance runs ONLY on
+    that tier (a cheap window min + filter first) — the same
+    cheap-before-expensive cascade philosophy as F8, identical results."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
@@ -205,21 +215,24 @@ def f5_rank_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("q.doc_id") != F.col("i.doc_id")),
         "inner",
     )
-    scored = joined.select(
+    sized = joined.select(
         F.col("q.doc_id").alias("q_doc_id"),
         F.col("i.doc_id").alias("cand_doc_id"),
         F.abs(F.col("q.n_chars") - F.col("i.n_chars")).alias("size_diff"),
-        F.levenshtein(
-            F.substring(F.col("q.text"), 1, 24), F.substring(F.col("i.text"), 1, 24)
-        )
-        .cast("long")
-        .alias("name_dist"),
+        F.substring(F.col("q.text"), 1, 24).alias("q_head"),
+        F.substring(F.col("i.text"), 1, 24).alias("i_head"),
+    ).withColumn(
+        "min_size_diff", F.min("size_diff").over(W.partitionBy("q_doc_id"))
     )
-    w = W.partitionBy("q_doc_id").orderBy("size_diff", "name_dist", "cand_doc_id")
+    tier = sized.filter(F.col("size_diff") == F.col("min_size_diff"))
+    scored = tier.withColumn(
+        "name_dist", F.levenshtein("q_head", "i_head").cast("long")
+    )
+    w = W.partitionBy("q_doc_id").orderBy("name_dist", "cand_doc_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select("q_doc_id", "cand_doc_id", "size_diff", "name_dist")
     )
 
 
