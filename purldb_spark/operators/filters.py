@@ -171,6 +171,18 @@ def compile_query_sql(
     return " AND ".join(_term_sql(t, field_types) for t in terms)
 
 
+def keyset_page(df, key: str, after=None, limit: int = 20):
+    """S1 at depth: keyset pagination — `key > after ORDER BY key LIMIT n`.
+    O(page) at any depth and the predicate pushes into the scan, unlike
+    offset pagination which reads and discards `offset` rows
+    (packagedb/api_custom.py:13-23 is offset-based; this is the scale
+    replacement)."""
+    out = df
+    if after is not None:
+        out = out.filter(F.col(key) > after)
+    return out.orderBy(F.col(key).asc()).limit(limit)
+
+
 def multifield_search(value: str, fields: list[str]) -> Column:
     """P6: default search — OR of case-insensitive contains over fields
     (packagedb/filters.py:88-93)."""
