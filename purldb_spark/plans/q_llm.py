@@ -410,3 +410,56 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed.groupBy("doc_id").agg(
         F.countDistinct("fp").alias("n_fingerprints")
     )
+
+
+from purldb_spark.operators.ivf import cell_expr, cell_sql  # noqa: E402
+
+
+@query(
+    "knn_ivf_cell",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {cell_sql("embedding")} AS ivf_cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_vec_id, embedding AS q_embedding, ivf_cell
+          FROM cells WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_vec_id, i.vec_id,
+             {cosine_sql_duckdb("q.q_embedding", "i.embedding")} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {cosine_sql_duckdb("q.q_embedding", "i.embedding")} DESC,
+                        i.vec_id
+             ) AS rank
+      FROM q JOIN cells i ON q.ivf_cell = i.ivf_cell AND q.q_vec_id <> i.vec_id
+    )
+    SELECT q_vec_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def knn_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2 — IVF partitioning (operators/ivf.py): 8 frozen
+    centroids split the space into cells; each query searches only its own
+    cell's inverted list (top-3 by cosine). Complements knn_lsh_bucketed;
+    at 100 TB `ivf_cell` is the partition key and nprobe>1 raises recall by
+    probing adjacent cells."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "ivf_cell", cell_expr("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("ivf_cell").alias("q_cell"),
+    )
+    joined = q.join(
+        e,
+        (F.col("q_cell") == F.col("ivf_cell")) & (F.col("q_vec_id") != F.col("vec_id")),
+    )
+    scored = joined.withColumn("cosine", cosine_expr("q_embedding", "embedding"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id", "cosine", "rank")
+    )
