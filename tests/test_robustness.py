@@ -1,0 +1,76 @@
+"""Edge-input robustness: degenerate scan JSON through S7, and the SimHash
+pigeonhole-banding guarantee checked against brute force."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.dedup import simhash_near_pairs
+from purldb_spark.sources.scan_json import ingest_scan
+
+
+def test_scan_ingest_degenerate_inputs(spark, tmp_path):
+    """Empty files array, missing extra_data, dir without fingerprints —
+    every output table exists and is empty/partial rather than erroring."""
+    doc = {
+        "package_uid": "pkg:npm/empty@1.0.0?uuid=x",
+        "files": [
+            {"path": "bare", "type": "directory", "name": "bare"},  # no extra_data
+            {"path": "bare/file.txt", "type": "file", "name": "file.txt"},  # no sha1
+        ],
+    }
+    p = tmp_path / "scan_degenerate.json"
+    p.write_text(json.dumps(doc))
+    out = ingest_scan(spark, str(p))
+    assert out["resources"].count() == 2
+    assert out["exact_file_index"].count() == 0  # no sha1 -> not indexed
+    assert out["approx_dir_content_index"].count() == 0
+    assert out["snippet_index"].count() == 0
+
+    empty = {"package_uid": "pkg:npm/none@1.0.0?uuid=y", "files": []}
+    p2 = tmp_path / "scan_empty.json"
+    p2.write_text(json.dumps(empty))
+    out2 = ingest_scan(spark, str(p2))
+    assert all(df.count() == 0 for df in out2.values())
+
+
+def test_simhash_banding_guarantee_vs_brute_force(spark):
+    """Pigeonhole: every pair at hamming ≤ 3 MUST be found by the 4-band
+    join. Compare against brute-force bit_count over deterministic
+    pseudo-random 32-bit fingerprints (seeded from ids, includes planted
+    near-identical pairs)."""
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(2**32)).alias("simhash"),
+    )
+    # plant near-dups: ids 1000+k get id k's fingerprint with 2 bits flipped
+    planted = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("simhash").bitwiseXOR(F.lit(0b101)).alias("simhash"),
+    )
+    sim = base.unionByName(planted)
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4).collect()
+    }
+
+    a = sim.alias("a")
+    b = sim.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hd"),
+        )
+        .filter(F.col("hd") <= 3)
+        .collect()
+    }
+    assert found == brute  # banding finds EXACTLY the brute-force set
+    assert len(brute) >= 20  # the planted pairs are all in there
