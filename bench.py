@@ -2,6 +2,10 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line with per-query
 seconds. Each query is forced with a count() action (no driver collect of
 payload rows).
+
+The driver keeps only a bounded tail of stdout (round 1 clipped the front of
+a ~2.4 KB line), so the printed line carries the headline queries only and
+the full per-query timing map is written to bench_full.json in the repo.
 """
 
 from __future__ import annotations
@@ -35,16 +39,62 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
 
+    here = os.path.dirname(os.path.abspath(__file__))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": timings,
+                "sf": sf_val,
+            },
+            fh,
+        )
+        fh.write("\n")
+
+    # headline = the expensive/representative queries; everything else is
+    # summed into other_sec so value == sum(queries) + other_sec.
+    headline_names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "match_cascade_full",
+        "snippet_match_pipeline",
+        "f5_rank_tiebreak",
+        "j6_banding_join",
+        "m1_merge_upsert",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped",
+        "dedup_embedding_cosine",
+        "dedup_embedding_blocked",
+        "knn_bruteforce",
+        "knn_lsh_bucketed",
+        "knn_ivf_cell",
+        "text_winnow_fingerprint",
+        "mm_decode_meta",
+        "t_tumbling_rollup_daily",
+    ]
+    headline = {n: round(timings[n], 2) for n in headline_names if n in timings}
+    other = round(total - sum(headline.values()), 2)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "n_queries": len(timings),
+                "other_sec": other,
+                "queries": headline,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -83,9 +83,14 @@ def similarity128(hd: Column) -> Column:
 
 
 def count_gate(query_count: Column, index_count: Column, ratio: float = COUNT_RANGE_RATIO) -> Column:
-    """F4: ±ratio element-count window (both sides integer-exact)."""
+    """F4: ±ratio element-count window (both sides integer-exact).
+
+    Both bounds truncate toward zero like the reference's
+    ``int(count * ratio)`` in bah128_ranges (matchcode/models.py:129-141);
+    counts are positive so floor == int() truncation.
+    """
     lo = F.floor(query_count * (1 - ratio))
-    hi = F.ceil(query_count * (1 + ratio))
+    hi = F.floor(query_count * (1 + ratio))
     return index_count.between(lo, hi)
 
 

@@ -31,19 +31,24 @@ def nat_version_key(col: str | Column) -> Column:
 
     Core numeric segments (before the first '-') and prerelease segments are
     kept SEPARATE: the key is `core + ('.+' for releases | '.!' + pre for
-    prereleases)`. Sentinels: '!'(33) < '+'(43) < '0'(48), giving all three
-    orderings at once — prerelease < its release ('!' < '+'), a release
-    sorts below a longer core ('+' < digit: '0' < '0.0'), and a prerelease
-    never outranks a longer core ('!' < digit: '1.2-beta3' < '1.2.1'). The
-    latter two cases were found by the hypothesis order-isomorphism test."""
+    prereleases)`. Sentinels: '!'(33) < '#'(35) < '+'(43) < '0'(48), giving
+    every ordering at once — prerelease < its release ('!' < '+'), a release
+    sorts below a longer core ('+' < digit: '0' < '0.0'), a prerelease
+    never outranks a longer core ('!' < digit: '1.2-beta3' < '1.2.1'), and
+    alphabetic segments (marker '#') interleave so '1.2a' < '1.2b' and
+    '-alpha' < '-beta' tie-break textually while matching the reference
+    natsort key's '1.2-beta' < '1.2a' < '1.2' < '1.2.1' ordering
+    (packagedb/models.py:51-53). The sentinel cases were found by the
+    hypothesis order-isomorphism test."""
     name = col if isinstance(col, str) else None
     if name is None:
         raise ValueError("pass the column name (expression builds SQL text)")
     core = f"regexp_extract({name}, '^([^-]*)', 1)"
     pre = f"regexp_extract({name}, '-(.*)$', 1)"
     pad = lambda src: (  # noqa: E731
-        f"array_join(transform(regexp_extract_all({src}, '([0-9]+)', 1),"
-        f" x -> lpad(x, {_PAD}, '0')), '.')"
+        f"array_join(transform(regexp_extract_all(lower({src}), '([0-9]+|[a-z]+)', 1),"
+        f" x -> case when x rlike '^[0-9]' then lpad(x, {_PAD}, '0')"
+        f" else concat('#', x) end), '.')"
     )
     expr = (
         f"concat({pad(core)},"
@@ -58,8 +63,9 @@ def nat_version_key_sql(col: str) -> str:
     core = f"regexp_extract({col}, '^([^-]*)', 1)"
     pre = f"regexp_extract({col}, '-(.*)$', 1)"
     pad = lambda src: (  # noqa: E731
-        f"array_to_string(list_transform(regexp_extract_all({src}, '[0-9]+'),"
-        f" x -> lpad(x, {_PAD}, '0')), '.')"
+        f"array_to_string(list_transform(regexp_extract_all(lower({src}), '[0-9]+|[a-z]+'),"
+        f" x -> CASE WHEN regexp_matches(x, '^[0-9]') THEN lpad(x, {_PAD}, '0')"
+        f" ELSE '#' || x END), '.')"
     )
     return (
         f"{pad(core)} || CASE WHEN contains({col}, '-')"
@@ -67,14 +73,17 @@ def nat_version_key_sql(col: str) -> str:
     )
 
 
+def _pad_py(src: str) -> str:
+    segs = re.findall(r"[0-9]+|[a-z]+", src.lower())
+    return ".".join(s.zfill(_PAD) if s[0].isdigit() else "#" + s for s in segs)
+
+
 def nat_version_key_py(version: str) -> str:
     """Driver-side reference implementation (tests, driver-side sorts)."""
     core, dash, pre = version.partition("-")
-    core_k = ".".join(s.zfill(_PAD) for s in re.findall(r"[0-9]+", core))
     if not dash:
-        return core_k + ".+"
-    pre_k = ".".join(s.zfill(_PAD) for s in re.findall(r"[0-9]+", pre))
-    return core_k + ".!" + pre_k
+        return _pad_py(core) + ".+"
+    return _pad_py(core) + ".!" + _pad_py(pre)
 
 
 def version_in_range(

@@ -67,11 +67,13 @@ def merge_upsert(
     if spec.level_col:
         ex_cols.append(F.col(spec.level_col).alias("old__level"))
         inc_cols.append(F.col(spec.level_col).alias("new__level"))
-    ex = existing.select(*ex_cols)
+    # explicit presence marker: a nullable field (even level_col) can be
+    # legitimately null on an existing row, which must still count as matched
+    ex = existing.select(*ex_cols).withColumn("old__present", F.lit(True))
     inc = incoming.select(*inc_cols)
 
     j = ex.join(inc, k, "full_outer")
-    is_insert = ~_has_old(j, spec)
+    is_insert = F.col("old__present").isNull()
     replace_cond = (
         (F.col("new__level") >= F.col("old__level"))
         if spec.level_col
@@ -109,14 +111,6 @@ def merge_upsert(
     )
     merged = flagged.filter(~F.col("__conflict")).select(*out_cols)
     return merged, conflicts
-
-
-def _has_old(j: DataFrame, spec: MergeSpec) -> Column:
-    # presence marker: any old_ column set is not reliable (nullable fields);
-    # use the level col when present, else fall back to first old field
-    if spec.level_col:
-        return F.col("old__level").isNotNull()
-    return F.col(f"old_{next(iter(spec.fields))}").isNotNull()
 
 
 def replace_children(

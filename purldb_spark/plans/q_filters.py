@@ -173,7 +173,7 @@ def p6_search_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_size
     FROM part
-    WHERE p_size BETWEEN CAST(floor(40 * 0.95) AS INT) AND CAST(ceil(40 * 1.05) AS INT)
+    WHERE p_size BETWEEN CAST(floor(40 * 0.95) AS INT) AND CAST(floor(40 * 1.05) AS INT)
     """,
 )
 def p7_range_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +181,7 @@ def p7_range_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (matchcode/models.py:129-141 `indexed_elements_count__range`)."""
     p = load(spark, sf_dir, "part")
     lo = F.floor(F.lit(40) * 0.95).cast("int")
-    hi = F.ceil(F.lit(40) * 1.05).cast("int")
+    hi = F.floor(F.lit(40) * 1.05).cast("int")
     return p.select("p_partkey", "p_name", "p_size").filter(
         F.col("p_size").between(lo, hi)
     )

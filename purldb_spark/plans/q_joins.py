@@ -197,16 +197,16 @@ def _fp_chunks(df: DataFrame) -> DataFrame:
     ),
     hits AS (
       SELECT q.q_doc_id, i.doc_id AS index_doc_id FROM q JOIN idx i ON q.chunk1 = i.chunk1
-        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND floor(q.q_count * 1.05)
       UNION
       SELECT q.q_doc_id, i.doc_id FROM q JOIN idx i ON q.chunk2 = i.chunk2
-        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND floor(q.q_count * 1.05)
       UNION
       SELECT q.q_doc_id, i.doc_id FROM q JOIN idx i ON q.chunk3 = i.chunk3
-        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND floor(q.q_count * 1.05)
       UNION
       SELECT q.q_doc_id, i.doc_id FROM q JOIN idx i ON q.chunk4 = i.chunk4
-        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND ceil(q.q_count * 1.05)
+        WHERE i.n_chars BETWEEN floor(q.q_count * 0.95) AND floor(q.q_count * 1.05)
     )
     SELECT q_doc_id, index_doc_id FROM hits
     """,
@@ -242,7 +242,7 @@ def j6_banding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.join(idx, on=[q[ck] == idx[ck]], how="inner")
             .filter(
                 idx.n_chars.between(
-                    F.floor(q.q_count * 0.95), F.ceil(q.q_count * 1.05)
+                    F.floor(q.q_count * 0.95), F.floor(q.q_count * 1.05)
                 )
             )
             .select(q.q_doc_id, idx.doc_id.alias("index_doc_id"))

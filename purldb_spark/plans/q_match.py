@@ -90,7 +90,7 @@ _HAMMING_SQL = hamming128_sql(
 
 _GATE_SQL = (
     "i.element_count BETWEEN floor(q.q_element_count * 0.95)"
-    " AND ceil(q.q_element_count * 1.05)"
+    " AND floor(q.q_element_count * 1.05)"
 )
 
 

@@ -24,6 +24,7 @@ which case pre-splitting the file (or range-reading) is the operational fix
 
 from __future__ import annotations
 
+import codecs
 import zlib
 from collections.abc import Iterator
 
@@ -51,15 +52,19 @@ def _gunzip_lines(blob: bytes) -> Iterator[str]:
     whatever follows is ignored. Peak memory is one chunk + one line, never
     the decompressed payload."""
     d = zlib.decompressobj(wbits=31)  # 31 = gzip container
+    # incremental decoder: a multi-byte UTF-8 char split across the 1 MB
+    # chunk boundary is carried over, not corrupted into U+FFFD
+    dec = codecs.getincrementaldecoder("utf-8")("replace")
     buf = ""
     for off in range(0, len(blob), _CHUNK):
         out = d.decompress(blob[off : off + _CHUNK])
-        buf += out.decode("utf-8", errors="replace")
+        buf += dec.decode(out)
         while "\n" in buf:
             line, buf = buf.split("\n", 1)
             yield line
         if d.eof:
             break
+    buf += dec.decode(b"", final=True)
     if buf:
         yield buf
 

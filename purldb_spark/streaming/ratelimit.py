@@ -26,8 +26,16 @@ def partition_by_host(
 ) -> DataFrame:
     """Hash-partition the frontier by host so each host lands on exactly one
     partition (the precondition for per-host politeness)."""
+    # scheme per RFC 3986 (letters/digits/+-., any case); lowercase the host
+    # so HTTP://Host and http://host share one bucket and unparseable URIs
+    # don't all collapse into a single '' bucket with real empty-host rows
     with_host = frontier.withColumn(
-        "host", F.regexp_extract(F.col(uri_col), r"^[a-z+]+://([^/:?]+)", 1)
+        "host",
+        F.lower(
+            F.regexp_extract(
+                F.col(uri_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?]+)", 1
+            )
+        ),
     )
     if n_partitions:
         return with_host.repartition(n_partitions, "host")
