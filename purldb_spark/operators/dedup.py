@@ -138,6 +138,37 @@ def incremental_lsh_dedup(
     )
 
 
+def df_capped_candidate_pairs(
+    shingles: DataFrame, id_col: str, df_cap: int
+) -> DataFrame:
+    """Candidate pairs from the inverted index with a document-frequency cap:
+    shingles held by more than `df_cap` documents are dropped from candidate
+    generation (a shingle in k docs yields k² pair rows — hot shingles are
+    the quadratic blow-up AND carry no dedup signal; DESIGN.md §dedup).
+
+    Recall contract: a pair is missed only if EVERY shared shingle is hot,
+    which for near-duplicates (many shared shingles) is vanishingly rare.
+    The exact-jaccard verify still runs over the FULL shingle sets, so every
+    emitted pair's score is exact. All joins are equi-joins."""
+    df_counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_counts.filter(F.col("df") <= df_cap).select("sh")
+    posting = shingles.join(rare, "sh", "inner")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+
+
 def verify_jaccard(
     candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

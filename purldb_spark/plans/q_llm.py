@@ -26,6 +26,7 @@ from purldb_spark.functions.text import (
     TOKEN_REGEX,
 )
 from purldb_spark.operators.dedup import (
+    df_capped_candidate_pairs,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_bands,
@@ -143,6 +144,130 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram jaccard dedup — the all-pairs ground truth (shares the
     inverted-index implementation with a5_snippet_jaccard, threshold 0.5)."""
     return a5_snippet_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+
+
+_DF_CAP = 16
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    rare AS (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {_DF_CAP}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingles a
+      JOIN rare r ON r.sh = a.sh
+      JOIN shingles b ON b.sh = a.sh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS intersection
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, intersection,
+           CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe n-gram jaccard: candidate pairs only from shingles with
+    document frequency <= 16 (a shingle in k docs makes k² candidate rows —
+    the df cap bounds the quadratic term; hot shingles carry no signal), then
+    exact jaccard over the FULL shingle sets for the candidates, >= 0.5.
+
+    vs dedup_ngram_jaccard (the uncapped ground truth): misses a pair only
+    when every shared shingle is hot; scores of emitted pairs are identical.
+    The plan is equi-joins only — no shingle key ever fans out more than
+    df_cap ways, so the shuffle volume is linear in corpus size at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    cands = df_capped_candidate_pairs(sh, "doc_id", _DF_CAP)
+    return verify_jaccard(cands, sh, "doc_id", 0.5)
+
+
+# 4 independent bands of 4 hyperplanes: for planted near-dups (cosine ~0.9,
+# p_bit ~0.857) band recall is 1-(1-0.857^4)^4 ~ 0.96; candidates stay
+# O(N · bucket occupancy), never all-pairs.
+_BLOCK_BANDS = [hyperplanes(dim=64, n_planes=4, seed=100 + b) for b in range(4)]
+
+
+@query(
+    "dedup_embedding_blocked",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx,"
+        f" {bucket_sql('embedding', planes, dialect='duckdb')} AS bucket"
+        " FROM embeddings"
+        for b, planes in enumerate(_BLOCK_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {dot_sql_duckdb("ua.u", "ub.u")} AS cosine
+    FROM cands c
+    JOIN unit ua ON ua.vec_id = c.id_a
+    JOIN unit ub ON ub.vec_id = c.id_b
+    WHERE {dot_sql_duckdb("ua.u", "ub.u")} >= 0.4
+    """,
+)
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-dup pairs: LSH-bucket blocking.
+    4 independent bands of 4 deterministic hyperplanes give each vector 4
+    (band, bucket) keys; candidate pairs share a key (ONE equi-join on the
+    banded table), then the exact normalized dot product verifies >= 0.4.
+
+    vs dedup_embedding_cosine (the exact all-pairs ground truth): candidate
+    generation is O(N · bucket occupancy) instead of O(N²), scores of
+    emitted pairs are bit-identical, and recall is tuned by the band count
+    exactly like MinHash-LSH. At 100 TB (band_idx, bucket) is the shuffle
+    key — uniform by construction (random hyperplanes), no skew."""
+    e = load(spark, sf_dir, "embeddings")
+    unit = e.select("vec_id", normalize_expr("embedding").alias("u"))
+    banded = None
+    for b, planes in enumerate(_BLOCK_BANDS):
+        part = e.select(
+            "vec_id",
+            F.lit(b).alias("band_idx"),
+            bucket_expr("embedding", planes).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    cands = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    return (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 # SimHash features are 3-word shingles, not raw tokens: the synthetic corpus

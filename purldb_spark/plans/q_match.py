@@ -168,6 +168,12 @@ def match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# f5 size-band width: |Δn_chars| <= _F5_BUCKET implies the floor-bucket ids
+# differ by <= 1, which is what makes the ±1 banded join lossless for any
+# query whose nearest candidate is within the band.
+_F5_BUCKET = 128
+
+
 @query(
     "f5_rank_tiebreak",
     oracle="""
@@ -201,30 +207,78 @@ def f5_rank_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
     (matchcode/models.py:339-366; levenshtein is the declared substitute for
     SequenceMatcher.ratio, available in both engines).
 
-    Tiered evaluation: the winner under (size_diff, name_dist, id) must sit
-    in the min-size_diff tier, so the expensive edit distance runs ONLY on
-    that tier (a cheap window min + filter first) — the same
-    cheap-before-expensive cascade philosophy as F8, identical results."""
+    Plan: the candidate join is BANDED on (lang, size_bucket) with the query
+    exploded into its own ±1 buckets — |Δsize| <= B implies the bucket ids
+    differ by at most 1, so every candidate within B lands in the window.
+    Queries whose window min is <= B provably have their whole global
+    min-size_diff tier inside the window (tests/test_properties.py proves
+    containment); the rare query with no size-similar candidate falls back
+    to the exact per-lang join. The expensive edit distance still runs only
+    on the final tier. At 100 TB the banded join keys are (lang, bucket) —
+    high cardinality — instead of the handful of langs, so no per-key
+    quadratic group survives."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
-    q = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    joined = q.alias("q").join(
-        d.alias("i"),
-        (F.col("q.lang") == F.col("i.lang"))
-        & (F.col("q.doc_id") != F.col("i.doc_id")),
-        "inner",
+    B = _F5_BUCKET
+    idx = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_doc_id"),
+        "lang",
+        F.col("n_chars").alias("i_chars"),
+        F.substring("text", 1, 24).alias("i_head"),
+        F.floor(F.col("n_chars") / B).alias("bucket"),
     )
-    sized = joined.select(
-        F.col("q.doc_id").alias("q_doc_id"),
-        F.col("i.doc_id").alias("cand_doc_id"),
-        F.abs(F.col("q.n_chars") - F.col("i.n_chars")).alias("size_diff"),
-        F.substring(F.col("q.text"), 1, 24).alias("q_head"),
-        F.substring(F.col("i.text"), 1, 24).alias("i_head"),
-    ).withColumn(
-        "min_size_diff", F.min("size_diff").over(W.partitionBy("q_doc_id"))
+    q = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("q_doc_id"),
+            "lang",
+            F.col("n_chars").alias("q_chars"),
+            F.substring("text", 1, 24).alias("q_head"),
+            F.floor(F.col("n_chars") / B).alias("q_bucket"),
+        )
     )
-    tier = sized.filter(F.col("size_diff") == F.col("min_size_diff"))
+
+    def sized_of(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            "q_doc_id",
+            "cand_doc_id",
+            F.abs(F.col("q_chars") - F.col("i_chars")).alias("size_diff"),
+            "q_head",
+            "i_head",
+        ).withColumn(
+            "min_size_diff", F.min("size_diff").over(W.partitionBy("q_doc_id"))
+        )
+
+    q_exp = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(F.col("q_bucket") - 1, F.col("q_bucket"), F.col("q_bucket") + 1)
+        ),
+    )
+    sized_b = sized_of(
+        q_exp.join(idx, ["lang", "bucket"], "inner").filter(
+            F.col("q_doc_id") != F.col("cand_doc_id")
+        )
+    )
+    # window min <= B => the global tier is contained in the window (proof in
+    # test_properties); those queries are done. The rest re-run exactly.
+    safe_tier = sized_b.filter(
+        (F.col("min_size_diff") <= B) & (F.col("size_diff") == F.col("min_size_diff"))
+    )
+    safe_ids = (
+        sized_b.filter(F.col("min_size_diff") <= B).select("q_doc_id").dropDuplicates()
+    )
+    q_unsafe = q.join(safe_ids, "q_doc_id", "left_anti")
+    sized_u = sized_of(
+        q_unsafe.join(idx, "lang", "inner").filter(
+            F.col("q_doc_id") != F.col("cand_doc_id")
+        )
+    )
+    tier = safe_tier.unionByName(
+        sized_u.filter(F.col("size_diff") == F.col("min_size_diff"))
+    )
+
     scored = tier.withColumn(
         "name_dist", F.levenshtein("q_head", "i_head").cast("long")
     )

@@ -65,6 +65,38 @@ def test_purl_roundtrip_property(ptype, namespace, name, version):
     )
 
 
+@given(
+    st.integers(0, 5000),
+    st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+)
+@settings(max_examples=300)
+def test_f5_size_band_tier_containment(q_size, cand_sizes):
+    """The ±1 size-bucket banding in f5_rank_tiebreak is lossless: whenever
+    the banded window holds a candidate with |Δ| <= B, the window's
+    min-size_diff tier equals the exact global tier; otherwise the plan's
+    exact fallback fires. Mirrors plans/q_match.py:_F5_BUCKET logic."""
+    from purldb_spark.plans.q_match import _F5_BUCKET as B
+
+    qb = q_size // B
+    window = [c for c in cand_sizes if abs(c // B - qb) <= 1]
+    global_min = min(abs(c - q_size) for c in cand_sizes)
+    global_tier = sorted(
+        i for i, c in enumerate(cand_sizes) if abs(c - q_size) == global_min
+    )
+    win_diffs = [abs(c - q_size) for c in window]
+    if win_diffs and min(win_diffs) <= B:
+        # safe path taken by the plan: window tier must equal global tier
+        win_min = min(win_diffs)
+        win_tier = sorted(
+            i
+            for i, c in enumerate(cand_sizes)
+            if abs(c // B - qb) <= 1 and abs(c - q_size) == win_min
+        )
+        assert win_min == global_min
+        assert win_tier == global_tier
+    # else: the plan recomputes exactly (fallback) — nothing to prove
+
+
 @given(st.lists(st.tuples(
     st.sampled_from(["name", "type", "brand", "size"]),
     st.sampled_from(["=", "^", "$", "~", ">", "<"]),
