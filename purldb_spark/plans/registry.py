@@ -46,6 +46,7 @@ def load_inventory() -> None:
         q_llm,
         q_match,
         q_merge,
+        q_miners,
         q_multimodal,
         q_overlay,
         q_scans,
