@@ -42,6 +42,7 @@ def load_inventory() -> None:
         q_analytics,
         q_bonus,
         q_filters,
+        q_halohash,
         q_joins,
         q_llm,
         q_match,

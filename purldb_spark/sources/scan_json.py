@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from purldb_spark.functions.fingerprints import split_fingerprint
+from purldb_spark.functions.halohash import directory_fingerprints
 
 SNIPPET_FIELD = T.ArrayType(
     T.StructType(
@@ -146,6 +147,19 @@ def snippet_index_from_scan(files: DataFrame, stemmed: bool = False) -> DataFram
     )
 
 
+def compute_dir_index_from_scan(files: DataFrame, kind: str = "content") -> DataFrame:
+    """Directory fingerprints COMPUTED from the scanned file rows (not read
+    from extra_data): bah128 bit-majority over descendant sha1s (content) or
+    size+subpath features (structure) — what the reference delegates to
+    matchcode-toolkit before matchcode/models.py:193-225 indexes it."""
+    plain = files.filter(F.col("type") == "file").select(
+        "package_uid", "path", "sha1", "size"
+    )
+    return directory_fingerprints(
+        plain, extra_group_cols=["package_uid"], kind=kind
+    )
+
+
 def ingest_scan(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """One scan pass -> all index tables (the S7 fan-out)."""
     files = read_scan(spark, path).cache()
@@ -154,6 +168,8 @@ def ingest_scan(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         "exact_file_index": exact_file_index_from_scan(files),
         "approx_dir_content_index": approx_dir_index_from_scan(files, "content"),
         "approx_dir_structure_index": approx_dir_index_from_scan(files, "structure"),
+        "computed_dir_content_index": compute_dir_index_from_scan(files, "content"),
+        "computed_dir_structure_index": compute_dir_index_from_scan(files, "structure"),
         "snippet_index": snippet_index_from_scan(files, stemmed=False),
         "stemmed_snippet_index": snippet_index_from_scan(files, stemmed=True),
     }
