@@ -53,6 +53,7 @@ def load_inventory() -> None:
         q_scans,
         q_snippet,
         q_streaming,
+        q_vcs,
         q_versions,
         q_windows,
     )
