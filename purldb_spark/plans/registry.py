@@ -54,6 +54,7 @@ def load_inventory() -> None:
         q_snippet,
         q_streaming,
         q_vcs,
+        q_version_apis,
         q_versions,
         q_windows,
     )
