@@ -41,6 +41,7 @@ def load_inventory() -> None:
         q_aggs,
         q_analytics,
         q_bonus,
+        q_clearindex,
         q_filters,
         q_halohash,
         q_joins,

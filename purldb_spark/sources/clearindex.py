@@ -131,14 +131,15 @@ def harvest_resources(cditems: DataFrame, path: str = "path", data: str = "data"
     deduped (sorted) copyright / license_expression rollups."""
     j = F.from_json(F.col(data), HARVEST_SCHEMA)
     files = F.coalesce(j["content"]["files"], F.array())
-    out = cditems.select(F.col(path).alias("cditem_path"), F.explode(files).alias("f"))
-    # first occurrence wins on a duplicate path within one item
+    out = cditems.select(
+        F.col(path).alias("cditem_path"), F.posexplode(files).alias("pos", "f")
+    )
+    # first occurrence (document order) wins on a duplicate path within one
+    # item — harvest.py:152-156 skips paths already created
     first = out.withColumn(
         "rn",
         F.row_number().over(
-            Window.partitionBy("cditem_path", F.col("f.path")).orderBy(
-                F.monotonically_increasing_id()
-            )
+            Window.partitionBy("cditem_path", F.col("f.path")).orderBy("pos")
         ),
     ).where(F.col("rn") == 1)
     joined = lambda arr: F.when(  # noqa: E731
@@ -175,6 +176,12 @@ def merge_harvest(existing: DataFrame, cditems: DataFrame) -> tuple[DataFrame, D
     """Map harvest docs and merge the mappable package rows into the
     catalog keyed on download_url (harvest.py:96-129: lookup by purl fields
     falls back to download_url; checksums conflict rather than overwrite).
+    Catalogs that don't carry every harvest field get the missing ones as
+    nulls (absent attribute == empty, same as the reference's model).
     Returns (merged_snapshot, conflicts)."""
+    for f in PACKAGE_FIELDS:
+        if f not in existing.columns:
+            typ = "bigint" if f == "size" else "string"
+            existing = existing.withColumn(f, F.lit(None).cast(typ))
     mapped = harvest_packages(cditems).where(F.col("map_error").isNull())
     return merge_upsert(existing, mapped, HARVEST_MERGE_SPEC)
