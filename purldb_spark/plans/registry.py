@@ -45,6 +45,7 @@ def load_inventory() -> None:
         q_filters,
         q_halohash,
         q_joins,
+        q_licenses,
         q_llm,
         q_match,
         q_merge,
