@@ -1,0 +1,249 @@
+"""Miner-mapper queries, batch 2: cargo / gem / composer / nuget / golang
+(sources/miners2.py). Same fixture strategy as q_miners — real
+ecosystem-shaped JSON documents built with column concat, mapped by the
+real from_json mappers, expected rows computed directly by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+from purldb_spark.sources.miners2 import (
+    map_cargo_docs,
+    map_gem_docs,
+    map_golang_paths,
+    map_nuget_docs,
+    map_packagist_docs,
+)
+
+_NAME_SQL = "lower(replace(p_brand, '#', '-')) || '-' || CAST(p_partkey AS VARCHAR)"
+_VER_SQL = "CAST(p_partkey % 9 AS VARCHAR) || '.' || CAST(p_partkey % 5 AS VARCHAR) || '.0'"
+
+_BASE_SQL = f"""
+  SELECT p_partkey AS k, {_NAME_SQL} AS name, {_VER_SQL} AS ver,
+         CAST(p_size AS BIGINT) AS size, md5(p_name) AS cs
+  FROM part
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        k.alias("k"),
+        F.concat(
+            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
+            F.lit("-"),
+            k.cast("string"),
+        ).alias("name"),
+        F.concat(
+            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        ).alias("ver"),
+        F.col("p_size").cast("long").alias("size"),
+        F.md5("p_name").alias("cs"),
+    )
+
+
+@query(
+    "x_cargo_gem_map",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'cargo' AS type, name, ver AS version,
+           'pkg:cargo/' || name || '@' || ver AS purl,
+           'Crate ' || name AS description,
+           CASE WHEN k % 3 = 0 THEN 'MIT' END AS declared_license,
+           CASE WHEN k % 2 = 0 THEN 'Alice' ELSE 'bob' END AS author,
+           'https://crates.io/api/v1/crates/' || name || '/' || ver
+             || '/download' AS download_url,
+           size, cs AS sha256
+    FROM base
+    UNION ALL
+    SELECT 'gem', name, ver, 'pkg:gem/' || name || '@' || ver,
+           'Gem ' || name, 'MIT; Ruby', 'A, B',
+           'https://rubygems.org/gems/' || name || '-' || ver || '.gem',
+           NULL, cs
+    FROM base
+    """,
+)
+def x_cargo_gem_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crates.io + RubyGems v2 documents: version explode with missing-
+    dl_path drop, UNKNOWN-license null, published_by name/login fallback,
+    licenses-array join."""
+    b = _base(spark, sf_dir)
+    name, ver, cs = F.col("name"), F.col("ver"), F.col("cs")
+    lic = F.when(F.col("k") % 3 == 0, "MIT").when(F.col("k") % 3 == 1, "UNKNOWN").otherwise(
+        "UNKNOWN"
+    )
+    publisher = F.when(
+        F.col("k") % 2 == 0, F.lit('{"name":"Alice","login":"alice"}')
+    ).otherwise(F.lit('{"login":"bob"}'))
+    cargo_doc = F.concat(
+        F.lit('{"crate":{"keywords":["cli","data"]},"versions":[{"crate":"'), name,
+        F.lit('","num":"'), ver,
+        F.lit('","description":"Crate '), name,
+        F.lit('","homepage":"https://ex.dev/'), name,
+        F.lit('","repository":"https://github.com/ex/'), name,
+        F.lit('","license":"'), lic,
+        F.lit('","dl_path":"/api/v1/crates/'), name, F.lit("/"), ver,
+        F.lit('/download","crate_size":'), F.col("size").cast("string"),
+        F.lit(',"checksum":"'), cs,
+        F.lit('","published_by":'), publisher,
+        F.lit('},{"crate":"'), name, F.lit('","num":"0.0.1","dl_path":null}]}'),
+    )
+    gem_doc = F.concat(
+        F.lit('{"name":"'), name, F.lit('","version":"'), ver,
+        F.lit('","description":"Gem '), name,
+        F.lit('","homepage_uri":"https://ex.dev/'), name,
+        F.lit('","project_uri":"https://rubygems.org/gems/'), name,
+        F.lit('","version_created_at":"2020-01-01T00:00:00Z",'),
+        F.lit('"licenses":["MIT","Ruby"],"authors":"A, B",'),
+        F.lit('"gem_uri":"https://rubygems.org/gems/'), name, F.lit("-"), ver,
+        F.lit('.gem","sha":"'), cs, F.lit('"}'),
+    )
+    cargo = map_cargo_docs(b.select(cargo_doc.alias("doc"))).select(
+        "type", "name", "version", "purl", "description", "declared_license",
+        "author", "download_url", "size", "sha256",
+    )
+    gem = map_gem_docs(b.select(gem_doc.alias("doc"))).select(
+        "type", "name", "version", "purl", "description", "declared_license",
+        "author",
+        "download_url",
+        F.lit(None).cast("long").alias("size"),
+        "sha256",
+    )
+    return cargo.unionByName(gem)
+
+
+@query(
+    "x_packagist_nuget_map",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'composer' AS type, name, ver AS version,
+           'pkg:composer/' || name || '@' || ver AS purl,
+           'Pkg ' || name AS description,
+           'PHP' AS primary_language,
+           'https://ex.dev/' || name AS homepage_url,
+           'git+https://github.com/ex/' || name || '.git' AS vcs_url,
+           'https://dist.example/' || name || '-' || ver || '.zip' AS download_url,
+           'BSD-3-Clause; MIT' AS declared_license
+    FROM base
+    UNION ALL
+    SELECT 'composer', name, '2.0.0-beta', 'pkg:composer/' || name || '@2.0.0-beta',
+           NULL, 'PHP', NULL, NULL,
+           'https://dist.example/' || name || '-beta.zip', NULL
+    FROM base
+    UNION ALL
+    SELECT 'nuget', name, ver, 'pkg:nuget/' || name || '@' || ver,
+           CASE WHEN k % 2 = 0 THEN 'Sum ' || name
+                ELSE 'Sum ' || name || chr(10) || 'Desc ' || name END,
+           NULL, 'https://proj.example/' || name, NULL,
+           'https://api.nuget.org/pkg/' || name || '.' || ver || '.nupkg',
+           'https://lic.example/' || name
+    FROM base
+    """,
+)
+def x_packagist_nuget_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packagist version-map explode (git-source vcs_url, license dedup
+    sort, empty-license null) + NuGet catalog entries (summary/description
+    join rule, comma-split authors checked via the joined scalar)."""
+    b = _base(spark, sf_dir)
+    name, ver = F.col("name"), F.col("ver")
+    pk_doc = F.concat(
+        F.lit('{"package":{"language":"PHP","versions":{"'), ver,
+        F.lit('":{"name":"'), name, F.lit('","version":"'), ver,
+        F.lit('","description":"Pkg '), name,
+        F.lit('","homepage":"https://ex.dev/'), name,
+        F.lit('","source":{"type":"git","url":"https://github.com/ex/'), name,
+        F.lit('.git"},"dist":{"url":"https://dist.example/'), name, F.lit("-"), ver,
+        F.lit('.zip","shasum":"abc"},"license":["MIT","BSD-3-Clause","MIT"]},'),
+        F.lit('"2.0.0-beta":{"name":"'), name,
+        F.lit('","version":"2.0.0-beta","source":{"type":"svn","url":"x"},'),
+        F.lit('"dist":{"url":"https://dist.example/'), name,
+        F.lit('-beta.zip","shasum":null},"license":[]}}}}'),
+    )
+    summary = F.concat(F.lit("Sum "), name)
+    long_desc = F.when(F.col("k") % 2 == 0, summary).otherwise(
+        F.concat(F.lit("Desc "), name)
+    )
+    ng_doc = F.concat(
+        F.lit('{"id":"'), name, F.lit('","version":"'), ver,
+        F.lit('","summary":"'), summary,
+        F.lit('","description":"'), long_desc,
+        F.lit('","licenseUrl":"https://lic.example/'), name,
+        F.lit('","copyright":"(c) ex","authors":"A1, A2","tags":["t1"],'),
+        F.lit('"projectUrl":"https://proj.example/'), name,
+        F.lit('","packageContent":"https://api.nuget.org/pkg/'), name, F.lit("."), ver,
+        F.lit('.nupkg"}'),
+    )
+    cols = [
+        "type", "name", "version", "purl", "description", "primary_language",
+        "homepage_url", "vcs_url", "download_url", "declared_license",
+    ]
+    composer = map_packagist_docs(b.select(pk_doc.alias("doc"))).select(*cols)
+    nuget = map_nuget_docs(b.select(ng_doc.alias("doc"))).select(
+        "type", "name", "version", "purl", "description",
+        F.lit(None).cast("string").alias("primary_language"),
+        "homepage_url",
+        F.lit(None).cast("string").alias("vcs_url"),
+        "download_url", "declared_license",
+    )
+    return composer.unionByName(nuget)
+
+
+@query(
+    "x_golang_path_parse",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'golang' AS type,
+           CASE k % 3
+             WHEN 0 THEN 'github.com/owner' || CAST(k AS VARCHAR)
+             WHEN 1 THEN 'gitlab.com/grp' || CAST(k AS VARCHAR)
+             ELSE 'example.org/lib' || CAST(k AS VARCHAR)
+           END AS namespace,
+           CASE k % 3
+             WHEN 0 THEN 'repo' || CAST(k AS VARCHAR)
+             WHEN 1 THEN 'proj' || CAST(k AS VARCHAR)
+             ELSE 'mod'
+           END AS name,
+           CASE k % 3
+             WHEN 0 THEN 'pkg:golang/github.com/owner' || CAST(k AS VARCHAR)
+               || '/repo' || CAST(k AS VARCHAR) || '?vcs_repository=https://github.com/owner'
+               || CAST(k AS VARCHAR) || '/repo' || CAST(k AS VARCHAR)
+             WHEN 1 THEN 'pkg:golang/gitlab.com/grp' || CAST(k AS VARCHAR)
+               || '/proj' || CAST(k AS VARCHAR) || '?vcs_repository=https://gitlab.com/grp'
+               || CAST(k AS VARCHAR) || '/proj' || CAST(k AS VARCHAR)
+             ELSE 'pkg:golang/example.org/lib' || CAST(k AS VARCHAR) || '/mod'
+           END AS purl,
+           'Go' AS primary_language,
+           CASE k % 3
+             WHEN 0 THEN 'https://github.com/owner' || CAST(k AS VARCHAR)
+               || '/repo' || CAST(k AS VARCHAR)
+             WHEN 1 THEN 'https://gitlab.com/grp' || CAST(k AS VARCHAR)
+               || '/proj' || CAST(k AS VARCHAR)
+             ELSE 'https://example.org/lib' || CAST(k AS VARCHAR) || '/mod'
+           END AS homepage_url,
+           CASE k % 3
+             WHEN 0 THEN 'git+https://github.com/owner' || CAST(k AS VARCHAR)
+               || '/repo' || CAST(k AS VARCHAR)
+             WHEN 1 THEN 'https://gitlab.com/grp' || CAST(k AS VARCHAR)
+               || '/proj' || CAST(k AS VARCHAR)
+           END AS vcs_url
+    FROM base
+    """,
+)
+def x_golang_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Go import paths through parse_package_path semantics: well-known
+    hosts trim to host/owner/repo with a vcs_repository purl qualifier and
+    git+ vcs_url for github; unknown hosts keep the full path and gain no
+    qualifier."""
+    b = _base(spark, sf_dir)
+    k, ks = F.col("k"), F.col("k").cast("string")
+    path = (
+        F.when(k % 3 == 0, F.concat(F.lit("github.com/owner"), ks, F.lit("/repo"), ks, F.lit("/pkg/sub")))
+        .when(k % 3 == 1, F.concat(F.lit("gitlab.com/grp"), ks, F.lit("/proj"), ks))
+        .otherwise(F.concat(F.lit("example.org/lib"), ks, F.lit("/mod")))
+    )
+    return map_golang_paths(b.select(path.alias("path"))).drop("datasource_id")

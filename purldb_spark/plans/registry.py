@@ -50,6 +50,7 @@ def load_inventory() -> None:
         q_match,
         q_merge,
         q_miners,
+        q_miners2,
         q_multimodal,
         q_overlay,
         q_scans,
