@@ -133,6 +133,27 @@ def normalize_tag(tag: Column) -> Column:
     )
 
 
+_NORMALIZE_STEPS = (
+    lambda u: F.when(
+        u.startswith("git@github.com+"), F.substring_index(u, "+", -1)
+    ).otherwise(u),
+    lambda u: F.regexp_replace(u, r"^https\+//", "https://"),
+    lambda u: F.when(
+        (u.startswith("git+https://") | u.startswith("git://")) & u.contains("@"),
+        F.substring_index(u, "@", 1),
+    ).otherwise(u),
+    lambda u: F.regexp_replace(u, r"^git\+", ""),
+    lambda u: F.regexp_replace(u, r"\.git$", ""),
+    lambda u: F.when(
+        u.startswith("git://"),
+        F.concat(
+            F.lit("https://"),
+            F.replace(F.regexp_replace(u, r"^git://", ""), F.lit(":"), F.lit("/")),
+        ),
+    ).otherwise(u),
+)
+
+
 def source_repo_candidates(
     packages: DataFrame,
     url_cols: list[str],
@@ -144,7 +165,16 @@ def source_repo_candidates(
     Explodes the metadata URL columns (in reference priority order:
     find_source_repo.py:330-337) followed by URLs extracted from the text
     columns, filters/normalizes them, and returns one row per viable
-    candidate with its priority index — narrow maps only, no shuffle."""
+    candidate with its priority index — narrow maps only, no shuffle.
+
+    The normalization chain is applied STEPWISE via withColumn rather than
+    as one composed Column: each ``when(f(u)).otherwise(u)`` step embeds
+    its input tree ~3x, so the composed form grows ~3^6 copies of the
+    upstream expression and the generated code for the single projection
+    overflows janino's 64 KB method limit (whole-stage codegen falls back
+    to the interpreted path). Stepwise aliases reference the prior
+    non-cheap alias more than once, so Catalyst's CollapseProject keeps
+    the projection boundaries and every generated method stays small."""
     keys = key_cols or ["purl"]
     urls = F.concat(
         F.array(*[F.col(c) for c in url_cols]),
@@ -155,10 +185,25 @@ def source_repo_candidates(
         F.col("version"),
         F.posexplode(urls).alias("cand_idx", "cand_url"),
     ).filter(F.col("cand_url").isNotNull())
-    git_url = filter_git_repo_url(F.col("cand_url"))
-    parsed = repo_url_to_purl_parts(normalize_repo_url(git_url))
+    url = F.col("cand_url")
+    rewritten = exploded.withColumn(
+        "__cand",
+        F.when(url.contains("svn.apache.org"), apache_svn_to_github(url)).otherwise(
+            url
+        ),
+    )
+    hinted = None
+    for h in FORGE_HINTS:
+        cond = F.col("__cand").contains(h)
+        hinted = cond if hinted is None else (hinted | cond)
+    stepwise = rewritten.withColumn(
+        "__u", F.when(F.col("__cand").isNotNull() & hinted, F.col("__cand"))
+    ).filter(F.col("__u").isNotNull())
+    for step in _NORMALIZE_STEPS:
+        stepwise = stepwise.withColumn("__u", step(F.col("__u")))
+    parsed = repo_url_to_purl_parts(F.col("__u"))
     return (
-        exploded.select(
+        stepwise.select(
             *keys, "version", F.col("cand_idx"), parsed.alias("repo")
         )
         .filter(F.col("repo").isNotNull())
