@@ -26,7 +26,10 @@ from __future__ import annotations
 
 import re
 
-_TOKEN_RX = re.compile(r"\(|\)|AND|OR|WITH|[A-Za-z0-9][A-Za-z0-9.+-]*", re.IGNORECASE)
+# Tokenize only parens and atoms; operators are classified by full-token
+# compare in the parser (an alternation like AND|OR|WITH would match as a
+# prefix of keys such as oracle-bsd / android-sdk and corrupt the stream).
+_TOKEN_RX = re.compile(r"[()]|[A-Za-z0-9][A-Za-z0-9.+-]*")
 
 
 def normalize_expression(expr: str) -> str:
@@ -101,7 +104,7 @@ def _parse_factor(toks: list[str], i: int) -> tuple[_Node, int]:
         if i >= len(toks) or toks[i] != ")":
             raise ValueError("unbalanced parenthesis in license expression")
         return node, i + 1
-    if toks[i] in (")", "AND", "OR", "WITH"):
+    if toks[i] == ")" or toks[i].upper() in ("AND", "OR", "WITH"):
         raise ValueError(f"unexpected token {toks[i]!r}")
     atom = toks[i].lower()
     i += 1

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from enum import Enum
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -41,11 +42,19 @@ class Policy(Enum):
 
 @dataclass(frozen=True)
 class MergeSpec:
-    key: str
+    # one column name, or a composite identity tuple (e.g. purl
+    # type/namespace/name/version). Keys match null-safe: a null namespace
+    # on both sides is the SAME package identity, per the reference's
+    # purl-field lookup (harvest.py get_or_create_package).
+    key: str | tuple[str, ...]
     fields: dict[str, Policy]
     # column name holding the incoming row's precedence (mining_level in the
     # reference); replace applies when new level >= old level
     level_col: str | None = None
+
+    @property
+    def keys(self) -> tuple[str, ...]:
+        return (self.key,) if isinstance(self.key, str) else tuple(self.key)
 
 
 def _empty_or_null(c: Column) -> Column:
@@ -61,9 +70,13 @@ def merge_upsert(
     kept rows (key only in existing), merged rows (both). conflicts holds
     keys whose checksum fields disagree (minecode/model_utils.py:123-141 —
     the reference raises; we dead-letter, M1)."""
-    k = spec.key
-    ex_cols = [F.col(k)] + [F.col(f).alias(f"old_{f}") for f in spec.fields]
-    inc_cols = [F.col(k)] + [F.col(f).alias(f"new_{f}") for f in spec.fields]
+    keys = spec.keys
+    ex_cols = [F.col(c) for c in keys] + [
+        F.col(f).alias(f"old_{f}") for f in spec.fields
+    ]
+    inc_cols = [F.col(c).alias(f"new__k_{c}") for c in keys] + [
+        F.col(f).alias(f"new_{f}") for f in spec.fields
+    ]
     if spec.level_col:
         ex_cols.append(F.col(spec.level_col).alias("old__level"))
         inc_cols.append(F.col(spec.level_col).alias("new__level"))
@@ -72,8 +85,18 @@ def merge_upsert(
     ex = existing.select(*ex_cols).withColumn("old__present", F.lit(True))
     inc = incoming.select(*inc_cols)
 
-    j = ex.join(inc, k, "full_outer")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"new__k_{c}")) for c in keys],
+    )
+    j = ex.join(inc, cond, "full_outer")
     is_insert = F.col("old__present").isNull()
+    # surviving key columns: existing side when matched/kept, incoming on
+    # insert (both-null on a null-safe null==null match is still correct)
+    key_out = [
+        F.when(is_insert, F.col(f"new__k_{c}")).otherwise(F.col(c)).alias(c)
+        for c in keys
+    ]
     replace_cond = (
         (F.col("new__level") >= F.col("old__level"))
         if spec.level_col
@@ -81,7 +104,7 @@ def merge_upsert(
     )
 
     conflict = F.lit(False)
-    out_cols: list[Column] = [F.col(k)]
+    out_cols: list[Column] = list(key_out)
     for f, pol in spec.fields.items():
         old, new = F.col(f"old_{f}"), F.col(f"new_{f}")
         if pol is Policy.KEEP:
@@ -105,7 +128,8 @@ def merge_upsert(
 
     flagged = j.withColumn("__conflict", conflict)
     conflicts = flagged.filter(F.col("__conflict")).select(
-        F.col(k),
+        # conflicts only arise on matched rows, so the existing-side key holds
+        *[F.col(c) for c in keys],
         *[F.col(f"old_{f}").alias(f"existing_{f}") for f in spec.fields],
         *[F.col(f"new_{f}").alias(f"incoming_{f}") for f in spec.fields],
     )

@@ -137,7 +137,8 @@ def x_cargo_gem_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     UNION ALL
     SELECT 'nuget', name, ver, 'pkg:nuget/' || name || '@' || ver,
-           CASE WHEN k % 2 = 0 THEN 'Sum ' || name
+           CASE WHEN k % 5 = 0 THEN 'Desc ' || name
+                WHEN k % 2 = 0 THEN 'Sum ' || name
                 ELSE 'Sum ' || name || chr(10) || 'Desc ' || name END,
            NULL, 'https://proj.example/' || name, NULL,
            'https://api.nuget.org/pkg/' || name || '.' || ver || '.nupkg',
@@ -164,14 +165,20 @@ def x_packagist_nuget_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"dist":{"url":"https://dist.example/'), name,
         F.lit('-beta.zip","shasum":null},"license":[]}}}}'),
     )
+    k = F.col("k")
     summary = F.concat(F.lit("Sum "), name)
-    long_desc = F.when(F.col("k") % 2 == 0, summary).otherwise(
+    # k%5==0 rows omit the summary entirely (null summary + present
+    # description must keep the description, per the reference)
+    sum_part = F.when(
+        k % 5 != 0, F.concat(F.lit('"summary":"'), summary, F.lit('",'))
+    ).otherwise(F.lit(""))
+    long_desc = F.when((k % 2 == 0) & (k % 5 != 0), summary).otherwise(
         F.concat(F.lit("Desc "), name)
     )
     ng_doc = F.concat(
         F.lit('{"id":"'), name, F.lit('","version":"'), ver,
-        F.lit('","summary":"'), summary,
-        F.lit('","description":"'), long_desc,
+        F.lit('",'), sum_part,
+        F.lit('"description":"'), long_desc,
         F.lit('","licenseUrl":"https://lic.example/'), name,
         F.lit('","copyright":"(c) ex","authors":"A1, A2","tags":["t1"],'),
         F.lit('"projectUrl":"https://proj.example/'), name,
@@ -198,37 +205,42 @@ def x_packagist_nuget_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS ({_BASE_SQL})
     SELECT 'golang' AS type,
-           CASE k % 3
-             WHEN 0 THEN 'github.com/owner' || CAST(k AS VARCHAR)
-             WHEN 1 THEN 'gitlab.com/grp' || CAST(k AS VARCHAR)
+           CASE
+             WHEN k % 6 = 5 THEN NULL
+             WHEN k % 3 = 0 THEN 'github.com/owner' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 1 THEN 'gitlab.com/grp' || CAST(k AS VARCHAR)
              ELSE 'example.org/lib' || CAST(k AS VARCHAR)
            END AS namespace,
-           CASE k % 3
-             WHEN 0 THEN 'repo' || CAST(k AS VARCHAR)
-             WHEN 1 THEN 'proj' || CAST(k AS VARCHAR)
+           CASE
+             WHEN k % 6 = 5 THEN 'localpkg' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 0 THEN 'repo' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 1 THEN 'proj' || CAST(k AS VARCHAR)
              ELSE 'mod'
            END AS name,
-           CASE k % 3
-             WHEN 0 THEN 'pkg:golang/github.com/owner' || CAST(k AS VARCHAR)
+           CASE
+             WHEN k % 6 = 5 THEN 'pkg:golang/localpkg' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 0 THEN 'pkg:golang/github.com/owner' || CAST(k AS VARCHAR)
                || '/repo' || CAST(k AS VARCHAR) || '?vcs_repository=https://github.com/owner'
                || CAST(k AS VARCHAR) || '/repo' || CAST(k AS VARCHAR)
-             WHEN 1 THEN 'pkg:golang/gitlab.com/grp' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 1 THEN 'pkg:golang/gitlab.com/grp' || CAST(k AS VARCHAR)
                || '/proj' || CAST(k AS VARCHAR) || '?vcs_repository=https://gitlab.com/grp'
                || CAST(k AS VARCHAR) || '/proj' || CAST(k AS VARCHAR)
              ELSE 'pkg:golang/example.org/lib' || CAST(k AS VARCHAR) || '/mod'
            END AS purl,
            'Go' AS primary_language,
-           CASE k % 3
-             WHEN 0 THEN 'https://github.com/owner' || CAST(k AS VARCHAR)
+           CASE
+             WHEN k % 6 = 5 THEN 'https://localpkg' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 0 THEN 'https://github.com/owner' || CAST(k AS VARCHAR)
                || '/repo' || CAST(k AS VARCHAR)
-             WHEN 1 THEN 'https://gitlab.com/grp' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 1 THEN 'https://gitlab.com/grp' || CAST(k AS VARCHAR)
                || '/proj' || CAST(k AS VARCHAR)
              ELSE 'https://example.org/lib' || CAST(k AS VARCHAR) || '/mod'
            END AS homepage_url,
-           CASE k % 3
-             WHEN 0 THEN 'git+https://github.com/owner' || CAST(k AS VARCHAR)
+           CASE
+             WHEN k % 6 = 5 THEN NULL
+             WHEN k % 3 = 0 THEN 'git+https://github.com/owner' || CAST(k AS VARCHAR)
                || '/repo' || CAST(k AS VARCHAR)
-             WHEN 1 THEN 'https://gitlab.com/grp' || CAST(k AS VARCHAR)
+             WHEN k % 3 = 1 THEN 'https://gitlab.com/grp' || CAST(k AS VARCHAR)
                || '/proj' || CAST(k AS VARCHAR)
            END AS vcs_url
     FROM base
@@ -242,7 +254,8 @@ def x_golang_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _base(spark, sf_dir)
     k, ks = F.col("k"), F.col("k").cast("string")
     path = (
-        F.when(k % 3 == 0, F.concat(F.lit("github.com/owner"), ks, F.lit("/repo"), ks, F.lit("/pkg/sub")))
+        F.when(k % 6 == 5, F.concat(F.lit("localpkg"), ks))
+        .when(k % 3 == 0, F.concat(F.lit("github.com/owner"), ks, F.lit("/repo"), ks, F.lit("/pkg/sub")))
         .when(k % 3 == 1, F.concat(F.lit("gitlab.com/grp"), ks, F.lit("/proj"), ks))
         .otherwise(F.concat(F.lit("example.org/lib"), ks, F.lit("/mod")))
     )

@@ -164,18 +164,25 @@ def harvest_resources(cditems: DataFrame, path: str = "path", data: str = "data"
 
 
 # merge_packages(..., replace=False) updates only empty fields
-# (harvest.py:113-124 -> minecode/model_utils.py merge_packages)
+# (harvest.py:113-124 -> minecode/model_utils.py merge_packages). Keyed on
+# the purl identity — the reference looks packages up by purl
+# type/namespace/name/version first (harvest.py get_or_create_package) with
+# download_url as one more merged component, so two versions sharing a
+# download URL stay distinct rows. Namespace is null-safe-matched (most
+# generic packages carry none).
+_PURL_KEY = ("type", "namespace", "name", "version")
 HARVEST_MERGE_SPEC = MergeSpec(
-    key="download_url",
-    fields={f: Policy.FILL_IF_NULL for f in PACKAGE_FIELDS if f != "download_url"}
+    key=_PURL_KEY,
+    fields={f: Policy.FILL_IF_NULL for f in PACKAGE_FIELDS if f not in _PURL_KEY}
     | {"sha1": Policy.CHECKSUM, "md5": Policy.CHECKSUM, "sha256": Policy.CHECKSUM},
 )
 
 
 def merge_harvest(existing: DataFrame, cditems: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Map harvest docs and merge the mappable package rows into the
-    catalog keyed on download_url (harvest.py:96-129: lookup by purl fields
-    falls back to download_url; checksums conflict rather than overwrite).
+    catalog keyed on the purl identity type/namespace/name/version
+    (harvest.py:96-129: lookup by purl fields, download_url merged as a
+    field; checksums conflict rather than overwrite).
     Catalogs that don't carry every harvest field get the missing ones as
     nulls (absent attribute == empty, same as the reference's model).
     Returns (merged_snapshot, conflicts)."""

@@ -258,17 +258,19 @@ def map_nuget_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
     out = docs.select(j.alias("n"))
     n = F.col("n")
     nonblank = lambda c: F.when(c.isNotNull() & (F.trim(c) != ""), c)  # noqa: E731
-    long_desc = F.when(n["description"] != n["summary"], n["description"]).otherwise(
-        F.lit(None)
+    # keep the long description when summary is null (NULL != x is SQL NULL,
+    # not false — the reference keeps the description in that common case)
+    long_desc = F.when(
+        n["summary"].isNull() | (n["description"] != n["summary"]), n["description"]
     )
     return out.select(
         F.lit("nuget").alias("type"),
         n["id"].alias("name"),
         n["version"].alias("version"),
         F.concat(F.lit("pkg:nuget/"), n["id"], F.lit("@"), n["version"]).alias("purl"),
-        F.concat_ws("\n", nonblank(n["summary"]), nonblank(long_desc)).alias(
-            "description"
-        ),
+        F.nullif(
+            F.concat_ws("\n", nonblank(n["summary"]), nonblank(long_desc)), F.lit("")
+        ).alias("description"),
         n["projectUrl"].alias("homepage_url"),
         n["licenseUrl"].alias("declared_license"),
         n["licenseExpression"].alias("declared_license_expression"),
@@ -330,12 +332,14 @@ def map_golang_paths(df: DataFrame, path_col: str = "path") -> DataFrame:
         p["namespace"].alias("namespace"),
         p["name"].alias("name"),
         F.concat(
-            F.lit("pkg:golang/"), p["namespace"], F.lit("/"), p["name"], qual
+            F.lit("pkg:golang/"),
+            F.concat_ws("/", p["namespace"], p["name"]),
+            qual,
         ).alias("purl"),
         F.lit("Go").alias("primary_language"),
-        F.concat(F.lit("https://"), p["namespace"], F.lit("/"), p["name"]).alias(
-            "homepage_url"
-        ),
+        F.concat(
+            F.lit("https://"), F.concat_ws("/", p["namespace"], p["name"])
+        ).alias("homepage_url"),
         vcs.alias("vcs_url"),
         F.lit("golang_godoc").alias("datasource_id"),
     )

@@ -43,7 +43,9 @@ def test_merge_harvest_fill_and_conflict(spark):
     assert rows[url_a]["description"] == "keep me"  # FILL does not overwrite
     assert rows[url_a]["sha1"] == "sha-a"  # null filled from harvest
     assert rows[url_c]["name"] == "c"  # insert lands
-    assert [r["download_url"] for r in conflicts.collect()] == [url_b]
+    assert [(r["name"], r["existing_sha1"], r["incoming_sha1"]) for r in conflicts.collect()] == [
+        ("b", "oldsha", "newsha")
+    ]
 
 
 def test_merge_harvest_skips_dead_letters(spark):
@@ -59,4 +61,24 @@ def test_merge_harvest_skips_dead_letters(spark):
     cditems = spark.createDataFrame([("cd/x.json", doc_no_url)], ["path", "data"])
     merged, conflicts = merge_harvest(existing, cditems)
     assert merged.count() == 1  # only the untouched existing row
+    assert conflicts.count() == 0
+
+
+def test_merge_harvest_purl_identity_key(spark):
+    # two versions sharing one download_url stay distinct rows (the old
+    # download_url-only key would have collapsed or mis-merged them)
+    url = "https://dl.example/shared.tgz"
+    existing = spark.createDataFrame(
+        [("generic", "a", "1.0", "v1 desc", url, None)],
+        "type string, name string, version string, description string,"
+        " download_url string, sha1 string",
+    )
+    cditems = spark.createDataFrame(
+        [("cd/a2.json", _doc("a", "2.0", url, "sha-a2"))], ["path", "data"]
+    )
+    merged, conflicts = merge_harvest(existing, cditems)
+    rows = {r["version"]: r for r in merged.collect()}
+    assert sorted(rows) == ["1.0", "2.0"]
+    assert rows["1.0"]["description"] == "v1 desc"
+    assert rows["2.0"]["sha1"] == "sha-a2"
     assert conflicts.count() == 0

@@ -35,3 +35,16 @@ def test_combine_edge_cases():
     assert combine_expressions(["mit", "gpl-2.0"], relation="OR") == "gpl-2.0 OR mit"
     with pytest.raises(ValueError):
         combine_expressions(["mit"], relation="XOR")
+
+
+def test_operator_prefix_keys_not_split():
+    # keys starting with or/and/with must not tokenize as operators
+    # (oracle-bsd, android-sdk, withersworldwide are real ScanCode keys)
+    from purldb_spark.functions.licenses import simplify_expression
+
+    assert simplify_expression("mit AND oracle-bsd") == "mit AND oracle-bsd"
+    assert simplify_expression("android-sdk OR android-sdk") == "android-sdk"
+    assert (
+        simplify_expression("gpl-2.0 WITH classpath-exception-2.0 AND orbisgis-1.0")
+        == "gpl-2.0 WITH classpath-exception-2.0 AND orbisgis-1.0"
+    )
