@@ -53,9 +53,41 @@ def _prior_green() -> set[str]:
     return green
 
 
-def _rotated_names() -> list[str]:
+def _verified_green() -> set[str]:
+    """Green AND unchanged since verification.
+
+    A query counts as verified only if it has a green CORRECTNESS row AND its
+    current content hash (builder module + transitive purldb_spark imports +
+    oracle SQL, see tools/query_hashes.py) equals the hash recorded in
+    QUERY_HASHES.json at the commit the driver tested.  Any edit to the query
+    or its dependency closure re-registers it at the front of the order.
+    """
     green = _prior_green()
-    return [n for n in QUERIES if n not in green] + [n for n in QUERIES if n in green]
+    if not green:
+        return set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "QUERY_HASHES.json")) as fh:
+            recorded = json.load(fh)
+        import sys
+
+        sys.path.insert(0, os.path.join(here, "tools"))
+        try:
+            from query_hashes import compute_hashes
+
+            current = compute_hashes(here)
+        finally:
+            sys.path.remove(os.path.join(here, "tools"))
+    except Exception:
+        return green  # no hash data: fall back to plain green rotation
+    return {n for n in green if recorded.get(n) and recorded[n] == current.get(n)}
+
+
+def _rotated_names() -> list[str]:
+    verified = _verified_green()
+    return [n for n in QUERIES if n not in verified] + [
+        n for n in QUERIES if n in verified
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
