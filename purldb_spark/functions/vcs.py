@@ -22,16 +22,36 @@ What runs here (pure column expressions, per-row, no I/O):
 What stays driver-side by design: fetching homepages and ``git ls-remote``
 (the reference shells out per repo) — the tag/commit list arrives as a
 table, exactly like T7's fetch boundary.
+
+Plan-size discipline: every normalization step here is a SINGLE-REFERENCE
+expression (``regexp_replace`` passes unmatched input through unchanged),
+never ``when(f(u)).otherwise(u)`` — the latter embeds its input tree ~3x
+per step, and Catalyst inlines chained projections, so six such steps
+composed under a 10-reference consumer grow the plan ~3^6-fold (observed:
+a 3.8 MB executed-plan string, 12 MiB task binaries, janino 64 KB
+method-limit codegen failures). The single-reference chain keeps the whole
+expression LINEAR, inside one whole-stage-codegen projection.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 FORGE_HINTS = ("github", "gitlab", "bitbucket")
 
 URL_RE = r"(https?://[^\s\"'<>()\[\]]+)"
+
+# convert_apache_svn_to_github_url (find_source_repo.py:89-114): strip any
+# leading "...svn+", then rewrite the /repos/asf/{name}/tags/{tag}/ shape.
+# Anchored full-match replace: non-matching URLs pass through UNCHANGED and
+# are dropped downstream because their netloc carries no forge hint —
+# observably equivalent to the reference's "return None" for this pipeline.
+_APACHE_SVN_RX = (
+    r"^(?:.*?svn\+)?https?://svn\.apache\.org/repos/asf/([^/]+)/tags/([^/]+)/.*$"
+)
+_APACHE_SVN_SUB = r"https://github.com/apache/$1/tree/$2"
 
 
 def extract_urls(text: Column) -> Column:
@@ -46,61 +66,41 @@ def apache_svn_to_github(url: Column) -> Column:
     ``svn+https://svn.apache.org/repos/asf/{name}/tags/{tag}/...`` ->
     ``https://github.com/apache/{name}/tree/{tag}``; null when the shape
     does not match."""
-    stripped = F.regexp_replace(url, r"^.*?svn\+", "")
-    name = F.regexp_extract(
-        stripped, r"^https?://svn\.apache\.org/repos/asf/([^/]+)/tags/([^/]+)/", 1
-    )
-    tag = F.regexp_extract(
-        stripped, r"^https?://svn\.apache\.org/repos/asf/([^/]+)/tags/([^/]+)/", 2
-    )
-    return F.when(
-        (name != "") & (tag != ""),
-        F.concat(F.lit("https://github.com/apache/"), name, F.lit("/tree/"), tag),
-    )
+    rewritten = F.regexp_replace(url, _APACHE_SVN_RX, _APACHE_SVN_SUB)
+    return F.when(rewritten.startswith("https://github.com/apache/"), rewritten)
 
 
 def filter_git_repo_url(url: Column) -> Column:
     """get_git_repo_urls per-URL step (find_source_repo.py:352-381): the
     Apache-SVN rewrite, then keep only URLs naming a known forge (the
-    redirect-following branch is driver I/O and out of scope); strips a
-    ``git+`` prefix first so ``git+https://github.com/...`` qualifies."""
-    candidate = F.when(
-        url.contains("svn.apache.org"), apache_svn_to_github(url)
-    ).otherwise(url)
+    redirect-following branch is driver I/O and out of scope)."""
+    candidate = F.regexp_replace(url, _APACHE_SVN_RX, _APACHE_SVN_SUB)
     hinted = None
     for h in FORGE_HINTS:
         cond = candidate.contains(h)
         hinted = cond if hinted is None else (hinted | cond)
-    return F.when(candidate.isNotNull() & hinted, candidate)
+    return F.when(hinted, candidate)
 
 
-def normalize_repo_url(url: Column) -> Column:
+def normalize_repo_url(u: Column) -> Column:
     """convert_repo_url_to_purls normalization chain
-    (find_source_repo.py:258-287), faithfully ordered."""
+    (find_source_repo.py:258-287), faithfully ordered; each step is one
+    pass-through ``regexp_replace`` so the composed tree stays linear."""
     # git@github.com+https://github.com/... -> keep the part after '+'
-    u = F.when(
-        url.startswith("git@github.com+"),
-        F.substring_index(url, "+", -1),
-    ).otherwise(url)
+    u = F.regexp_replace(u, r"^git@github\.com\+", "")
     # https+// -> https://
     u = F.regexp_replace(u, r"^https\+//", "https://")
-    # git+https://repo@commit / git://repo@commit -> strip trailing @...
-    u = F.when(
-        (u.startswith("git+https://") | u.startswith("git://")) & u.contains("@"),
-        F.substring_index(u, "@", 1),
-    ).otherwise(u)
+    # git+https://repo@commit / git://repo@commit -> strip the first '@'
+    # and everything after it (reference: url.split('@')[0] on these schemes)
+    u = F.regexp_replace(u, r"^(git\+https://|git://)([^@]*)@.*$", "$1$2")
     # a plain git+ prefix (survives when no @ was present)
     u = F.regexp_replace(u, r"^git\+", "")
     # trailing .git
     u = F.regexp_replace(u, r"\.git$", "")
-    # git://host:path -> https://host/path (':' -> '/' on the remainder)
-    u = F.when(
-        u.startswith("git://"),
-        F.concat(
-            F.lit("https://"),
-            F.replace(F.regexp_replace(u, r"^git://", ""), F.lit(":"), F.lit("/")),
-        ),
-    ).otherwise(u)
+    # git://host:path -> https://host/path (the host:path colon; a second
+    # colon deeper in the path is not a shape the reference produces)
+    u = F.regexp_replace(u, r"^git://([^:/]+):", "https://$1/")
+    u = F.regexp_replace(u, r"^git://", "https://")
     return u
 
 
@@ -133,27 +133,6 @@ def normalize_tag(tag: Column) -> Column:
     )
 
 
-_NORMALIZE_STEPS = (
-    lambda u: F.when(
-        u.startswith("git@github.com+"), F.substring_index(u, "+", -1)
-    ).otherwise(u),
-    lambda u: F.regexp_replace(u, r"^https\+//", "https://"),
-    lambda u: F.when(
-        (u.startswith("git+https://") | u.startswith("git://")) & u.contains("@"),
-        F.substring_index(u, "@", 1),
-    ).otherwise(u),
-    lambda u: F.regexp_replace(u, r"^git\+", ""),
-    lambda u: F.regexp_replace(u, r"\.git$", ""),
-    lambda u: F.when(
-        u.startswith("git://"),
-        F.concat(
-            F.lit("https://"),
-            F.replace(F.regexp_replace(u, r"^git://", ""), F.lit(":"), F.lit("/")),
-        ),
-    ).otherwise(u),
-)
-
-
 def source_repo_candidates(
     packages: DataFrame,
     url_cols: list[str],
@@ -166,15 +145,9 @@ def source_repo_candidates(
     find_source_repo.py:330-337) followed by URLs extracted from the text
     columns, filters/normalizes them, and returns one row per viable
     candidate with its priority index — narrow maps only, no shuffle.
-
-    The normalization chain is applied STEPWISE via withColumn rather than
-    as one composed Column: each ``when(f(u)).otherwise(u)`` step embeds
-    its input tree ~3x, so the composed form grows ~3^6 copies of the
-    upstream expression and the generated code for the single projection
-    overflows janino's 64 KB method limit (whole-stage codegen falls back
-    to the interpreted path). Stepwise aliases reference the prior
-    non-cheap alias more than once, so Catalyst's CollapseProject keeps
-    the projection boundaries and every generated method stays small."""
+    The whole filter/normalize/parse chain is one linear expression per
+    row (see module docstring), so it compiles into a single
+    whole-stage-codegen projection."""
     keys = key_cols or ["purl"]
     urls = F.concat(
         F.array(*[F.col(c) for c in url_cols]),
@@ -185,29 +158,38 @@ def source_repo_candidates(
         F.col("version"),
         F.posexplode(urls).alias("cand_idx", "cand_url"),
     ).filter(F.col("cand_url").isNotNull())
-    url = F.col("cand_url")
-    rewritten = exploded.withColumn(
-        "__cand",
-        F.when(url.contains("svn.apache.org"), apache_svn_to_github(url)).otherwise(
-            url
-        ),
-    )
-    hinted = None
-    for h in FORGE_HINTS:
-        cond = F.col("__cand").contains(h)
-        hinted = cond if hinted is None else (hinted | cond)
-    stepwise = rewritten.withColumn(
-        "__u", F.when(F.col("__cand").isNotNull() & hinted, F.col("__cand"))
+    # Two separate projections on purpose: `__u` (the full normalize chain)
+    # is a non-cheap alias referenced ~10x downstream, so CollapseProject
+    # keeps the boundary and each whole-stage-codegen consume method stays
+    # far below janino's 64 KB limit (a single fused projection here cannot
+    # be method-split because its inputs are generator-output locals).
+    with_u = exploded.select(
+        *keys,
+        "version",
+        "cand_idx",
+        normalize_repo_url(filter_git_repo_url(F.col("cand_url"))).alias("__u"),
     ).filter(F.col("__u").isNotNull())
-    for step in _NORMALIZE_STEPS:
-        stepwise = stepwise.withColumn("__u", step(F.col("__u")))
-    parsed = repo_url_to_purl_parts(F.col("__u"))
+    u = F.col("__u")
+    netloc = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+    namespace = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+/([^/]+)/", 1)
+    name = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+/[^/]+/([^/]+)", 1)
+    ptype = F.lit(None).cast("string")
+    for h in reversed(FORGE_HINTS):
+        ptype = F.when(netloc.contains(h), F.lit(h)).otherwise(ptype)
     return (
-        stepwise.select(
-            *keys, "version", F.col("cand_idx"), parsed.alias("repo")
+        with_u.select(
+            *keys,
+            "version",
+            "cand_idx",
+            ptype.alias("type"),
+            namespace.alias("namespace"),
+            name.alias("name"),
         )
-        .filter(F.col("repo").isNotNull())
-        .select(*keys, "version", "cand_idx", "repo.*")
+        .filter(
+            F.col("type").isNotNull()
+            & (F.col("namespace") != "")
+            & (F.col("name") != "")
+        )
     )
 
 
@@ -242,8 +224,6 @@ def match_version_tags(
         tags["tag"].alias("src_version"),
         tags["commit"].alias("commit"),
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy(*keys).orderBy("cand_idx", "src_version", "commit")
     best = (
         joined.withColumn("__rn", F.row_number().over(w))

@@ -11,6 +11,15 @@ code_view_url), 2 https+// gitlab, 3 git+https with @commit suffix,
 to github.com/apache), 7 non-forge homepage (dropped — redirect-following
 is driver I/O), 8 URL inside description text, 9 BOTH a github homepage
 and a gitlab vcs_url (homepage's earlier priority must win).
+
+Plan-size discipline: the shared derived columns (slug, namespace, github
+base URL, effective forge/tag) are computed ONCE into a flat enriched base
+that is localCheckpoint'ed; the shape when-chains then reference only plain
+columns of that base, so no fixture expression tree gets re-inlined under
+the operator chain and every projection compiles inside whole-stage
+codegen (previously this fixture's lineage composed into a 3.8 MB plan /
+12 MiB task binary and a janino 64 KB method overflow — 91 s of pure
+planning overhead at sf0.1).
 """
 
 from __future__ import annotations
@@ -23,21 +32,40 @@ from purldb_spark.functions.vcs import match_version_tags, source_repo_candidate
 from purldb_spark.plans.registry import query
 
 
-def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat fixture base: one row per synthetic package with every derived
+    column the shapes below need, materialized (localCheckpoint) so the
+    when-chains downstream reference only plain columns."""
     c = load(spark, sf_dir, "customer")
     k = F.col("c_custkey")
-    return c.select(
+    base = c.select(
         k.alias("k"),
         F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("-"))).alias("n"),
         F.concat(F.lit("org"), (k % 7).cast("string")).alias("ns"),
         F.concat(F.lit("2."), (k % 5).cast("string")).alias("version"),
         (k % 10).alias("i"),
     )
+    i, k2 = F.col("i"), F.col("k")
+    enriched = base.select(
+        "k",
+        "n",
+        "ns",
+        "version",
+        "i",
+        F.concat(F.lit("https://github.com/"), F.col("ns"), F.lit("/"), F.col("n")).alias(
+            "gh"
+        ),
+        F.when(i == 2, "gitlab").when(i == 5, "bitbucket").otherwise("github").alias("t"),
+        F.when(i == 6, "apache").otherwise(F.col("ns")).alias("nse"),
+        F.when(k2 % 2 == 0, F.concat(F.lit("v"), F.col("version")))
+        .otherwise(F.replace(F.col("version"), F.lit("."), F.lit("_")))
+        .alias("tag"),
+    )
+    return enriched.localCheckpoint(eager=True)
 
 
-def _packages(base: DataFrame) -> DataFrame:
-    n, ns, i = F.col("n"), F.col("ns"), F.col("i")
-    gh = F.concat(F.lit("https://github.com/"), ns, F.lit("/"), n)
+def _packages(enriched: DataFrame) -> DataFrame:
+    n, ns, i, gh = F.col("n"), F.col("ns"), F.col("i"), F.col("gh")
     vcs_url = (
         F.when(i == 0, F.concat(gh, F.lit(".git")))
         .when(i == 2, F.concat(F.lit("https+//gitlab.com/"), ns, F.lit("/"), n))
@@ -66,7 +94,7 @@ def _packages(base: DataFrame) -> DataFrame:
     description = F.when(
         i == 8, F.concat(F.lit("source at "), gh, F.lit(" really"))
     ).otherwise(F.lit("plain text"))
-    return base.select(
+    return enriched.select(
         F.concat(F.lit("pkg:gen/"), n, F.lit("@"), F.col("version")).alias("purl"),
         F.col("version"),
         code_view_url.alias("code_view_url"),
@@ -76,29 +104,16 @@ def _packages(base: DataFrame) -> DataFrame:
     )
 
 
-def _eff(base: DataFrame) -> DataFrame:
-    """Effective repo parts + real tag per row (the ls-remote boundary)."""
-    i, k = F.col("i"), F.col("k")
-    return base.filter(i != 7).select(
-        "n",
-        "ns",
-        "version",
-        "i",
-        F.when(i == 2, "gitlab").when(i == 5, "bitbucket").otherwise("github").alias("t"),
-        F.when(i == 6, "apache").otherwise(F.col("ns")).alias("nse"),
-        F.when(
-            k % 2 == 0, F.concat(F.lit("v"), F.col("version"))
-        ).otherwise(F.replace(F.col("version"), F.lit("."), F.lit("_"))).alias("tag"),
-    )
-
-
-def _tags(base: DataFrame) -> DataFrame:
-    eff = _eff(base)
+def _tags(enriched: DataFrame) -> DataFrame:
+    eff = enriched.filter(F.col("i") != 7)
     real = eff.select(
         F.col("t").alias("type"),
         F.col("nse").alias("namespace"),
         F.col("n").alias("name"),
-        F.col("tag"),
+        # alias() mints a fresh exprId — without it the output attribute is
+        # the same `tag` that lives inside the shared enriched subtree on
+        # the candidates side of the downstream join (ambiguity error)
+        F.col("tag").alias("tag"),
         F.md5(F.concat(F.col("n"), F.col("tag"))).alias("commit"),
     )
     decoy = eff.select(
@@ -115,7 +130,7 @@ def _tags(base: DataFrame) -> DataFrame:
         F.lit("gitlab").alias("type"),
         F.col("ns").alias("namespace"),
         F.col("n").alias("name"),
-        F.col("tag"),
+        F.col("tag").alias("tag"),
         F.md5(F.concat(F.col("n"), F.col("tag"), F.lit("gl"))).alias("commit"),
     )
     return real.unionByName(decoy).unionByName(gitlab9)
@@ -154,10 +169,10 @@ def x_purl2vcs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     forge filter + Apache-SVN rewrite, normalization to purl parts,
     broadcast tag join with normalized-tag == version, best candidate by
     metadata priority."""
-    base = _base(spark, sf_dir)
+    enriched = _enriched(spark, sf_dir)
     cands = source_repo_candidates(
-        _packages(base),
+        _packages(enriched),
         url_cols=["code_view_url", "homepage_url", "vcs_url"],
         text_cols=["description"],
     )
-    return match_version_tags(cands, _tags(base))
+    return match_version_tags(cands, _tags(enriched))
