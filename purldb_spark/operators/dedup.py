@@ -139,33 +139,42 @@ def incremental_lsh_dedup(
 
 
 def df_capped_candidate_pairs(
-    shingles: DataFrame, id_col: str, df_cap: int
+    shingles: DataFrame, id_col: str, df_cap: int, min_support: int = 1
 ) -> DataFrame:
     """Candidate pairs from the inverted index with a document-frequency cap:
     shingles held by more than `df_cap` documents are dropped from candidate
     generation (a shingle in k docs yields k² pair rows — hot shingles are
     the quadratic blow-up AND carry no dedup signal; DESIGN.md §dedup).
+    `min_support` > 1 additionally requires that many SHARED rare shingles
+    before a pair becomes a candidate — at jaccard >= 0.5 a true near-dup
+    pair shares about half its shingles, so support 2 discards the long
+    tail of single-collision pairs (the bulk of candidate volume) while
+    keeping every plausibly-duplicate pair.
 
-    Recall contract: a pair is missed only if EVERY shared shingle is hot,
-    which for near-duplicates (many shared shingles) is vanishingly rare.
-    The exact-jaccard verify still runs over the FULL shingle sets, so every
-    emitted pair's score is exact. All joins are equi-joins."""
+    Recall contract: a pair is missed only if fewer than `min_support` of
+    its shared shingles are rare, which for near-duplicates (many shared
+    shingles) is vanishingly rare. The exact-jaccard verify still runs over
+    the FULL shingle sets, so every emitted pair's score is exact. All
+    joins are equi-joins."""
     df_counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     rare = df_counts.filter(F.col("df") <= df_cap).select("sh")
     posting = shingles.join(rare, "sh", "inner")
     a = posting.alias("a")
     b = posting.alias("b")
-    return (
+    pair_support = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             "inner",
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return pair_support.filter(F.col("support") >= min_support).select(
+        "id_a", "id_b"
     )
 
 
@@ -173,14 +182,25 @@ def verify_jaccard(
     candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact jaccard for candidate pairs only (the cheap LSH output gates the
-    expensive exact verify — same cascade philosophy as the match engine)."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.withColumnRenamed(id_col, "id_a")
-    sb = shingles.withColumnRenamed(id_col, "id_b")
+    expensive exact verify — same cascade philosophy as the match engine).
+
+    Scale shape: the shingle table is first left-semi-joined down to the
+    documents that appear in any candidate pair, so the verify never
+    shuffles postings for unpaired docs; the intersection is one equi-join
+    on (id_b, sh) — per pair it materializes |shingles(a)| rows, never the
+    |shingles(a)| x |shingles(b)| cross-product a join on id_b alone would."""
+    pair_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = shingles.join(pair_ids, id_col, "semi")
+    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = pruned.withColumnRenamed(id_col, "id_a")
+    sb = pruned.withColumnRenamed(id_col, "id_b")
     inter = (
         candidates.join(sa, "id_a")
-        .join(sb.withColumnRenamed("sh", "sh_b"), "id_b")
-        .filter(F.col("sh") == F.col("sh_b"))
+        .join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
     )

@@ -147,6 +147,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DF_CAP = 16
+_MIN_SUPPORT = 2
 
 
 @query(
@@ -155,10 +156,12 @@ _DF_CAP = 16
     WITH shingles AS ({_SHINGLES_SQL}),
     rare AS (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {_DF_CAP}),
     cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM shingles a
       JOIN rare r ON r.sh = a.sh
       JOIN shingles b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= {_MIN_SUPPORT}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
@@ -175,18 +178,24 @@ _DF_CAP = 16
     """,
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-safe n-gram jaccard: candidate pairs only from shingles with
-    document frequency <= 16 (a shingle in k docs makes k² candidate rows —
-    the df cap bounds the quadratic term; hot shingles carry no signal), then
-    exact jaccard over the FULL shingle sets for the candidates, >= 0.5.
+    """The scale-safe n-gram jaccard: candidate pairs only from pairs sharing
+    at least 2 shingles of document frequency <= 16 (a shingle in k docs
+    makes k² candidate rows — the df cap bounds the quadratic term, and hot
+    shingles carry no signal; the support-2 floor drops the long tail of
+    single-collision pairs that dominate candidate volume), then exact
+    jaccard over the FULL shingle sets for the candidates, >= 0.5.
 
     vs dedup_ngram_jaccard (the uncapped ground truth): misses a pair only
-    when every shared shingle is hot; scores of emitted pairs are identical.
-    The plan is equi-joins only — no shingle key ever fans out more than
-    df_cap ways, so the shuffle volume is linear in corpus size at 100 TB."""
+    when fewer than 2 of its shared shingles are rare; scores of emitted
+    pairs are identical. The plan is equi-joins only — no shingle key ever
+    fans out more than df_cap ways, so the shuffle volume is linear in
+    corpus size at 100 TB."""
     docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    cands = df_capped_candidate_pairs(sh, "doc_id", _DF_CAP)
+    # tokenize ONCE: the shingle table feeds candidate generation and both
+    # sides of the verify; without the checkpoint each consumer re-runs the
+    # split/transform/explode tokenization over the full corpus
+    sh = word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
+    cands = df_capped_candidate_pairs(sh, "doc_id", _DF_CAP, _MIN_SUPPORT)
     return verify_jaccard(cands, sh, "doc_id", 0.5)
 
 
