@@ -51,6 +51,7 @@ def load_inventory() -> None:
         q_merge,
         q_miners,
         q_miners2,
+        q_miners3,
         q_multimodal,
         q_overlay,
         q_scans,
