@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.functions.halohash import (
+    bah128_fingerprint,
+    bah128_fingerprint_sql,
+)
 from purldb_spark.plans.registry import query
 
 
@@ -163,26 +167,37 @@ def j5_earliest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- fingerprint joins on documents: fp = md5(text), 4 chunks of 8 hex ---
 
-_FP_CHUNKS_SQL = """
+# genuine BAH128 bit-majority fingerprints per document (bag of words),
+# recomputed from first principles on the oracle side — J6/J7 band and
+# exact-join REAL halohash chunks (functions/halohash.py)
+_FP_CHUNKS_SQL = f"""
   SELECT doc_id, n_chars,
-         substr(md5(text), 1, 8)  AS chunk1,
-         substr(md5(text), 9, 8)  AS chunk2,
-         substr(md5(text), 17, 8) AS chunk3,
-         substr(md5(text), 25, 8) AS chunk4
-  FROM documents
+         substr(bah128, 1, 8)  AS chunk1,
+         substr(bah128, 9, 8)  AS chunk2,
+         substr(bah128, 17, 8) AS chunk3,
+         substr(bah128, 25, 8) AS chunk4
+  FROM ({bah128_fingerprint_sql(
+      "SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w"
+      " FROM documents",
+      ["doc_id", "n_chars"],
+      "w",
+  )})
 """
 
 
 def _fp_chunks(df: DataFrame) -> DataFrame:
-    fp = F.md5("text")
-    return df.select(
+    words = df.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("w")
+    )
+    fp = bah128_fingerprint(words, ["doc_id", "n_chars"], "w")
+    return fp.select(
         "doc_id",
         "n_chars",
-        F.substring(fp, 1, 8).alias("chunk1"),
-        F.substring(fp, 9, 8).alias("chunk2"),
-        F.substring(fp, 17, 8).alias("chunk3"),
-        F.substring(fp, 25, 8).alias("chunk4"),
-    )
+        F.substring("bah128", 1, 8).alias("chunk1"),
+        F.substring("bah128", 9, 8).alias("chunk2"),
+        F.substring("bah128", 17, 8).alias("chunk3"),
+        F.substring("bah128", 25, 8).alias("chunk4"),
+    ).localCheckpoint(eager=False)
 
 
 @query(

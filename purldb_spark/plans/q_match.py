@@ -1,7 +1,12 @@
 """Match-engine queries — SURVEY §2.7 (F1-F5, F8) and §2.4 A5.
 
-Fingerprints are md5(text) split into four 32-bit int chunks (computable
-identically in Spark and DuckDB, so the oracle can verify the full pipeline).
+Index fingerprints are GENUINE BAH128 bit-majority halohashes
+(functions/halohash.py) computed per document over its bag of words —
+the same aggregation the reference consumes from matchcode-toolkit — and
+the DuckDB oracle recomputes them from first principles
+(bah128_fingerprint_sql), so the cascade is verified end-to-end over real
+bit-average hashes, not md5 stand-ins.  ``element_count`` is the
+fingerprint's own elements_count (the count prefix of the storage form).
 Query-side fingerprints are derived from the index by XOR-ing known masks
 onto chunks — the FIXTURES.md §5 generator hint — giving three deterministic
 classes per query doc:
@@ -22,7 +27,10 @@ from purldb_spark.catalog.tables import load
 from purldb_spark.functions.fingerprints import (
     attach_chunks,
     hamming128_sql,
-    hex_to_long_sql,
+)
+from purldb_spark.functions.halohash import (
+    bah128_fingerprint,
+    bah128_fingerprint_sql,
 )
 from purldb_spark.operators.matching import (
     banded_candidates,
@@ -36,12 +44,20 @@ _HEAVY2, _HEAVY4 = 0xFFFFF, 0xFFFFF  # 20 + 20 bits -> hamming 40 (no match)
 
 
 def _index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.md5("text").alias("fp")
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
-    return attach_chunks(d, "fp").drop("fp").withColumnRenamed(
-        "n_chars", "element_count"
-    )
+    fp = bah128_fingerprint(words, ["doc_id"], "w")
+    idx = attach_chunks(
+        fp.select(
+            "doc_id", F.col("elements_count").alias("element_count"), "bah128"
+        ),
+        "bah128",
+    ).drop("bah128")
+    # the cascade reuses the index in every stage/band branch: truncate the
+    # 128-sum aggregation lineage so the plan stays flat (same medicine as
+    # the q_vcs fixture base)
+    return idx.localCheckpoint(eager=False)
 
 
 def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,13 +77,15 @@ def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared SQL fragments for the oracle side
+_WORDS_SQL = "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+
 _IDX_SQL = f"""
-  SELECT doc_id, n_chars AS element_count,
-         {hex_to_long_sql("substr(md5(text), 1, 8)")}  AS c1,
-         {hex_to_long_sql("substr(md5(text), 9, 8)")}  AS c2,
-         {hex_to_long_sql("substr(md5(text), 17, 8)")} AS c3,
-         {hex_to_long_sql("substr(md5(text), 25, 8)")} AS c4
-  FROM documents
+  SELECT doc_id, elements_count AS element_count,
+         CAST('0x' || substr(bah128, 1, 8) AS BIGINT)  AS c1,
+         CAST('0x' || substr(bah128, 9, 8) AS BIGINT)  AS c2,
+         CAST('0x' || substr(bah128, 17, 8) AS BIGINT) AS c3,
+         CAST('0x' || substr(bah128, 25, 8) AS BIGINT) AS c4
+  FROM ({bah128_fingerprint_sql(_WORDS_SQL, ["doc_id"], "w")})
 """
 
 _Q_SQL = f"""

@@ -42,6 +42,7 @@ def load_inventory() -> None:
         q_analytics,
         q_bonus,
         q_clearindex,
+        q_collect,
         q_filters,
         q_halohash,
         q_joins,
