@@ -138,7 +138,7 @@ def c_scalar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(F.split(url, "/"), -1).alias("filename"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        (F.unix_millis("ts")).alias("epoch_millis"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("epoch_millis"),
         F.when(F.length(md5k) == 32, md5k).alias("checked_md5"),
         F.upper(F.substring(md5k, 1, 8)).alias("hex_up"),
     )
