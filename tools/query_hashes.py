@@ -46,12 +46,27 @@ def _module_file(root: str, dotted: str) -> str | None:
     return None
 
 
+# Excluded from every closure: registry.py imports EVERY plan module (its
+# load_inventory), so traversing through it would make each query's closure
+# the whole package and any one edit would invalidate all hashes (the
+# round-3 rotation pathology).  The registration decorator itself carries no
+# query semantics, so its source is not hashed either.
+_EXCLUDED = {"purldb_spark.plans.registry"}
+
+
 def _closure_files(root: str, start_dotted: str) -> list[str]:
-    """Transitive purldb_spark source files reachable from one module."""
+    """Transitive purldb_spark source files reachable from one module.
+
+    Traversal never enters ``plans/registry.py`` (see _EXCLUDED) — a query's
+    hash covers its own plan module plus the operator/function/source modules
+    it actually uses, not the whole package.
+    """
     seen: dict[str, str] = {}
     todo = [start_dotted]
     while todo:
         dotted = todo.pop()
+        if dotted in _EXCLUDED:
+            continue
         path = _module_file(root, dotted)
         if path is None or path in seen.values():
             continue
