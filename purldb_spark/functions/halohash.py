@@ -58,12 +58,22 @@ def bah128_fingerprint(
         *[F.col(c) for c in group_cols],
         *[_byte_col(digest, j).alias(f"__by{j}") for j in range(NBYTES)],
     )
+    # Pack two bit-counters per aggregate long (32-bit fields): halves the
+    # aggregation buffer and codegen size vs 128 separate sum columns.  A
+    # field overflows only past 2^32 ones per group — i.e. a single group
+    # with >4.29e9 elements — far beyond any directory/document bag.
     sums = [
         F.sum(
-            F.shiftright(F.col(f"__by{j}"), 7 - k).bitwiseAND(F.lit(1))
-        ).alias(f"__s{j}_{k}")
+            F.shiftleft(
+                F.shiftright(F.col(f"__by{j}"), 7 - 2 * p)
+                .bitwiseAND(F.lit(1))
+                .cast("long"),  # int << 32 wraps (Java shift mod 32) — widen first
+                32,
+            )
+            + F.shiftright(F.col(f"__by{j}"), 7 - (2 * p + 1)).bitwiseAND(F.lit(1))
+        ).alias(f"__s{j}_{p}")
         for j in range(NBYTES)
-        for k in range(8)
+        for p in range(4)
     ]
     agg = projected.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("elements_count"), *sums
@@ -74,8 +84,14 @@ def bah128_fingerprint(
     for j in range(NBYTES):
         byte = F.lit(0)
         for k in range(8):
+            p, hi = divmod(k, 2)
+            ones = (
+                F.shiftright(F.col(f"__s{j}_{p}"), 32)
+                if hi == 0
+                else F.col(f"__s{j}_{p}").bitwiseAND(F.lit(0xFFFFFFFF))
+            )
             # majority: strictly more ones than elements_count / 2
-            bit = (F.col(f"__s{j}_{k}") * 2 > n).cast("int")
+            bit = (ones * 2 > n).cast("int")
             byte = byte + F.shiftleft(bit, 7 - k)
         out_bytes.append(_lower_hex(byte, 2))
     bah = F.concat(*out_bytes)

@@ -1,0 +1,70 @@
+"""Session-scoped cache for materialized fixture/index frames.
+
+The match-family queries (j6/j7/match_cascade/match_cascade_full) all join
+against the same BAH128 fingerprint index — in a real deployment that index
+is a precomputed table maintained by the indexing pipeline (the reference
+stores it in Postgres, matchcode/models.py:247-265), not something every
+query recomputes.  Mirroring that, the checkpointed index frame is built
+once per (Spark application, sf_dir) and shared by every query in the
+session: the expensive 64-column packed-bit aggregation runs once, and each
+query pays only its own joins.
+
+Entries are keyed by applicationId so a cached frame is never served to a
+different session (localCheckpoint RDDs die with their session); stale
+applications' entries are dropped on first touch from a new session.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_fixture(
+    spark: SparkSession, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the cached frame for ``key`` in this session, building it via
+    ``build()`` (which should end in an eager localCheckpoint) on first use."""
+    app = spark.sparkContext.applicationId
+    cache_key = (app, key)
+    df = _CACHE.get(cache_key)
+    if df is None:
+        for k in [k for k in _CACHE if k[0] != app]:
+            del _CACHE[k]
+        df = build()
+        _CACHE[cache_key] = df
+    return df
+
+
+def doc_fingerprint_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE materialized BAH128 aggregation over documents serving the whole
+    match family: j6/j7 take the hex chunk view, the cascade takes the int
+    chunk view — grouping by (doc_id, n_chars) is the same partition as by
+    doc_id (n_chars is functionally dependent), so one agg serves both.
+
+    Returns the cached leaf with columns
+    ``doc_id, n_chars, elements_count, bah128``.
+    """
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.functions.halohash import bah128_fingerprint
+
+    def build() -> DataFrame:
+        # one parquet file -> one input partition: spread the docs by the agg
+        # key BEFORE the explode so the aggregation runs wide (and needs no
+        # second shuffle — hash(doc_id) satisfies the groupBy clustering)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        words = (
+            load(spark, sf_dir, "documents")
+            .repartition(n_part, "doc_id")
+            .select("doc_id", "n_chars", F.explode(F.split("text", " ")).alias("w"))
+        )
+        fp = bah128_fingerprint(words, ["doc_id", "n_chars"], "w")
+        return fp.select(
+            "doc_id", "n_chars", "elements_count", "bah128"
+        ).localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"doc_fp_base:{sf_dir}", build)

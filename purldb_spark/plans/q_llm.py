@@ -343,14 +343,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the table is one parquet file; without an explicit repartition the
     # nested-loop pair join runs on a single task — spread the streamed side
-    # across the cluster (partition count follows the session shuffle conf)
+    # across the cluster and broadcast the (small) build side so every task
+    # scans its slice of A against all of B
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(
-        n_part, "id_a"
+        n_part
     )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"), "inner")
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"), "inner")
         .withColumn("cosine", dot_expr("u_a", "u_b"))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")

@@ -28,15 +28,13 @@ from purldb_spark.functions.fingerprints import (
     attach_chunks,
     hamming128_sql,
 )
-from purldb_spark.functions.halohash import (
-    bah128_fingerprint,
-    bah128_fingerprint_sql,
-)
+from purldb_spark.functions.halohash import bah128_fingerprint_sql
 from purldb_spark.operators.matching import (
     banded_candidates,
     cascade,
     hamming_matches,
 )
+from purldb_spark.plans.fixture_cache import cached_fixture, doc_fingerprint_base
 from purldb_spark.plans.registry import query
 
 _LIGHT2, _LIGHT4 = 0x7, 0x38  # 3 + 3 bits -> hamming 6 (< 10: match)
@@ -44,36 +42,44 @@ _HEAVY2, _HEAVY4 = 0xFFFFF, 0xFFFFF  # 20 + 20 bits -> hamming 40 (no match)
 
 
 def _index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    fp = bah128_fingerprint(words, ["doc_id"], "w")
-    idx = attach_chunks(
-        fp.select(
+    """Int-chunk view of the session-shared fingerprint base — the cascade
+    reuses it in every stage/band branch AND derives the query side from it,
+    so the aggregation never runs twice (the r3 regression)."""
+    base = doc_fingerprint_base(spark, sf_dir)
+    return attach_chunks(
+        base.select(
             "doc_id", F.col("elements_count").alias("element_count"), "bah128"
         ),
         "bah128",
     ).drop("bah128")
-    # the cascade reuses the index in every stage/band branch: truncate the
-    # 128-sum aggregation lineage so the plan stays flat (same medicine as
-    # the q_vcs fixture base)
-    return idx.localCheckpoint(eager=False)
 
 
 def _query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = _index_df(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
-    exact = F.col("doc_id") % 10 == 0
-    heavy = F.col("doc_id") % 15 == 0
-    mask2 = F.when(exact, 0).when(heavy, _HEAVY2).otherwise(_LIGHT2)
-    mask4 = F.when(exact, 0).when(heavy, _HEAVY4).otherwise(_LIGHT4)
-    return idx.select(
-        F.col("doc_id").alias("q_doc_id"),
-        F.floor(F.col("element_count") * 0.98).cast("long").alias("q_element_count"),
-        F.col("c1").alias("q_c1"),
-        F.col("c2").bitwiseXOR(mask2).alias("q_c2"),
-        F.col("c3").alias("q_c3"),
-        F.col("c4").bitwiseXOR(mask4).alias("q_c4"),
-    )
+    """Query-side fingerprints derived from the ALREADY-materialized index
+    frame (never rebuild the aggregation — _index_df is session-cached).
+
+    The final checkpoint is a cheap projection over the cached index RDD; it
+    makes the query side its own plan leaf, so the cascade's self-joins
+    against the index resolve without shared-subtree ambiguity."""
+
+    def build() -> DataFrame:
+        q = _index_df(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+        exact = F.col("doc_id") % 10 == 0
+        heavy = F.col("doc_id") % 15 == 0
+        mask2 = F.when(exact, 0).when(heavy, _HEAVY2).otherwise(_LIGHT2)
+        mask4 = F.when(exact, 0).when(heavy, _HEAVY4).otherwise(_LIGHT4)
+        return q.select(
+            F.col("doc_id").alias("q_doc_id"),
+            F.floor(F.col("element_count") * 0.98)
+            .cast("long")
+            .alias("q_element_count"),
+            F.col("c1").alias("q_c1"),
+            F.col("c2").bitwiseXOR(mask2).alias("q_c2"),
+            F.col("c3").alias("q_c3"),
+            F.col("c4").bitwiseXOR(mask4).alias("q_c4"),
+        ).localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"match_query:{sf_dir}", build)
 
 
 # shared SQL fragments for the oracle side

@@ -53,6 +53,7 @@ def load_inventory() -> None:
         q_miners,
         q_miners2,
         q_miners3,
+        q_miners4,
         q_multimodal,
         q_overlay,
         q_scans,

@@ -186,10 +186,14 @@ def map_gitlab_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         F.col("http_url_to_repo").isNotNull(),
         F.concat(F.lit("git+"), F.col("http_url_to_repo")),
     )
+    # the purl name is the web_url's last path segment (the project slug),
+    # NOT the display name — gitlab.py:88-91 rpartition("/")[-1]; display
+    # names may contain spaces/uppercase and are kept only in `name`
+    slug = F.substring_index(F.col("web_url"), "/", -1)
     return p.select(
         F.lit("gitlab").alias("type"),
         F.col("name"),
-        F.concat(F.lit("pkg:gitlab/"), F.col("name")).alias("purl"),
+        F.concat(F.lit("pkg:gitlab/"), slug).alias("purl"),
         F.col("web_url").alias("homepage_url"),
         F.col("description"),
         vcs.alias("vcs_url"),
@@ -395,8 +399,10 @@ def map_eclipse_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
     j = F.from_json(F.col(json_col), ECLIPSE_PROJECTS_SCHEMA)
     proj = docs.select(F.explode(j["projects"]).alias("project", "m"))
     m = F.col("m")
+    # F.get (not getItem): first-element access must be NULL on an empty
+    # array, not an ANSI INVALID_ARRAY_INDEX error
     desc = F.coalesce(
-        m["description"].getItem(0)["value"],
+        F.get(m["description"], 0)["value"],
         m["title"],
     )
     lic = F.when(
@@ -406,8 +412,8 @@ def map_eclipse_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
     rows = proj.select(
         F.col("project"),
         desc.alias("description"),
-        m["website_url"].getItem(0)["url"].alias("homepage_url"),
-        m["bugzilla"].getItem(0)["query_url"].alias("bug_tracking_url"),
+        F.get(m["website_url"], 0)["url"].alias("homepage_url"),
+        F.get(m["bugzilla"], 0)["query_url"].alias("bug_tracking_url"),
         lic.alias("extracted_license_statement"),
         F.explode(m["download_url"]).alias("d"),
     ).where(F.col("d")["url"].isNotNull())
@@ -492,7 +498,18 @@ def map_hex_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
             F.lit("https://hex.pm/api/packages/"), name, F.lit("/releases/"), ver
         ).alias("api_data_url"),
         F.to_date(F.substring(F.col("inserted_at"), 1, 10)).alias("release_date"),
-        F.col("owners").getItem(0)["username"].alias("owner"),
+        # ALL owners become parties (hex.py:29-33), not just the first:
+        # usernames and emails each joined in owner order
+        F.array_join(
+            F.transform(F.col("owners"), lambda o: o["username"]), "; "
+        ).alias("owners"),
+        F.array_join(
+            F.filter(
+                F.transform(F.col("owners"), lambda o: o["email"]),
+                lambda e: e.isNotNull(),
+            ),
+            "; ",
+        ).alias("owner_emails"),
         F.lit("hex_api_metadata").alias("datasource_id"),
     )
 
