@@ -54,6 +54,7 @@ def load_inventory() -> None:
         q_miners2,
         q_miners3,
         q_miners4,
+        q_miners5,
         q_multimodal,
         q_overlay,
         q_scans,
