@@ -43,6 +43,7 @@ def load_inventory() -> None:
         q_bonus,
         q_clearindex,
         q_collect,
+        q_collectors,
         q_filters,
         q_halohash,
         q_joins,
