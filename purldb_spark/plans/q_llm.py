@@ -343,11 +343,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the table is one parquet file; without an explicit repartition the
     # nested-loop pair join runs on a single task — spread the streamed side
-    # across the cluster and broadcast the (small) build side so every task
-    # scans its slice of A against all of B
+    # across the cluster (HASH partitioning: round-robin forces a
+    # determinism sort and measured 7x slower here) and broadcast the
+    # (small) build side so every task scans its slice of A against all
+    # of B
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(
-        n_part
+        n_part, "id_a"
     )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     return (

@@ -56,6 +56,9 @@ def load_inventory() -> None:
         q_miners3,
         q_miners4,
         q_miners5,
+        q_miners6,
+        q_miners7,
+        q_miners8,
         q_multimodal,
         q_overlay,
         q_scans,
