@@ -53,18 +53,19 @@ def _prior_green() -> set[str]:
     return green
 
 
-def _verified_green() -> set[str]:
-    """Green AND unchanged since verification.
+def _verification_state() -> tuple[set[str], set[str]]:
+    """(verified, stale) partition of the previously-green queries.
 
     A query counts as verified only if it has a green CORRECTNESS row AND its
     current content hash (builder module + transitive purldb_spark imports +
     oracle SQL, see tools/query_hashes.py) equals the hash recorded in
-    QUERY_HASHES.json at the commit the driver tested.  Any edit to the query
-    or its dependency closure re-registers it at the front of the order.
+    QUERY_HASHES.json at the commit the driver tested.  A green query whose
+    hash no longer matches is *stale* — its code changed after the driver
+    saw it green, the highest regression risk.
     """
     green = _prior_green()
     if not green:
-        return set()
+        return set(), set()
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "QUERY_HASHES.json")) as fh:
@@ -79,15 +80,25 @@ def _verified_green() -> set[str]:
         finally:
             sys.path.remove(os.path.join(here, "tools"))
     except Exception:
-        return green  # no hash data: fall back to plain green rotation
-    return {n for n in green if recorded.get(n) and recorded[n] == current.get(n)}
+        return green, set()  # no hash data: fall back to plain green rotation
+    verified = {n for n in green if recorded.get(n) and recorded[n] == current.get(n)}
+    return verified, green - verified
 
 
 def _rotated_names() -> list[str]:
-    verified = _verified_green()
-    return [n for n in QUERIES if n not in verified] + [
-        n for n in QUERIES if n in verified
-    ]
+    """Stale first, then never-green, then verified.
+
+    The driver's check window is bounded; when stale + new together exceed
+    it, the stale ones (green once, changed since — regression risk) must
+    all land inside the window, ahead of brand-new queries that were just
+    locally oracle-verified during development.
+    """
+    verified, stale = _verification_state()
+    return (
+        [n for n in QUERIES if n in stale]
+        + [n for n in QUERIES if n not in stale and n not in verified]
+        + [n for n in QUERIES if n in verified]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

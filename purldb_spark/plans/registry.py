@@ -44,6 +44,10 @@ def load_inventory() -> None:
         q_clearindex,
         q_collect,
         q_collectors,
+        # q_streaming registers before the miner batches: its two batch
+        # faces predate them and have never had a driver check — the
+        # bounded check window fills front-to-back among unverified queries
+        q_streaming,
         q_filters,
         q_halohash,
         q_joins,
@@ -59,11 +63,11 @@ def load_inventory() -> None:
         q_miners6,
         q_miners7,
         q_miners8,
+        q_miners9,
         q_multimodal,
         q_overlay,
         q_scans,
         q_snippet,
-        q_streaming,
         q_vcs,
         q_version_apis,
         q_versions,
