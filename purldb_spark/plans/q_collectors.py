@@ -301,3 +301,186 @@ def x_debian_collect_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsc_text",
         "copyright_text",
     )
+
+
+@query(
+    "x_hf_generic_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    b2 AS (SELECT *, md5(CAST(k AS VARCHAR) || name) AS cs FROM base),
+    hf_ok AS (
+      SELECT k, name, cs, 'org-' || name AS ns,
+             'pkg:huggingface/org-' || name || '/' || name || '@' || cs AS purl
+      FROM b2 WHERE k % 4 = 0
+    ),
+    hf_bins AS (
+      SELECT purl, 'collected' AS status, 'huggingface' AS type,
+             ns AS namespace, name, cs AS version,
+             'https://huggingface.co/' || ns || '/' || name || '/resolve/'
+               || cs || '/' || f AS download_url,
+             'https://huggingface.co/' || ns || '/' || name AS homepage_url,
+             'https://huggingface.co/api/models/' || ns || '/' || name
+               AS api_data_url,
+             'au-' || name AS parties,
+             '2024-02-03T00:00:00.000Z' AS release_date,
+             CASE WHEN k % 8 = 0 THEN 'MIT license text' END
+               AS extracted_license_statement,
+             'source_archive' AS package_content
+      FROM hf_ok CROSS JOIN (VALUES ('pytorch_model.bin'), ('model-2.bin')) t(f)
+    ),
+    hf_err AS (
+      SELECT 'pkg:huggingface/' || name || '@' || cs AS purl,
+             'missing_namespace' AS status,
+             NULL AS type, NULL AS namespace, NULL AS name, NULL AS version,
+             NULL AS download_url, NULL AS homepage_url, NULL AS api_data_url,
+             NULL AS parties, NULL AS release_date,
+             NULL AS extracted_license_statement, NULL AS package_content
+      FROM b2 WHERE k % 4 = 1
+      UNION ALL
+      SELECT 'pkg:huggingface/org-' || name || '/' || name,
+             'missing_version',
+             NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      FROM b2 WHERE k % 4 = 2
+      UNION ALL
+      SELECT 'pkg:huggingface/org-' || name || '/' || name || '@' || cs,
+             'no_model_data',
+             NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      FROM b2 WHERE k % 4 = 3
+    ),
+    generic AS (
+      SELECT CASE WHEN k % 3 = 0
+                  THEN 'pkg:generic/blob-' || name
+                       || '@1.0?download_url=https%3A%2F%2Fex.com%2F'
+                       || name || '.tgz'
+                  WHEN k % 3 = 1
+                  THEN 'pkg:generic/ns1/blob-' || name
+                       || '?download_url=http://p.ex/' || name
+                  ELSE 'pkg:generic/blob-' || name || '@2.0' END AS purl,
+             CASE WHEN k % 3 = 2 THEN 'missing_download_url'
+                  ELSE 'collected' END AS status,
+             CASE WHEN k % 3 <> 2 THEN 'generic' END AS type,
+             CASE WHEN k % 3 = 1 THEN 'ns1' END AS namespace,
+             CASE WHEN k % 3 <> 2 THEN 'blob-' || name END AS name,
+             CASE WHEN k % 3 = 0 THEN '1.0' END AS version,
+             CASE WHEN k % 3 = 0 THEN 'https://ex.com/' || name || '.tgz'
+                  WHEN k % 3 = 1 THEN 'http://p.ex/' || name END
+               AS download_url,
+             NULL AS homepage_url, NULL AS api_data_url, NULL AS parties,
+             NULL AS release_date, NULL AS extracted_license_statement,
+             CASE WHEN k % 3 <> 2 THEN 'binary' END AS package_content
+      FROM b2
+    )
+    SELECT * FROM hf_bins
+    UNION ALL SELECT * FROM hf_err
+    UNION ALL SELECT * FROM generic
+    """,
+)
+def x_hf_generic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HuggingFace + generic collect handlers (collectors2.py —
+    reference collectors/huggingface.py:79-153 + generic.py:30-90):
+    namespace/version gates, one row per .bin sibling (non-.bin
+    siblings skipped), resolve/LICENSE text join, download_url
+    qualifier extraction with percent-decoding, per-purl status."""
+    from purldb_spark.sources.collectors2 import (
+        map_generic_requests,
+        map_huggingface_requests,
+    )
+
+    b = _base(spark, sf_dir).withColumn(
+        "cs", F.md5(F.concat(F.col("k").cast("string"), F.col("name")))
+    )
+    k, name, cs = F.col("k"), F.col("name"), F.col("cs")
+    ns = F.concat(F.lit("org-"), name)
+    hf_purl = (
+        F.when(
+            k % 4 == 1,
+            F.concat(F.lit("pkg:huggingface/"), name, F.lit("@"), cs),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(F.lit("pkg:huggingface/"), ns, F.lit("/"), name),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("pkg:huggingface/"), ns, F.lit("/"), name, F.lit("@"), cs
+            )
+        )
+    )
+    hf_requests = b.select(
+        hf_purl.alias("purl"),
+        F.when(k % 4 != 1, ns).alias("namespace"),
+        name.alias("name"),
+        F.when(k % 4 != 2, cs).alias("version"),
+    )
+    model_doc = F.concat(
+        F.lit('{"author":"au-'), name,
+        F.lit('","createdAt":"2024-02-03T00:00:00.000Z","siblings":['),
+        F.lit('{"rfilename":"pytorch_model.bin"},'),
+        F.lit('{"rfilename":"model-2.bin"},'),
+        F.lit('{"rfilename":"x.safetensors"}]}'),
+    )
+    models = b.filter(k % 4 == 0).select(
+        ns.alias("namespace"), name.alias("name"), model_doc.alias("doc")
+    )
+    licenses = b.filter(k % 8 == 0).select(
+        ns.alias("namespace"),
+        name.alias("name"),
+        F.lit("MIT license text").alias("license_text"),
+    )
+    hf = map_huggingface_requests(hf_requests, models, licenses)
+
+    gen_purl = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("pkg:generic/blob-"), name,
+                F.lit("@1.0?download_url=https%3A%2F%2Fex.com%2F"), name,
+                F.lit(".tgz"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("pkg:generic/ns1/blob-"), name,
+                F.lit("?download_url=http://p.ex/"), name,
+            ),
+        )
+        .otherwise(F.concat(F.lit("pkg:generic/blob-"), name, F.lit("@2.0")))
+    )
+    gen = map_generic_requests(b.select(gen_purl.alias("purl")))
+    null_hf_cols = [
+        F.lit(None).cast("string").alias(c)
+        for c in (
+            "homepage_url",
+            "api_data_url",
+            "parties",
+            "release_date",
+            "extracted_license_statement",
+        )
+    ]
+    gen = gen.select(
+        "purl",
+        "status",
+        "type",
+        "namespace",
+        "name",
+        "version",
+        "download_url",
+        *null_hf_cols,
+        "package_content",
+    )
+    return hf.select(
+        "purl",
+        "status",
+        "type",
+        "namespace",
+        "name",
+        "version",
+        "download_url",
+        "homepage_url",
+        "api_data_url",
+        "parties",
+        "release_date",
+        "extracted_license_statement",
+        "package_content",
+    ).unionByName(gen)
