@@ -312,3 +312,95 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def contamination_overlap(
+    corpus_shingles: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct shingles appear anywhere in the benchmark set.
+
+    The production concern behind it: training corpora must not contain
+    evaluation data, and the standard check is n-gram overlap of each
+    training document against the union of benchmark n-grams. Shape: the
+    benchmark shingle set is tiny relative to the corpus — broadcast the
+    distinct benchmark shingles and run one hash join over the exploded
+    corpus shingles, then a per-document count. Linear in corpus size, no
+    all-pairs anything; at 100 TB the only knob is the benchmark
+    broadcast (spill to a shuffle join if the benchmark ever outgrows the
+    driver, semantics unchanged).
+
+    Returns (id, overlap, n_shingles, contamination) for documents with
+    at least one benchmark hit.
+    """
+    bset = benchmark_shingles.select("sh").dropDuplicates()
+    sizes = corpus_shingles.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        corpus_shingles.join(F.broadcast(bset), "sh", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "overlap",
+        "n_shingles",
+        (F.col("overlap").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 10
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    min-label propagation, component id = smallest member id.
+
+    Pair emitters (MinHash-LSH, SimHash, jaccard verify) produce EDGES;
+    a dedup pipeline keeps one document per CLUSTER, so the transitive
+    closure is the operator that actually drives deletion. Each
+    iteration is one equi-join (neighbor labels) + one aggregation +
+    localCheckpoint (bounded lineage, the crawl-fixpoint lesson);
+    convergence needs diameter(component) iterations — near-dup clusters
+    are shallow (pair generation is similarity-thresholded, so clusters
+    are near-cliques), making ``max_iter`` a depth cap in the same sense
+    as the POM-ancestry walk, not a tuning knob. At 100 TB the same loop
+    holds (this is the standard iterative CC on Spark; large-star/
+    small-star halves the iteration count if diameters ever grow).
+
+    Returns (node, label) for every node appearing in an edge.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"], "inner")
+            .groupBy(F.col("src").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["nbr_node"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

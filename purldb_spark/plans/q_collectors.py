@@ -484,3 +484,111 @@ def x_hf_generic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_license_statement",
         "package_content",
     ).unionByName(gen)
+
+
+@query(
+    "x_conan_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    b2 AS (SELECT *, md5(name || CAST(k AS VARCHAR)) AS cs FROM base)
+    SELECT 'pkg:conan/' || name || '@' || ver AS purl,
+           CASE WHEN k % 5 IN (0, 1) THEN 'collected'
+                WHEN k % 5 IN (2, 3) THEN 'no_recipe'
+                ELSE 'no_download_url' END AS status,
+           CASE WHEN k % 5 IN (0, 1) THEN 'conan' END AS type,
+           CASE WHEN k % 5 IN (0, 1) THEN name END AS name,
+           CASE WHEN k % 5 IN (0, 1) THEN ver END AS version,
+           CASE WHEN k % 5 = 0 THEN 'https://c.ex/' || name || '-' || ver || '.tgz'
+                WHEN k % 5 = 1 THEN 'https://c1.ex/' || name || '.tgz' END
+             AS download_url,
+           CASE WHEN k % 5 IN (0, 1) THEN cs END AS sha256,
+           CASE WHEN k % 5 IN (0, 1) THEN 'Conan pkg ' || name END
+             AS description,
+           CASE WHEN k % 5 IN (0, 1) THEN 'MIT' END
+             AS extracted_license_statement,
+           CASE WHEN k % 5 IN (0, 1) THEN 'https://c.ex/' || name END
+             AS homepage_url,
+           CASE WHEN k % 5 IN (0, 1) THEN 't1; t2' END AS keywords,
+           CASE WHEN k % 5 IN (0, 1) THEN 'source_archive' END
+             AS package_content
+    FROM b2
+    UNION ALL
+    SELECT 'pkg:conan/' || name, 'missing_version',
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM b2 WHERE k % 7 = 0
+    """,
+)
+def x_conan_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conan-center collect (collectors3.py — reference
+    collectors/conan.py:42-156): config.yml version->folder lookup,
+    conandata.yml scalar-vs-list url with sha256, conanfile.py class
+    attributes, and the reference's status ladder (missing version /
+    recipe / download url)."""
+    from purldb_spark.sources.collectors3 import map_conan_requests
+
+    b = _base(spark, sf_dir).withColumn(
+        "cs", F.md5(F.concat(F.col("name"), F.col("k").cast("string")))
+    )
+    k, name, ver, cs = F.col("k"), F.col("name"), F.col("ver"), F.col("cs")
+    requests = b.select(
+        F.concat(F.lit("pkg:conan/"), name, F.lit("@"), ver).alias("purl"),
+        name.alias("name"),
+        ver.alias("version"),
+    ).unionByName(
+        b.filter(k % 7 == 0).select(
+            F.concat(F.lit("pkg:conan/"), name).alias("purl"),
+            name.alias("name"),
+            F.lit(None).cast("string").alias("version"),
+        )
+    )
+    folder = F.when((k % 5 == 1) | (k % 5 == 3), F.lit("f2")).otherwise(F.lit("all"))
+    cfg_key = F.when(k % 5 == 2, F.lit("9.9.9")).otherwise(ver)
+    config_doc = F.concat(
+        F.lit('versions:\n  "'), cfg_key, F.lit('":\n    folder: '), folder,
+        F.lit("\n"),
+    )
+    configs = b.select(name.alias("name"), config_doc.alias("doc"))
+
+    cd_doc = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit('sources:\n  "'), ver,
+                F.lit('":\n    url: "https://c.ex/'), name, F.lit("-"), ver,
+                F.lit('.tgz"\n    sha256: "'), cs, F.lit('"\n'),
+            ),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit('sources:\n  "'), ver,
+                F.lit('":\n    url:\n      - "https://c1.ex/'), name,
+                F.lit('.tgz"\n      - "https://c2.ex/'), name,
+                F.lit('.tgz"\n    sha256: "'), cs, F.lit('"\n'),
+            ),
+        )
+        .when(
+            k % 5 == 4,
+            F.concat(F.lit('sources:\n  "'), ver, F.lit('":\n    other: 1\n')),
+        )
+    )
+    conandatas = b.filter(cd_doc.isNotNull()).select(
+        name.alias("name"), folder.alias("folder"), cd_doc.alias("doc")
+    )
+    cf_doc = F.when(
+        k % 5 != 3,
+        F.concat(
+            F.lit(
+                "from conan import ConanFile\n\nclass PkgConan(ConanFile):\n"
+                '    name = "'
+            ),
+            name,
+            F.lit('"\n    description = "Conan pkg '), name,
+            F.lit('"\n    license = "MIT"\n    homepage = "https://c.ex/'), name,
+            F.lit('"\n    topics = ("t1", "t2")\n'),
+        ),
+    )
+    conanfiles = b.filter(k % 5 != 3).select(
+        name.alias("name"), folder.alias("folder"), cf_doc.alias("doc")
+    )
+    return map_conan_requests(requests, configs, conandatas, conanfiles)

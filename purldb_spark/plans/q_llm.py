@@ -600,3 +600,113 @@ def knn_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_vec_id", "vec_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------- decontam + clustering --
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 37 = 0),
+    corpus AS (SELECT * FROM shingles WHERE doc_id % 37 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, count(*) AS overlap
+      FROM corpus c JOIN bench b ON c.sh = b.sh
+      GROUP BY 1
+    )
+    SELECT h.doc_id, h.overlap, s.n_shingles,
+           CAST(h.overlap AS DOUBLE) / s.n_shingles AS contamination
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    3-gram shingles with a held-out benchmark slice (here doc_id % 37 = 0
+    stands in for the benchmark). One broadcast hash join of the corpus
+    shingles against the distinct benchmark shingles + a per-document
+    count — linear in corpus size (operators/dedup.py::
+    contamination_overlap)."""
+    from purldb_spark.operators.dedup import contamination_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc_id") % 37 == 0)
+    corpus = sh.filter(F.col("doc_id") % 37 != 0)
+    return contamination_overlap(corpus, bench, "doc_id")
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION SELECT doc_b, doc_a FROM near
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM edges e JOIN reach ON reach.node = e.a
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the exact jaccard
+    >= 0.5 near-dup pairs, component id = smallest doc_id
+    (operators/dedup.py::connected_components — min-label propagation,
+    one join + aggregation + localCheckpoint per wave). The DuckDB
+    oracle computes the same closure with WITH RECURSIVE — the driver
+    comparison therefore checks true transitive-closure equality, not
+    just pair parity."""
+    from purldb_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    near = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("intersection").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("intersection"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(near, "doc_a", "doc_b", max_iter=10)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -61,3 +61,48 @@ def test_generic_decode_and_missing_qualifier(spark):
     assert ok["name"] == "x" and ok["version"] == "1"
     assert rows["pkg:generic/y"]["status"] == "missing_download_url"
     assert rows["pkg:generic/y"]["type"] is None
+
+
+def test_conan_status_ladder_and_url_list(spark):
+    from purldb_spark.sources.collectors3 import map_conan_requests
+
+    reqs = spark.createDataFrame(
+        [
+            ("pkg:conan/zlib@1.3", "zlib", "1.3"),
+            ("pkg:conan/zlib", "zlib", None),
+            ("pkg:conan/gone@2.0", "gone", "2.0"),
+        ],
+        "purl string, name string, version string",
+    )
+    configs = spark.createDataFrame(
+        [("zlib", 'versions:\n  "1.3":\n    folder: all\n')],
+        "name string, doc string",
+    )
+    conandatas = spark.createDataFrame(
+        [
+            (
+                "zlib",
+                "all",
+                'sources:\n  "1.3":\n    url:\n      - "https://a.ex/z.tgz"\n'
+                '      - "https://b.ex/z.tgz"\n    sha256: "abc"\n',
+            )
+        ],
+        "name string, folder string, doc string",
+    )
+    conanfiles = spark.createDataFrame(
+        [("zlib", "all", 'class Z(ConanFile):\n    license = "Zlib"\n')],
+        "name string, folder string, doc string",
+    )
+    rows = {
+        r["purl"]: r
+        for r in map_conan_requests(reqs, configs, conandatas, conanfiles).collect()
+    }
+    ok = rows["pkg:conan/zlib@1.3"]
+    # a url LIST takes its first element (conan.py:87-88)
+    assert ok["status"] == "collected"
+    assert ok["download_url"] == "https://a.ex/z.tgz"
+    assert ok["sha256"] == "abc"
+    assert ok["extracted_license_statement"] == "Zlib"
+    assert ok["description"] is None
+    assert rows["pkg:conan/zlib"]["status"] == "missing_version"
+    assert rows["pkg:conan/gone@2.0"]["status"] == "no_recipe"

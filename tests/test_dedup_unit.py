@@ -72,3 +72,35 @@ def test_short_documents_are_skipped_not_crashed(spark):
     sh = word_shingles(docs, "doc_id", "text", n=3)
     ids = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
     assert ids == {2}
+
+
+def test_connected_components_deep_chain(spark):
+    from purldb_spark.operators.dedup import connected_components
+
+    # a 9-node path: diameter 8 — propagation must still converge within
+    # the default iteration cap
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)] + [(20, 21)], ["a", "b"]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert all(got[n] == 1 for n in range(1, 10))
+    assert got[20] == 20 and got[21] == 20
+
+
+def test_contamination_overlap_counts(spark):
+    from purldb_spark.operators.dedup import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (1, "b c"), (2, "x y")], ["doc_id", "sh"]
+    )
+    bench = spark.createDataFrame([("a b",), ("a b",), ("q r",)], ["sh"])
+    rows = contamination_overlap(corpus, bench).collect()
+    # doc 2 has no benchmark hit and is absent; bench dup rows don't
+    # double-count
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1 and r["overlap"] == 1 and r["n_shingles"] == 2
+    assert abs(r["contamination"] - 0.5) < 1e-12
