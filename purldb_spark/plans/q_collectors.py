@@ -592,3 +592,86 @@ def x_conan_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         name.alias("name"), folder.alias("folder"), cf_doc.alias("doc")
     )
     return map_conan_requests(requests, configs, conandatas, conanfiles)
+
+
+@query(
+    "x_golang_route",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'pkg:golang/github.com/org-' || name || '/' || name || '/v2@2.1.'
+             || CAST(k AS VARCHAR) AS purl,
+           'github' AS route,
+           'org-' || name || '/' || name AS subset_path,
+           '2.1.' || CAST(k AS VARCHAR) AS version,
+           'pkg:github/org-' || name || '/' || name || '@2.1.'
+             || CAST(k AS VARCHAR) AS target
+    FROM base WHERE k % 4 = 0
+    UNION ALL
+    SELECT 'pkg:golang/gitlab.com/grp-' || name || '/sub/' || name || '@v1.'
+             || CAST(k AS VARCHAR),
+           'gitlab',
+           'grp-' || name || '%2Fsub%2F' || name,
+           'v1.' || CAST(k AS VARCHAR),
+           'https://gitlab.com/api/v4/projects/grp-' || name || '%2Fsub%2F'
+             || name
+    FROM base WHERE k % 4 = 1
+    UNION ALL
+    SELECT 'pkg:golang/bitbucket.org/team-' || name || '/' || name || '@0.'
+             || CAST(k AS VARCHAR),
+           'bitbucket',
+           'team-' || name || '/' || name,
+           '0.' || CAST(k AS VARCHAR),
+           'https://api.bitbucket.org/2.0/repositories/team-' || name || '/'
+             || name
+    FROM base WHERE k % 4 = 2
+    UNION ALL
+    SELECT 'pkg:golang/golang.org/x/' || name ||
+             (CASE WHEN k % 8 = 3 THEN '@v1.2' ELSE '@1.2' END),
+           'depsdev',
+           'golang.org%2Fx%2F' || name,
+           CASE WHEN k % 8 = 3 THEN 'v1.2' ELSE '1.2' END,
+           'https://api.deps.dev/v3/systems/GO/packages/golang.org%2Fx%2F'
+             || name || '/versions/v1.2'
+    FROM base WHERE k % 4 = 3
+    """,
+)
+def x_golang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golang collect routing (collectors3.py::golang_route_cols —
+    reference collectors/golang.py:33-65, 88-100, 171-366): github purl
+    rewrite, gitlab full-path percent-encoding, bitbucket two-segment
+    API path, deps.dev fallback with the v-prefix rule."""
+    from purldb_spark.sources.collectors3 import golang_route_cols
+
+    b = _base(spark, sf_dir)
+    k, name = F.col("k"), F.col("name")
+    purl = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("pkg:golang/github.com/org-"), name, F.lit("/"), name,
+                F.lit("/v2@2.1."), k.cast("string"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("pkg:golang/gitlab.com/grp-"), name, F.lit("/sub/"), name,
+                F.lit("@v1."), k.cast("string"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit("pkg:golang/bitbucket.org/team-"), name, F.lit("/"), name,
+                F.lit("@0."), k.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("pkg:golang/golang.org/x/"), name,
+                F.when(k % 8 == 3, F.lit("@v1.2")).otherwise(F.lit("@1.2")),
+            )
+        )
+    )
+    docs = b.select(purl.alias("purl"))
+    return docs.select("purl", *golang_route_cols(F.col("purl")))

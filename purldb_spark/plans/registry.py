@@ -43,11 +43,14 @@ def load_inventory() -> None:
         q_bonus,
         q_clearindex,
         q_collect,
-        q_collectors,
-        # q_streaming registers before the miner batches: its two batch
-        # faces predate them and have never had a driver check — the
-        # bounded check window fills front-to-back among unverified queries
+        # never-driver-checked queries register oldest-first: the bounded
+        # check window fills front-to-back among unverified queries, so
+        # q_streaming's batch faces and the miners3/4 batches (registered
+        # in earlier rounds) outrank this round's additions
         q_streaming,
+        q_miners3,
+        q_miners4,
+        q_collectors,
         q_filters,
         q_halohash,
         q_joins,
@@ -57,8 +60,6 @@ def load_inventory() -> None:
         q_merge,
         q_miners,
         q_miners2,
-        q_miners3,
-        q_miners4,
         q_miners5,
         q_miners6,
         q_miners7,

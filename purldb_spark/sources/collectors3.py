@@ -214,3 +214,100 @@ def map_conan_requests(
         if c not in ("purl", "status")
     ]
     return rows.unionByName(errors.select("purl", "status", *null_cols))
+
+
+# ---------------------------------------------------------------- golang --
+
+
+def strip_go_version_prefix(v: Column) -> Column:
+    """'version1.2' -> '1.2', 'v1.2' -> '1.2', else unchanged — the
+    collector's tag normalization before building github purls
+    (collectors/golang.py:210-214)."""
+    return (
+        F.when(v.startswith("version"), F.substring(v, 8, 1 << 20))
+        .when(v.startswith("v"), F.substring(v, 2, 1 << 20))
+        .otherwise(v)
+    )
+
+
+def golang_route_cols(purl: Column) -> list[Column]:
+    """Route a pkg:golang purl to its metadata source the way the
+    reference collector does (collectors/golang.py:33-65 + 171-249):
+
+    - github.com hosts: subset = the two path segments after the host
+      (extract_golang_subset_purl), target = the rewritten pkg:github
+      purl handed to fetchcode.
+    - gitlab.com hosts: subset = the FULL path after the host,
+      percent-encoded including "/" (gitlab_updated_purl's
+      quote(safe='')), target = the gitlab projects API URL.
+    - bitbucket.org hosts: subset = the two segments, target = the
+      bitbucket repositories API URL.
+    - anything else: target = the deps.dev version API URL, with a "v"
+      prefixed onto versions that lack one (get_package_json,
+      golang.py:88-100).
+
+    The version is everything after the LAST "@" (the reference's
+    rpartition).
+    """
+    body = F.regexp_replace(purl, r"^pkg:golang/", "")
+    version = F.nullif(
+        F.when(purl.contains("@"), F.substring_index(purl, "@", -1)).otherwise(
+            F.lit("")
+        ),
+        F.lit(""),
+    )
+    path = F.substring_index(body, "@", 1)
+    parts = F.split(path, "/")
+    host = F.element_at(parts, 1)
+    two_seg = F.concat_ws("/", F.element_at(parts, 2), F.element_at(parts, 3))
+    full_sub = F.regexp_replace(path, r"^[^/]+/", "")
+    route = (
+        F.when(host == "github.com", F.lit("github"))
+        .when(host == "gitlab.com", F.lit("gitlab"))
+        .when(host == "bitbucket.org", F.lit("bitbucket"))
+        .otherwise(F.lit("depsdev"))
+    )
+    subset = (
+        F.when(route == "gitlab", F.url_encode(full_sub))
+        .when(route == "depsdev", F.url_encode(path))
+        .otherwise(two_seg)
+    )
+    deps_version = F.when(
+        version.startswith("v"), version
+    ).otherwise(F.concat(F.lit("v"), version))
+    target = (
+        F.when(
+            route == "github",
+            F.when(
+                version.isNotNull(),
+                F.concat(F.lit("pkg:github/"), two_seg, F.lit("@"), version),
+            ),
+        )
+        .when(
+            route == "gitlab",
+            F.concat(F.lit("https://gitlab.com/api/v4/projects/"), subset),
+        )
+        .when(
+            route == "bitbucket",
+            F.concat(
+                F.lit("https://api.bitbucket.org/2.0/repositories/"), two_seg
+            ),
+        )
+        .otherwise(
+            F.when(
+                version.isNotNull(),
+                F.concat(
+                    F.lit("https://api.deps.dev/v3/systems/GO/packages/"),
+                    subset,
+                    F.lit("/versions/"),
+                    deps_version,
+                ),
+            )
+        )
+    )
+    return [
+        route.alias("route"),
+        subset.alias("subset_path"),
+        version.alias("version"),
+        target.alias("target"),
+    ]

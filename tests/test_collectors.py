@@ -117,3 +117,31 @@ def test_debian_vcs_browser_excluded(spark):
         .collect()[0]
     )
     assert r2["vcs_tool"] is None and r2["vcs_repo"] is None
+
+
+def test_debian_archive_version_matches_python_reference(spark):
+    # python reference of DebianPackage.package_archive_version semantics
+    # (debian.py:305-316): epoch dropped; "-revision" kept unless "0"
+    def ref(v):
+        import re
+
+        no_epoch = re.sub(r"^\d+:", "", v)
+        upstream, dash, revision = no_epoch.rpartition("-")
+        if not dash:
+            return no_epoch
+        return no_epoch if revision != "0" else upstream
+
+    cases = []
+    for epoch in ("", "1:", "12:"):
+        for up in ("2.0", "1.0-2", "3+b1", "0.5~rc1"):
+            for rev in ("", "-0", "-1", "-0ubuntu1"):
+                cases.append(f"{epoch}{up}{rev}")
+    df = spark.createDataFrame([(c,) for c in cases], ["v"])
+    got = {
+        r["v"]: r["av"]
+        for r in df.select(
+            "v", debian_archive_version(F.col("v")).alias("av")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == ref(c), (c, got[c], ref(c))

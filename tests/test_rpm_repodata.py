@@ -111,3 +111,26 @@ def test_repomd_urls_from_listing_filters_and_joins(spark):
     # only repomd.xml entries, absolute paths rejected
     # (repodata_rpms.collect_rsync_urls, repodata_rpms.py:32-44)
     assert got == ["http://m.ex/centos/7/os/repodata/repomd.xml"]
+
+
+def test_evr_string_matches_python_reference(spark):
+    from purldb_spark.sources.rpm_repodata import evr_string
+
+    # python reference of packagedcode EVR.to_string (epoch prefix for ANY
+    # present epoch string including "0"; "-rel" only when release exists)
+    def ref(e, v, r):
+        vr = f"{v}-{r}" if r else v
+        return f"{e}:{vr}" if e is not None else vr
+
+    cases = [
+        (e, v, r)
+        for e in (None, "0", "1", "12")
+        for v in ("1.5.0", "20200505")
+        for r in (None, "1.el7", "0")
+    ]
+    df = spark.createDataFrame(cases, "e string, v string, r string")
+    got = df.select(
+        "e", "v", "r", evr_string(F.col("e"), F.col("v"), F.col("r")).alias("s")
+    ).collect()
+    for row in got:
+        assert row["s"] == ref(row["e"], row["v"], row["r"]), row
