@@ -85,6 +85,8 @@ def main() -> None:
         "dedup_ngram_jaccard_capped",
         "dedup_embedding_cosine",
         "dedup_embedding_blocked",
+        "dedup_cluster_cc",
+        "decontam_ngram_overlap",
         "knn_bruteforce",
         "knn_lsh_bucketed",
         "knn_ivf_cell",

@@ -362,15 +362,16 @@ def connected_components(
 
     Pair emitters (MinHash-LSH, SimHash, jaccard verify) produce EDGES;
     a dedup pipeline keeps one document per CLUSTER, so the transitive
-    closure is the operator that actually drives deletion. Each
-    iteration is one equi-join (neighbor labels) + one aggregation +
-    localCheckpoint (bounded lineage, the crawl-fixpoint lesson);
-    convergence needs diameter(component) iterations — near-dup clusters
-    are shallow (pair generation is similarity-thresholded, so clusters
-    are near-cliques), making ``max_iter`` a depth cap in the same sense
-    as the POM-ancestry walk, not a tuning knob. At 100 TB the same loop
-    holds (this is the standard iterative CC on Spark; large-star/
-    small-star halves the iteration count if diameters ever grow).
+    closure is the operator that actually drives deletion. Each wave
+    combines neighbor-min propagation with POINTER JUMPING (label <-
+    label of label), so labels converge in O(log diameter) waves — a
+    diameter-2^k chain settles in ~k+1 waves. Each wave is two
+    equi-joins + one aggregation, localCheckpointed (bounded lineage,
+    the crawl-fixpoint lesson). ``max_iter`` waves cover components of
+    diameter ~2^max_iter; near-dup clusters are near-cliques
+    (similarity-thresholded pair generation), so the default is a deep
+    safety margin, not a tuning knob. At 100 TB the same loop holds —
+    this is pointer-jumping CC, the standard logarithmic variant.
 
     Returns (node, label) for every node appearing in an edge.
     """
@@ -393,14 +394,27 @@ def connected_components(
             .groupBy(F.col("src").alias("nbr_node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(
+            nbr, labels["node"] == nbr["nbr_node"], "left"
+        ).select(
+            F.col("node"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the label of the current label-node
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         labels = (
-            labels.join(nbr, labels["node"] == nbr["nbr_node"], "left")
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 F.col("node"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
+            # the plan references itself per wave — truncate lineage
             .localCheckpoint(eager=False)
         )
     return labels

@@ -706,7 +706,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    cc = connected_components(near, "doc_a", "doc_b", max_iter=10)
+    # 3 pointer-jumping waves cover diameter ~8; the thresholded near-dup
+    # clusters are near-cliques (diameter <= 2-3) — oracle-checked closure
+    cc = connected_components(near, "doc_a", "doc_b", max_iter=3)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -128,7 +128,7 @@ def merge_pom_ancestors(
         F.col("parent_a").alias("_pa"),
         F.col("parent_v").alias("_pv"),
         *[F.col(f).alias(f"_f_{f}") for f in POM_MERGEABLE],
-    )
+    ).localCheckpoint(eager=False)  # parse the POM XML once, not per level
     # level 0: the package's own pom -> its parent pointer (fields of the
     # package itself come from `packages`, not its pom)
     frontier = packages.join(
@@ -159,7 +159,12 @@ def merge_pom_ancestors(
             F.col("_pa"),
             F.col("_pv"),
             *[F.col(f"_f_{f}").alias(f) for f in POM_MERGEABLE],
-        ).localCheckpoint(eager=False)
+        )
+        if max_depth > 4:
+            # deep walks truncate lineage per level; shallow ones (the
+            # real-world 2-4 POM case) keep a single plan — each lazy
+            # checkpoint is its own serial job, pure overhead at depth 3
+            level = level.localCheckpoint(eager=False)
         levels.append(level)
         frontier = level.select(
             "__pkg",
