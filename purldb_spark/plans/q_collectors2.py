@@ -1,0 +1,434 @@
+"""Registry-API collect-family queries (sources/collectors4.py —
+reference minecode/collectors/{pypi,cargo,rubygems,nuget,npm}.py).
+Fixture strategy as q_collectors: ecosystem-shaped registry documents
+built with column concat from the part table, run through the real
+collect operators, expected rows recomputed by the oracle from the
+generating index.
+
+Shapes exercised:
+- pypi: version FAN-OUT of versionless purls (2 known versions), the
+  per-download explode (sdist + wheel per release), extension-based
+  package_content classification, does_not_exist / no_versions ladder.
+- cargo: name-keyed crate doc carrying every version, pinned-version
+  filter, per-version purls.
+- gem: v1 fan-out + v2 (name, version) doc join.
+- nuget: LOWERCASED registry key vs uppercase purl name, catalogEntry
+  iteration, pinned-version keep.
+- npm: scoped-vs-unscoped API URL building, silent versionless skip
+  surfaced as missing_version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+from purldb_spark.sources.collectors4 import (
+    map_cargo_collect,
+    map_gem_collect,
+    map_npm_collect,
+    map_nuget_collect,
+    map_pypi_collect,
+)
+
+_NAME_SQL = "lower(replace(p_brand, '#', '-')) || '-' || CAST(p_partkey AS VARCHAR)"
+_VER_SQL = (
+    "CAST(p_partkey % 9 AS VARCHAR) || '.' || CAST(p_partkey % 5 AS VARCHAR) || '.0'"
+)
+
+_BASE_SQL = f"""
+  SELECT p_partkey AS k, {_NAME_SQL} AS name, {_VER_SQL} AS ver,
+         {_VER_SQL} || '.9' AS ver2
+  FROM part
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ver = F.concat(
+        (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+    )
+    return p.select(
+        k.alias("k"),
+        F.concat(
+            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
+            F.lit("-"),
+            k.cast("string"),
+        ).alias("name"),
+        ver.alias("ver"),
+        F.concat(ver, F.lit(".9")).alias("ver2"),
+    )
+
+
+@query(
+    "x_pypi_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    rel AS (  -- one row per (request-kind, resolved version) with a doc
+      SELECT k, name, ver AS v FROM base WHERE k % 4 = 0
+      UNION ALL SELECT k, name, ver2 FROM base WHERE k % 4 = 0
+      UNION ALL SELECT k, name, ver FROM base WHERE k % 4 = 1
+    ),
+    files AS (
+      SELECT k, name, v,
+             CASE WHEN f = 'sdist'
+                  THEN 'https://files.ex/' || name || '-' || v || '.tar.gz'
+                  ELSE 'https://files.ex/' || name || '-' || v || '-py3.whl'
+                  END AS download_url,
+             CASE WHEN f = 'sdist'
+                  THEN name || '-' || v || '.tar.gz'
+                  ELSE name || '-' || v || '-py3.whl' END AS fname,
+             f
+      FROM rel CROSS JOIN (VALUES ('sdist'), ('bdist_wheel')) t(f)
+    )
+    SELECT 'pkg:pypi/' || name || '@' || v || '?file_name=' || fname AS purl,
+           'collected' AS status, 'pypi' AS type, name, v AS version,
+           download_url,
+           CASE WHEN k % 2 = 0 THEN 'MIT'
+                ELSE 'License :: OSI Approved :: BSD License' END
+             AS declared_license,
+           md5(name || v) AS sha256,
+           CASE WHEN f = 'sdist' THEN 'source_archive' ELSE 'binary' END
+             AS package_content,
+           CASE WHEN f = 'sdist' THEN 'pypi_sdist_pkginfo'
+                ELSE 'pypi_bdist_pkginfo' END AS datasource_id
+    FROM files
+    UNION ALL
+    SELECT 'pkg:pypi/' || name || '@' || ver, 'does_not_exist',
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 4 = 2
+    UNION ALL
+    SELECT 'pkg:pypi/' || name, 'no_versions',
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 4 = 3
+    """,
+)
+def x_pypi_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PyPI collect flow (collectors/pypi.py:29-131): versionless purls
+    fan out over get_all_package_version, each (name, version) JSON maps
+    one row per download, downloads classify source_archive/binary by
+    extension; missing docs and empty version lists surface as status
+    rows."""
+    b = _base(spark, sf_dir)
+    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+    requests = (
+        b.filter((k % 4 == 0) | (k % 4 == 3)).select(
+            F.concat(F.lit("pkg:pypi/"), name).alias("purl"),
+            name.alias("name"),
+            F.lit(None).cast("string").alias("version"),
+        )
+    ).unionByName(
+        b.filter((k % 4 == 1) | (k % 4 == 2)).select(
+            F.concat(F.lit("pkg:pypi/"), name, F.lit("@"), ver).alias("purl"),
+            name.alias("name"),
+            ver.alias("version"),
+        )
+    )
+    versions = b.filter(k % 4 == 0).select(name.alias("name"), ver.alias("version"))
+    versions = versions.unionByName(
+        b.filter(k % 4 == 0).select(name.alias("name"), ver2.alias("version"))
+    )
+
+    def _doc(v):
+        lic = F.when(k % 2 == 0, F.lit('"MIT"')).otherwise(F.lit('"UNKNOWN"'))
+        return F.concat(
+            F.lit('{"info":{"name":"'), name,
+            F.lit('","version":"'), v,
+            F.lit('","license":'), lic,
+            F.lit(',"classifiers":["License :: OSI Approved :: BSD License"]},'),
+            F.lit('"urls":['),
+            F.lit('{"packagetype":"sdist","filename":"'), name, F.lit("-"), v,
+            F.lit('.tar.gz","url":"https://files.ex/'), name, F.lit("-"), v,
+            F.lit('.tar.gz","digests":{"sha256":"'), F.md5(F.concat(name, v)),
+            F.lit('"}},'),
+            F.lit('{"packagetype":"bdist_wheel","filename":"'), name, F.lit("-"), v,
+            F.lit('-py3.whl","url":"https://files.ex/'), name, F.lit("-"), v,
+            F.lit('-py3.whl","digests":{"sha256":"'), F.md5(F.concat(name, v)),
+            F.lit('"}}]}'),
+        )
+
+    docs = (
+        b.filter(k % 4 == 0)
+        .select(name.alias("name"), ver.alias("version"), _doc(ver).alias("doc"))
+        .unionByName(
+            b.filter(k % 4 == 0).select(
+                name.alias("name"), ver2.alias("version"), _doc(ver2).alias("doc")
+            )
+        )
+        .unionByName(
+            b.filter(k % 4 == 1).select(
+                name.alias("name"), ver.alias("version"), _doc(ver).alias("doc")
+            )
+        )
+    )
+    return map_pypi_collect(requests, docs, versions)
+
+
+@query(
+    "x_cargo_gem_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    cargo_rel AS (
+      SELECT k, name, ver AS v FROM base WHERE k % 3 = 0
+      UNION ALL SELECT k, name, ver2 FROM base WHERE k % 3 = 0
+      UNION ALL SELECT k, name, ver FROM base WHERE k % 3 = 1
+    ),
+    gem_rel AS (
+      SELECT k, name, ver AS v FROM base WHERE k % 3 IN (0, 1)
+    )
+    SELECT 'pkg:cargo/' || name || '@' || v AS purl, 'collected' AS status,
+           'cargo' AS type, name, v AS version,
+           'https://crates.io/api/v1/crates/' || name || '/' || v
+             || '/download' AS download_url,
+           'Apache-2.0' AS declared_license,
+           md5(name || v) AS sha256,
+           'source_archive' AS package_content,
+           'cargo_api_metadata' AS datasource_id
+    FROM cargo_rel
+    UNION ALL
+    SELECT 'pkg:cargo/' || name || '@' || ver, 'does_not_exist',
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 3 = 2
+    UNION ALL
+    SELECT 'pkg:gem/' || name || '@' || v, 'collected', 'gem', name, v,
+           'https://rubygems.org/gems/' || name || '-' || v || '.gem',
+           'MIT; BSD', md5(v || name), 'source_archive', 'gem_api_metadata'
+    FROM gem_rel
+    UNION ALL
+    SELECT 'pkg:gem/' || name, 'no_versions',
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 3 = 2
+    """,
+)
+def x_cargo_gem_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cargo + RubyGems collect flows (collectors/cargo.py:24-59,
+    collectors/rubygems.py:24-88): the crate doc maps every version
+    unless the purl pins one; gem purls fan out over the v1 version
+    list then join the v2 document; misses surface as status rows."""
+    b = _base(spark, sf_dir)
+    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+
+    cargo_requests = (
+        b.filter(k % 3 == 0).select(
+            F.concat(F.lit("pkg:cargo/"), name).alias("purl"),
+            name.alias("name"),
+            F.lit(None).cast("string").alias("version"),
+        )
+    ).unionByName(
+        b.filter((k % 3 == 1) | (k % 3 == 2)).select(
+            F.concat(F.lit("pkg:cargo/"), name, F.lit("@"), ver).alias("purl"),
+            name.alias("name"),
+            ver.alias("version"),
+        )
+    )
+
+    def _cver(v):
+        return F.concat(
+            F.lit('{"crate":"'), name,
+            F.lit('","num":"'), v,
+            F.lit('","license":"Apache-2.0","dl_path":"/api/v1/crates/'),
+            name, F.lit("/"), v,
+            F.lit('/download","checksum":"'), F.md5(F.concat(name, v)),
+            F.lit('","published_by":{"name":"Ann"}}'),
+        )
+
+    cargo_doc = F.concat(
+        F.lit('{"crate":{"keywords":["k1"]},"versions":['),
+        _cver(ver), F.lit(","), _cver(ver2),
+        F.lit("]}"),
+    )
+    cargo_docs = b.filter((k % 3 == 0) | (k % 3 == 1)).select(
+        name.alias("name"), cargo_doc.alias("doc")
+    )
+    cargo = map_cargo_collect(cargo_requests, cargo_docs)
+
+    gem_requests = (
+        b.filter(k % 3 == 0).select(
+            F.concat(F.lit("pkg:gem/"), name, F.lit("@"), ver).alias("purl"),
+            name.alias("name"),
+            ver.alias("version"),
+        )
+    ).unionByName(
+        b.filter((k % 3 == 1) | (k % 3 == 2)).select(
+            F.concat(F.lit("pkg:gem/"), name).alias("purl"),
+            name.alias("name"),
+            F.lit(None).cast("string").alias("version"),
+        )
+    )
+    gem_versions = b.filter(k % 3 == 1).select(
+        name.alias("name"), ver.alias("version")
+    )
+    gem_doc = F.concat(
+        F.lit('{"name":"'), name,
+        F.lit('","version":"'), ver,
+        F.lit('","licenses":["MIT","BSD"],"gem_uri":"https://rubygems.org/gems/'),
+        name, F.lit("-"), ver,
+        F.lit('.gem","sha":"'), F.md5(F.concat(ver, name)), F.lit('"}'),
+    )
+    gem_docs = b.filter((k % 3 == 0) | (k % 3 == 1)).select(
+        name.alias("name"), ver.alias("version"), gem_doc.alias("doc")
+    )
+    gem = map_gem_collect(gem_requests, gem_docs, gem_versions)
+    return cargo.unionByName(gem)
+
+
+@query(
+    "x_nuget_npm_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    nuget_rel AS (
+      SELECT k, name, ver AS v FROM base WHERE k % 3 = 0
+      UNION ALL SELECT k, name, ver2 FROM base WHERE k % 3 = 0
+      UNION ALL SELECT k, name, ver FROM base WHERE k % 3 = 1
+    )
+    SELECT CASE WHEN k % 3 = 1
+                THEN 'pkg:nuget/' || upper(name) || '@' || v
+                ELSE 'pkg:nuget/' || upper(name) END AS purl,
+           'collected' AS status, 'nuget' AS type,
+           upper(name) AS name, v AS version,
+           'https://api.nuget.org/packages/' || name || '.' || v || '.nupkg'
+             AS download_url,
+           NULL AS api_url,
+           'source_archive' AS package_content
+    FROM nuget_rel
+    UNION ALL
+    SELECT 'pkg:nuget/' || upper(name) || '@' || ver, 'does_not_exist',
+           NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 3 = 2
+    UNION ALL
+    SELECT 'pkg:npm/' || name || '@' || ver, 'collected', 'npm',
+           name, ver,
+           'https://t.ex/' || name || '-' || ver || '.tgz',
+           'https://registry.npmjs.org/' || name || '/' || ver,
+           'source_archive'
+    FROM base WHERE k % 4 = 0
+    UNION ALL
+    SELECT 'pkg:npm/%40org-' || name || '/' || name || '@' || ver,
+           'collected', 'npm',
+           '@org-' || name || '/' || name, ver,
+           'https://t.ex/' || name || '-' || ver || '.tgz',
+           'https://registry.npmjs.org/@org-' || name || '%2f' || name,
+           'source_archive'
+    FROM base WHERE k % 4 = 1
+    UNION ALL
+    SELECT 'pkg:npm/' || name || '@' || ver, 'does_not_exist',
+           NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 4 = 2
+    UNION ALL
+    SELECT 'pkg:npm/' || name, 'missing_version',
+           NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE k % 4 = 3
+    """,
+)
+def x_nuget_npm_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NuGet + npm collect flows (collectors/nuget.py:17-62,
+    collectors/npm.py:24-105): the nuget registration index is fetched
+    by lowercased name and every catalogEntry maps unless the purl pins
+    a version; npm builds the scoped/unscoped API URL and silently
+    skips versionless purls (surfaced as missing_version)."""
+    b = _base(spark, sf_dir)
+    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+
+    nuget_requests = (
+        b.filter(k % 3 == 0).select(
+            F.concat(F.lit("pkg:nuget/"), F.upper(name)).alias("purl"),
+            F.upper(name).alias("name"),
+            F.lit(None).cast("string").alias("version"),
+        )
+    ).unionByName(
+        b.filter((k % 3 == 1) | (k % 3 == 2)).select(
+            F.concat(F.lit("pkg:nuget/"), F.upper(name), F.lit("@"), ver).alias(
+                "purl"
+            ),
+            F.upper(name).alias("name"),
+            ver.alias("version"),
+        )
+    )
+
+    def _entry(v):
+        return F.concat(
+            F.lit('{"id":"'), F.upper(name),
+            F.lit('","version":"'), v,
+            F.lit('","packageContent":"https://api.nuget.org/packages/'),
+            name, F.lit("."), v, F.lit('.nupkg"}'),
+        )
+
+    nuget_index = b.filter((k % 3 == 0) | (k % 3 == 1)).select(
+        name.alias("name_lc"),
+        F.array(_entry(ver), _entry(ver2)).alias("entries"),
+    )
+    # pinned requests (k%3=1) keep only the matching entry; unpinned map both
+    nuget = map_nuget_collect(nuget_requests, nuget_index).select(
+        "purl",
+        "status",
+        "type",
+        "name",
+        "version",
+        "download_url",
+        F.lit(None).cast("string").alias("api_url"),
+        "package_content",
+    )
+
+    ns = F.concat(F.lit("@org-"), name)
+    npm_requests = (
+        b.filter(k % 4 == 0).select(
+            F.concat(F.lit("pkg:npm/"), name, F.lit("@"), ver).alias("purl"),
+            F.lit(None).cast("string").alias("namespace"),
+            name.alias("name"),
+            ver.alias("version"),
+        )
+        .unionByName(
+            b.filter(k % 4 == 1).select(
+                F.concat(
+                    F.lit("pkg:npm/%40org-"), name, F.lit("/"), name,
+                    F.lit("@"), ver,
+                ).alias("purl"),
+                ns.alias("namespace"),
+                name.alias("name"),
+                ver.alias("version"),
+            )
+        )
+        .unionByName(
+            b.filter(k % 4 == 2).select(
+                F.concat(F.lit("pkg:npm/"), name, F.lit("@"), ver).alias("purl"),
+                F.lit(None).cast("string").alias("namespace"),
+                name.alias("name"),
+                ver.alias("version"),
+            )
+        )
+        .unionByName(
+            b.filter(k % 4 == 3).select(
+                F.concat(F.lit("pkg:npm/"), name).alias("purl"),
+                F.lit(None).cast("string").alias("namespace"),
+                name.alias("name"),
+                F.lit(None).cast("string").alias("version"),
+            )
+        )
+    )
+    full_name = F.when(k % 4 == 1, F.concat(ns, F.lit("/"), name)).otherwise(name)
+    npm_doc = F.concat(
+        F.lit('{"name":"'), full_name,
+        F.lit('","dist-tags":{"latest":"'), ver,
+        F.lit('"},"versions":{"'), ver,
+        F.lit('":{"version":"'), ver,
+        F.lit('","license":"MIT","dist":{"tarball":"https://t.ex/'), name,
+        F.lit("-"), ver, F.lit('.tgz","shasum":"'), F.md5(name),
+        F.lit('"}}}}'),
+    )
+    npm_docs = b.filter((k % 4 == 0) | (k % 4 == 1)).select(
+        full_name.alias("name"), npm_doc.alias("doc")
+    )
+    npm = map_npm_collect(npm_requests, npm_docs).select(
+        "purl",
+        "status",
+        "type",
+        "name",
+        "version",
+        "download_url",
+        "api_url",
+        "package_content",
+    )
+    return nuget.unionByName(npm)
