@@ -1,0 +1,521 @@
+"""VCS-tag / URL-builder collect-family queries (sources/collectors5.py
+— reference minecode/collectors/{github,gitlab,bitbucket,swift,generic,
+openssl,gnu,hackage,luarocks,conda,alpine,alpm,nix,dockerhub}.py).
+Fixtures from the part table as q_collectors/q_collectors2; expected
+rows recomputed by the oracle from the generating index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+from purldb_spark.sources.collectors5 import (
+    alpine_archive_urls,
+    alpm_archive_url,
+    conda_download_url,
+    fetchcode_route_col,
+    map_hackage_requests,
+    map_luarocks_requests,
+    map_swift_requests,
+    match_dockerhub_tags,
+    nix_license_col,
+    nix_route_col,
+    parse_bitbucket_tags,
+    parse_github_tag_pages,
+    parse_gitlab_tags,
+)
+
+_NAME_SQL = "lower(replace(p_brand, '#', '-')) || '-' || CAST(p_partkey AS VARCHAR)"
+_VER_SQL = (
+    "CAST(p_partkey % 9 AS VARCHAR) || '.' || CAST(p_partkey % 5 AS VARCHAR) || '.0'"
+)
+
+_BASE_SQL = f"""
+  SELECT p_partkey AS k, {_NAME_SQL} AS name, {_VER_SQL} AS ver,
+         {_VER_SQL} || '.9' AS ver2
+  FROM part
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ver = F.concat(
+        (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+    )
+    return p.select(
+        k.alias("k"),
+        F.concat(
+            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
+            F.lit("-"),
+            k.cast("string"),
+        ).alias("name"),
+        ver.alias("ver"),
+        F.concat(ver, F.lit(".9")).alias("ver2"),
+    )
+
+
+@query(
+    "x_vcs_tags_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'gitlab' AS source, 'grp-' || name AS key, 'v' || ver AS version,
+           'Ann ' || name AS author, name || '@ex.com' AS author_email,
+           NULL AS download_url
+    FROM base
+    UNION ALL
+    SELECT 'gitlab', 'grp-' || name, 'v' || ver2, '', '', NULL FROM base
+    UNION ALL
+    SELECT 'bitbucket', 'team-' || name, ver, 'Bob ' || name, NULL, NULL
+    FROM base
+    UNION ALL
+    SELECT 'bitbucket', 'team-' || name, ver2, NULL, NULL, NULL FROM base
+    UNION ALL
+    SELECT 'github', 'org-' || name, 'v' || ver, NULL, NULL, NULL FROM base
+    UNION ALL
+    SELECT 'github', 'org-' || name, 'v' || ver2, NULL, NULL, NULL
+    FROM base WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'swift',
+           'pkg:swift/github.com/own-' || name || '/' || name || '@v' || ver,
+           'v' || ver, NULL, NULL,
+           'https://api.github.com/repos/own-' || name || '/' || name
+             || '/tarball/v' || ver
+    FROM base WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'swift',
+           'pkg:swift/github.com/own-' || name || '/' || name || '@v9.9',
+           NULL, NULL, NULL, NULL
+    FROM base WHERE k % 2 = 1
+    """,
+)
+def x_vcs_tags_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCS tag enumeration + swift collect (gitlab.py:21-41,
+    bitbucket.py:18-45, github.py:16-42, swift.py:20-55): per-tag
+    author/email parsing, paginated page flattening, size-0 pages,
+    author-typed entries, swift owner extraction + tag pin with no_tag
+    misses (status column folded into version/null shape here: a swift
+    miss keeps NULL version)."""
+    b = _base(spark, sf_dir)
+    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+
+    gl_doc = F.concat(
+        F.lit('[{"name":"v'), ver,
+        F.lit('","commit":{"author_name":"Ann '), name,
+        F.lit('","author_email":"'), name,
+        F.lit('@ex.com"}},{"name":"v'), ver2, F.lit('","commit":{}}]'),
+    )
+    gitlab = parse_gitlab_tags(
+        b.select(F.concat(F.lit("grp-"), name).alias("subset_path"), gl_doc.alias("doc"))
+    ).select(
+        F.lit("gitlab").alias("source"),
+        F.col("subset_path").alias("key"),
+        "version",
+        "author",
+        "author_email",
+        F.lit(None).cast("string").alias("download_url"),
+    )
+
+    bb_page1 = F.concat(
+        F.lit('{"size":2,"values":[{"name":"'), ver,
+        F.lit('","target":{"author":{"type":"author","user":{"display_name":"Bob '),
+        name,
+        F.lit('"}}}},{"name":"'), ver2,
+        F.lit('","target":{"author":{"type":"tag"}}}],"next":null}'),
+    )
+    bb_pages = b.select(
+        F.concat(F.lit("team-"), name).alias("subset_path"), bb_page1.alias("doc")
+    ).unionByName(
+        b.filter(k % 2 == 0).select(
+            F.concat(F.lit("team-"), name).alias("subset_path"),
+            F.lit('{"size":0,"values":[]}').alias("doc"),
+        )
+    )
+    bitbucket = parse_bitbucket_tags(bb_pages).select(
+        F.lit("bitbucket").alias("source"),
+        F.col("subset_path").alias("key"),
+        "version",
+        "author",
+        F.lit(None).cast("string").alias("author_email"),
+        F.lit(None).cast("string").alias("download_url"),
+    )
+
+    gh_pages = b.select(
+        F.concat(F.lit("org-"), name).alias("subset_path"),
+        F.concat(F.lit('[{"name":"v'), ver, F.lit('"},{"name":""}]')).alias("doc"),
+    ).unionByName(
+        b.filter(k % 2 == 0).select(
+            F.concat(F.lit("org-"), name).alias("subset_path"),
+            F.concat(F.lit('[{"name":"v'), ver2, F.lit('"}]')).alias("doc"),
+        )
+    )
+    github = parse_github_tag_pages(gh_pages).select(
+        F.lit("github").alias("source"),
+        F.col("subset_path").alias("key"),
+        "version",
+        F.lit(None).cast("string").alias("author"),
+        F.lit(None).cast("string").alias("author_email"),
+        F.lit(None).cast("string").alias("download_url"),
+    )
+
+    sw_ver = F.when(k % 2 == 0, F.concat(F.lit("v"), ver)).otherwise(F.lit("v9.9"))
+    sw_requests = b.select(
+        F.concat(
+            F.lit("pkg:swift/github.com/own-"), name, F.lit("/"), name,
+            F.lit("@"), sw_ver,
+        ).alias("purl"),
+        F.concat(F.lit("github.com/own-"), name).alias("namespace"),
+        name.alias("name"),
+        sw_ver.alias("version"),
+    )
+    repo_doc = F.concat(
+        F.lit('{"full_name":"own-'), name, F.lit("/"), name,
+        F.lit('","tags":[{"name":"v'), ver,
+        F.lit('","tarball_url":"https://api.github.com/repos/own-'), name,
+        F.lit("/"), name, F.lit("/tarball/v"), ver, F.lit('"}]}'),
+    )
+    repo_docs = b.select(
+        F.concat(F.lit("own-"), name).alias("owner"),
+        name.alias("name"),
+        repo_doc.alias("doc"),
+    )
+    swift = map_swift_requests(sw_requests, repo_docs).select(
+        F.lit("swift").alias("source"),
+        F.col("purl").alias("key"),
+        "version",
+        F.lit(None).cast("string").alias("author"),
+        F.lit(None).cast("string").alias("author_email"),
+        "download_url",
+    )
+    return gitlab.unionByName(bitbucket).unionByName(github).unionByName(swift)
+
+
+@query(
+    "x_fetchcode_distro_route",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'pkg:openssl/openssl@' || ver AS purl, 'fetchcode' AS route,
+           NULL AS download_url, NULL AS index_url
+    FROM base WHERE k % 8 = 0
+    UNION ALL
+    SELECT 'pkg:openssl/' || name || '@' || ver, NULL, NULL, NULL
+    FROM base WHERE k % 8 = 1
+    UNION ALL
+    SELECT 'pkg:gnu/' || name || '@' || ver, 'fetchcode', NULL, NULL
+    FROM base WHERE k % 8 = 2
+    UNION ALL
+    SELECT 'pkg:gnu/' || name, 'skipped_no_version', NULL, NULL
+    FROM base WHERE k % 8 = 3
+    UNION ALL
+    SELECT 'pkg:generic/busybox@' || ver, 'fetchcode', NULL, NULL
+    FROM base WHERE k % 8 = 4
+    UNION ALL
+    SELECT 'pkg:generic/' || name || '@' || ver, NULL, NULL, NULL
+    FROM base WHERE k % 8 = 5
+    UNION ALL
+    SELECT 'pkg:conda/' || name || '@' || ver, 'conda',
+           CASE WHEN k % 2 = 0 THEN
+             'https://repo.anaconda.com/pkgs/main/linux-64/' || name || '-'
+               || ver || '-py36_0.tar.bz2' END,
+           NULL
+    FROM base WHERE k % 8 = 6
+    UNION ALL
+    SELECT 'pkg:alpm/arch/' || name || '@' || ver, 'alpm',
+           'https://archive.archlinux.org/packages/' || substring(name, 1, 1)
+             || '/' || name || '/' || name || '-' || ver || '-'
+             || (CASE WHEN k % 2 = 0 THEN 'x86_64' ELSE 'any' END)
+             || '.pkg.tar.zst',
+           NULL
+    FROM base WHERE k % 8 = 7
+    UNION ALL
+    SELECT 'pkg:apk/alpine/' || name || '@' || ver, 'alpine',
+           CASE WHEN k % 2 = 0 THEN
+             'https://dl-cdn.alpinelinux.org/alpine/v3.20/main/x86_64/'
+               || name || '-' || ver || '.apk' END,
+           CASE WHEN k % 2 = 0 THEN
+             'https://dl-cdn.alpinelinux.org/alpine/v3.20/main/x86_64/APKINDEX.tar.gz'
+             END
+    FROM base WHERE k % 8 = 0
+    """,
+)
+def x_fetchcode_distro_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetchcode route gates + distro archive URL builders
+    (openssl.py:14, gnu.py:14-33, generic.py:150-186, conda.py:33,
+    alpm.py:20-35, alpine.py:20-45): openssl routes only the openssl
+    package itself, gnu skips versionless purls, generic routes the
+    supported-name list, conda/alpine URLs are NULL when qualifiers are
+    missing, alpm defaults arch to "any"."""
+    b = _base(spark, sf_dir)
+    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+
+    routed_purl = (
+        F.when(k % 8 == 0, F.concat(F.lit("pkg:openssl/openssl@"), ver))
+        .when(k % 8 == 1, F.concat(F.lit("pkg:openssl/"), name, F.lit("@"), ver))
+        .when(k % 8 == 2, F.concat(F.lit("pkg:gnu/"), name, F.lit("@"), ver))
+        .when(k % 8 == 3, F.concat(F.lit("pkg:gnu/"), name))
+        .when(k % 8 == 4, F.concat(F.lit("pkg:generic/busybox@"), ver))
+        .when(k % 8 == 5, F.concat(F.lit("pkg:generic/"), name, F.lit("@"), ver))
+    )
+    fetch = b.filter(k % 8 <= 5).select(
+        routed_purl.alias("purl"),
+        fetchcode_route_col(routed_purl).alias("route"),
+        F.lit(None).cast("string").alias("download_url"),
+        F.lit(None).cast("string").alias("index_url"),
+    )
+
+    conda = b.filter(k % 8 == 6).select(
+        F.concat(F.lit("pkg:conda/"), name, F.lit("@"), ver).alias("purl"),
+        F.lit("conda").alias("route"),
+        conda_download_url(
+            name,
+            ver,
+            F.when(k % 2 == 0, F.lit("py36_0")),
+            F.lit("main"),
+            F.lit("linux-64"),
+            F.lit("tar.bz2"),
+        ).alias("download_url"),
+        F.lit(None).cast("string").alias("index_url"),
+    )
+
+    alpm = b.filter(k % 8 == 7).select(
+        F.concat(F.lit("pkg:alpm/arch/"), name, F.lit("@"), ver).alias("purl"),
+        F.lit("alpm").alias("route"),
+        alpm_archive_url(
+            name, ver, F.when(k % 2 == 0, F.lit("x86_64"))
+        ).alias("download_url"),
+        F.lit(None).cast("string").alias("index_url"),
+    )
+
+    idx_url, dl_url = alpine_archive_urls(
+        name,
+        ver,
+        F.when(k % 2 == 0, F.lit("x86_64")),
+        F.lit("main"),
+        F.lit("v3.20"),
+    )
+    alpine = b.filter(k % 8 == 0).select(
+        F.concat(F.lit("pkg:apk/alpine/"), name, F.lit("@"), ver).alias("purl"),
+        F.lit("alpine").alias("route"),
+        dl_url,
+        idx_url,
+    )
+    return fetch.unionByName(conda).unionByName(alpm).unionByName(alpine)
+
+
+@query(
+    "x_hackage_luarocks_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'pkg:hackage/' || name || '@' || ver AS purl,
+           CASE WHEN k % 3 < 2 THEN 'collected'
+                ELSE 'version_not_found' END AS status,
+           CASE WHEN k % 3 < 2 THEN 'hackage' END AS type,
+           CASE WHEN k % 3 < 2 THEN name END AS name,
+           CASE WHEN k % 3 < 2 THEN ver END AS version,
+           CASE WHEN k % 3 < 2 THEN
+             'https://hackage.haskell.org/package/' || name || '-' || ver
+               || '/' || name || '-' || ver || '.tar.gz' END AS download_url,
+           CASE WHEN k % 3 < 2 THEN
+             'https://hackage.haskell.org/package/' || name || '-' || ver END
+             AS homepage_url,
+           CASE WHEN k % 3 < 2 THEN 'haskell' END AS primary_language
+    FROM base
+    UNION ALL
+    SELECT CASE WHEN k % 2 = 0
+                THEN 'pkg:luarocks/own/' || name || '@' || ver
+                ELSE 'pkg:luarocks/' || name || '@' || ver END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN 'collected'
+                ELSE 'does_not_exist' END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN 'luarocks' END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN name END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN ver END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN
+             'https://luarocks.org/manifests/own/' || name || '-' || ver
+               || '.src.rock' END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN
+             'https://luarocks.org/modules/own/' || name END,
+           CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN 'lua' END
+    FROM base
+    """,
+)
+def x_hackage_luarocks_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hackage version-membership gate + luarocks purl2url/existence
+    gate (hackage.py:20-60, luarocks.py:20-55): hackage rows are pure
+    URL templates after the version list admits the purl; luarocks
+    requires a namespace to build its manifests URL and a HEAD-200
+    existence hit to collect."""
+    b = _base(spark, sf_dir)
+    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+
+    hk_requests = b.select(
+        F.concat(F.lit("pkg:hackage/"), name, F.lit("@"), ver).alias("purl"),
+        name.alias("name"),
+        ver.alias("version"),
+    )
+    # k%3 in (0,1): the version list contains the pinned version
+    hk_versions = b.filter(k % 3 < 2).select(
+        name.alias("name"), ver.alias("version")
+    ).unionByName(b.select(name.alias("name"), ver2.alias("version")))
+    hackage = map_hackage_requests(hk_requests, hk_versions).drop(
+        "package_content"
+    )
+
+    lr_ns = F.when(k % 2 == 0, F.lit("own"))
+    lr_requests = b.select(
+        F.concat(
+            F.lit("pkg:luarocks/"),
+            F.when(k % 2 == 0, F.lit("own/")).otherwise(F.lit("")),
+            name, F.lit("@"), ver,
+        ).alias("purl"),
+        lr_ns.alias("namespace"),
+        name.alias("name"),
+        ver.alias("version"),
+    )
+    # only k%3=0 URLs resolve 200
+    existing = b.filter(k % 3 == 0).select(
+        F.lower(
+            F.concat(
+                F.lit("https://luarocks.org/manifests/own/"), name, F.lit("-"),
+                ver, F.lit(".src.rock"),
+            )
+        ).alias("url")
+    )
+    luarocks = map_luarocks_requests(lr_requests, existing).drop(
+        "namespace", "package_content"
+    )
+    return hackage.unionByName(luarocks)
+
+
+@query(
+    "x_nix_dockerhub_collect",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'pkg:nix/nixpkgs/' || name || '@' || ver AS purl,
+           CASE WHEN k % 3 = 0 THEN 'devbox' ELSE 'skipped_namespace' END
+             AS status,
+           CASE WHEN k % 3 = 0 THEN
+             CASE WHEN k % 2 = 0 THEN 'MIT' ELSE 'MIT License' END END
+             AS license,
+           NULL AS version, NULL AS digest
+    FROM base
+    UNION ALL
+    SELECT 'pkg:docker/' || name || '@' || ver, 'collected', NULL, ver,
+           'sha256:' || md5(name)
+    FROM base WHERE k % 4 = 0
+    UNION ALL
+    SELECT 'pkg:docker/org-' || name || '/' || name || '@sha256:' || md5(name),
+           'collected', NULL, ver, 'sha256:' || md5(name)
+    FROM base WHERE k % 4 = 1
+    UNION ALL
+    SELECT 'pkg:docker/' || name, 'collected', NULL, ver,
+           'sha256:' || md5(name)
+    FROM base WHERE k % 4 = 2
+    UNION ALL
+    SELECT 'pkg:docker/' || name, 'collected', NULL, ver || '.9', NULL
+    FROM base WHERE k % 4 = 2
+    UNION ALL
+    SELECT 'pkg:docker/' || name || '@gone', 'tag_not_found',
+           NULL, NULL, NULL
+    FROM base WHERE k % 4 = 3
+    """,
+)
+def x_nix_dockerhub_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nix namespace gate + license resolution and dockerhub tag/digest
+    matching (nix.py:24-66, dockerhub.py:17-125): only nixpkgs
+    namespaces route to devbox, licenses resolve spdxId > fullName >
+    shortName; docker purls default to the library namespace, match
+    digests for sha256 versions, names otherwise, and fan out over all
+    tags when versionless."""
+    b = _base(spark, sf_dir)
+    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+
+    nix_ns = F.when(k % 3 == 0, F.lit("Nixpkgs")).otherwise(
+        F.concat(F.lit("other-"), name)
+    )
+    nix = b.select(
+        F.concat(F.lit("pkg:nix/nixpkgs/"), name, F.lit("@"), ver).alias("purl"),
+        nix_route_col(nix_ns).alias("status"),
+        F.when(
+            k % 3 == 0,
+            nix_license_col(
+                F.when(k % 2 == 0, F.lit("MIT")),
+                F.lit("MIT License"),
+                F.lit("mit"),
+            ),
+        ).alias("license"),
+        F.lit(None).cast("string").alias("version"),
+        F.lit(None).cast("string").alias("digest"),
+    )
+
+    dk_digest = F.concat(F.lit("sha256:"), F.md5(name))
+    dk_requests = (
+        b.filter(k % 4 == 0).select(
+            F.concat(F.lit("pkg:docker/"), name, F.lit("@"), ver).alias("purl"),
+            F.lit(None).cast("string").alias("namespace"),
+            name.alias("name"),
+            ver.alias("version"),
+        )
+        .unionByName(
+            b.filter(k % 4 == 1).select(
+                F.concat(
+                    F.lit("pkg:docker/org-"), name, F.lit("/"), name,
+                    F.lit("@"), dk_digest,
+                ).alias("purl"),
+                F.concat(F.lit("org-"), name).alias("namespace"),
+                name.alias("name"),
+                dk_digest.alias("version"),
+            )
+        )
+        .unionByName(
+            b.filter(k % 4 == 2).select(
+                F.concat(F.lit("pkg:docker/"), name).alias("purl"),
+                F.lit(None).cast("string").alias("namespace"),
+                name.alias("name"),
+                F.lit(None).cast("string").alias("version"),
+            )
+        )
+        .unionByName(
+            b.filter(k % 4 == 3).select(
+                F.concat(F.lit("pkg:docker/"), name, F.lit("@gone")).alias(
+                    "purl"
+                ),
+                F.lit(None).cast("string").alias("namespace"),
+                name.alias("name"),
+                F.lit("gone").alias("version"),
+            )
+        )
+    )
+    tag_ns = F.when(k % 4 == 1, F.concat(F.lit("org-"), name)).otherwise(
+        F.lit("library")
+    )
+    dk_tags = b.filter(k % 4 != 2).select(
+        tag_ns.alias("namespace"),
+        name.alias("name"),
+        ver.alias("tag_name"),
+        dk_digest.alias("digest"),
+    ).unionByName(
+        b.filter(k % 4 == 2).select(
+            F.lit("library").alias("namespace"),
+            name.alias("name"),
+            ver.alias("tag_name"),
+            dk_digest.alias("digest"),
+        )
+    ).unionByName(
+        b.filter(k % 4 == 2).select(
+            F.lit("library").alias("namespace"),
+            name.alias("name"),
+            ver2.alias("tag_name"),
+            F.lit(None).cast("string").alias("digest"),
+        )
+    )
+    docker = match_dockerhub_tags(dk_requests, dk_tags).select(
+        "purl",
+        "status",
+        F.lit(None).cast("string").alias("license"),
+        "version",
+        "digest",
+    )
+    return nix.unionByName(docker)

@@ -66,6 +66,7 @@ def load_inventory() -> None:
         q_miners8,
         q_miners9,
         q_collectors2,
+        q_collectors3,
         q_multimodal,
         q_overlay,
         q_scans,
