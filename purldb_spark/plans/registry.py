@@ -67,6 +67,8 @@ def load_inventory() -> None:
         q_miners9,
         q_collectors2,
         q_collectors3,
+        q_seqmatch,
+        q_llm2,
         q_multimodal,
         q_overlay,
         q_scans,
