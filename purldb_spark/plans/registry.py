@@ -69,6 +69,9 @@ def load_inventory() -> None:
         q_collectors3,
         q_seqmatch,
         q_llm2,
+        q_matchpost,
+        q_purlstore,
+        q_validate,
         q_multimodal,
         q_overlay,
         q_scans,
