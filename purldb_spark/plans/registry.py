@@ -72,6 +72,7 @@ def load_inventory() -> None:
         q_matchpost,
         q_purlstore,
         q_validate,
+        q_llm3,
         q_multimodal,
         q_overlay,
         q_scans,
