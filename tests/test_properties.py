@@ -118,3 +118,40 @@ def test_query_string_parse_roundtrip(terms):
         assert t.lookup == LOOKUP_OPS[op]
         assert t.value == value
         assert t.negated == neg
+
+
+@given(
+    st.sampled_from(["npm", "pypi", "maven", "cargo", "gem"]),
+    st.one_of(st.none(), purl_names),
+    purl_names,
+    st.one_of(st.none(), versions),
+)
+@settings(max_examples=200)
+def test_purl_validity_regex_agrees_with_parser(ptype, namespace, name, version):
+    """operators/validate.py's column regex accepts exactly the purls
+    functions/purl.py::PackageURL.parse accepts, on well-formed purls and
+    their canonical mutations (no scheme / no name)."""
+    import re
+
+    from purldb_spark.operators.validate import _PURL_RX
+
+    rx = re.compile(_PURL_RX)
+    s = PackageURL(ptype, namespace, name, version).to_string()
+    assert rx.match(s), s
+    # canonical mutations must be rejected by BOTH
+    no_scheme = s[len("pkg:"):]
+    assert not rx.match(no_scheme)
+    try:
+        PackageURL.parse(no_scheme)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    no_name = f"pkg:{ptype}"
+    assert not rx.match(no_name)
+    try:
+        PackageURL.parse(no_name)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
