@@ -203,7 +203,7 @@ def _fp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH idx AS ({_FP_CHUNKS_SQL}),
     q AS (
       SELECT doc_id AS q_doc_id, chunk1,
-             'ffffffff' AS chunk2, chunk3, chunk4,
+             'f' || substring(chunk2, 2, 7) AS chunk2, chunk3, chunk4,
              CAST(floor(n_chars * 0.98) AS BIGINT) AS q_count
       FROM idx WHERE doc_id % 10 = 0
     ),
@@ -243,7 +243,10 @@ def j6_banding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_id").alias("q_doc_id"),
             F.col("chunk1").alias("q_chunk1"),
-            F.lit("ffffffff").alias("q_chunk2"),
+            # per-row corruption (first hex digit forced to f): a CONSTANT
+            # corrupted chunk gets folded out of the join key by Catalyst,
+            # degrading that branch to a nested-loop join on the range gate
+            F.concat(F.lit("f"), F.substring("chunk2", 2, 7)).alias("q_chunk2"),
             F.col("chunk3").alias("q_chunk3"),
             F.col("chunk4").alias("q_chunk4"),
             F.floor(F.col("n_chars") * 0.98).cast("long").alias("q_count"),

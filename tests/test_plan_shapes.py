@@ -1,0 +1,41 @@
+"""Registry-wide plan-shape guard: no accidental O(N²) joins.
+
+Every registered query's physical plan must be free of
+CartesianProduct / BroadcastNestedLoopJoin — the shapes that stop
+scaling past one executor — except the two labeled all-pairs
+baselines, whose bucketed scale twins are the production path:
+
+- knn_bruteforce (exact top-k ground truth; twin knn_lsh_bucketed)
+- dedup_embedding_cosine (exact pair verify; twin dedup_embedding_blocked)
+
+This is the regression fence for the DESIGN.md claim that every
+candidate generation is an equi-join: a constant-folded join key (the
+j6 fixture once corrupted a chunk with a literal, which Catalyst folds
+out of the key leaving a nested-loop range join) or an accidental
+crossJoin shows up here immediately.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from purldb_spark.plans.registry import QUERIES, load_inventory
+from tests.conftest import SF_SMOKE
+
+load_inventory()
+
+ALLPAIRS_BASELINES = {"knn_bruteforce", "dedup_embedding_cosine"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - ALLPAIRS_BASELINES))
+def test_no_unbounded_join_shapes(name, spark):
+    df = QUERIES[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"{name} compiles to {marker}"
