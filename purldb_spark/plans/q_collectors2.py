@@ -93,8 +93,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(name || v) AS sha256,
            CASE WHEN f = 'sdist' THEN 'source_archive' ELSE 'binary' END
              AS package_content,
-           CASE WHEN f = 'sdist' THEN 'pypi_sdist_pkginfo'
-                ELSE 'pypi_bdist_pkginfo' END AS datasource_id
+           'pypi_api_metadata' AS datasource_id
     FROM files
     UNION ALL
     SELECT 'pkg:pypi/' || name || '@' || ver, 'does_not_exist',

@@ -144,7 +144,8 @@ _PYPI_VER_SQL = "CAST(p_partkey % 10 AS VARCHAR) || '.' || CAST(p_partkey % 7 AS
              || '/' || name || '/' || name || '-' || version || '.tar.gz'
              AS download_url,
            sz AS size, ts AS release_date_raw, h1 AS md5, h2 AS sha256,
-           'pypi_sdist_pkginfo' AS datasource_id
+           'pypi_api_metadata' AS datasource_id,
+           'pypi_sdist_pkginfo' AS packagetype_id
     FROM common
     UNION ALL
     SELECT 'pkg:pypi/' || name || '@' || version || '?file_name='
@@ -152,7 +153,7 @@ _PYPI_VER_SQL = "CAST(p_partkey % 10 AS VARCHAR) || '.' || CAST(p_partkey % 7 AS
            'pypi', name, version, description, home_page, CAST(NULL AS VARCHAR), declared,
            'https://files.pythonhosted.org/packages/py3/' || substr(name, 1, 1)
              || '/' || name || '/' || name || '-' || version || '-py3-none-any.whl',
-           sz + 17, ts, h3, h4, 'pypi_bdist_pkginfo'
+           sz + 17, ts, h3, h4, 'pypi_api_metadata', 'pypi_bdist_pkginfo'
     FROM common WHERE k % 3 <> 0
     """,
 )
@@ -161,7 +162,9 @@ def x_pypi_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is a REAL JSON document string per package (built with to_json,
     reparsed with from_json against PYPI_DOC_SCHEMA), exploded to one
     package row per download with the reference's description join,
-    UNKNOWN-license classifier fallback and sdist/bdist datasource ids."""
+    UNKNOWN-license classifier fallback, the pypi_api_metadata datasource
+    id (the reference overrides the transient sdist/bdist pkginfo id,
+    pypi.py:252+282 — kept as packagetype_id)."""
     p = load(spark, sf_dir, "part")
     k = F.col("p_partkey")
     name = F.lower(F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))

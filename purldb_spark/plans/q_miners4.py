@@ -212,12 +212,18 @@ def x_bitbucket_gitlab_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            size + 1 AS size, NULL AS sha1, '2023-01-02' AS release_date
     FROM gh WHERE k % 2 = 0
     UNION ALL
+    -- tag rows inherit the last download's size/date when the repo has
+    -- downloads (the reference's evolve carry-over, github.py:254-296)
     SELECT 'github', ns, name, purl0 || '@v' || ver, 'v' || ver, descr, 'go',
-           hurl, vcs, owner, hurl || '/tarball/v' || ver, size, cs, NULL
+           hurl, vcs, owner, hurl || '/tarball/v' || ver,
+           CASE WHEN k % 2 = 0 THEN size + 1 ELSE size END, cs,
+           CASE WHEN k % 2 = 0 THEN '2023-01-02' END
     FROM gh WHERE k % 3 <> 0
     UNION ALL
     SELECT 'github', ns, name, purl0 || '@v' || ver, 'v' || ver, descr, 'go',
-           hurl, vcs, owner, hurl || '/zipball/v' || ver, size, cs, NULL
+           hurl, vcs, owner, hurl || '/zipball/v' || ver,
+           CASE WHEN k % 2 = 0 THEN size + 1 ELSE size END, cs,
+           CASE WHEN k % 2 = 0 THEN '2023-01-02' END
     FROM gh WHERE k % 3 <> 0
     UNION ALL
     SELECT 'github', ns, name, purl0, NULL, descr, 'go', hurl, vcs, owner,

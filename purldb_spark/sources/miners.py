@@ -167,6 +167,7 @@ PYPI_DOC_SCHEMA = T.StructType(
                     T.StructField("classifiers", T.ArrayType(T.StringType())),
                     T.StructField("author", T.StringType()),
                     T.StructField("author_email", T.StringType()),
+                    T.StructField("download_url", T.StringType()),
                 ]
             ),
         ),
@@ -182,13 +183,19 @@ def parse_pypi_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
 
 def map_pypi_docs(parsed: DataFrame) -> DataFrame:
     """build_packages (minecode/miners/pypi.py:158-292): one package row per
-    entry of the urls block.
+    entry of the urls block, PLUS one row for an off-PyPI
+    ``info.download_url`` when present and not 'UNKNOWN'
+    (pypi.py:240-254 — its purl carries no file_name qualifier and it has
+    no size/digest fields).
 
     - description = summary '\\n' long-description, skipping empty/blank
       parts (the reference joins the non-blank of (short, long))
     - license: info.license unless missing/'UNKNOWN', else the 'License ::'
       classifiers joined with '; '
-    - datasource_id: sdist -> pypi_sdist_pkginfo, else pypi_bdist_pkginfo
+    - datasource_id: 'pypi_api_metadata' on every row — the reference sets
+      the sdist/bdist pkginfo id transiently but overrides it to
+      pypi_api_metadata before yielding (pypi.py:252, 282); the transient
+      id is kept as `packagetype_id` for consumers that classify by it
     - purl gains a ?file_name= qualifier per download"""
     info = F.col("info")
     nonblank = lambda c: F.when(c.isNotNull() & (F.trim(c) != ""), c)  # noqa: E731
@@ -207,7 +214,7 @@ def map_pypi_docs(parsed: DataFrame) -> DataFrame:
     ).otherwise(F.nullif(classifier_licenses, F.lit("")))
 
     u = F.col("u")
-    return (
+    per_url = (
         parsed.select(F.col("parsed.info").alias("info"), F.explode("parsed.urls").alias("u"))
         .select(
             F.concat(
@@ -230,11 +237,40 @@ def map_pypi_docs(parsed: DataFrame) -> DataFrame:
             u.upload_time.alias("release_date_raw"),
             u.md5_digest.alias("md5"),
             u.digests.sha256.alias("sha256"),
+            F.lit("pypi_api_metadata").alias("datasource_id"),
             F.when(u.packagetype == "sdist", F.lit("pypi_sdist_pkginfo"))
             .otherwise(F.lit("pypi_bdist_pkginfo"))
-            .alias("datasource_id"),
+            .alias("packagetype_id"),
         )
     )
+    off = (
+        parsed.select(F.col("parsed.info").alias("info"))
+        .where(
+            F.col("info.download_url").isNotNull()
+            & (F.col("info.download_url") != "UNKNOWN")
+        )
+        .select(
+            F.concat(
+                F.lit("pkg:pypi/"), F.col("info.name"), F.lit("@"),
+                F.col("info.version"),
+            ).alias("purl"),
+            F.lit("pypi").alias("type"),
+            F.col("info.name").alias("name"),
+            F.col("info.version").alias("version"),
+            description.alias("description"),
+            F.col("info.home_page").alias("homepage_url"),
+            F.col("info.bugtrack_url").alias("bug_tracking_url"),
+            declared_license.alias("declared_license"),
+            F.col("info.download_url").alias("download_url"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("string").alias("release_date_raw"),
+            F.lit(None).cast("string").alias("md5"),
+            F.lit(None).cast("string").alias("sha256"),
+            F.lit("pypi_api_metadata").alias("datasource_id"),
+            F.lit("pypi_sdist_pkginfo").alias("packagetype_id"),
+        )
+    )
+    return off.unionByName(per_url)
 
 
 # ---------------------------------------------------------------- debian --

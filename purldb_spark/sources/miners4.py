@@ -290,9 +290,22 @@ def map_github_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         F.to_date(F.substring(F.col("d")["created_at"], 1, 10)).alias("release_date"),
     )
 
+    # the reference mutates ONE package object across its yield loops
+    # (attr.evolve, github.py:254-296): every tag row inherits the LAST
+    # html_url-download's size and release_date — visible in its own
+    # mojombo_grit fixture where all 30 tag rows carry the one download's
+    # size/date. Replicated here deliberately for row-for-row parity.
+    last_dl = F.try_element_at(
+        F.filter(F.col("downloads"), lambda d: d["html_url"].isNotNull()),
+        F.lit(-1),
+    )
+    inherited_size = F.coalesce(last_dl["size"], F.col("repo_size"))
+    inherited_date = F.to_date(F.substring(last_dl["created_at"], 1, 10))
     tag_rows = base.select(
         "type", "namespace", "name", "description", "primary_language",
         "homepage_url", "vcs_url", "owner", F.col("repo_size"),
+        inherited_size.alias("_isize"),
+        inherited_date.alias("_idate"),
         F.explode("tags").alias("t"),
     )
     t = F.col("t")
@@ -305,9 +318,9 @@ def map_github_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         F.col("vcs_url"), F.col("owner"),
     ]
     tails = [
-        F.col("repo_size").alias("size"),
+        F.col("_isize").alias("size"),
         t["sha1"].alias("sha1"),
-        F.lit(None).cast("date").alias("release_date"),
+        F.col("_idate").alias("release_date"),
     ]
     tar = tag_rows.where(t["tarball_url"].isNotNull()).select(
         *tag_common, t["tarball_url"].alias("download_url"), *tails
@@ -316,19 +329,30 @@ def map_github_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         *tag_common, t["zipball_url"].alias("download_url"), *tails
     )
 
+    # branch rows inherit the same carried-over state (last tag's
+    # version/sha1/versioned purl, last download's size/date) — the
+    # evolve chain continues into the branches loop (github.py:292-296)
+    last_tag = F.try_element_at(F.col("tags"), F.lit(-1))
     branches = base.select(
         "type", "namespace", "name", "description", "primary_language",
         "homepage_url", "vcs_url", "owner", F.col("repo_size"),
+        inherited_size.alias("_isize"),
+        inherited_date.alias("_idate"),
+        last_tag["name"].alias("_lver"),
+        last_tag["sha1"].alias("_lsha"),
         F.explode("branches_download_urls").alias("burl"),
     ).select(
         "type", "namespace", "name",
-        purl0.alias("purl"),
-        F.lit(None).cast("string").alias("version"),
+        F.when(
+            F.col("_lver").isNotNull(),
+            F.concat(purl0, F.lit("@"), F.col("_lver")),
+        ).otherwise(purl0).alias("purl"),
+        F.col("_lver").alias("version"),
         "description", "primary_language", "homepage_url", "vcs_url", "owner",
         F.col("burl").alias("download_url"),
-        F.col("repo_size").alias("size"),
-        F.lit(None).cast("string").alias("sha1"),
-        F.lit(None).cast("date").alias("release_date"),
+        F.col("_isize").alias("size"),
+        F.col("_lsha").alias("sha1"),
+        F.col("_idate").alias("release_date"),
     )
     order = [
         "type", "namespace", "name", "purl", "version", "description",

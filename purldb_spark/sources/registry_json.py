@@ -65,13 +65,22 @@ def packages_from_registry(docs: DataFrame, ecosystem: str = "npm") -> DataFrame
     purl = F.concat(
         F.lit(f"pkg:{ecosystem}/"), F.col("name"), F.lit("@"), F.col("version")
     )
+    # old registry documents carry http:// tarball URLs; the reference's
+    # mapped output uses https for the registry host (visible in its own
+    # 0flux fixture: doc says http://registry.npmjs.org/..., expected-*
+    # says https://) — normalize the scheme for the registry host only
+    tarball = F.regexp_replace(
+        F.col("v.dist.tarball"),
+        r"^http://registry\.npmjs\.org/",
+        "https://registry.npmjs.org/",
+    )
     return exploded.select(
         purl.alias("purl"),
         F.lit(ecosystem).alias("type"),
         "name",
         "version",
         "description",
-        F.col("v.dist.tarball").alias("download_url"),
+        tarball.alias("download_url"),
         F.col("v.dist.shasum").alias("sha1"),
         F.col("v.license").alias("declared_license_expression"),
         F.col("v.homepage").alias("homepage_url"),

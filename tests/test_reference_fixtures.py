@@ -1,0 +1,273 @@
+"""Behavioral parity against the reference's OWN test fixtures: real
+registry documents (rubygems apiv2, crates.io) paired with the
+expected PackageData the reference's miners produce
+(minecode/tests/testfiles/{rubygems,cargo}/...). Our mappers must
+produce the same field values the reference's expected-*.json records.
+
+The fixtures are read in place from the read-only reference checkout —
+nothing is copied into this repo; the tests skip when the checkout is
+absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from purldb_spark.sources.miners2 import map_cargo_docs, map_gem_docs
+
+_TESTFILES = "/root/reference/minecode/tests/testfiles"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_TESTFILES), reason="reference checkout not available"
+)
+
+
+def _load(path: str):
+    with open(os.path.join(_TESTFILES, path)) as fh:
+        return fh.read()
+
+
+def test_gem_v2_mapper_matches_reference_expected(spark):
+    doc = _load("rubygems/apiv2/rails-8.0.2.json")
+    expected = json.loads(_load("rubygems/apiv2/expected-rails-8.0.2.json"))
+    rows = map_gem_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == len(expected) == 1
+    r, e = rows[0], expected[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.repository_homepage_url == e["repository_homepage_url"]
+    assert r.download_url == e["download_url"]
+    assert r.sha256 == e["sha256"]
+    assert r.release_date_raw == e["release_date"]
+    # the reference renders the license list as a YAML-ish block
+    # ("- MIT\n"); ours joins with '; ' — same license set
+    assert [r.declared_license] == [
+        s.lstrip("- ").strip() for s in e["extracted_license_statement"].splitlines()
+    ]
+    assert r.author == e["parties"][0]["name"]
+
+
+def test_cargo_mapper_matches_reference_expected(spark):
+    doc = _load("cargo/sam.json")
+    expected = json.loads(_load("cargo/expected-sam.json"))
+    rows = {
+        r.version: r
+        for r in map_cargo_docs(
+            spark.createDataFrame([(doc,)], "doc string")
+        ).collect()
+    }
+    assert len(rows) == len(expected)
+    for e in expected:
+        r = rows[e["version"]]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.description == e["description"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.repository_homepage_url == e["repository_homepage_url"]
+        assert r.download_url == e["download_url"]
+        assert r.sha256 == e["sha256"]
+        lic = e["extracted_license_statement"]
+        if lic:
+            assert r.declared_license == "; ".join(
+                s.lstrip("- ").strip() for s in lic.splitlines()
+            )
+        else:
+            assert r.declared_license is None
+
+
+def test_pypi_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners import map_pypi_docs, parse_pypi_docs
+
+    doc = _load("pypi/lxml-3.2.0.json")
+    expected = json.loads(_load("pypi/expected-lxml-3.2.0.json"))
+    rows = map_pypi_docs(
+        parse_pypi_docs(spark.createDataFrame([(doc,)], "doc string"))
+    ).collect()
+    # one row per urls entry, same count as the reference's expected list
+    assert len(rows) == len(expected)
+    by_url = {r.download_url: r for r in rows}
+    for e in expected:
+        r = by_url[e["download_url"]]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.description == e["description"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.md5 == e["md5"]
+        assert r.size == e["size"]
+        assert r.datasource_id == e["datasource_id"]
+
+
+def test_alpine_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners3 import map_alpine_blocks
+
+    apkindex = _load(
+        "alpine/postgresql16-contrib_v3.14-community-armhf/APKINDEX"
+    )
+    expected = json.loads(_load("alpine/mapper_postgresql16_contrib_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_alpine_blocks(
+        spark.createDataFrame(
+            [(apkindex, e["download_url"])], "apkindex string, download_url string"
+        )
+    ).filter(F.col("name") == e["name"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.extracted_license_statement == e["extracted_license_statement"]
+    assert r.size == e["size"]
+    assert r.sha1 == e["sha1"]
+    assert r.download_url == e["download_url"]
+    assert r.repository_homepage_url == e["repository_homepage_url"]
+    assert r.datasource_id == e["datasource_id"]
+
+
+def test_npm_registry_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.registry_json import (
+        REGISTRY_SCHEMA,
+        packages_from_registry,
+    )
+
+    doc = _load("npm/0flux.json")
+    expected = json.loads(_load("npm/0flux_npm_expected.json"))
+    parsed = (
+        spark.createDataFrame([(doc,)], "doc string")
+        .select(F.from_json("doc", REGISTRY_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+    rows = {r.version: r for r in packages_from_registry(parsed, "npm").collect()}
+    exp = {e["version"]: e for e in expected}
+    assert set(rows) == set(exp)
+    for v, e in exp.items():
+        r = rows[v]
+        assert r.name == e["name"]
+        assert r.download_url == e["download_url"]
+        assert r.sha1 == e["sha1"]
+
+
+def test_packagist_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners2 import map_packagist_docs
+
+    doc = _load("packagist/00f100_cakephp-opauth.json")
+    expected = json.loads(_load("packagist/packaglist_00f100_cakephp-opauth_expected.json"))
+    rows = map_packagist_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == len(expected) == 1
+    r, e = rows[0], expected[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.download_url == e["download_url"]
+    assert r.vcs_url == e["vcs_url"]
+    assert sorted(r.keywords) == sorted(e["keywords"])
+
+
+def test_gitlab_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners4 import map_gitlab_docs
+
+    doc = _load("gitlab/microservice-express-mongo.json")
+    expected = json.loads(_load("gitlab/microservice-express-mongo_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_gitlab_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.purl == e["purl"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.vcs_url == e["vcs_url"]
+    assert r.code_view_url == e["code_view_url"]
+    assert str(r.release_date) == e["release_date"]
+    assert r.description == e.get("description")
+
+
+def test_github_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners4 import map_github_docs
+
+    doc = _load("github/mojombo_grit_from_visitor_4mapper_input.json")
+    expected = json.loads(_load("github/mojombo_grit_result_mapper_expected.json"))
+    rows = map_github_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    # 1 download row + 15 tags x (tarball + zipball) = 31, as the reference
+    assert len(rows) == len(expected) == 31
+    by_url = {r.download_url: r for r in rows}
+    for e in expected:
+        r = by_url[e["download_url"]]
+        assert r.type == e["type"]
+        assert r.namespace == e["namespace"]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.size == e["size"]
+        assert r.sha1 == e["sha1"]
+        # vcs_url: the reference fixture carries a stringified TUPLE
+        # ("git+('git://...',)") — an artifact of its own join bug; ours is
+        # the clean git+<git_url> form. Compare the embedded URL only.
+        if e["vcs_url"]:
+            assert r.vcs_url.replace("git+", "") in e["vcs_url"]
+
+
+def test_bower_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners6 import map_bower_docs
+
+    doc = _load("bower/example1_bower.json")
+    expected = json.loads(_load("bower/expected_mapper_example1_bower.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_bower_docs(spark.createDataFrame([(doc,)], "doc string")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.keywords.split("; ") == e["keywords"]
+    # the reference renders the license list as a YAML-ish block
+    assert [r.extracted_license_statement] == [
+        s.lstrip("- ").strip()
+        for s in e["extracted_license_statement"].splitlines()
+    ]
+    assert r.parties.split("; ") == [p["name"] for p in e["parties"]]
+
+
+def test_fdroid_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners3 import map_fdroid_docs
+
+    index = json.loads(_load("fdroid/index-v2.json"))
+    expected = json.loads(_load("fdroid/index-v2-visited-expected-mapped.json"))
+    docs = [
+        (app_id, json.dumps(entry))
+        for app_id, entry in index["packages"].items()
+    ]
+    rows = map_fdroid_docs(
+        spark.createDataFrame(docs, "name string, doc string")
+    ).collect()
+    assert len(rows) == len(expected)
+    by_key = {(r.download_url): r for r in rows}
+    for e in expected:
+        r = by_key[e["download_url"]]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.size == e["size"]
+        assert r.sha256 == e["sha256"]
+        assert r.description == e["description"]
+        assert (r.keywords or []) == (e["keywords"] or [])
+        assert r.vcs_url == e["vcs_url"]
+        assert r.homepage_url == e["homepage_url"]
+        assert (r.source_packages or []) == (e.get("source_packages") or [])
