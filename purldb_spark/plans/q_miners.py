@@ -288,8 +288,8 @@ _DEB_PARA_SQL = f"""
       SELECT name || '-doc', version, m_name, m_email || '', section, lang,
              h_md5, h_sha, descr, FALSE FROM base
     )
-    SELECT 'pkg:deb/debian/' || name || '@' || version AS purl,
-           'deb' AS type, 'debian' AS namespace, name, version,
+    SELECT 'pkg:deb/' || name || '@' || replace(version, '~', '%7E') AS purl,
+           'deb' AS type, CAST(NULL AS VARCHAR) AS namespace, name, version,
            descr AS description,
            CASE WHEN has_homepage THEN 'https://example.org/' || name END
              AS homepage_url,

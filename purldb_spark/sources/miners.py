@@ -294,27 +294,47 @@ def _field(key: str) -> Column:
 
 def map_debian_packages(paragraphs: DataFrame) -> DataFrame:
     """parse_packages (minecode/miners/debian.py:516-562) over parsed
-    paragraph columns: purl pkg:deb/debian/{name}@{version}, keywords from
-    comma-split Tag + Section, primary language from the implemented-in::
-    tag, maintainer 'Name <email>' split, ftp.debian.org download url."""
-    tags = F.nullif(_field("Tag"), F.lit(""))
+    paragraph columns: purl pkg:deb/{name}@{version} — NO debian
+    namespace and the version purl-encoded ('~' -> %7E), matching the
+    reference's own debian_Packages-expected fixture (DebianPackage
+    without namespace; the Sources VISITOR is the path that namespaces
+    purls, debian.py:344-351) — keywords from comma-split Tag + Section,
+    primary language from the implemented-in:: tag, maintainer
+    'Name <email>' split, ftp.debian.org download url."""
+    # Tag is an RFC822 folded field (continuation lines start with a
+    # space) — capture the whole block, unfold, comma-split, drop blanks
+    # (debutils.comma_separated skips empty entries)
+    tags = F.nullif(
+        F.regexp_replace(
+            F.regexp_extract(
+                F.col("para"), r"(?m)^Tag: (.*(?:\n[ \t].*)*)", 1
+            ),
+            r"\n[ \t]+",
+            " ",
+        ),
+        F.lit(""),
+    )
+    # unary lambda on purpose: passing F.trim directly makes
+    # transform feed it (element, index) via its 2-arg signature
+    tag_list = F.filter(
+        F.transform(F.split(tags, ","), lambda c: F.trim(c)),
+        lambda x: x != "",
+    )
     keywords = F.concat_ws(
         ",",
-        F.when(
-            tags.isNotNull(),
-            # unary lambda on purpose: passing F.trim directly makes
-            # transform feed it (element, index) via its 2-arg signature
-            F.array_join(F.transform(F.split(tags, ","), lambda c: F.trim(c)), ","),
-        ),
+        F.when(tags.isNotNull(), F.array_join(tag_list, ",")),
         _field("Section"),
     )
     maintainer = _field("Maintainer")
     return paragraphs.select(
         F.concat(
-            F.lit("pkg:deb/debian/"), _field("Package"), F.lit("@"), _field("Version")
+            F.lit("pkg:deb/"),
+            _field("Package"),
+            F.lit("@"),
+            F.replace(_field("Version"), F.lit("~"), F.lit("%7E")),
         ).alias("purl"),
         F.lit("deb").alias("type"),
-        F.lit("debian").alias("namespace"),
+        F.lit(None).cast("string").alias("namespace"),
         _field("Package").alias("name"),
         _field("Version").alias("version"),
         _field("Description").alias("description"),

@@ -360,7 +360,16 @@ def map_sourceforge_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         name.alias("name"),
         F.concat(F.lit("pkg:sourceforge/"), name).alias("purl"),
         description.alias("description"),
-        F.coalesce(j["external_homepage"], j["url"]).alias("homepage_url"),
+        # dict.get(key, default) falls back only when the KEY is absent:
+        # an empty external_homepage stays (and blanks to NULL in the
+        # model), it does NOT fall through to url — visible in the
+        # reference's odanur fixture (sourceforge.py:126)
+        F.when(
+            j["external_homepage"].isNotNull(),
+            F.nullif(j["external_homepage"], F.lit("")),
+        )
+        .otherwise(j["url"])
+        .alias("homepage_url"),
         langs.alias("primary_language"),
         licenses.alias("extracted_license_statement"),
         keywords.alias("keywords"),

@@ -271,3 +271,78 @@ def test_fdroid_mapper_matches_reference_expected(spark):
         assert r.vcs_url == e["vcs_url"]
         assert r.homepage_url == e["homepage_url"]
         assert (r.source_packages or []) == (e.get("source_packages") or [])
+
+
+def test_debian_packages_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners import map_debian_packages, split_paragraphs
+
+    text = _load("debian/packages/debian_Packages")
+    expected = json.loads(_load("debian/packages/debian_Packages-expected.json"))
+    rows = map_debian_packages(
+        split_paragraphs(
+            spark.createDataFrame([(text,)], "text string"), "text"
+        )
+    ).collect()
+    assert len(rows) == len(expected)
+    by_name = {r.name: r for r in rows}
+    for e in expected:
+        r = by_name[e["name"]]
+        assert r.purl == e["purl"]
+        assert r.type == e["type"]
+        assert r.namespace == e["namespace"]
+        assert r.version == e["version"]
+        assert r.description == e["description"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.md5 == e["md5"]
+        assert r.sha1 == e["sha1"]
+        assert r.sha256 == e["sha256"]
+        assert r.download_url == e["download_url"]
+        assert (r.keywords.split(",") if r.keywords else []) == e["keywords"]
+        assert r.primary_language == e["primary_language"]
+        if e["parties"]:
+            assert r.maintainer_name == e["parties"][0]["name"]
+            assert r.maintainer_email == e["parties"][0]["email"]
+
+
+def test_sourceforge_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners3 import map_sourceforge_docs
+
+    for proj in ("niftyphp", "monoql", "openstunts", "odanur"):
+        doc = _load(f"sourceforge/{proj}.json")
+        fname = "mapper_omonoql_expected.json" if proj == "monoql" else f"mapper_{proj}_expected.json"
+        expected = json.loads(_load(f"sourceforge/{fname}"))
+        e = expected[0] if isinstance(expected, list) else expected
+        rows = map_sourceforge_docs(
+            spark.createDataFrame([(doc,)], "doc string")
+        ).collect()
+        assert len(rows) == 1, proj
+        r = rows[0]
+        assert r.purl == e["purl"], proj
+        assert r.name == e["name"], proj
+        assert r.description == e["description"], proj
+        assert r.homepage_url == e["homepage_url"], proj
+        if e.get("extracted_license_statement"):
+            assert sorted(
+                s.lstrip("- ").strip()
+                for s in e["extracted_license_statement"].splitlines()
+            ) == sorted(r.extracted_license_statement), proj
+        assert sorted(r.contributors or []) == sorted(
+            p["name"] for p in (e.get("parties") or [])
+        ), proj
+
+
+def test_eclipse_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners4 import map_eclipse_docs
+
+    doc = _load("eclipse/birt.json")
+    expected = json.loads(_load("eclipse/eclipse_birt_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_eclipse_docs(spark.createDataFrame([(doc,)], "doc string")).collect()
+    assert len(rows) >= 1
+    r = rows[0]
+    assert r.purl == e["purl"]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.bug_tracking_url == e["bug_tracking_url"]
