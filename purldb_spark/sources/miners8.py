@@ -134,6 +134,7 @@ FREEBSD_SCHEMA = T.StructType(
         T.StructField("origin", T.StringType()),
         T.StructField("version", T.StringType()),
         T.StructField("comment", T.StringType()),
+        T.StructField("desc", T.StringType()),
         T.StructField("maintainer", T.StringType()),
         T.StructField("www", T.StringType()),
         T.StructField("arch", T.StringType()),
@@ -187,13 +188,27 @@ def map_freebsd_docs(
             lambda acc, x: F.concat(acc, logic_join, x),
         ),
     )
+    # CompactManifestHandler derives the canonical mirror URL from the
+    # arch when no explicit repo base is given (the reference's
+    # pkg-devel_index fixture shows https://pkg.freebsd.org/<arch>/
+    # latest/All/<name>-<version>.txz)
+    derived = F.when(
+        m["arch"].isNotNull(),
+        F.concat(
+            F.lit("https://pkg.freebsd.org/"), m["arch"], F.lit("/latest/All/"),
+            name, F.lit("-"), ver, F.lit(".txz"),
+        ),
+    )
     dl = (
-        F.when(
-            m["repopath"].isNotNull(),
-            F.concat(F.col("_base"), F.lit("/"), m["repopath"]),
+        F.coalesce(
+            F.when(
+                m["repopath"].isNotNull(),
+                F.concat(F.col("_base"), F.lit("/"), m["repopath"]),
+            ),
+            derived,
         )
         if base_url_col
-        else F.lit(None).cast("string")
+        else derived
     )
     return rows.select(
         F.lit("freebsd").alias("type"),
@@ -208,12 +223,26 @@ def map_freebsd_docs(
                 F.nullif(quals, F.lit("")).isNotNull(), F.concat(F.lit("?"), quals)
             ).otherwise(F.lit("")),
         ).alias("purl"),
-        m["comment"].alias("description"),
+        # description is the long `desc` text, NOT the one-line comment
+        # (CompactManifestHandler semantics, reference fixture-verified)
+        F.coalesce(m["desc"], m["comment"]).alias("description"),
         m["www"].alias("homepage_url"),
+        F.when(
+            m["origin"].isNotNull(),
+            F.concat(F.lit("https://svnweb.freebsd.org/ports/head/"), m["origin"]),
+        ).alias("code_view_url"),
         m["maintainer"].alias("maintainer"),
         lic.alias("extracted_license_statement"),
-        F.when(
-            m["categories"].isNotNull(), F.array_join(m["categories"], "; ")
+        # keywords = the origin's category segment (CompactManifestHandler),
+        # with the categories list as fallback
+        F.coalesce(
+            F.when(
+                m["origin"].isNotNull(),
+                F.substring_index(m["origin"], "/", 1),
+            ),
+            F.when(
+                m["categories"].isNotNull(), F.array_join(m["categories"], "; ")
+            ),
         ).alias("keywords"),
         m["sum"].alias("sha256"),
         m["flatsize"].alias("installed_size"),

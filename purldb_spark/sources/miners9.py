@@ -82,7 +82,19 @@ def map_openwrt_docs(docs: DataFrame, control_col: str = "control") -> DataFrame
         name.alias("name"),
         ver.alias("version"),
         F.concat_ws("@", F.concat(F.lit("pkg:openwrt/"), name), ver).alias("purl"),
-        _field(c, "Description").alias("description"),
+        # Description is a folded control field: keep the continuation
+        # lines with their single leading space, strip only the first
+        # line's separator space (ipk-fixture-verified reference shape)
+        F.nullif(
+            F.regexp_replace(
+                F.regexp_extract(
+                    c, r"(?m)^Description:(.*(?:\n .*)*)", 1
+                ),
+                r"^ +",
+                "",
+            ),
+            F.lit(""),
+        ).alias("description"),
         _field(c, "Installed-Size").cast("long").alias("size"),
         deps.alias("dependencies"),
         m_name.alias("maintainer_name"),
@@ -218,9 +230,15 @@ def _gc_keywords(j: Column) -> Column:
     )
 
 
-def map_googlecode_v2_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
+def map_googlecode_v2_docs(
+    docs: DataFrame, json_col: str = "doc", purl_col: str | None = None
+) -> DataFrame:
     """Archive API v2 project JSON -> catalog rows
-    (googlecode.py:193-228)."""
+    (googlecode.py:193-228). When ``purl_col`` carries the frontier's
+    package_url (built by the visitor with the archive DOMAIN as the
+    namespace, e.g. pkg:googlecode/apache-extras.org/<name>), set_purl
+    overrides the purl fields — namespace included — exactly like the
+    reference's package.set_purl(purl)."""
     j = F.from_json(F.col(json_col), _GC_SCHEMA)
     desc = F.nullif(
         F.array_join(
@@ -233,11 +251,20 @@ def map_googlecode_v2_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         F.lit(""),
     )
     name = j["name"]
+    if purl_col:
+        purl = F.col(purl_col)
+        ns = F.nullif(
+            F.regexp_extract(purl, r"^pkg:googlecode/(?:(.+)/)?[^/@]+$", 1),
+            F.lit(""),
+        )
+    else:
+        purl = F.concat(F.lit("pkg:googlecode/"), name)
+        ns = F.lit(None).cast("string")
     return docs.select(
         F.lit("googlecode").alias("type"),
         name.alias("name"),
-        F.lit(None).cast("string").alias("namespace"),
-        F.concat(F.lit("pkg:googlecode/"), name).alias("purl"),
+        ns.alias("namespace"),
+        purl.alias("purl"),
         desc.alias("description"),
         j["license"].alias("extracted_license_statement"),
         _gc_keywords(j).alias("keywords"),

@@ -346,3 +346,89 @@ def test_eclipse_mapper_matches_reference_expected(spark):
     assert r.description == e["description"]
     assert r.homepage_url == e["homepage_url"]
     assert r.bug_tracking_url == e["bug_tracking_url"]
+
+
+def test_freebsd_manifest_matches_reference_expected(spark):
+    from purldb_spark.sources.miners8 import map_freebsd_docs
+
+    doc = _load("freebsd/pkg-devel_index")
+    expected = json.loads(_load("freebsd/pkg-devel_index_mapper.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_freebsd_docs(
+        spark.createDataFrame([(doc,)], "packagesite string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.download_url == e["download_url"]
+    assert r.code_view_url == e["code_view_url"]
+    assert r.keywords == e["keywords"][0]
+    assert r.maintainer == e["parties"][0]["email"]
+    lic = e.get("extracted_license_statement")
+    if lic:
+        assert r.extracted_license_statement == "\n".join(
+            s.lstrip("- ").strip() for s in lic.splitlines()
+        )
+
+
+def test_openwrt_control_matches_reference_expected(spark):
+    """The .ipk fixture is a gzipped tar holding control.tar.gz/control —
+    extracted in-memory here (the Spark-side codec boundary stays a
+    binaryFile + mapPartitions pipeline; the mapper itself is columnar)."""
+    import gzip
+    import io
+    import tarfile
+
+    from purldb_spark.sources.miners9 import map_openwrt_docs
+
+    raw = open(
+        os.path.join(_TESTFILES, "openwrt/6to4_12-2_all.ipk"), "rb"
+    ).read()
+    with tarfile.open(fileobj=io.BytesIO(raw), mode="r:*") as outer:
+        inner_raw = outer.extractfile("./control.tar.gz").read()
+    with tarfile.open(fileobj=io.BytesIO(inner_raw), mode="r:*") as inner:
+        control = inner.extractfile("./control").read().decode()
+
+    expected = json.loads(_load("openwrt/6to4_12-2_all_ipk_expected_mapper.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_openwrt_docs(
+        spark.createDataFrame([(control,)], "control string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.maintainer_name == e["parties"][0]["name"]
+    assert r.maintainer_email == e["parties"][0]["email"]
+    assert r.keywords.split("; ") == e["keywords"]
+    assert r.size == e["size"]
+
+
+def test_googlecode_v2_matches_reference_expected(spark):
+    # the v2 archive route maps with build_packages_from_projectsjson_v1
+    # (googlecode.py:229-243): description only, domain namespace
+    from purldb_spark.sources.miners9 import map_googlecode_v1_docs
+
+    doc = _load("googlecode/v2_apache-extras.org_124799961-qian_project.json")
+    expected = json.loads(
+        _load("googlecode/mapper_expected_v2_apache-extras.org_124799961-qian_project.json")
+    )
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_googlecode_v1_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.namespace == e["namespace"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.extracted_license_statement == e["extracted_license_statement"]
+    assert (r.keywords or None) == ("; ".join(e["keywords"]) or None)
