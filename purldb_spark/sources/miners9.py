@@ -149,8 +149,18 @@ def map_freedesktop_pages(
     anchor-href regexes, which stay in codegen."""
     html = F.col(html_col)
     purl = F.col(purl_col)
-    hrefs = F.regexp_extract_all(
-        html, F.lit(r'<a[^>]*\bhref="([^"]*)"'), 1
+
+    # BeautifulSoup hands the reference DECODED attribute values — undo
+    # the common HTML entities in extracted hrefs (&amp; in query strings
+    # is the one that actually appears in the wiki pages)
+    def _unescape(c: Column) -> Column:
+        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+
+    hrefs = F.transform(
+        F.regexp_extract_all(html, F.lit(r'<a[^>]*\bhref="([^"]*)"'), 1),
+        _unescape,
     )
     fd = F.filter(hrefs, lambda h: h.contains("freedesktop.org"))
     # try_element_at: the -1 "last match" read must yield null, not raise,

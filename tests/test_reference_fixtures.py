@@ -432,3 +432,39 @@ def test_googlecode_v2_matches_reference_expected(spark):
     assert r.description == e["description"]
     assert r.extracted_license_statement == e["extracted_license_statement"]
     assert (r.keywords or None) == ("; ".join(e["keywords"]) or None)
+
+
+def test_freedesktop_pages_match_reference_expected(spark):
+    from purldb_spark.sources.miners9 import map_freedesktop_pages
+
+    for page, exp_name, uri in (
+        (
+            "hal.html",
+            "hal_project_expected.json",
+            "https://www.freedesktop.org/wiki/Software/hal",
+        ),
+        (
+            "libinput.html",
+            "libinput_project_expected.json",
+            "https://www.freedesktop.org/wiki/Software/libinput/",
+        ),
+    ):
+        html = _load(f"freedesktop/{page}")
+        expected = json.loads(_load(f"freedesktop/{exp_name}"))
+        e = expected[0] if isinstance(expected, list) else expected
+        rows = map_freedesktop_pages(
+            spark.createDataFrame(
+                [(html, uri, e["purl"])],
+                "html string, uri string, package_url string",
+            )
+        ).collect()
+        assert len(rows) == 1, page
+        r = rows[0]
+        assert r.purl == e["purl"], page
+        assert r.name == e["name"], page
+        assert r.description == e["description"], page
+        assert r.homepage_url == e["homepage_url"], page
+        assert r.download_url == e["download_url"], page
+        assert r.bug_tracking_url == e["bug_tracking_url"], page
+        assert r.code_view_url == e["code_view_url"], page
+        assert r.vcs_url == e["vcs_url"], page
