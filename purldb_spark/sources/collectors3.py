@@ -100,9 +100,27 @@ def conandata_download(doc: Column, version: Column) -> list[Column]:
 
 
 def _class_attr(src: Column, attr: str) -> Column:
-    return F.nullif(
+    """Class attribute value: a plain string literal, or the
+    parenthesized adjacent-string-literal form real conan-center
+    recipes use for long descriptions —
+
+        description = (
+            "part one "
+            "part two"
+        )
+
+    whose value is the concatenation of the quoted parts."""
+    plain = F.nullif(
         F.regexp_extract(src, rf'(?m)^\s*{attr}\s*=\s*"([^"]*)"', 1), F.lit("")
     )
+    block = F.regexp_extract(src, rf"(?s)\b{attr}\s*=\s*\((.*?)\)", 1)
+    joined = F.nullif(
+        F.array_join(
+            F.regexp_extract_all(block, F.lit(r'"([^"]*)"'), 1), ""
+        ),
+        F.lit(""),
+    )
+    return F.coalesce(plain, joined)
 
 
 def conanfile_fields(src: Column) -> list[Column]:

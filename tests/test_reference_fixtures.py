@@ -468,3 +468,40 @@ def test_freedesktop_pages_match_reference_expected(spark):
         assert r.bug_tracking_url == e["bug_tracking_url"], page
         assert r.code_view_url == e["code_view_url"], page
         assert r.vcs_url == e["vcs_url"], page
+
+
+def test_conan_recipe_matches_reference_docs(spark):
+    """Run the conan collect flow over the REAL zlib conan-center recipe
+    (config.yml version->folder, conandata.yml url-list + sha256,
+    conanfile.py class attributes incl. the parenthesized multi-line
+    description form)."""
+    from purldb_spark.sources.collectors3 import map_conan_requests
+
+    base = "conan/zlib/manifest"
+    config = _load(f"{base}/config.yml")
+    conandata = _load(f"{base}/conandata.yml")
+    conanfile = _load(f"{base}/conanfile.py")
+    requests = spark.createDataFrame(
+        [("pkg:conan/zlib@1.3.1", "zlib", "1.3.1")],
+        "purl string, name string, version string",
+    )
+    configs = spark.createDataFrame([("zlib", config)], "name string, doc string")
+    conandatas = spark.createDataFrame(
+        [("zlib", "all", conandata)], "name string, folder string, doc string"
+    )
+    conanfiles = spark.createDataFrame(
+        [("zlib", "all", conanfile)], "name string, folder string, doc string"
+    )
+    rows = map_conan_requests(requests, configs, conandatas, conanfiles).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.status == "collected"
+    # url LIST takes its first element (conan.py:79-91)
+    assert r.download_url == "https://zlib.net/fossils/zlib-1.3.1.tar.gz"
+    assert r.sha256 == "9a93b2b7dfdac77ceba5a558a580e74667dd6fede4585b91eefb60f03b72df23"
+    assert r.extracted_license_statement == "Zlib"
+    assert r.homepage_url == "https://zlib.net"
+    assert r.keywords == "zlib; compression"
+    assert r.description and r.description.startswith(
+        "A Massively Spiffy Yet Delicately Unobtrusive Compression Library"
+    )
