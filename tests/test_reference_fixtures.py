@@ -505,3 +505,38 @@ def test_conan_recipe_matches_reference_docs(spark):
     assert r.description and r.description.startswith(
         "A Massively Spiffy Yet Delicately Unobtrusive Compression Library"
     )
+
+
+def test_apache_podling_matches_reference_expected(spark):
+    from purldb_spark.sources.miners7 import map_apache_podlings
+
+    doc = _load("apache/podling_amaterasu.json")
+    expected = json.loads(_load("apache/podling_amaterasu_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_apache_podlings(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+
+
+def test_apache_download_matches_reference_expected(spark):
+    from purldb_spark.sources.miners7 import map_apache_downloads
+
+    expected = json.loads(_load("apache/map-groovy_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    docs = spark.createDataFrame(
+        [(e["download_url"], "pkg:apache/groovy@2.4.6", None)],
+        "uri string, package_url string, data string",
+    )
+    rows = map_apache_downloads(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.download_url == e["download_url"]
