@@ -540,3 +540,44 @@ def test_apache_download_matches_reference_expected(spark):
     assert r.name == e["name"]
     assert r.version == e["version"]
     assert r.download_url == e["download_url"]
+
+
+def test_rpm_repodata_matches_reference_expected(spark):
+    """Full repomd pipeline over the REAL pgpool repodata (gzipped
+    primary/filelists/other + repomd.xml) vs the reference's
+    expected.json package list."""
+    import gzip
+
+    from purldb_spark.sources.rpm_repodata import map_repomd_packages
+
+    base_dir = os.path.join(_TESTFILES, "repodata_rpms/repomd_parser/pgpool")
+
+    def _gz(name):
+        return gzip.open(os.path.join(base_dir, name)).read().decode()
+
+    repomd = open(os.path.join(base_dir, "repomd.xml")).read()
+    expected = json.loads(open(os.path.join(base_dir, "expected.json")).read())
+    base_url = "http://pgpool.net/yum/rpms/3.4/redhat/rhel-6-x86_64"
+    repos = spark.createDataFrame(
+        [
+            (
+                "pgpool",
+                base_url,
+                repomd,
+                _gz("primary.xml.gz"),
+                _gz("filelists.xml.gz"),
+                _gz("other.xml.gz"),
+            )
+        ],
+        "repo_id string, base_url string, repomd_xml string,"
+        " primary_xml string, filelists_xml string, other_xml string",
+    )
+    rows = {r.name: r for r in map_repomd_packages(repos).collect()}
+    assert len(rows) == len(expected) == 3
+    for e in expected:
+        r = rows[e["name"]]
+        assert r.version == e["version"]
+        assert r.description == e["description"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.download_url == e["download_url"]
+        assert r.extracted_license_statement == e["extracted_license_statement"]
