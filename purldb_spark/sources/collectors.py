@@ -75,13 +75,31 @@ def parse_pom_cols(
     body = F.regexp_replace(pom, r"(?s)<parent>.*?</parent>", "")
     licenses = F.regexp_extract(body, r"(?s)<licenses>(.*?)</licenses>", 1)
     developers = F.regexp_extract(body, r"(?s)<developers>(.*?)</developers>", 1)
+    organization = F.regexp_extract(
+        body, r"(?s)<organization>(.*?)</organization>", 1
+    )
     body_plain = F.regexp_replace(
-        F.regexp_replace(body, r"(?s)<licenses>.*?</licenses>", ""),
-        r"(?s)<developers>.*?</developers>",
+        F.regexp_replace(
+            F.regexp_replace(body, r"(?s)<licenses>.*?</licenses>", ""),
+            r"(?s)<developers>.*?</developers>",
+            "",
+        ),
+        r"(?s)<organization>.*?</organization>",
         "",
     )
     lic_names = F.regexp_extract_all(licenses, F.lit(r"<name>([^<]*)</name>"), 1)
     dev_names = F.regexp_extract_all(developers, F.lit(r"<name>([^<]*)</name>"), 1)
+    # the <organization> is a party too (packagedcode maven: Party type
+    # organization, role owner) — appended after the developers
+    org_name = F.nullif(
+        F.trim(F.regexp_extract(organization, r"<name>([^<]*)</name>", 1)),
+        F.lit(""),
+    )
+    all_parties = F.concat_ws(
+        "; ",
+        F.nullif(F.array_join(dev_names, "; "), F.lit("")),
+        org_name,
+    )
     return docs.select(
         *keep_cols,
         _pom_field(body_plain, "groupId").alias("g"),
@@ -93,7 +111,7 @@ def parse_pom_cols(
         F.nullif(F.array_join(lic_names, " AND "), F.lit("")).alias(
             "declared_license_expression"
         ),
-        F.nullif(F.array_join(dev_names, "; "), F.lit("")).alias("parties"),
+        F.nullif(all_parties, F.lit("")).alias("parties"),
         _pom_field(parent, "groupId").alias("parent_g"),
         _pom_field(parent, "artifactId").alias("parent_a"),
         _pom_field(parent, "version").alias("parent_v"),

@@ -581,3 +581,55 @@ def test_rpm_repodata_matches_reference_expected(spark):
         assert r.homepage_url == e["homepage_url"]
         assert r.download_url == e["download_url"]
         assert r.extracted_license_statement == e["extracted_license_statement"]
+
+
+def test_maven_pom_ancestry_matches_reference_expected(spark):
+    """Ancestry merge over the REAL ant-antlr POM chain (ant-antlr ->
+    ant-parent, reference before/after fixtures): the merge fills
+    parties from the ancestor's <organization> and the license from the
+    ancestor's <licenses> block, child fields never overwritten.
+    (The reference's after-file shows the scancode-DETECTED expression
+    'apache-2.0'; this engine carries the raw extracted statement — the
+    detection step is scancode-toolkit territory, documented.)"""
+    from purldb_spark.sources.collectors import (
+        merge_pom_ancestors,
+        parse_pom_cols,
+    )
+
+    before = json.loads(_load("maven/pom/ant-antlr-1.10.1-package_before.json"))
+    after = json.loads(_load("maven/pom/ant-antlr-1.10.1-package_after.json"))
+    poms_df = spark.createDataFrame(
+        [
+            (_load("maven/pom/ant-antlr-1.10.1.pom"),),
+            (_load("maven/pom/ant-parent-1.10.1.pom"),),
+            (_load("maven/pom/apache-18.pom"),),
+        ],
+        "pom_text string",
+    )
+    packages = spark.createDataFrame(
+        [
+            (
+                before["purl"],
+                before["namespace"],
+                before["name"],
+                before["version"],
+                before["declared_license_expression"],
+                before["homepage_url"],
+                None,  # parties: empty before the merge
+            )
+        ],
+        "purl string, namespace string, name string, version string,"
+        " declared_license_expression string, homepage_url string,"
+        " parties string",
+    )
+    rows = merge_pom_ancestors(packages, parse_pom_cols(poms_df), max_depth=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the filled party is the ancestor organization, exactly the name the
+    # reference's after-file records
+    assert r.parties == after["parties"][0]["name"]
+    # license filled from the ancestor chain: the raw POM license name of
+    # the same <licenses> block scancode detects 'apache-2.0' from
+    assert r.declared_license_expression == "The Apache Software License, Version 2.0"
+    # child fields that had values keep them
+    assert r.purl == before["purl"]
