@@ -453,3 +453,81 @@ def x_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pattern, handler in ECOSYSTEM_ROUTES:
         router.append(pattern, lambda _u: None, handler)
     return router.route_frontier(frontier, "uri").select("uri", "handler")
+
+
+@query(
+    "x_debian_sources_map",
+    oracle=f"""
+    WITH base AS (
+      SELECT s_suppkey AS k, {_DEB_NAME_SQL} AS name, {_DEB_VER_SQL} AS ver,
+             {_DEB_SECTION_SQL} AS section, trim(s_name) AS m_name,
+             md5(s_name) AS h1, md5(upper(s_name)) AS h2,
+             md5(s_name || 'x') AS h3
+      FROM supplier
+    ),
+    files AS (
+      SELECT *, name || '_' || ver || (CASE WHEN f = 1 THEN '.dsc'
+                                            ELSE '.orig.tar.xz' END) AS fname,
+             CASE WHEN f = 1 THEN h1 ELSE h2 END AS fmd5
+      FROM base CROSS JOIN (VALUES (1), (2)) t(f)
+    )
+    SELECT 'deb' AS type, name, ver AS version,
+           'pkg:deb/' || name || '@' || replace(ver, '+', '%2B') AS purl,
+           name || '-bin,' || section AS keywords,
+           m_name AS maintainer_name,
+           name || '@example.org' AS maintainer_email,
+           CASE WHEN k % 2 = 0 THEN 'Up One; Up Two' END AS uploaders,
+           'https://example.org/' || name AS homepage_url,
+           'https://browse.example/' || name AS code_view_url,
+           'git+https://git.example/' || name || '.git' AS vcs_url,
+           fmd5 AS md5,
+           substr(h3 || h3, 1, 40) AS sha1, h1 || h2 AS sha256,
+           '{DEBIAN_BASE}/pool/main/' || substr(name, 1, 1) || '/' || name
+             || '/' || fname AS download_url,
+           'debian_sources_metadata' AS datasource_id
+    FROM files
+    """,
+)
+def x_debian_sources_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debian Sources mapper (build_source_file_packages,
+    debian.py:425-493): one row per Files entry, maintainer + uploaders
+    parties, Binary+Section keywords, pool download URLs, and the
+    reference's last-checksum-entry quirk for sha1/sha256."""
+    from purldb_spark.sources.miners import map_debian_sources
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    name = F.lower(F.replace(F.trim(F.col("s_name")), F.lit("#"), F.lit("-")))
+    ver = F.concat(F.lit("1."), (k % 20).cast("string"))
+    section = F.when(k % 3 == 0, "libs").when(k % 3 == 1, "utils").otherwise("net")
+    h1 = F.md5("s_name")
+    h2 = F.md5(F.upper(F.col("s_name")))
+    h3 = F.md5(F.concat(F.col("s_name"), F.lit("x")))
+    sha1a = F.substring(F.concat(h3, h3), 1, 40)
+    sha1b = F.substring(F.concat(h3, h3), 1, 40)
+    uploaders = F.when(
+        k % 2 == 0,
+        F.lit("Uploaders: Up One <one@ex.org>, Up Two <two@ex.org>\n"),
+    ).otherwise(F.lit(""))
+    para = F.concat(
+        F.lit("Package: "), name,
+        F.lit("\nBinary: "), name, F.lit("-bin"),
+        F.lit("\nVersion: "), ver,
+        F.lit("\nMaintainer: "), F.trim(F.col("s_name")),
+        F.lit(" <"), name, F.lit("@example.org>\n"),
+        uploaders,
+        F.lit("Files:\n "), h1, F.lit(" 100 "), name, F.lit("_"), ver, F.lit(".dsc\n "),
+        h2, F.lit(" 200 "), name, F.lit("_"), ver, F.lit(".orig.tar.xz\n"),
+        F.lit("Checksums-Sha1:\n "), sha1a, F.lit(" 100 a.dsc\n "),
+        sha1b, F.lit(" 200 b.tar.xz\n"),
+        F.lit("Checksums-Sha256:\n "), F.concat(h2, h3), F.lit(" 100 a.dsc\n "),
+        F.concat(h1, h2), F.lit(" 200 b.tar.xz\n"),
+        F.lit("Homepage: https://example.org/"), name,
+        F.lit("\nVcs-Browser: https://browse.example/"), name,
+        F.lit("\nVcs-Git: https://git.example/"), name, F.lit(".git\n"),
+        F.lit("Section: "), section,
+        F.lit("\nDirectory: pool/main/"), F.substring(name, 1, 1),
+        F.lit("/"), name, F.lit("\n"),
+    )
+    docs = s.select(para.alias("text"))
+    return map_debian_sources(split_paragraphs(docs, "text"))

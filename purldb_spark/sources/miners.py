@@ -292,6 +292,28 @@ def _field(key: str) -> Column:
     )
 
 
+def _folded(key: str) -> Column:
+    """A folded RFC822 field: the key line plus every continuation line
+    (leading space), unfolding NOT applied — callers split the block."""
+    return F.nullif(
+        F.regexp_extract(
+            F.col("para"), rf"(?m)^{key}:(.*(?:\n [^\n]*)*)", 1
+        ),
+        F.lit(""),
+    )
+
+
+def _purl_encode(v: Column) -> Column:
+    """Percent-encode a purl version/name part the way packageurl-python's
+    quote(safe='') does for the characters debian versions actually use
+    ('~' -> %7E, '+' -> %2B, ':' -> %3A — fixture-verified on the
+    reference's Packages and Sources expected files). '%' first so the
+    escapes themselves survive."""
+    for ch, enc in (("%", "%25"), ("~", "%7E"), ("+", "%2B"), (":", "%3A")):
+        v = F.replace(v, F.lit(ch), F.lit(enc))
+    return v
+
+
 def map_debian_packages(paragraphs: DataFrame) -> DataFrame:
     """parse_packages (minecode/miners/debian.py:516-562) over parsed
     paragraph columns: purl pkg:deb/{name}@{version} — NO debian
@@ -331,7 +353,7 @@ def map_debian_packages(paragraphs: DataFrame) -> DataFrame:
             F.lit("pkg:deb/"),
             _field("Package"),
             F.lit("@"),
-            F.replace(_field("Version"), F.lit("~"), F.lit("%7E")),
+            _purl_encode(_field("Version")),
         ).alias("purl"),
         F.lit("deb").alias("type"),
         F.lit(None).cast("string").alias("namespace"),
@@ -356,6 +378,119 @@ def map_debian_packages(paragraphs: DataFrame) -> DataFrame:
             F.regexp_extract(F.col("para"), r"implemented-in::([a-z0-9+-]+)", 1),
             F.lit(""),
         ).alias("primary_language"),
+    )
+
+
+def map_debian_sources(paragraphs: DataFrame) -> DataFrame:
+    """Debian 'Sources' paragraphs -> ONE catalog row per Files entry
+    (build_source_file_packages, minecode/miners/debian.py:425-493):
+
+    - parties: Maintainer (role maintainer) + comma-split Uploaders
+      (role contributor), 'Name <email>' parsed apart;
+    - keywords: comma-split Binary names + Section;
+    - download_url = ftp.debian.org base / Directory / file name;
+    - md5 is the row's OWN Files entry; sha1/sha256 are the LAST entry
+      of the Checksums-Sha1/-Sha256 blocks for EVERY row — the
+      reference's per-entry loop overwrites the single field, so all of
+      a source's rows share the final value (fixture-verified quirk,
+      debian.py:478-490);
+    - vcs_url: the first Vcs-<tool> field as '<tool>+<url>'
+      (form_vcs_url), Vcs-Browser excluded;
+    - purl pkg:deb/{name}@{version} with the version percent-encoded.
+    """
+    files_block = _folded("Files")
+    file_entries = F.filter(
+        F.transform(
+            F.split(F.coalesce(files_block, F.lit("")), "\n"),
+            lambda l: F.struct(
+                F.regexp_extract(l, r"^\s*([0-9a-f]{32}) ", 1).alias("md5"),
+                F.regexp_extract(l, r"(\S+)\s*$", 1).alias("fname"),
+            ),
+        ),
+        lambda e: (e["md5"] != "") & (e["fname"] != ""),
+    )
+
+    def _last_cksum(key: str, rx: str) -> Column:
+        entries = F.regexp_extract_all(
+            F.coalesce(_folded(key), F.lit("")), F.lit(rf"(?m)^\s*({rx}) "), 1
+        )
+        return F.try_element_at(entries, F.lit(-1))
+
+    maint = _field("Maintainer")
+    uploaders = F.coalesce(_field("Uploaders"), F.lit(""))
+    up_names = F.filter(
+        F.transform(
+            F.split(uploaders, ","),
+            lambda u: F.nullif(
+                F.trim(F.regexp_extract(u, r"^([^<]*)", 1)), F.lit("")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    binaries = F.filter(
+        F.transform(
+            F.split(F.coalesce(_field("Binary"), F.lit("")), ","),
+            lambda b: F.nullif(F.trim(b), F.lit("")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    vcs = F.coalesce(
+        *[
+            F.when(
+                _field(f"Vcs-{tool}").isNotNull(),
+                F.concat(F.lit(pre + "+"), _field(f"Vcs-{tool}")),
+            )
+            for tool, pre in (("Git", "git"), ("Svn", "svn"), ("Hg", "hg"), ("Bzr", "bzr"))
+        ]
+    )
+    name, version = _field("Package"), _field("Version")
+    base = paragraphs.select(
+        F.lit("deb").alias("type"),
+        name.alias("name"),
+        version.alias("version"),
+        F.concat(
+            F.lit("pkg:deb/"), name, F.lit("@"), _purl_encode(version)
+        ).alias("purl"),
+        F.concat_ws(",", F.array_join(binaries, ","), _field("Section")).alias(
+            "keywords"
+        ),
+        F.nullif(
+            F.trim(F.regexp_extract(maint, r"^([^<]*)", 1)), F.lit("")
+        ).alias("maintainer_name"),
+        F.nullif(F.regexp_extract(maint, r"<([^>]*)>", 1), F.lit("")).alias(
+            "maintainer_email"
+        ),
+        F.nullif(F.array_join(up_names, "; "), F.lit("")).alias("uploaders"),
+        _field("Homepage").alias("homepage_url"),
+        _field("Vcs-Browser").alias("code_view_url"),
+        vcs.alias("vcs_url"),
+        _last_cksum("Checksums-Sha1", "[0-9a-f]{40}").alias("sha1"),
+        _last_cksum("Checksums-Sha256", "[0-9a-f]{64}").alias("sha256"),
+        F.concat(
+            F.lit(DEBIAN_BASE + "/"), _field("Directory"), F.lit("/")
+        ).alias("_dir"),
+        file_entries.alias("_files"),
+    )
+    exploded = base.select(
+        "*", F.explode("_files").alias("_f")
+    )
+    return exploded.select(
+        "type",
+        "name",
+        "version",
+        "purl",
+        "keywords",
+        "maintainer_name",
+        "maintainer_email",
+        "uploaders",
+        "homepage_url",
+        "code_view_url",
+        "vcs_url",
+        F.col("_f")["md5"].alias("md5"),
+        "sha1",
+        "sha256",
+        F.concat(F.col("_dir"), F.col("_f")["fname"]).alias("download_url"),
+        F.lit("debian_sources_metadata").alias("datasource_id"),
     )
 
 

@@ -633,3 +633,37 @@ def test_maven_pom_ancestry_matches_reference_expected(spark):
     assert r.declared_license_expression == "The Apache Software License, Version 2.0"
     # child fields that had values keep them
     assert r.purl == before["purl"]
+
+
+def test_debian_sources_mapper_matches_reference_expected(spark):
+    from purldb_spark.sources.miners import map_debian_sources, split_paragraphs
+
+    text = _load("debian/sources/debian_Sources")
+    expected = json.loads(
+        _load("debian/sources/debian_Sources_mapped-expected-packages.json")
+    )
+    rows = map_debian_sources(
+        split_paragraphs(spark.createDataFrame([(text,)], "text string"), "text")
+    ).collect()
+    assert len(rows) == len(expected)
+    by_url = {r.download_url: r for r in rows}
+    for e in expected:
+        r = by_url[e["download_url"]]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.purl == e["purl"]
+        assert r.md5 == e["md5"]
+        # sha1/sha256: the reference's loop keeps only the LAST checksum
+        # entry for every row — replicated
+        assert r.sha1 == e["sha1"]
+        assert r.sha256 == e["sha256"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.code_view_url == e["code_view_url"]
+        assert r.vcs_url == e["vcs_url"]
+        assert sorted(r.keywords.split(",")) == sorted(e["keywords"])
+        parties = e["parties"]
+        maints = [p["name"] for p in parties if p["role"] == "maintainer"]
+        contribs = [p["name"] for p in parties if p["role"] == "contributor"]
+        assert [r.maintainer_name] == maints
+        assert (r.uploaders.split("; ") if r.uploaders else []) == contribs
