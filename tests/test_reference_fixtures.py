@@ -667,3 +667,24 @@ def test_debian_sources_mapper_matches_reference_expected(spark):
         contribs = [p["name"] for p in parties if p["role"] == "contributor"]
         assert [r.maintainer_name] == maints
         assert (r.uploaders.split("; ") if r.uploaders else []) == contribs
+
+
+def test_openssl_listing_matches_reference_expected(spark):
+    from purldb_spark.sources.miners9 import map_openssl_listing
+
+    expected = json.loads(_load("openssl/openssl_mapper_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    docs = spark.createDataFrame(
+        [(e["download_url"], e["size"], e["release_date"])],
+        "uri string, size long, last_modified_date string",
+    )
+    rows = map_openssl_listing(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    for field in (
+        "type", "name", "version", "description", "homepage_url",
+        "download_url", "copyright", "vcs_url", "code_view_url",
+        "bug_tracking_url", "extracted_license_statement", "size",
+    ):
+        assert getattr(r, field) == e[field], field
+    assert r.release_date == e["release_date"]
