@@ -257,13 +257,23 @@ def map_dockerhub_docs(
     namespace_col: str = "namespace",
 ) -> DataFrame:
     """Docker Hub repository summary + tags -> one row per tag
-    (dockerhub.py:200-246 build_package_data)."""
+    (dockerhub.py:200-246 build_package_data); a doc with NO tags still
+    yields one summary-only row (the library-JSON mapper path,
+    miners/dockerhub.py:174-198 build_packages_from_jsonfile — its
+    expected fixture is the elixir summary with no version/download)."""
     j = F.from_json(F.col(json_col), DOCKERHUB_SCHEMA)
+    null_tag = F.lit(None).cast(
+        "struct<name:string,full_size:bigint,digest:string,"
+        "last_updater_username:string>"
+    )
+    tags_or_summary = F.when(
+        j["tags"].isNotNull() & (F.size(j["tags"]) > 0), j["tags"]
+    ).otherwise(F.array(null_tag))
     base = docs.select(
         F.col(name_col).alias("_name"),
         F.col(namespace_col).alias("_ns_raw"),
         j["summary"].alias("s"),
-        F.explode(j["tags"]).alias("t"),
+        F.explode(tags_or_summary).alias("t"),
     )
     ns = F.coalesce(F.col("_ns_raw"), F.lit("library"))
     s, t = F.col("s"), F.col("t")

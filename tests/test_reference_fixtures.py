@@ -688,3 +688,46 @@ def test_openssl_listing_matches_reference_expected(spark):
     ):
         assert getattr(r, field) == e[field], field
     assert r.release_date == e["release_date"]
+
+
+def test_dockerhub_summary_matches_reference_expected(spark):
+    """A repo doc with NO tags maps to the single summary row the
+    library-JSON mapper yields (miners/dockerhub.py:174-198), using the
+    real elixir summary fixture."""
+    from purldb_spark.sources.miners6 import map_dockerhub_docs
+
+    summary = json.loads(_load("dockerhub/elixir.json"))
+    expected = json.loads(_load("dockerhub/expected_dockerhubmapper.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    doc = json.dumps({"summary": summary, "tags": []})
+    rows = map_dockerhub_docs(
+        spark.createDataFrame(
+            [(e["name"], None, doc)], "name string, namespace string, doc string"
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"] is None
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.download_url is None
+
+
+def test_gstreamer_url_matches_reference_expected(spark):
+    from purldb_spark.sources.miners9 import map_gstreamer_urls
+
+    expected = json.loads(_load("gstreamer/mapper_build_from_url-expected"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_gstreamer_urls(
+        spark.createDataFrame([(e["download_url"],)], "uri string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.purl == e["purl"]
+    assert r.download_url == e["download_url"]
+    assert r.homepage_url == e["homepage_url"]
