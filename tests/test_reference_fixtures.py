@@ -731,3 +731,23 @@ def test_gstreamer_url_matches_reference_expected(spark):
     assert r.purl == e["purl"]
     assert r.download_url == e["download_url"]
     assert r.homepage_url == e["homepage_url"]
+
+
+def test_nuget_catalog_entry_matches_reference_expected(spark):
+    from purldb_spark.sources.miners2 import map_nuget_docs
+
+    doc = _load("nuget/entityframework2.json")
+    expected = json.loads(_load("nuget/nuget_mapper_expected.json"))
+    e = expected[0] if isinstance(expected, list) else expected
+    rows = map_nuget_docs(spark.createDataFrame([(doc,)], "doc string")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    # summary == description here -> the identical long part is dropped
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.declared_license == e["extracted_license_statement"]
+    assert r.authors == [p["name"] for p in e["parties"]]
+    assert r.keywords == e["keywords"]
