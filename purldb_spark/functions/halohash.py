@@ -90,8 +90,12 @@ def bah128_fingerprint(
                 if hi == 0
                 else F.col(f"__s{j}_{p}").bitwiseAND(F.lit(0xFFFFFFFF))
             )
-            # majority: strictly more ones than elements_count / 2
-            bit = (ones * 2 > n).cast("int")
+            # the toolkit's polarity: bit SET when strictly FEWER than
+            # half the element hashes carry the bit (ties -> 0) —
+            # verified bit-exactly against the serialized
+            # directory_content fingerprints in the reference's abbot and
+            # wagon-api scan fixtures (complement analysis: 18/18 dirs)
+            bit = (ones * 2 < n).cast("int")
             byte = byte + F.shiftleft(bit, 7 - k)
         out_bytes.append(_lower_hex(byte, 2))
     bah = F.concat(*out_bytes)
@@ -132,7 +136,7 @@ def bah128_fingerprint_sql(
     ),
     by AS (
       SELECT {gl}, byte_j, any_value(n) AS n,
-             sum(CASE WHEN ones * 2 > n THEN
+             sum(CASE WHEN ones * 2 < n THEN
                    CAST(pow(2, 7 - bit_k) AS INTEGER) ELSE 0 END) AS byte
       FROM colsum GROUP BY {gl}, byte_j
     ),
@@ -155,6 +159,7 @@ def directory_fingerprints(
     size_col: str = "size",
     extra_group_cols: list[str] | None = None,
     kind: str = "content",
+    min_files: int = 2,
 ) -> DataFrame:
     """Compute the reference's ApproximateDirectory{Content,Structure}Index
     fingerprints from a flat file listing — the piece matchcode delegates to
@@ -168,6 +173,13 @@ def directory_fingerprints(
     bah128 aggregation per (group, directory).  At 100 TB the explode is a
     narrow map (depth x rows) and the only shuffle is the fingerprint agg
     with map-side partials.
+
+    Directories with fewer than ``min_files`` descendant files get NO
+    fingerprint — the toolkit skips them entirely (every fingerprinted
+    directory in the reference's serialized scan fixtures has >= 2
+    descendant files, and its own async directory-matching expected
+    files show the single-file ``package/lib`` dir unmatched on both
+    sides).
     """
     extra = list(extra_group_cols or [])
     segs = F.split(F.col(path_col), "/")
@@ -180,16 +192,22 @@ def directory_fingerprints(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    src = files
-    if kind == "content":
-        src = src.filter(F.col(sha1_col).isNotNull())
-    exploded = src.select(
+    all_exploded = files.select(
         *[F.col(c) for c in extra],
         F.col(path_col).alias("__p"),
         F.col(sha1_col).alias("__sha1"),
         F.col(size_col).cast("long").alias("__size"),
         F.explode(ancestors).alias("directory"),
     )
+    eligible = (
+        all_exploded.groupBy(*extra, "directory")
+        .agg(F.count(F.lit(1)).alias("__nf"))
+        .filter(F.col("__nf") >= min_files)
+        .drop("__nf")
+    )
+    exploded = all_exploded.join(eligible, extra + ["directory"], "left_semi")
+    if kind == "content":
+        exploded = exploded.filter(F.col("__sha1").isNotNull())
     if kind == "content":
         element = F.col("__sha1")
     elif kind == "structure":
@@ -210,10 +228,12 @@ def directory_fingerprints_sql(
     files_sql: str,
     group_cols: list[str],
     kind: str = "content",
+    min_files: int = 2,
 ) -> str:
     """DuckDB oracle for :func:`directory_fingerprints`.  ``files_sql`` must
     select ``group_cols + [path, sha1, size]``."""
     gl = group_cols + ["directory"]
+    gexpr = ", ".join(gl)
     element = (
         "sha1"
         if kind == "content"
@@ -228,6 +248,14 @@ def directory_fingerprints_sql(
           SELECT *, string_split(path, '/') AS segs FROM ({files_sql}) {where}
         ) f, (SELECT unnest(range(1, 64)) AS d) ds
         WHERE d < len(segs)
+      )
+      WHERE ({gexpr}) IN (
+        SELECT {gexpr} FROM (
+          SELECT g.*, array_to_string(segs[1:d], '/') AS directory FROM (
+            SELECT *, string_split(path, '/') AS segs FROM ({files_sql})
+          ) g, (SELECT unnest(range(1, 64)) AS d) ds
+          WHERE d < len(segs)
+        ) GROUP BY {gexpr} HAVING count(*) >= {min_files}
       )
     """
     return bah128_fingerprint_sql(source, gl, "el")

@@ -1,7 +1,10 @@
 """BAH128 bit-average halohash — Spark aggregation vs an independent
-pure-Python implementation of the public algorithm (bit majority over
-per-element md5 digests, matchcode-toolkit/README.rst:4-8), plus the
-chunk-splitting vector mirrored from matchcode/tests/test_models.py:420-431.
+pure-Python implementation (per-element md5 digests; bit SET when
+strictly FEWER than half the elements carry it, ties -> 0 — the
+toolkit polarity, verified bit-exactly against the reference's
+serialized directory_content fingerprints in
+tests/test_halohash_reference_exact.py), plus the chunk-splitting
+vector mirrored from matchcode/tests/test_models.py:420-431.
 """
 
 from __future__ import annotations
@@ -18,7 +21,8 @@ from purldb_spark.functions.halohash import (
 
 
 def bah128_py(elements: list[str]) -> tuple[int, str]:
-    """Reference implementation: column-sum of md5 bits, strict majority."""
+    """Reference implementation: column-sum of md5 bits; bit = 1 when
+    strictly fewer than half the elements carry it (ties -> 0)."""
     counts = [0] * 128
     for el in elements:
         digest = hashlib.md5(el.encode("utf-8")).digest()
@@ -28,7 +32,7 @@ def bah128_py(elements: list[str]) -> tuple[int, str]:
     n = len(elements)
     out = bytearray(16)
     for p, c in enumerate(counts):
-        if c * 2 > n:
+        if c * 2 < n:
             out[p // 8] |= 1 << (7 - p % 8)
     return n, out.hex()
 
@@ -40,13 +44,16 @@ def _spark_bah(spark, groups: dict[str, list[str]]) -> dict[str, tuple[int, str]
     return {r["g"]: (r["elements_count"], r["bah128"], r["fingerprint"]) for r in got}
 
 
-def test_single_element_equals_md5(spark):
-    """With one element the majority IS the digest: bah128 == md5(element).
-    This pins the bit order (MSB-first per byte) end to end."""
+def test_single_element_is_md5_complement(spark):
+    """With one element every 1-bit column ties-or-majorities to 0 and
+    every 0-bit column sets the output bit: bah128 == NOT(md5(element)).
+    This pins the bit order (MSB-first per byte) and polarity end to
+    end — the same relation the reference fixtures exhibit."""
     out = _spark_bah(spark, {"a": ["hello world"]})
     n, bah, fp = out["a"]
     assert n == 1
-    assert bah == hashlib.md5(b"hello world").hexdigest()
+    expected = bytes(b ^ 0xFF for b in hashlib.md5(b"hello world").digest()).hex()
+    assert bah == expected
     assert fp == "00000001" + bah
 
 
@@ -98,15 +105,21 @@ def test_directory_fingerprints_match_python(spark):
         raw = fh.read()
     docs = json.loads(raw) if raw.lstrip().startswith("[") else [json.loads(raw)]
     expected_elements = defaultdict(list)
+    file_counts = defaultdict(int)
     for doc in docs:
         for f in doc["files"]:
-            if f.get("type") != "file" or not f.get("sha1"):
+            if f.get("type") != "file":
                 continue
             parts = f["path"].split("/")
             for d in range(1, len(parts)):
-                expected_elements[(doc["package_uid"], "/".join(parts[:d]))].append(
-                    f["sha1"]
-                )
+                key = (doc["package_uid"], "/".join(parts[:d]))
+                file_counts[key] += 1
+                if f.get("sha1"):
+                    expected_elements[key].append(f["sha1"])
+    # the toolkit skips directories with < 2 descendant files
+    expected_elements = {
+        k: v for k, v in expected_elements.items() if file_counts[k] >= 2
+    }
     assert got.keys() == expected_elements.keys()
     for key, els in expected_elements.items():
         assert got[key] == bah128_py(els), key
