@@ -751,3 +751,60 @@ def test_nuget_catalog_entry_matches_reference_expected(spark):
     assert r.declared_license == e["extracted_license_statement"]
     assert r.authors == [p["name"] for p in e["parties"]]
     assert r.keywords == e["keywords"]
+
+
+def test_pypi_version_api_matches_reference_expected(spark):
+    """VersionAPI parse over the REAL django pypi.json fixture
+    (packagedb/tests/testfiles/package_manager_data/pypi.json): spot
+    values from the reference's own expected list
+    (test_package_managers.py:78-102)."""
+    from purldb_spark.sources.version_apis import parse_pypi
+
+    doc = open(
+        "/root/reference/packagedb/tests/testfiles/package_manager_data/pypi.json"
+    ).read()
+    rows = parse_pypi(
+        spark.createDataFrame([("django", doc)], "pkg string, doc string")
+    ).collect()
+    by_ver = {r.version: r for r in rows}
+    # the reference's expected list has exactly 14 versions
+    assert len(rows) == 14
+    spot = {
+        "1.1.3": "2010-12-23",
+        "1.1.4": "2011-02-09",
+        "1.10rc1": "2016-07-18",
+        "1.10.8": "2017-09-05",
+    }
+    for v, day in spot.items():
+        assert v in by_ver, v
+        assert str(by_ver[v].release_date)[:10] == day, v
+
+
+def test_nuget_gem_version_apis_match_reference_expected(spark):
+    """NuGet + RubyGems VersionAPI parses over the real fixtures vs the
+    reference's expected lists (test_package_managers.py:46-121)."""
+    from purldb_spark.sources.version_apis import parse_nuget, parse_rubygems
+
+    base = "/root/reference/packagedb/tests/testfiles/package_manager_data"
+    ndoc = open(f"{base}/nuget-data.json").read()
+    nrows = parse_nuget(
+        spark.createDataFrame([("pkg", ndoc)], "pkg string, doc string")
+    ).collect()
+    nspot = {
+        "2.1.0": "2011-01-22",
+        "3.5.0-beta2": "2015-01-01",
+        "3.5.1": "2015-01-23",
+    }
+    assert len(nrows) == 12
+    by_ver = {r.version: r for r in nrows}
+    for v, day in nspot.items():
+        assert str(by_ver[v].release_date)[:10] == day, v
+
+    gdoc = open(f"{base}/gem.json").read()
+    grows = parse_rubygems(
+        spark.createDataFrame([("rails", gdoc)], "pkg string, doc string")
+    ).collect()
+    assert {(r.version, str(r.release_date)[:10]) for r in grows} == {
+        ("7.0.2.3", "2022-03-08"),
+        ("7.0.2.2", "2022-02-11"),
+    }
