@@ -86,17 +86,18 @@ def _verification_state() -> tuple[set[str], set[str]]:
 
 
 def _rotated_names() -> list[str]:
-    """Stale first, then never-green, then verified.
+    """Never-driver-checked first, then stale, then verified.
 
-    The driver's check window is bounded; when stale + new together exceed
-    it, the stale ones (green once, changed since — regression risk) must
-    all land inside the window, ahead of brand-new queries that were just
-    locally oracle-verified during development.
+    The driver's check window is bounded; queries that have NEVER held a
+    driver slot (no recorded green hash at all) carry zero external
+    evidence, so they outrank stale ones (green once at an older source —
+    regression risk, but at least once externally confirmed), which in
+    turn outrank currently-verified ones being re-confirmed.
     """
     verified, stale = _verification_state()
     return (
-        [n for n in QUERIES if n in stale]
-        + [n for n in QUERIES if n not in stale and n not in verified]
+        [n for n in QUERIES if n not in stale and n not in verified]
+        + [n for n in QUERIES if n in stale]
         + [n for n in QUERIES if n in verified]
     )
 

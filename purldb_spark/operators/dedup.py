@@ -355,7 +355,11 @@ def contamination_overlap(
 
 
 def connected_components(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 10
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 10,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate clusters from near-dup pairs: connected components by
     min-label propagation, component id = smallest member id.
@@ -373,6 +377,16 @@ def connected_components(
     safety margin, not a tuning knob. At 100 TB the same loop holds —
     this is pointer-jumping CC, the standard logarithmic variant.
 
+    Convergence early-exit: labels only ever DECREASE under min-label
+    propagation, so a wave with zero changed labels means fixpoint and
+    the loop breaks — the changed-count is one filter+count action on
+    the frame the wave already materializes via localCheckpoint, so at
+    100 TB the check costs nothing beyond the wave itself while the
+    deep ``max_iter`` bound stays a pure safety net (a near-clique
+    settles in 2–3 waves instead of burning all 10 waves' shuffles).
+    Pass ``stats={}`` to observe ``stats["waves"]`` (waves executed,
+    including the one that detects the fixpoint).
+
     Returns (node, label) for every node appearing in an edge.
     """
     sym = (
@@ -388,7 +402,9 @@ def connected_components(
         .dropDuplicates()
         .withColumn("label", F.col("node"))
     )
+    waves = 0
     for _ in range(max_iter):
+        waves += 1
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"], "inner")
             .groupBy(F.col("src").alias("nbr_node"))
@@ -398,6 +414,7 @@ def connected_components(
             nbr, labels["node"] == nbr["nbr_node"], "left"
         ).select(
             F.col("node"),
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
@@ -406,10 +423,11 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        labels = (
+        nxt = (
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 F.col("node"),
+                F.col("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
@@ -417,4 +435,12 @@ def connected_components(
             # the plan references itself per wave — truncate lineage
             .localCheckpoint(eager=False)
         )
+        # this count is the action that materializes the checkpoint,
+        # so convergence detection rides the wave's own materialization
+        changed = nxt.filter(F.col("label") != F.col("old_label")).count()
+        labels = nxt.drop("old_label")
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["waves"] = waves
     return labels

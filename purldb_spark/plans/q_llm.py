@@ -706,9 +706,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    # 3 pointer-jumping waves cover diameter ~8; the thresholded near-dup
-    # clusters are near-cliques (diameter <= 2-3) — oracle-checked closure
-    cc = connected_components(near, "doc_a", "doc_b", max_iter=3)
+    # thresholded near-dup clusters are near-cliques: the changed-label
+    # early-exit stops after 2-3 waves; max_iter stays a deep safety bound
+    cc = connected_components(near, "doc_a", "doc_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

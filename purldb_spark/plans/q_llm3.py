@@ -116,7 +116,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    cc = connected_components(near, "doc_a", "doc_b", max_iter=3)
+    cc = connected_components(near, "doc_a", "doc_b")
     clusters = cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -90,6 +90,31 @@ def test_connected_components_deep_chain(spark):
     assert got[20] == 20 and got[21] == 20
 
 
+def test_connected_components_early_exit(spark):
+    from purldb_spark.operators.dedup import connected_components
+
+    # a 5-clique (the near-dup shape): neighbor-min resolves every label
+    # in wave 1, wave 2 observes zero changes and breaks — far under the
+    # max_iter=10 safety bound
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(1, 6) for j in range(i + 1, 6)], ["a", "b"]
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "a", "b", stats=stats).collect()
+    }
+    assert got == {n: 1 for n in range(1, 6)}
+    assert stats["waves"] <= 3
+
+    # the deep chain from the test above needs more waves but still exits
+    # before the bound
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], ["a", "b"])
+    stats2: dict = {}
+    connected_components(chain, "a", "b", stats=stats2).collect()
+    assert stats2["waves"] < 10
+
+
 def test_contamination_overlap_counts(spark):
     from purldb_spark.operators.dedup import contamination_overlap
 
