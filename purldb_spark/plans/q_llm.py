@@ -8,6 +8,7 @@ Dedup coverage map:
   SimHash          -> dedup_simhash         (bit votes→banded join→hamming)
   n-gram jaccard   -> dedup_ngram_jaccard   (inverted-index exact pairs)
   embedding cosine -> dedup_embedding_cosine
+  incremental      -> dedup_incremental     (new batch vs persistent band index)
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ from purldb_spark.functions.text import (
 from purldb_spark.operators.dedup import (
     df_capped_candidate_pairs,
     exact_dedup,
+    incremental_lsh_dedup,
     lsh_candidate_pairs,
     minhash_bands,
     simhash,
@@ -134,6 +136,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_bands(sh, "doc_id", _N_HASHES, _BAND_SIZE)
     cands = lsh_candidate_pairs(bands, "doc_id")
     return verify_jaccard(cands, sh, "doc_id", 0.5)
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM shingles GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT * FROM bands WHERE doc_id % 7 = 0) a
+      JOIN (SELECT * FROM bands WHERE doc_id % 7 <> 0) b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS intersection
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a AS new_id, id_b AS index_id, intersection,
+           CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) >= 0.5
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch of documents
+    checked against a persistent band INDEX (operators/dedup.py::
+    incremental_lsh_dedup), one equi-join of batch bands vs stored bands,
+    never an all-pairs recompute over the corpus.
+
+    The fixture split is deterministic (doc_id % 7 == 0 is the "new batch",
+    the rest is the "index") so the DuckDB oracle can replay it; in
+    production the index side is a parquet table partitioned by
+    hash(band_key) that each batch appends to after verification, making
+    per-batch cost O(batch x collision rate) regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    bands = minhash_bands(sh, "doc_id", _N_HASHES, _BAND_SIZE)
+    is_new = F.col("doc_id") % 7 == 0
+    cands = incremental_lsh_dedup(
+        bands.filter(is_new), bands.filter(~is_new), "doc_id"
+    )
+    verified = verify_jaccard(
+        cands.select(
+            F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")
+        ),
+        sh,
+        "doc_id",
+        0.5,
+    )
+    return verified.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("index_id"),
+        "intersection",
+        "jaccard",
+    )
 
 
 @query(
