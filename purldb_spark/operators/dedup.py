@@ -37,7 +37,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     """Distinct word n-gram shingles per document: (id, sh). Documents
     shorter than n words are dropped (Spark's `sequence` would run BACKWARD
     on a negative length — sequence(1, 0) is [1, 0] — so the guard is
-    load-bearing, not cosmetic)."""
+    load-bearing, not cosmetic).
+
+    Tokenization (split + explode) is the expensive map of every dedup
+    pipeline, so the operator guarantees it runs at full parallelism: when
+    the input arrives in fewer partitions than the cluster's default
+    parallelism (a small parquet file is one split), it is repartitioned
+    first. At 100 TB the scan already has thousands of splits and the
+    condition is false — no shuffle is added on the big-data path."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     return (
         df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
         .filter(F.size("w") >= n)
@@ -139,7 +149,11 @@ def incremental_lsh_dedup(
 
 
 def df_capped_candidate_pairs(
-    shingles: DataFrame, id_col: str, df_cap: int, min_support: int = 1
+    shingles: DataFrame,
+    id_col: str,
+    df_cap: int,
+    min_support: int = 1,
+    jaccard_floor: float | None = None,
 ) -> DataFrame:
     """Candidate pairs from the inverted index with a document-frequency cap:
     shingles held by more than `df_cap` documents are dropped from candidate
@@ -155,7 +169,18 @@ def df_capped_candidate_pairs(
     its shared shingles are rare, which for near-duplicates (many shared
     shingles) is vanishingly rare. The exact-jaccard verify still runs over
     the FULL shingle sets, so every emitted pair's score is exact. All
-    joins are equi-joins."""
+    joins are equi-joins.
+
+    With `jaccard_floor` set, candidates that provably cannot reach that
+    jaccard are dropped BEFORE the expensive full-set verify, losslessly:
+    a pair's true intersection I is bounded by I <= support + min(h_a, h_b)
+    (every shared shingle is either rare — counted exactly in `support` —
+    or hot, and a doc can share at most its own hot-shingle count h), and
+    jaccard >= t requires (1+t)*I >= t*(n_a+n_b). The bound needs only a
+    per-doc stats row (n total / h hot shingles — doc-count-sized, tiny
+    next to the posting table), so the prune is one equi-join over the
+    candidate list and typically kills the support-2..5 long tail that
+    dominates candidate volume without touching recall."""
     df_counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     rare = df_counts.filter(F.col("df") <= df_cap).select("sh")
     posting = shingles.join(rare, "sh", "inner")
@@ -173,9 +198,36 @@ def df_capped_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    return pair_support.filter(F.col("support") >= min_support).select(
-        "id_a", "id_b"
-    )
+    cands = pair_support.filter(F.col("support") >= min_support)
+    if jaccard_floor is not None:
+        n_total = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        n_rare = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("r"))
+        stats = n_total.join(n_rare, id_col, "left").select(
+            id_col,
+            "n",
+            (F.col("n") - F.coalesce(F.col("r"), F.lit(0))).alias("h"),
+        )
+        st_a = stats.select(
+            F.col(id_col).alias("id_a"),
+            F.col("n").alias("n_a"),
+            F.col("h").alias("h_a"),
+        )
+        st_b = stats.select(
+            F.col(id_col).alias("id_b"),
+            F.col("n").alias("n_b"),
+            F.col("h").alias("h_b"),
+        )
+        t = float(jaccard_floor)
+        cands = (
+            cands.join(st_a, "id_a")
+            .join(st_b, "id_b")
+            .filter(
+                (1.0 + t)
+                * (F.col("support") + F.least(F.col("h_a"), F.col("h_b")))
+                >= t * (F.col("n_a") + F.col("n_b"))
+            )
+        )
+    return cands.select("id_a", "id_b")
 
 
 def verify_jaccard(

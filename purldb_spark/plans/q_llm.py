@@ -257,7 +257,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the verify; without the checkpoint each consumer re-runs the
     # split/transform/explode tokenization over the full corpus
     sh = word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
-    cands = df_capped_candidate_pairs(sh, "doc_id", _DF_CAP, _MIN_SUPPORT)
+    cands = df_capped_candidate_pairs(
+        sh, "doc_id", _DF_CAP, _MIN_SUPPORT, jaccard_floor=0.5
+    )
     return verify_jaccard(cands, sh, "doc_id", 0.5)
 
 
