@@ -25,8 +25,9 @@ def test_query_matches_oracle(name, spark, oracle):
 
 def test_every_query_has_oracle_or_reason():
     missing = [n for n in QUERIES if n not in ORACLES]
-    # keep the no-oracle list intentional and small
+    # the no-oracle list is exact, not a prefix allowance:
     # f5_seqmatch_rank: SequenceMatcher.ratio is not SQL-expressible;
     # exact parity is proven by tests/test_seqmatch.py instead
-    allowed = {n for n in missing if n.startswith(("stream_", "mm_", "f5_seqmatch"))}
-    assert set(missing) == allowed, f"queries without oracle: {missing}"
+    assert set(missing) == {"f5_seqmatch_rank"}, (
+        f"queries without oracle: {missing}"
+    )
