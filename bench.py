@@ -96,6 +96,36 @@ def main() -> None:
     ]
     headline = {n: round(timings[n], 2) for n in headline_names if n in timings}
     other = round(total - sum(headline.values()), 2)
+
+    # family subtotals cover EVERY query (sum(families) ~== value), so a
+    # regression in a query that is not a named headline still moves a
+    # reported number instead of hiding inside other_sec
+    def family(name: str) -> str:
+        if name.startswith(("dedup_", "decontam", "knn_", "text_", "mm_")):
+            return "llm_ops"
+        if name.startswith(("match_", "f5_", "snippet", "x_bah128")):
+            return "match"
+        if "_map" in name or "_collect" in name or name.startswith(
+            ("x_route", "x_fetchcode", "x_golang", "x_version_api", "x_purl",
+             "x_maven_pom", "x_npm", "x_pypi_map", "x_cd_harvest",
+             "x_license", "x_debian")
+        ):
+            return "miners_collectors"
+        if name.startswith(("p", "s1", "s2")):
+            return "filters_scans"
+        if name.startswith("j"):
+            return "joins"
+        if name.startswith(("a", "w", "u", "q")):
+            return "aggs_windows_sets"
+        if name.startswith(("m", "t_", "v", "c")):
+            return "merge_stream_scalar"
+        return "other"
+
+    families: dict[str, float] = {}
+    for n, sec in timings.items():
+        families[family(n)] = families.get(family(n), 0.0) + max(sec, 0.0)
+    families = {k: round(v, 2) for k, v in sorted(families.items())}
+
     print(
         json.dumps(
             {
@@ -105,6 +135,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "fixture_build_sec": fixture_build_sec,
                 "other_sec": other,
+                "families": families,
                 "queries": headline,
                 "sf": sf_val,
             },
