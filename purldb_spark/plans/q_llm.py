@@ -269,6 +269,56 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOCK_BANDS = [hyperplanes(dim=64, n_planes=4, seed=100 + b) for b in range(4)]
 
 
+def embedding_blocked_pairs(
+    e: DataFrame, bands: list[list[list[float]]], threshold: float
+) -> DataFrame:
+    """LSH-bucket-blocked embedding near-dup pairs, parameterized by band
+    layout: each band's hyperplane list gives every vector one (band_idx,
+    bucket) key; candidate pairs share a key (ONE equi-join on the banded
+    table), then the exact normalized dot product verifies >= threshold.
+
+    Scale rule (measured in tools/scale_probe.py): bucket BITS must grow
+    with log(N). A band of k planes makes 2^k buckets, so random-pair
+    collisions — and with them candidate volume — scale as N²·bands/2^k;
+    holding k fixed while N grows 10x turns a linear plan quadratic. At
+    production N use ~log2(N) planes per band and add bands to buy back
+    recall."""
+    unit = e.select("vec_id", normalize_expr("embedding").alias("u"))
+    banded = None
+    for b, planes in enumerate(bands):
+        part = e.select(
+            "vec_id",
+            F.lit(b).alias("band_idx"),
+            bucket_expr("embedding", planes).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    cands = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    return (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+
 @query(
     "dedup_embedding_blocked",
     oracle=f"""
@@ -297,49 +347,17 @@ _BLOCK_BANDS = [hyperplanes(dim=64, n_planes=4, seed=100 + b) for b in range(4)]
     """,
 )
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for embedding near-dup pairs: LSH-bucket blocking.
-    4 independent bands of 4 deterministic hyperplanes give each vector 4
-    (band, bucket) keys; candidate pairs share a key (ONE equi-join on the
-    banded table), then the exact normalized dot product verifies >= 0.4.
+    """The scale path for embedding near-dup pairs: LSH-bucket blocking,
+    4 bands x 4 hyperplanes, exact cosine verify >= 0.4.
 
     vs dedup_embedding_cosine (the exact all-pairs ground truth): candidate
     generation is O(N · bucket occupancy) instead of O(N²), scores of
     emitted pairs are bit-identical, and recall is tuned by the band count
     exactly like MinHash-LSH. At 100 TB (band_idx, bucket) is the shuffle
-    key — uniform by construction (random hyperplanes), no skew."""
-    e = load(spark, sf_dir, "embeddings")
-    unit = e.select("vec_id", normalize_expr("embedding").alias("u"))
-    banded = None
-    for b, planes in enumerate(_BLOCK_BANDS):
-        part = e.select(
-            "vec_id",
-            F.lit(b).alias("band_idx"),
-            bucket_expr("embedding", planes).alias("bucket"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
-    a = banded.alias("a")
-    bb = banded.alias("b")
-    cands = (
-        a.join(
-            bb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-            "inner",
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .dropDuplicates()
-    )
-    ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
-    ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
-    return (
-        cands.join(ua, "id_a")
-        .join(ub, "id_b")
-        .withColumn("cosine", dot_expr("u_a", "u_b"))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", "cosine")
+    key — uniform by construction (random hyperplanes), no skew — and the
+    plane count per band grows with log(N) (see embedding_blocked_pairs)."""
+    return embedding_blocked_pairs(
+        load(spark, sf_dir, "embeddings"), _BLOCK_BANDS, 0.4
     )
 
 

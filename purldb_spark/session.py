@@ -20,7 +20,11 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "purldb_spark", cpus: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "purldb_spark",
+    cpus: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -39,6 +43,8 @@ def get_spark(app_name: str = "purldb_spark", cpus: str | None = None) -> SparkS
         # and convert in catalog.tables.load (Spark has no nanos timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
