@@ -73,6 +73,7 @@ def load_inventory() -> None:
         q_purlstore,
         q_validate,
         q_llm3,
+        q_llm4,
         q_multimodal,
         q_overlay,
         q_scans,
