@@ -631,6 +631,94 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUB_CAP = 16  # fingerprint document-frequency cap
+_SUB_MIN = 4  # shared fingerprints to call it substring overlap
+
+
+@query(
+    "dedup_substring_winnow",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS g
+      FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING) AS fp
+      FROM grams
+    ),
+    rare AS (
+      SELECT fp FROM winnowed GROUP BY fp HAVING count(*) <= {_SUB_CAP}
+    ),
+    posting AS (SELECT w.doc_id, w.fp FROM winnowed w JOIN rare r ON r.fp = w.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM posting a JOIN posting b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_SUB_MIN}
+    """,
+)
+def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap dedup: pairs of documents sharing >= 4
+    winnow fingerprints — the operator that catches COPIED PASSAGES
+    (boilerplate, quoted blocks) that whole-document jaccard misses when
+    the rest of the text differs.
+
+    Scale shape: winnowing keeps ~1/w of the gram hashes (one per window,
+    the classic winnowing guarantee), so the inverted index joined here is
+    4x smaller than the full shingle index of the jaccard family for the
+    same substring-match guarantee; the document-frequency cap bounds the
+    self-join fan-out exactly like df_capped_candidate_pairs. All
+    equi-joins, one shuffle on fp, map-side partial counts."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 5)
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> md5(concat_ws(' ', slice(w, i, 5))))"
+            )
+        ).alias("pos", "g"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _W - 1)
+    winnowed = (
+        grams.withColumn("fp", F.min("g").over(win))
+        .select("doc_id", "fp")
+        .dropDuplicates()
+    )
+    rare = (
+        winnowed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SUB_CAP)
+        .select("fp")
+    )
+    posting = winnowed.join(rare, "fp")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _SUB_MIN)
+    )
+
+
 from purldb_spark.operators.ivf import cell_expr, cell_sql  # noqa: E402
 
 
