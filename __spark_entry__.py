@@ -20,8 +20,10 @@ load_inventory()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary over lineitem) on /root/testdata/sf0.001."""
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end corpus-curation pipeline (dedup keep-best
+    -> quality + repetition gates -> stratified sample -> sequence packing,
+    plans/q_llm5.py) on /root/testdata/sf0.001."""
+    return QUERIES["corpus_curate_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def _prior_green() -> set[str]:

@@ -74,6 +74,7 @@ def load_inventory() -> None:
         q_validate,
         q_llm3,
         q_llm4,
+        q_llm5,
         q_multimodal,
         q_overlay,
         q_scans,
