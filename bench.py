@@ -101,6 +101,10 @@ def main() -> None:
     # regression in a query that is not a named headline still moves a
     # reported number instead of hiding inside other_sec
     def family(name: str) -> str:
+        if name.startswith(
+            ("sample_", "shuffle_", "pack_", "mix_", "corpus_")
+        ):
+            return "assembly"
         if name.startswith(("dedup_", "decontam", "knn_", "text_", "mm_")):
             return "llm_ops"
         if name.startswith(("match_", "f5_", "snippet", "x_bah128")):
