@@ -68,6 +68,41 @@ def test_pack_greedy_respects_budget(spark):
     assert out.count() == 1000  # every doc assigned exactly once
 
 
+def test_stratified_sample_monotone_under_rate_change(spark):
+    """Raising one stratum's rate only ADDS rows of that stratum and
+    changes nothing else — the property that makes re-mixing a 100 TB
+    corpus an incremental operation (hashes are stable, thresholds move)."""
+    d = _docs(spark)
+    lo = stratified_sample(d, "src", "doc_id", {"s1": 0.3}, 0.5, seed=5)
+    hi = stratified_sample(d, "src", "doc_id", {"s1": 0.6}, 0.5, seed=5)
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    added = hi_ids - lo_ids
+    srcs = {
+        r["src"]
+        for r in d.filter(F.col("doc_id").isin([int(x) for x in added]))
+        .select("src")
+        .distinct()
+        .collect()
+    }
+    assert srcs == {"s1"}
+
+
+def test_pack_bins_are_contiguous_per_shard(spark):
+    d = _docs(spark, 400)
+    out = pack_greedy(d, "doc_id", "toks", budget=512, seed=11)
+    for shard, bins in (
+        out.groupBy("shard")
+        .agg(F.collect_set("bin_id").alias("bins"))
+        .select("shard", "bins")
+        .toPandas()
+        .itertuples(index=False)
+    ):
+        got = sorted(bins)
+        assert got == list(range(len(got))), f"shard {shard} gap: {got}"
+
+
 def test_mixture_rates_math(spark):
     d = _docs(spark)
     out = mixture_rates(

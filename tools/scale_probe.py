@@ -51,6 +51,10 @@ PROBES = [
     ("text_winnow_fingerprint", "rolling-hash windows — linear"),
     ("match_cascade_full", "BAH128 agg + banded join — linear"),
     ("x_bah128_dir_content", "one 128-col aggregation — linear"),
+    ("sample_stratified", "map-only md5 threshold — linear"),
+    ("pack_sequences", "16-shard window cumsum — linear"),
+    ("shuffle_global", "sharded rank + broadcast offsets — linear"),
+    ("corpus_curate_pipeline", "full curation composition — pair-gen bound"),
 ]
 
 
