@@ -142,3 +142,58 @@ def bucket_sql(vec_col: str, planes: list[list[float]], dialect: str) -> str:
             )
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def multiprobe_keys(
+    e: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: list[list[list[float]]],
+) -> DataFrame:
+    """QUERY-side multiprobe key table: for each band, the vector's own
+    bucket plus every bucket at Hamming distance 1 (one plane's sign
+    flipped) — (id, band_idx, bucket), (1 + bits) rows per band.
+
+    Multiprobe is the recall knob that does NOT grow the index: the index
+    side keeps exactly one key per band (see BENCH_scale.md finding 1 —
+    bucket bits must grow with log N, which cuts per-band recall; probing
+    adjacent buckets buys it back on the query side only, so index size,
+    shuffle key distribution, and storage stay unchanged)."""
+    rows = []
+    for b, planes in enumerate(bands):
+        base = bucket_expr(vec_col, planes)
+        probes = F.array(
+            base, *[base.bitwiseXOR(F.lit(1 << j)) for j in range(len(planes))]
+        )
+        rows.append(
+            e.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.explode(probes).alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def index_keys(
+    e: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: list[list[list[float]]],
+) -> DataFrame:
+    """INDEX-side key table: exactly one (band_idx, bucket) per band."""
+    rows = [
+        e.select(
+            F.col(id_col),
+            F.lit(b).alias("band_idx"),
+            bucket_expr(vec_col, planes).alias("bucket"),
+        )
+        for b, planes in enumerate(bands)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

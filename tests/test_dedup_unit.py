@@ -129,3 +129,23 @@ def test_contamination_overlap_counts(spark):
     r = rows[0]
     assert r["doc_id"] == 1 and r["overlap"] == 1 and r["n_shingles"] == 2
     assert abs(r["contamination"] - 0.5) < 1e-12
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    """Multiprobe candidates strictly extend single-probe candidates: the
+    base bucket is always probed, so every single-probe pair survives, and
+    1-flip probes add pairs split by exactly one plane."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    sf = "/root/testdata/sf0.01"
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_embedding_blocked"](spark, sf).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_embedding_multiprobe"](spark, sf).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)
