@@ -58,3 +58,33 @@ def cell_sql(vec_col: str) -> str:
 
 def assign_cells(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("ivf_cell", cell_expr(vec_col))
+
+
+def top2_cells_expr(vec_col: str) -> Column:
+    """array<int> of the query's 1-2 nearest cells (nprobe=2): the argmax
+    cell plus the cell of the strictly-second-highest centroid dot (absent
+    when all dots tie). Probing the runner-up cell is the IVF recall knob —
+    neighbors that fall just across a cell boundary are found without
+    touching index layout or partitioning (FAISS-style nprobe)."""
+    dots = "array(" + ", ".join(_dot_spark(vec_col, c) for c in CENTROIDS) + ")"
+    c1 = f"array_position({dots}, array_max({dots}))"
+    m2 = f"array_max(filter({dots}, x -> x < array_max({dots})))"
+    c2 = f"array_position({dots}, {m2})"
+    return F.expr(
+        f"transform(array_distinct(filter(array({c1}, {c2}),"
+        f" x -> x is not null)), x -> cast(x as int))"
+    )
+
+
+def top2_cells_sql(vec_col: str) -> str:
+    """DuckDB twin of top2_cells_expr (list order may differ — callers
+    unnest, so only SET equality matters)."""
+    dots = "[" + ", ".join(_dot_duckdb(vec_col, c) for c in CENTROIDS) + "]"
+    mx = f"list_aggregate({dots}, 'max')"
+    c1 = f"list_position({dots}, {mx})"
+    m2 = f"list_aggregate(list_filter({dots}, x -> x < {mx}), 'max')"
+    c2 = f"list_position({dots}, {m2})"
+    return (
+        f"list_transform(list_distinct(list_filter([{c1}, {c2}],"
+        f" x -> x IS NOT NULL)), x -> CAST(x AS INTEGER))"
+    )

@@ -149,3 +149,36 @@ def test_multiprobe_superset_of_single_probe(spark):
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_ivf_nprobe2_improves_recall(spark):
+    """Probing the runner-up cell recovers cross-boundary neighbors: the
+    nprobe=2 result hits at least as many exact top-3 pairs as nprobe=1."""
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.knn import brute_force_topk
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(sf + "/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    exact = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in brute_force_topk(
+            q, e, k=3, q_id="q_vec_id", i_id="vec_id"
+        ).collect()
+    }
+    one = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in QUERIES["knn_ivf_cell"](spark, sf).collect()
+    }
+    two = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in QUERIES["knn_ivf_nprobe2"](spark, sf).collect()
+    }
+    assert len(two & exact) >= len(one & exact)
+    assert len(two) >= len(one)
