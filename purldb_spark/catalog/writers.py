@@ -48,3 +48,24 @@ def write_catalog_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Export the curation pipeline's output for trainer consumption:
+    one directory per packer shard (`shard=<hex>/`), rows sorted by
+    (bin_id, doc_id) inside each file so a trainer streams whole bins
+    sequentially without a shuffle of its own.
+
+    Layout contract at 100 TB: shards are independent (bins never span
+    shards — operators/assemble.py::pack_greedy), so trainers map one
+    reader per shard directory; `max_records_per_file` bounds file size
+    for object-store-friendly parallel reads."""
+    out = packed.repartition("shard").sortWithinPartitions("bin_id", "doc_id")
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy("shard").parquet(path)

@@ -116,3 +116,38 @@ def test_mixture_rates_math(spark):
     expect = 0.1 * total / by["s1"]["n_tokens"]
     assert abs(by["s1"]["rate"] - expect) < 1e-12
     assert by["s1"]["rate"] < 1.0
+
+
+def test_shuffle_global_offsets_join_is_broadcast(spark):
+    """The 16-row shard-offset join must stay a broadcast — a sort-merge
+    join here would shuffle the full corpus on the shard key twice."""
+    d = _docs(spark, 100)
+    plan = global_shuffle_rank(d, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from purldb_spark.catalog.writers import write_training_shards
+
+    d = _docs(spark, 300)
+    packed = pack_greedy(d, "doc_id", "toks", budget=256, seed=2)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, max_records_per_file=200)
+    dirs = sorted(x for x in os.listdir(out) if x.startswith("shard="))
+    assert dirs  # hive-partitioned by shard
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # within every file, bin_id must be non-decreasing (trainer streams
+    # bins sequentially)
+    import pyarrow.parquet as pq
+
+    for root, _, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, f), columns=["bin_id"])
+            vals = t.column("bin_id").to_pylist()
+            assert vals == sorted(vals)
