@@ -146,3 +146,47 @@ def embed_media(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
     return df.mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: binary in -> fixed-(width, height) binary out.
+    The pixel resample itself is the codec boundary (no image libs in this
+    container — a real `PIL.Image.resize` is a drop-in inside the loop);
+    the deterministic stand-in cycles the source bytes to exactly
+    width*height bytes so downstream schema/batch behavior is real and
+    testable. Blobs stay inside their Arrow batch — no shuffle, no JVM
+    copy of the payload beyond the mapInPandas exchange."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for c in pdf["content"]:
+                b = bytes(c)
+                if not b:
+                    outs.append(bytes(target))
+                else:
+                    reps = (target // len(b)) + 1
+                    outs.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([width] * len(pdf), dtype="int32"),
+                    "height": pd.array([height] * len(pdf), dtype="int32"),
+                    "content": outs,
+                    "n_bytes": pd.array([target] * len(pdf), dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

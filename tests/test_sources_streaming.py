@@ -190,3 +190,28 @@ def test_multimodal_decode_stub_and_embed(spark):
     vec = embed_media(media).first()
     assert len(vec.embedding) == 16
     assert all(0.0 <= v <= 1.0 for v in vec.embedding)
+
+
+def test_resize_media_plumbing(spark):
+    """Resize keeps blobs inside Arrow batches and emits exactly
+    width*height bytes per row (deterministic stand-in for the codec)."""
+    from pyspark.sql import functions as F
+
+    from purldb_spark.multimodal.binaryops import resize_media
+
+    media = spark.range(3).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias(
+            "content"
+        ),
+    )
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert r["n_bytes"] == 32 and len(r["content"]) == 32
+    # deterministic: same input -> identical bytes
+    again = resize_media(media, width=8, height=4).collect()
+    assert {bytes(r["content"]) for r in out} == {
+        bytes(r["content"]) for r in again
+    }
