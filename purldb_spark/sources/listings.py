@@ -49,3 +49,114 @@ def parse_listing(lines: DataFrame, text_col: str = "value") -> DataFrame:
 
 def read_listing(spark: SparkSession, path: str) -> DataFrame:
     return parse_listing(spark.read.text(path))
+
+
+# ---------------------------------------------------------------- ls -lR --
+
+# classic `ls -alR` block format (minecode/ls.py:148-195 parses it with a
+# posix ls parser; the debian/ubuntu mirror indexes ship this shape):
+#
+#     ./pool/main/a/asterisk-addons:
+#     total 2024
+#     -rw-rw-r-- 2 dak debadmin 1494 May 25  2010 asterisk-addons_1.6.2.1-1.dsc
+#
+# directory-context lines end with ':' and scope every following file line
+# until the next header.
+_LSLR_FILE_RX = (
+    r"^([-dlbcps])[rwxsStT-]{9}\s+\d+\s+\S+\s+\S+\s+(\d+)\s+"
+    r"([A-Z][a-z]{2})\s+(\d{1,2})\s+(\d{4}|\d{1,2}:\d{2})\s+(.+)$"
+)
+
+
+def parse_lslr(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """`ls -alR` block listing -> (path, type, size, date) rows.
+
+    The directory context is inherently sequential state, so it propagates
+    through a last-non-null window ordered by line position, PARTITIONED BY
+    INPUT FILE (`input_file_name`): each listing file parses independently
+    and in parallel with every other file; within one file the window is
+    the same sequential scan the reference does in Python, minus the
+    Python. Dates: explicit-year lines become ISO dates; recent-file
+    `HH:MM` lines have NO year on the wire — the reference guesses one
+    from the crawl clock (minecode/ls.py:104-107, non-reproducible), we
+    emit NULL instead and let the caller decide.
+
+    Matches reference Entry semantics (minecode/ls.py:85-127): only
+    regular files carry size/date; `.`/`..` rows are dropped; paths are
+    cleaned of leading `./`."""
+    c = F.col(text_col)
+    raw = lines.select(
+        c.alias("line"),
+        F.monotonically_increasing_id().alias("_pos"),
+        F.input_file_name().alias("_file"),
+    )
+    is_file_row = F.regexp_extract("line", _LSLR_FILE_RX, 1) != ""
+    header = F.when(
+        (~is_file_row)
+        & F.col("line").endswith(":")
+        & (F.trim("line") != "")
+        & (~F.col("line").startswith("total ")),
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), ":$", ""), r"^\./", ""
+        ),
+    )
+    staged = raw.select(
+        "line",
+        "_pos",
+        "_file",
+        header.alias("_hdr"),
+        is_file_row.alias("_isfile"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_file")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scoped = staged.withColumn(
+        "dir", F.coalesce(F.last("_hdr", ignorenulls=True).over(w), F.lit(""))
+    ).filter("_isfile")
+    mode = F.regexp_extract("line", _LSLR_FILE_RX, 1)
+    size_s = F.regexp_extract("line", _LSLR_FILE_RX, 2)
+    mon = F.regexp_extract("line", _LSLR_FILE_RX, 3)
+    day = F.regexp_extract("line", _LSLR_FILE_RX, 4)
+    ytime = F.regexp_extract("line", _LSLR_FILE_RX, 5)
+    name = F.regexp_extract("line", _LSLR_FILE_RX, 6)
+    is_link = mode == "l"
+    fname = F.when(
+        is_link, F.regexp_replace(name, r" -> .*$", "")
+    ).otherwise(name)
+    target = F.when(is_link, F.regexp_extract(name, r" -> (.*)$", 1))
+    ftype = (
+        F.when(mode == "d", "directory")
+        .when(is_link, "link")
+        .when(mode == "-", "file")
+        .otherwise("special")
+    )
+    date = F.when(
+        (ftype == "file") & ytime.rlike(r"^\d{4}$"),
+        F.date_format(
+            F.to_date(F.concat_ws(" ", mon, day, ytime), "MMM d yyyy"),
+            "yyyy-MM-dd",
+        ),
+    )
+    path = F.regexp_replace(
+        F.when(F.col("dir").isin("", "."), fname).otherwise(
+            F.concat(F.col("dir"), F.lit("/"), fname)
+        ),
+        r"^(\./|/)+",
+        "",
+    )
+    return (
+        scoped.select(
+            path.alias("path"),
+            ftype.alias("type"),
+            F.when(ftype == "file", size_s.cast("long"))
+            .otherwise(F.lit(0))
+            .alias("size"),
+            date.alias("date"),
+            target.alias("target"),
+        )
+        .filter(~F.col("path").rlike(r"(^|/)\.\.?$"))
+    )

@@ -154,6 +154,11 @@ def test_npm_registry_mapper_matches_reference_expected(spark):
         assert r.name == e["name"]
         assert r.download_url == e["download_url"]
         assert r.sha1 == e["sha1"]
+        assert r.purl == e["purl"]
+        assert (r.declared_license_expression or "").lower() == (
+            e["declared_license_expression"] or ""
+        ).lower()
+        assert r.homepage_url == e["homepage_url"]
 
 
 def test_packagist_mapper_matches_reference_expected(spark):
@@ -808,3 +813,86 @@ def test_nuget_gem_version_apis_match_reference_expected(spark):
         ("7.0.2.3", "2022-03-08"),
         ("7.0.2.2", "2022-02-11"),
     }
+
+
+@pytest.mark.parametrize(
+    "doc_file,expected_file",
+    [
+        ("pypi/cage_1.1.2.json", "pypi/expected-CAGE-1.1.2.json"),
+        ("pypi/cage_1.1.3.json", "pypi/expected-CAGE-1.1.3.json"),
+        (
+            "pypi/boolean.py-2.0.dev3.json",
+            "pypi/expected-boolean.py-2.0.dev3.json",
+        ),
+    ],
+)
+def test_pypi_mapper_more_reference_expected(spark, doc_file, expected_file):
+    """Widen the pypi parity net beyond lxml: CAGE (no urls entries -> the
+    metadata-only row) and boolean.py (3 url rows with md5/size)."""
+    from purldb_spark.sources.miners import map_pypi_docs, parse_pypi_docs
+
+    doc = _load(doc_file)
+    expected = json.loads(_load(expected_file))
+    rows = map_pypi_docs(
+        parse_pypi_docs(spark.createDataFrame([(doc,)], "doc string"))
+    ).collect()
+    assert len(rows) == len(expected)
+    by_url = {r.download_url: r for r in rows}
+    for e in expected:
+        r = by_url[e["download_url"]]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.description == e["description"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.md5 == e.get("md5")
+        assert r.size == e.get("size")
+        assert r.datasource_id == e["datasource_id"]
+        stmt = e.get("extracted_license_statement")
+        if stmt is None:
+            assert r.declared_license is None
+        else:
+            # the reference renders the statement as a YAML list block
+            # ("- GPL\n"); ours keeps the raw value(s) joined with '; '
+            assert r.declared_license == "; ".join(
+                l.lstrip("- ").strip() for l in stmt.splitlines()
+            )
+
+
+@pytest.mark.parametrize(
+    "listing,expected_file,source_uri",
+    [
+        (
+            "debian/lslr/ls-lR_debian",
+            "debian/lslr/ls-lR_debian.gz-expected.json",
+            "http://ftp.debian.org/debian/ls-lR.gz",
+        ),
+        (
+            "debian/lslr/ls-lR_ubuntu",
+            "debian/lslr/ls-lR_ubuntu.gz-expected.json",
+            "http://archive.ubuntu.com/ubuntu/ls-lR.gz",
+        ),
+    ],
+)
+def test_debian_lslr_visitor_matches_reference_expected(
+    spark, listing, expected_file, source_uri
+):
+    """Replay the reference's own ls-lR fixtures (debian + ubuntu mirrors)
+    through parse_lslr + debian_lslr_uris and compare the URI records with
+    the reference's expected JSON."""
+    from purldb_spark.sources.listings import parse_lslr
+    from purldb_spark.sources.lslr_debian import debian_lslr_uris
+
+    lines = spark.read.text(os.path.join(_TESTFILES, listing))
+    entries = parse_lslr(lines)
+    rows = debian_lslr_uris(entries, source_uri).collect()
+    expected = json.loads(_load(expected_file))
+
+    got = {
+        r.uri: (r.package_url, r.file_name, r.size, r.date) for r in rows
+    }
+    want = {
+        e["uri"]: (e["package_url"], e["file_name"], e["size"], e["date"])
+        for e in expected
+    }
+    assert got == want
