@@ -896,3 +896,34 @@ def test_debian_lslr_visitor_matches_reference_expected(
         for e in expected
     }
     assert got == want
+
+
+def test_cpan_meta_mapper_matches_reference_expected(spark):
+    """Replay Regexp-Common-2016010701.meta through the cpan meta mapper
+    against expected_json_cpanmapper.json (the reference's own pairing;
+    its test harness passes a 'metadata...data' test URI, hence the
+    'tar.gzdata' suffix in the expected download_url)."""
+    from purldb_spark.sources.miners7 import map_cpan_meta_docs
+
+    doc = _load("cpan/Regexp-Common-2016010701.meta")
+    expected = json.loads(_load("cpan/expected_json_cpanmapper.json"))[0]
+    uri = (
+        "http://www.cpan.org/authors/id/A/AB/ABIGAIL/"
+        "Regexp-Common-2016010701.metadata"
+    )
+    rows = map_cpan_meta_docs(
+        spark.createDataFrame([(doc, uri)], "doc string, uri string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == expected["type"]
+    assert r.name == expected["name"]
+    assert r.version == expected["version"]
+    assert r.purl == expected["purl"]
+    assert r.description == expected["description"]
+    assert r.download_url == expected["download_url"]
+    assert r.extracted_license_statement == expected["declared_license_expression"]
+    assert r.vcs_url == expected["vcs_url"]
+    assert r.parties == expected["parties"][0]["name"]
+    assert r.party_emails == expected["parties"][0]["email"]
+    assert sorted(r.keywords.split("; ")) == sorted(expected["keywords"])
