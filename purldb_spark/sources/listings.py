@@ -160,3 +160,58 @@ def parse_lslr(lines: DataFrame, text_col: str = "value") -> DataFrame:
         )
         .filter(~F.col("path").rlike(r"(^|/)\.\.?$"))
     )
+
+
+# `find -ls` form (minecode/ls.py:148-170 with from_find=True): two leading
+# numeric columns (inode, size-in-blocks) prefix an ls line whose path is
+# the FULL relative path — no directory-context state at all, so the parse
+# is a pure map (perfectly parallel at any listing size)
+_FINDLS_FILE_RX = (
+    r"^\s*\d+\s+\d+\s+([-dlbcps])[rwxsStT-]{9}\s+\d+\s+\S+\s+\S+\s+(\d+)\s+"
+    r"([A-Z][a-z]{2})\s+(\d{1,2})\s+(\d{4}|\d{1,2}:\d{2})\s+(.+)$"
+)
+
+
+def parse_find_ls(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """`find -ls` listing -> (path, type, size, date) rows; same Entry
+    semantics as parse_lslr but stateless (paths arrive fully qualified)."""
+    c = F.col(text_col)
+    mode = F.regexp_extract(c, _FINDLS_FILE_RX, 1)
+    size_s = F.regexp_extract(c, _FINDLS_FILE_RX, 2)
+    mon = F.regexp_extract(c, _FINDLS_FILE_RX, 3)
+    day = F.regexp_extract(c, _FINDLS_FILE_RX, 4)
+    ytime = F.regexp_extract(c, _FINDLS_FILE_RX, 5)
+    rawpath = F.regexp_extract(c, _FINDLS_FILE_RX, 6)
+    is_link = mode == "l"
+    path = F.regexp_replace(
+        F.when(is_link, F.regexp_replace(rawpath, r" -> .*$", "")).otherwise(
+            rawpath
+        ),
+        r"^(\./|/)+",
+        "",
+    )
+    ftype = (
+        F.when(mode == "d", "directory")
+        .when(is_link, "link")
+        .when(mode == "-", "file")
+        .otherwise("special")
+    )
+    date = F.when(
+        (ftype == "file") & ytime.rlike(r"^\d{4}$"),
+        F.date_format(
+            F.to_date(F.concat_ws(" ", mon, day, ytime), "MMM d yyyy"),
+            "yyyy-MM-dd",
+        ),
+    )
+    return (
+        lines.filter(mode != "")
+        .select(
+            path.alias("path"),
+            ftype.alias("type"),
+            F.when(ftype == "file", size_s.cast("long"))
+            .otherwise(F.lit(0))
+            .alias("size"),
+            date.alias("date"),
+        )
+        .filter(~F.col("path").rlike(r"(^|/)\.\.?$") & (F.col("path") != ""))
+    )

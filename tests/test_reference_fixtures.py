@@ -927,3 +927,35 @@ def test_cpan_meta_mapper_matches_reference_expected(spark):
     assert r.parties == expected["parties"][0]["name"]
     assert r.party_emails == expected["parties"][0]["email"]
     assert sorted(r.keywords.split("; ")) == sorted(expected["keywords"])
+
+
+def test_apache_dist_findls_matches_reference_expected(spark, tmp_path):
+    """Replay the reference's find-ls.gz fixture through parse_find_ls +
+    apache_dist_uris and compare uri/size/visited with the expected URI
+    records. The expected 'package_url' is the purl COMPONENT tuple
+    (type, ns, name, version, q, sub) — compare name/version from it."""
+    import gzip as _gz
+
+    from purldb_spark.sources.apache_dist import apache_dist_uris
+    from purldb_spark.sources.listings import parse_find_ls
+
+    src = os.path.join(_TESTFILES, "apache/find-ls.gz")
+    txt = _gz.open(src, "rt").read()
+    plain = tmp_path / "find-ls.txt"
+    plain.write_text(txt)
+
+    entries = parse_find_ls(spark.read.text(str(plain)))
+    rows = apache_dist_uris(
+        entries, "http://apache.org/dist/zzz/find-ls.gz"
+    ).collect()
+    expected = json.loads(_load("apache/find-ls.gz_uris-expected.json"))
+
+    got = {r.uri: r for r in rows}
+    assert set(got) == {e["uri"] for e in expected}
+    for e in expected:
+        r = got[e["uri"]]
+        assert r.size == e["size"]
+        assert r.visited == e["visited"]
+        ptype, _ns, pname, pversion, _q, _sub = e["package_url"]
+        want = f"pkg:{ptype}/{pname}" + (f"@{pversion}" if pversion else "")
+        assert r.package_url == want
