@@ -1,0 +1,85 @@
+"""Apache-httpd-style HTML directory index -> URI rows (reference:
+OpenSSLVisitor, minecode/miners/openssl.py:38-105 — BeautifulSoup over
+`<a href>` anchors plus the two following `<td align="right">` cells).
+
+Spark shape: split the page on `<tr` and explode — one row fragment per
+table row — then a regexp triple-extract (href, date cell, size cell) and
+the reference's size arithmetic (bare int means KILObytes on these pages;
+M/G suffixes decimal-scale). Pure column expressions, one explode, no
+shuffle; a crawl of thousands of index pages parses in parallel with one
+row per page on the input side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROW_RX = (
+    r'<a href="([^"]+)">.*?align="right">\s*'
+    r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2})\s*<.*?"
+    r'align="right">\s*([^<]*?)\s*<'
+)
+
+
+def _size_bytes(size_s) -> F.Column:
+    """openssl.py:66-83: bare int means kB; float+M means MB; G means GB;
+    '-' (directory) means NULL."""
+    num = F.regexp_extract(size_s, r"^([\d.]+)", 1)
+    return (
+        F.when(size_s.rlike(r"^\d+$"), size_s.cast("long") * 1024)
+        .when(
+            size_s.rlike(r"^[\d.]+[Mm]$"),
+            (num.cast("double") * 1024 * 1024).cast("long"),
+        )
+        .when(
+            size_s.rlike(r"^[\d.]+[Gg]$"),
+            (num.cast("double") * 1024 * 1024 * 1024).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def html_index_uris(pages: DataFrame, html_col: str = "html", base_col: str = "base_uri") -> DataFrame:
+    """(html, base_uri) pages -> one row per index entry:
+    (uri, source_uri, file_name, date, size, package_url).
+
+    Anchors starting with '?' (sort links) or '/' (parent navigation) are
+    dropped like the reference's guard; directory entries (href ending
+    '/') carry no file_name/purl; `openssl-*.tar.gz*` files get the
+    reference's generic openssl purl with the version cut at '.tar.gz'."""
+    frag = F.explode(F.split(F.col(html_col), "<tr")).alias("frag")
+    rows = pages.select(F.col(base_col).alias("source_uri"), frag)
+    href = F.regexp_extract("frag", _ROW_RX, 1)
+    date_s = F.regexp_extract("frag", _ROW_RX, 2)
+    size_s = F.regexp_extract("frag", _ROW_RX, 3)
+    keep = (
+        (href != "")
+        & ~href.startswith("?")
+        & ~href.startswith("/")
+    )
+    is_file = ~href.endswith("/")
+    fname = F.when(is_file, F.substring_index(href, "/", -1))
+    version = F.when(
+        fname.contains("tar.gz"),
+        F.substring_index(
+            F.regexp_replace(fname, r"^openssl-", ""), ".tar.gz", 1
+        ),
+    )
+    purl = F.when(
+        is_file,
+        F.concat(
+            F.lit("pkg:generic/openssl"),
+            F.when(version.isNotNull(), F.concat(F.lit("@"), version)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return rows.filter(keep).select(
+        F.concat(F.col("source_uri"), href).alias("uri"),
+        F.col("source_uri"),
+        fname.alias("file_name"),
+        F.nullif(date_s, F.lit("")).alias("date"),
+        _size_bytes(size_s).alias("size"),
+        purl.alias("package_url"),
+    )

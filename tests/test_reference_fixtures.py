@@ -959,3 +959,47 @@ def test_apache_dist_findls_matches_reference_expected(spark, tmp_path):
         ptype, _ns, pname, pversion, _q, _sub = e["package_url"]
         want = f"pkg:{ptype}/{pname}" + (f"@{pversion}" if pversion else "")
         assert r.package_url == want
+
+
+@pytest.mark.parametrize(
+    "page,expected_file,base_uri",
+    [
+        (
+            "openssl/Index.html",
+            "openssl/expected_uri_openssl_index.json",
+            "https://ftp.openssl.org/",
+        ),
+        (
+            "openssl/Indexof_source.html",
+            "openssl/expected_uri_openssl_sourceindex.json",
+            "https://ftp.openssl.org/source/",
+        ),
+    ],
+)
+def test_openssl_html_index_matches_reference_expected(
+    spark, page, expected_file, base_uri
+):
+    """Replay the reference's HTML directory-index fixtures through the
+    Spark html_index visitor; expected dates are 'YYYY-MM-DD HH:MM:SS'
+    strings serialized from the parsed naive datetimes."""
+    from purldb_spark.sources.html_index import html_index_uris
+
+    html = _load(page)
+    expected = json.loads(_load(expected_file))
+    rows = html_index_uris(
+        spark.createDataFrame([(html, base_uri)], "html string, base_uri string")
+    ).collect()
+    got = {r.uri: r for r in rows}
+    want = {e["uri"]: e for e in expected}
+    assert set(got) == set(want)
+    for uri, e in want.items():
+        r = got[uri]
+        # the reference yields size as a string (openssl.py:66-83)
+        want_size = e["size"] if e["size"] is None else int(e["size"])
+        assert r.size == want_size, uri
+        assert r.package_url == e["package_url"], uri
+        assert r.file_name == e["file_name"], uri
+        if e["date"] is None:
+            assert r.date is None, uri
+        else:
+            assert r.date + ":00" == e["date"], uri
