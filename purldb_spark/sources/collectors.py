@@ -399,3 +399,167 @@ def enrich_debian_packages(
             F.col("metadata_base_url"),
         ),
     )
+
+
+# ------------------------------------------------------- full POM mapper --
+
+_SCM_GH_SHORTHAND = r"^git@([^:]+):(.+)$"
+
+
+def _vcs_from_connection(conn: Column) -> Column:
+    """scm `<connection>scm:TOOL:REST</connection>` -> vcs_url:
+    TOOL+REST when REST carries a scheme; the `git@host:path` ssh
+    shorthand normalizes to TOOL+https://host/path (observed across the
+    reference's maven mapper fixtures: svn+http://..., git+ssh://...,
+    git+https://github.com/... from git@github.com:...)."""
+    tool = F.regexp_extract(conn, r"^scm:([^:]+):", 1)
+    rest = F.regexp_replace(conn, r"^scm:[^:]+:", "")
+    normalized = F.when(
+        rest.rlike(_SCM_GH_SHORTHAND),
+        F.concat(
+            F.lit("https://"),
+            F.regexp_extract(rest, _SCM_GH_SHORTHAND, 1),
+            F.lit("/"),
+            F.regexp_extract(rest, _SCM_GH_SHORTHAND, 2),
+        ),
+    ).otherwise(rest)
+    return F.when(
+        (tool != "") & (rest != ""), F.concat(tool, F.lit("+"), normalized)
+    )
+
+
+_REPO1 = "https://repo1.maven.org/maven2/"
+
+
+def pom_packages_full(docs: DataFrame, text_col: str = "pom_text") -> DataFrame:
+    """POM text -> the full package row the reference's maven mapper
+    emits (minecode maven mapping via packagedcode maven, verified against
+    the reference's own *.pom.package.json fixtures): coordinates with
+    parent fallback, name+description join, scm-derived vcs/code-view
+    urls, repo1 download/api/homepage url derivation, sources classifier
+    purl, and the dependency array (scope default compile; observed flag
+    rule: is_runtime only for scope=runtime, everything else optional;
+    is_pinned when a literal version is present)."""
+    pom = F.col(text_col)
+    scm = F.regexp_extract(pom, r"(?s)<scm>(.*?)</scm>", 1)
+    scm_conn = F.regexp_extract(scm, r"<connection>([^<]*)</connection>", 1)
+    scm_url = F.nullif(
+        F.regexp_extract(scm, r"<url>([^<]*)</url>", 1), F.lit("")
+    )
+    props_block = F.regexp_extract(pom, r"(?s)<properties>(.*?)</properties>", 1)
+    prop_frags = F.regexp_extract_all(
+        props_block,
+        F.lit(r"<([A-Za-z0-9_.\-]+)>[^<]*</[A-Za-z0-9_.\-]+>"),
+        0,
+    )
+    props = F.map_from_arrays(
+        F.transform(prop_frags, lambda f: F.regexp_extract(f, r"^<([^>]+)>", 1)),
+        F.transform(prop_frags, lambda f: F.regexp_extract(f, r">([^<]*)<", 1)),
+    )
+    nodm = F.regexp_replace(
+        pom, r"(?s)<dependencyManagement>.*?</dependencyManagement>", ""
+    )
+    deps_block = F.regexp_extract(nodm, r"(?s)<dependencies>(.*?)</dependencies>", 1)
+    dep_frags = F.regexp_extract_all(
+        deps_block, F.lit(r"(?s)<dependency>(.*?)</dependency>"), 1
+    )
+    dep = F.transform(
+        dep_frags,
+        lambda frag: F.struct(
+            F.regexp_extract(frag, r"<groupId>([^<]*)</groupId>", 1).alias("g"),
+            F.regexp_extract(frag, r"<artifactId>([^<]*)</artifactId>", 1).alias(
+                "a"
+            ),
+            F.nullif(
+                F.regexp_extract(frag, r"<version>([^<]*)</version>", 1),
+                F.lit(""),
+            ).alias("v"),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(frag, r"<scope>([^<]*)</scope>", 1),
+                    F.lit(""),
+                ),
+                F.lit("compile"),
+            ).alias("scope"),
+        ),
+    )
+    extracted = docs.select(
+        pom.alias("_pom"),
+        scm_conn.alias("_scm_conn"),
+        scm_url.alias("_scm_url"),
+        dep.alias("_deps"),
+        props.alias("_props"),
+    )
+    cols = parse_pom_cols(
+        extracted.withColumnRenamed("_pom", text_col),
+        text_col,
+        keep_cols=("_scm_conn", "_scm_url", "_deps", "_props"),
+    )
+    g = F.coalesce(F.col("g"), F.col("parent_g"))
+    v = F.coalesce(F.col("v"), F.col("parent_v"))
+    a = F.col("a")
+    gpath = F.replace(g, F.lit("."), F.lit("/"))
+    dirurl = F.concat(
+        F.lit(_REPO1), gpath, F.lit("/"), a, F.lit("/"), v, F.lit("/")
+    )
+    stem = F.concat(a, F.lit("-"), v)
+    purl = F.concat(F.lit("pkg:maven/"), g, F.lit("/"), a, F.lit("@"), v)
+    strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    description = F.concat_ws(
+        "\n", strip(F.col("pom_name")), strip(F.col("description"))
+    )
+    # maven `${property}` interpolation for dependency versions — the
+    # reference resolves these from the <properties> block
+    def _resolve(v):
+        key = F.regexp_extract(v, r"^\$\{(.+)\}$", 1)
+        return F.when(
+            v.rlike(r"^\$\{.+\}$"), F.element_at(F.col("_props"), key)
+        ).otherwise(v)
+
+    mkdep = F.transform(
+        F.col("_deps"),
+        lambda d: F.struct(
+            F.concat(
+                F.lit("pkg:maven/"),
+                d["g"],
+                F.lit("/"),
+                d["a"],
+                F.when(
+                    _resolve(d["v"]).isNotNull(),
+                    F.concat(F.lit("@"), _resolve(d["v"])),
+                ).otherwise(F.lit("")),
+            ).alias("purl"),
+            _resolve(d["v"]).alias("extracted_requirement"),
+            d["scope"].alias("scope"),
+            # observed across the reference's .pom.package.json fixtures:
+            # runtime AND provided scopes count as runtime deps; compile
+            # and test are optional
+            d["scope"].isin("runtime", "provided").alias("is_runtime"),
+            (~d["scope"].isin("runtime", "provided")).alias("is_optional"),
+            _resolve(d["v"]).isNotNull().alias("is_pinned"),
+        ),
+    )
+    return cols.select(
+        F.lit("maven").alias("type"),
+        g.alias("namespace"),
+        a.alias("name"),
+        v.alias("version"),
+        purl.alias("purl"),
+        F.nullif(description, F.lit("")).alias("description"),
+        F.col("homepage_url"),
+        F.col("declared_license_expression"),
+        F.col("parties"),
+        # no <connection> -> the scm <url> is the vcs url (axis fixture)
+        F.coalesce(
+            _vcs_from_connection(F.col("_scm_conn")), F.col("_scm_url")
+        ).alias("vcs_url"),
+        F.col("_scm_url").alias("code_view_url"),
+        F.concat(dirurl, stem, F.lit(".jar")).alias("repository_download_url"),
+        F.concat(dirurl, stem, F.lit(".pom")).alias("api_data_url"),
+        dirurl.alias("repository_homepage_url"),
+        F.concat(purl, F.lit("?classifier=sources")).alias("source_package"),
+        F.lit("Java").alias("primary_language"),
+        F.lit("maven_pom").alias("datasource_id"),
+        # the reference dedupes repeated <dependency> coordinates
+        F.array_distinct(mkdep).alias("dependencies"),
+    )

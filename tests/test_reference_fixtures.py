@@ -1003,3 +1003,77 @@ def test_openssl_html_index_matches_reference_expected(
             assert r.date is None, uri
         else:
             assert r.date + ":00" == e["date"], uri
+
+
+@pytest.mark.parametrize(
+    "pom_file,expected_file",
+    [
+        ("maven/mapper/axis-1.4.pom", "maven/mapper/axis-1.4.pom.package.json"),
+        (
+            "maven/mapper/commons-pool-1.5.7.pom",
+            "maven/mapper/commons-pool-1.5.7.pom.package.json",
+        ),
+        (
+            "maven/mapper/mysql-connector-java-5.1.27.pom",
+            "maven/mapper/mysql-connector-java-5.1.27.pom.package.json",
+        ),
+        (
+            "maven/mapper/commons-jaxrs-1.21.pom",
+            "maven/mapper/commons-jaxrs-1.21.pom.package.json",
+        ),
+    ],
+)
+def test_maven_pom_full_mapper_matches_reference_expected(
+    spark, pom_file, expected_file
+):
+    """Replay the reference's POM mapper fixtures through
+    pom_packages_full: coordinates, urls, scm-derived vcs, and the full
+    dependency array with scope/flag semantics."""
+    from purldb_spark.sources.collectors import pom_packages_full
+
+    pom = _load(pom_file)
+    e = json.loads(_load(expected_file))
+    e = e[0] if isinstance(e, list) else e
+    rows = pom_packages_full(
+        spark.createDataFrame([(pom,)], "pom_text string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.namespace == e["namespace"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.vcs_url == e["vcs_url"]
+    assert r.code_view_url == e["code_view_url"]
+    assert r.repository_download_url == e["repository_download_url"]
+    assert r.api_data_url == e["api_data_url"]
+    assert r.repository_homepage_url == e["repository_homepage_url"]
+    assert [r.source_package] == e["source_packages"]
+    assert r.primary_language == e["primary_language"]
+    assert r.datasource_id == e["datasource_id"]
+    want_deps = [
+        (
+            d["purl"],
+            d["extracted_requirement"],
+            d["scope"],
+            d["is_runtime"],
+            d["is_optional"],
+            d["is_pinned"],
+        )
+        for d in e["dependencies"]
+    ]
+    got_deps = [
+        (
+            d["purl"],
+            d["extracted_requirement"],
+            d["scope"],
+            d["is_runtime"],
+            d["is_optional"],
+            d["is_pinned"],
+        )
+        for d in r.dependencies
+    ]
+    assert sorted(got_deps) == sorted(want_deps)
