@@ -1077,3 +1077,47 @@ def test_maven_pom_full_mapper_matches_reference_expected(
         for d in r.dependencies
     ]
     assert sorted(got_deps) == sorted(want_deps)
+
+
+@pytest.mark.parametrize(
+    "doc_file,expected_file",
+    [
+        ("sourceforge/monoql.json", "sourceforge/mapper_omonoql_expected.json"),
+        ("sourceforge/niftyphp.json", "sourceforge/mapper_niftyphp_expected.json"),
+        ("sourceforge/odanur.json", "sourceforge/mapper_odanur_expected.json"),
+        (
+            "sourceforge/openstunts.json",
+            "sourceforge/mapper_openstunts_expected.json",
+        ),
+    ],
+)
+def test_sourceforge_mapper_matches_reference_expected(
+    spark, doc_file, expected_file
+):
+    """Replay the reference's four sourceforge project fixtures through
+    map_sourceforge_docs; license statements compare against the YAML list
+    block the reference renders ('- short\\n- Full Name\\n')."""
+    from purldb_spark.sources.miners3 import map_sourceforge_docs
+
+    doc = _load(doc_file)
+    e = json.loads(_load(expected_file))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_sourceforge_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert (r.primary_language or None) == e.get("primary_language")
+    assert sorted(r.keywords or []) == sorted(e.get("keywords") or [])
+    stmt = e.get("extracted_license_statement")
+    want_lics = (
+        [l.lstrip("- ").strip() for l in stmt.splitlines()] if stmt else []
+    )
+    assert list(r.extracted_license_statement or []) == want_lics
+    want_parties = [p["name"] for p in e.get("parties") or []]
+    assert sorted(r.contributors or []) == sorted(want_parties)
