@@ -1121,3 +1121,28 @@ def test_sourceforge_mapper_matches_reference_expected(
     assert list(r.extracted_license_statement or []) == want_lics
     want_parties = [p["name"] for p in e.get("parties") or []]
     assert sorted(r.contributors or []) == sorted(want_parties)
+
+
+def test_dockerhub_library_mapper_matches_reference_expected(spark):
+    """Replay the elixir library JSON through the dockerhub mapper
+    (summary-only row: no tags -> no version) vs
+    expected_dockerhubmapper.json."""
+    from purldb_spark.sources.miners6 import map_dockerhub_docs
+
+    raw = json.loads(_load("dockerhub/elixir.json"))
+    e = json.loads(_load("dockerhub/expected_dockerhubmapper.json"))
+    e = e[0] if isinstance(e, list) else e
+    doc = json.dumps({"summary": raw})
+    rows = map_dockerhub_docs(
+        spark.createDataFrame(
+            [(doc, "elixir", None)], "doc string, name string, namespace string"
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.purl == e["purl"]
+    assert r.version is None
+    assert r.homepage_url == e["homepage_url"]
+    assert r.description == e["description"]
