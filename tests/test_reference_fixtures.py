@@ -1146,3 +1146,29 @@ def test_dockerhub_library_mapper_matches_reference_expected(spark):
     assert r.version is None
     assert r.homepage_url == e["homepage_url"]
     assert r.description == e["description"]
+
+
+def test_eclipse_mapper_matches_reference_expected(spark):
+    """Replay birt.json through the eclipse mapper vs
+    eclipse_birt_expected.json."""
+    from purldb_spark.sources.miners4 import map_eclipse_docs
+
+    doc = _load("eclipse/birt.json")
+    e = json.loads(_load("eclipse/eclipse_birt_expected.json"))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_eclipse_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.bug_tracking_url == e["bug_tracking_url"]
+    assert r.download_url == e["download_url"]
+    stmt = e["extracted_license_statement"]
+    assert [r.extracted_license_statement] == [
+        l.lstrip("- ").strip() for l in stmt.splitlines()
+    ]
