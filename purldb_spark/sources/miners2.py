@@ -343,3 +343,44 @@ def map_golang_paths(df: DataFrame, path_col: str = "path") -> DataFrame:
         vcs.alias("vcs_url"),
         F.lit("golang_godoc").alias("datasource_id"),
     )
+
+
+def map_godoc_api_docs(
+    docs: DataFrame, json_col: str = "doc", purl_col: str = "purl"
+) -> DataFrame:
+    """godoc api package JSON + its visitor-assigned purl -> catalog row
+    (build_golang_package, golang.py:219-239): type/namespace/name come
+    from the PURL (the bitbucket-hosted variant keeps its pkg:bitbucket
+    type), vcs_url from the purl's vcs_repository qualifier with a `git+`
+    prefix only for github namespaces, homepage https://{ns}/{name},
+    description = the godoc synopsis."""
+    purl = F.col(purl_col)
+    j = F.from_json(F.col(json_col), "struct<name:string,synopsis:string>")
+    ptype = F.regexp_extract(purl, r"^pkg:([^/]+)/", 1)
+    rest = F.regexp_replace(
+        F.regexp_replace(purl, r"^pkg:[^/]+/", ""), r"\?.*$", ""
+    )
+    segs = F.split(rest, "/")
+    name = F.element_at(segs, -1)
+    namespace = F.nullif(
+        F.array_join(F.slice(segs, 1, F.size(segs) - 1), "/"), F.lit("")
+    )
+    vcs_repo = F.nullif(
+        F.regexp_extract(purl, r"[?&]vcs_repository=([^&]+)", 1), F.lit("")
+    )
+    vcs = F.when(
+        namespace.contains("github.com") & vcs_repo.isNotNull(),
+        F.concat(F.lit("git+"), vcs_repo),
+    ).otherwise(vcs_repo)
+    return docs.select(
+        ptype.alias("type"),
+        namespace.alias("namespace"),
+        name.alias("name"),
+        F.concat(F.lit("pkg:"), ptype, F.lit("/"), rest).alias("purl"),
+        j["synopsis"].alias("description"),
+        F.concat(F.lit("https://"), F.concat_ws("/", namespace, name)).alias(
+            "homepage_url"
+        ),
+        vcs.alias("vcs_url"),
+        F.lit("Go").alias("primary_language"),
+    )

@@ -1172,3 +1172,50 @@ def test_eclipse_mapper_matches_reference_expected(spark):
     assert [r.extracted_license_statement] == [
         l.lstrip("- ").strip() for l in stmt.splitlines()
     ]
+
+
+@pytest.mark.parametrize(
+    "doc_file,purl,expected_file",
+    [
+        (
+            "golang/glog.json",
+            "pkg:golang/github.com/golang/glog"
+            "?vcs_repository=https://github.com/golang/glog",
+            "golang/glog_expected.json",
+        ),
+        (
+            "golang/math3.json",
+            "pkg:bitbucket/bitbucket.org/zombiezen/yaml"
+            "?vcs_repository=https://bitbucket.org/zombiezen/yaml",
+            "golang/math3_expected.json",
+        ),
+        (
+            "golang/winter.json",
+            "pkg:golang/winterdrache.de/bindings/sdl",
+            "golang/winter_expected.json",
+        ),
+    ],
+)
+def test_godoc_api_mapper_matches_reference_expected(
+    spark, doc_file, purl, expected_file
+):
+    """Replay the reference's three build_golang_package fixtures (github,
+    bitbucket, non-well-known host) through map_godoc_api_docs."""
+    from purldb_spark.sources.miners2 import map_godoc_api_docs
+
+    doc = _load(doc_file)
+    e = json.loads(_load(expected_file))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_godoc_api_docs(
+        spark.createDataFrame([(doc, purl)], "doc string, purl string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.namespace == e["namespace"]
+    assert r.name == e["name"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.vcs_url == e.get("vcs_url")
+    assert r.primary_language == e["primary_language"]
