@@ -97,7 +97,11 @@ def map_bitbucket_repo_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame
         ns.alias("namespace"),
         name.alias("name"),
         F.concat(F.lit("pkg:bitbucket/"), ns, F.lit("/"), name).alias("purl"),
-        F.coalesce(F.col("website"), bb_url).alias("homepage_url"),
+        # reference uses Python falsy-or: an empty-string website falls
+        # back to the repo url (caught by the repository_expected fixture)
+        F.coalesce(F.nullif(F.col("website"), F.lit("")), bb_url).alias(
+            "homepage_url"
+        ),
         F.concat(bb_url, F.lit("/src")).alias("code_view_url"),
         F.when(F.col("has_issues"), F.concat(bb_url, F.lit("/issues"))).alias(
             "bug_tracking_url"

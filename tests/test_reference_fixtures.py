@@ -1219,3 +1219,38 @@ def test_godoc_api_mapper_matches_reference_expected(
     assert r.homepage_url == e["homepage_url"]
     assert r.vcs_url == e.get("vcs_url")
     assert r.primary_language == e["primary_language"]
+
+
+@pytest.mark.parametrize(
+    "doc_file,expected_file",
+    [
+        ("bitbucket/map/repository.json", "bitbucket/map/repository_expected.json"),
+        ("bitbucket/map/tweakmsg.json", "bitbucket/map/tweakmsg_expected.json"),
+    ],
+)
+def test_bitbucket_repo_mapper_matches_reference_expected(
+    spark, doc_file, expected_file
+):
+    """Replay the reference's bitbucket repo fixtures (hg-scm repos, with
+    and without issue tracker) through map_bitbucket_repo_docs."""
+    from purldb_spark.sources.miners4 import map_bitbucket_repo_docs
+
+    doc = _load(doc_file)
+    e = json.loads(_load(expected_file))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_bitbucket_repo_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.namespace == e["namespace"]
+    assert r.name == e["name"]
+    assert r.purl == e["purl"]
+    assert (r.description or None) == e.get("description")
+    assert r.homepage_url == e["homepage_url"]
+    assert r.code_view_url == e["code_view_url"]
+    assert r.vcs_url == e["vcs_url"]
+    assert r.bug_tracking_url == e.get("bug_tracking_url")
+    assert (r.primary_language or "") == e.get("primary_language", "")
+    assert r.owner == e["parties"][0]["name"]
