@@ -57,7 +57,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS ({_BASE_SQL})
     SELECT 'bower' AS type, name, ver AS version,
-           'pkg:bower/' || name AS purl,
+           'pkg:bower/' || name || CASE WHEN version IS NOT NULL THEN '@' || version ELSE '' END AS purl,
            'Bower pkg ' || name AS description,
            'https://bower.ex/' || name AS homepage_url,
            CASE WHEN k % 3 = 0 THEN 'MIT; Apache-2.0'

@@ -135,7 +135,16 @@ def map_bower_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
         F.lit("bower").alias("type"),
         name.alias("name"),
         F.col("version"),
-        F.concat(F.lit("pkg:bower/"), name).alias("purl"),
+        # the reference purl carries the version when present
+        # (expected_mapper_example1_bower fixture: pkg:bower/...@1.3.1)
+        F.concat(
+            F.lit("pkg:bower/"),
+            name,
+            F.when(
+                F.col("version").isNotNull(),
+                F.concat(F.lit("@"), F.col("version")),
+            ).otherwise(F.lit("")),
+        ).alias("purl"),
         F.col("description"),
         F.col("homepage").alias("homepage_url"),
         lic.alias("extracted_license_statement"),

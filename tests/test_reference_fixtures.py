@@ -1254,3 +1254,38 @@ def test_bitbucket_repo_mapper_matches_reference_expected(
     assert r.bug_tracking_url == e.get("bug_tracking_url")
     assert (r.primary_language or "") == e.get("primary_language", "")
     assert r.owner == e["parties"][0]["name"]
+
+
+@pytest.mark.parametrize(
+    "doc_file,expected_file",
+    [
+        (
+            "bower/example1_bower.json",
+            "bower/expected_mapper_example1_bower.json",
+        ),
+    ],
+)
+def test_bower_mapper_matches_reference_expected(spark, doc_file, expected_file):
+    """Replay the reference's bower.json mapper fixture: versioned purl,
+    'label: Name' author prefix stripping, licenses string."""
+    from purldb_spark.sources.miners6 import map_bower_docs
+
+    doc = _load(doc_file)
+    e = json.loads(_load(expected_file))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_bower_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.purl == e["purl"]
+    assert r.homepage_url == e["homepage_url"]
+    assert sorted(r.keywords.split("; ")) == sorted(e["keywords"])
+    stmt = e["extracted_license_statement"]
+    assert [r.extracted_license_statement] == [
+        l.lstrip("- ").strip() for l in stmt.splitlines()
+    ]
+    assert r.parties == "; ".join(p["name"] for p in e["parties"])
