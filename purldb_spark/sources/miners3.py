@@ -543,3 +543,107 @@ def map_fdroid_docs(
         ).alias("source_packages"),
     )
     return src_rows.unionByName(apk_rows)
+
+
+_CRAN_URL = "https://cloud.r-project.org/"
+
+
+def _cran_row_cell(html, key: str):
+    """The <td> cell following ``<td>KEY</td>`` (dotall)."""
+    return F.regexp_extract(html, rf"(?s)<td>\s*{key}\s*</td>\s*<td>(.*?)</td>", 1)
+
+
+def map_cran_html_docs(
+    docs: DataFrame,
+    html_col: str = "html",
+    uri_col: str = "uri",
+    purl_col: str = "purl",
+) -> DataFrame:
+    """CRAN package web page -> one catalog row per download URL
+    (build_packages_from_html, cran.py:91-197): name from the page uri,
+    description from the first <p>, License:/URL: cells read as their
+    href lists, Maintainer decoded from the page's hex-entity-armored
+    "Name <addr at host>" form, and every href in a "...source:" /
+    "...binaries:" row turned into an absolute download URL (the
+    ../../../ prefix resolves against the CRAN root)."""
+    html = F.col(html_col)
+    name = F.regexp_extract(F.col(uri_col), r"([^/]+)/[^/]*$", 1)
+    first_p = F.regexp_extract(html, r"(?s)<p>(.*?)</p>", 1)
+    # BeautifulSoup `.string` yields None for a <p> with nested tags —
+    # the reference therefore drops such descriptions (abe fixture)
+    description = F.when(
+        (first_p != "") & ~first_p.contains("<"), first_p
+    )
+    version = F.nullif(F.trim(_cran_row_cell(html, "Version:")), F.lit(""))
+    published = F.nullif(F.trim(_cran_row_cell(html, "Published:")), F.lit(""))
+    author = F.nullif(
+        F.trim(F.regexp_replace(_cran_row_cell(html, "Author:"), r"<[^>]+>", "")),
+        F.lit(""),
+    )
+    maint_cell = _cran_row_cell(html, "Maintainer:")
+    maint_name = F.nullif(
+        F.trim(F.regexp_replace(maint_cell, r"&#x.*$", "")), F.lit("")
+    )
+    # the address is fully hex-entity-encoded: collect the &#xHH; codes,
+    # unhex them back to bytes, decode utf-8 -> "<user at host>"
+    maint_decoded = F.decode(
+        F.unhex(
+            F.array_join(
+                F.regexp_extract_all(
+                    maint_cell, F.lit(r"&#x([0-9a-fA-F]{2});"), 1
+                ),
+                "",
+            )
+        ),
+        "UTF-8",
+    )
+    maint_email = F.nullif(
+        F.regexp_replace(
+            F.regexp_replace(maint_decoded, r"^<|>$", ""), r" at ", "@"
+        ),
+        F.lit(""),
+    )
+    lic_hrefs = F.regexp_extract_all(
+        _cran_row_cell(html, "License:"), F.lit(r'href="([^"]+)"'), 1
+    )
+    url_hrefs = F.regexp_extract_all(
+        _cran_row_cell(html, "URL:"), F.lit(r'href="([^"]+)"'), 1
+    )
+    # rows whose KEY contains source/binaries (&nbsp; separates words in
+    # the raw key text): pull every href from the value cell
+    dl_cells = F.regexp_extract_all(
+        html,
+        F.lit(
+            r"(?s)<td>[^<]*(?:source|binaries|sources)[^<]*</td>\s*<td>(.*?)</td>"
+        ),
+        1,
+    )
+    dl_urls = F.flatten(
+        F.transform(
+            dl_cells,
+            lambda c: F.transform(
+                F.regexp_extract_all(c, F.lit(r'href="([^"]+)"'), 1),
+                lambda h: F.replace(h, F.lit("../../../"), F.lit(_CRAN_URL)),
+            ),
+        )
+    )
+    base = docs.select(
+        F.lit("cran").alias("type"),
+        name.alias("name"),
+        version.alias("version"),
+        F.col(purl_col).alias("purl"),
+        description.alias("description"),
+        F.nullif(F.array_join(url_hrefs, "\n"), F.lit("")).alias("homepage_url"),
+        lic_hrefs.alias("extracted_license_statement"),
+        author.alias("author"),
+        maint_name.alias("maintainer"),
+        maint_email.alias("maintainer_email"),
+        published.alias("release_date"),
+        F.lit("cran_metadata").alias("datasource_id"),
+        F.when(F.size(dl_urls) > 0, dl_urls)
+        .otherwise(F.array(F.lit(None).cast("string")))
+        .alias("_dls"),
+    )
+    return base.select(
+        "*", F.explode("_dls").alias("download_url")
+    ).drop("_dls")

@@ -1289,3 +1289,59 @@ def test_bower_mapper_matches_reference_expected(spark, doc_file, expected_file)
         l.lstrip("- ").strip() for l in stmt.splitlines()
     ]
     assert r.parties == "; ".join(p["name"] for p in e["parties"])
+
+
+@pytest.mark.parametrize(
+    "page,expected_file,uri,purl",
+    [
+        (
+            "cran/CRAN_Package_ANN2.html",
+            "cran/mapper_ANN2_expected.json",
+            "https://cloud.r-project.org/web/packages/ANN2/index.html",
+            "pkg:cran/ANN2@1.1",
+        ),
+        (
+            "cran/CRAN_Package_abe.html",
+            "cran/mapper_abe_expected.json",
+            "https://cloud.r-project.org/web/packages/abe/index.html",
+            "pkg:cran/abe@3.0.1",
+        ),
+    ],
+)
+def test_cran_html_mapper_matches_reference_expected(
+    spark, page, expected_file, uri, purl
+):
+    """Replay the reference's CRAN package-page fixtures through
+    map_cran_html_docs: one row per download URL, entity-decoded
+    maintainer email, href-based license statements."""
+    from purldb_spark.sources.miners3 import map_cran_html_docs
+
+    html = _load(page)
+    expected = json.loads(_load(expected_file))
+    rows = map_cran_html_docs(
+        spark.createDataFrame(
+            [(html, uri, purl)], "html string, uri string, purl string"
+        )
+    ).collect()
+    assert len(rows) == len(expected)
+    got = {r.download_url: r for r in rows}
+    for e in expected:
+        r = got[e.get("download_url")]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.purl == e["purl"]
+        assert r.version == e["version"]
+        assert r.description == e["description"]
+        assert r.homepage_url == e["homepage_url"]
+        assert r.release_date == e["release_date"]
+        stmt = e.get("extracted_license_statement")
+        want_lics = (
+            [l.lstrip("- ").strip() for l in stmt.splitlines()] if stmt else []
+        )
+        assert list(r.extracted_license_statement or []) == want_lics
+        parties = {p["role"]: p for p in e.get("parties") or []}
+        if "author" in parties:
+            assert r.author == parties["author"]["name"]
+        if "maintainer" in parties:
+            assert r.maintainer == parties["maintainer"]["name"]
+            assert r.maintainer_email == parties["maintainer"]["email"]
