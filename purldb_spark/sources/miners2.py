@@ -384,3 +384,110 @@ def map_godoc_api_docs(
         vcs.alias("vcs_url"),
         F.lit("Go").alias("primary_language"),
     )
+
+
+def map_gemspec_yaml_docs(
+    docs: DataFrame,
+    yaml_col: str = "metadata",
+    dl_col: str = "download_url",
+) -> DataFrame:
+    """Gem-archive gemspec YAML (the `metadata` file inside a .gem) ->
+    catalog row (build_rubygem_packages_from_metadata,
+    minecode/miners/rubygems.py:271-327 + get_dependencies_from_meta at
+    329-374): summary joined with a distinct description, license and
+    author list blocks, date's first token as the release date, the
+    two-level !ruby/object version, and the dependency array — bare-name
+    purls, scope from the :type tag, `>= 0` constraints dropped as
+    no-ops. The ruby YAML never leaves the JVM: every field is a regexp
+    over the document (top-level keys anchor at column 0, so indented
+    dependency fields can't shadow them)."""
+    y = F.col(yaml_col)
+    line = lambda key: F.nullif(  # noqa: E731
+        F.trim(F.regexp_extract(y, rf"(?m)^{key}: (.+)$", 1)), F.lit("")
+    )
+    name = line("name")
+    summary = line("summary")
+    desc = line("description")
+    description = F.concat_ws(
+        "\n",
+        F.filter(
+            F.array(summary, F.when(desc != summary, desc)),
+            lambda d: d.isNotNull() & (F.trim(d) != ""),
+        ),
+    )
+    version = F.nullif(
+        F.regexp_replace(
+            F.trim(
+                F.regexp_extract(
+                    y,
+                    r"(?ms)^version: !ruby/object:Gem::Version\s*\n\s+version: (.+?)$",
+                    1,
+                )
+            ),
+            r"^'|'$",
+            "",
+        ),
+        F.lit(""),
+    )
+    # [^\n] not `.` — with (?s) in play a dot-star would swallow the
+    # rest of the document past the block
+    lic_block = F.regexp_extract(
+        y, r"(?m)^licenses:[ \t]*\n((?:- [^\n]*\n)+)", 1
+    )
+    licenses = F.regexp_extract_all(lic_block, F.lit(r"(?m)^- (.+)$"), 1)
+    auth_block = F.regexp_extract(
+        y, r"(?m)^authors:[ \t]*\n((?:- [^\n]*\n)+)", 1
+    )
+    authors = F.regexp_extract_all(auth_block, F.lit(r"(?m)^- (.+)$"), 1)
+    release_date = F.substring(line("date"), 1, 10)
+    dep_frags = F.regexp_extract_all(
+        y, F.lit(r"(?s)- !ruby/object:Gem::Dependency\n(.*?)(?=type:)"), 1
+    )
+    dep_scopes = F.regexp_extract_all(
+        y,
+        F.lit(r"(?s)- !ruby/object:Gem::Dependency\n.*?type: :(\w+)"),
+        1,
+    )
+    req_of = lambda frag: F.array_join(  # noqa: E731
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(
+                    frag,
+                    F.lit(
+                        r'- - "([^"]+)"\s*\n\s*- !ruby/object:Gem::Version'
+                        r"\s*\n\s*version: '([^']*)'"
+                    ),
+                    0,
+                ),
+                lambda m: F.concat_ws(
+                    " ",
+                    F.regexp_extract(m, r'- - "([^"]+)"', 1),
+                    F.regexp_extract(m, r"version: '([^']*)'", 1),
+                ),
+            ),
+            lambda c: c != ">= 0",
+        ),
+        ", ",
+    )
+    deps = F.zip_with(
+        dep_frags,
+        dep_scopes,
+        lambda frag, scope: F.struct(
+            F.regexp_extract(frag, r"name: (.+)", 1).alias("purl"),
+            F.nullif(req_of(frag), F.lit("")).alias("extracted_requirement"),
+            scope.alias("scope"),
+        ),
+    )
+    return docs.select(
+        F.lit("gem").alias("type"),
+        name.alias("name"),
+        version.alias("version"),
+        F.concat(F.lit("pkg:gem/"), name, F.lit("@"), version).alias("purl"),
+        F.nullif(description, F.lit("")).alias("description"),
+        line("homepage").alias("homepage_url"),
+        licenses.alias("extracted_license_statement"),
+        authors.alias("authors"),
+        release_date.alias("release_date"),
+        F.col(dl_col).alias("download_url"),
+        deps.alias("dependencies"),
+    )

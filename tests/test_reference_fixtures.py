@@ -1345,3 +1345,62 @@ def test_cran_html_mapper_matches_reference_expected(
         if "maintainer" in parties:
             assert r.maintainer == parties["maintainer"]["name"]
             assert r.maintainer_email == parties["maintainer"]["email"]
+
+
+@pytest.mark.parametrize(
+    "meta_file,expected_file,dl",
+    [
+        (
+            "rubygems/0mq-0.4.1.gem.metadata",
+            "rubygems/0mq-0.4.1.gem.package.json",
+            "https://rubygems.org/downloads/0mq-0.4.1.gem",
+        ),
+        (
+            "rubygems/a_okay-0.1.0.gem.metadata",
+            "rubygems/a_okay-0.1.0.gem.package.json",
+            "https://rubygems.org/downloads/a_okay-0.1.0.gem",
+        ),
+    ],
+)
+def test_gemspec_yaml_mapper_matches_reference_expected(
+    spark, meta_file, expected_file, dl
+):
+    """Replay the gemspec YAML (the metadata file inside .gem archives)
+    through map_gemspec_yaml_docs vs the reference's package.json."""
+    from purldb_spark.sources.miners2 import map_gemspec_yaml_docs
+
+    meta = _load(meta_file)
+    e = json.loads(_load(expected_file))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_gemspec_yaml_docs(
+        spark.createDataFrame(
+            [(meta, dl)], "metadata string, download_url string"
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.purl == e["purl"]
+    assert r.description == e.get("description")
+    assert r.homepage_url == e.get("homepage_url")
+    assert r.download_url == e["download_url"]
+    assert r.release_date == e.get("release_date")
+    stmt = e.get("extracted_license_statement")
+    want_lics = (
+        [l.lstrip("- ").strip() for l in stmt.splitlines()] if stmt else []
+    )
+    assert list(r.extracted_license_statement or []) == want_lics
+    assert list(r.authors or []) == [
+        p["name"] for p in e.get("parties") or []
+    ]
+    want_deps = [
+        (d["purl"], d["extracted_requirement"], d["scope"])
+        for d in e.get("dependencies") or []
+    ]
+    got_deps = [
+        (d["purl"], d["extracted_requirement"], d["scope"])
+        for d in r.dependencies
+    ]
+    assert got_deps == want_deps
