@@ -1404,3 +1404,33 @@ def test_gemspec_yaml_mapper_matches_reference_expected(
         for d in r.dependencies
     ]
     assert got_deps == want_deps
+
+
+def test_googlecode_projectjson_mapper_matches_reference_expected(spark):
+    """Replay the archive project.json fixture through the googlecode
+    project-json mapper (description raw, ancestorRepo as vcs_url,
+    domain as namespace) vs the reference's expected mapping."""
+    from purldb_spark.sources.miners9 import map_googlecode_v1_docs
+
+    doc = _load("googlecode/v2_apache-extras.org_124799961-qian_project.json")
+    e = json.loads(
+        _load(
+            "googlecode/mapper_expected_v2_apache-extras.org_"
+            "124799961-qian_project.json"
+        )
+    )
+    e = e[0] if isinstance(e, list) else e
+    rows = map_googlecode_v1_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.namespace == e["namespace"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.extracted_license_statement == e["extracted_license_statement"]
+    assert r.vcs_url == e["vcs_url"]
+    assert [r.datasource_id] == e["datasource_ids"]
+    assert list(r.keywords or []) == (e.get("keywords") or [])
