@@ -198,7 +198,10 @@ def map_haxe_docs(docs: DataFrame, json_col: str = "doc") -> DataFrame:
                     e["key"],
                     F.when(
                         F.nullif(F.trim(e["value"]), F.lit("")).isNotNull(),
-                        F.concat(F.lit("@"), F.trim(e["value"])),
+                        # purl version segments percent-encode reserved
+                        # chars — the reference's expected dep purls carry
+                        # %5E for the ^ range prefix
+                        F.concat(F.lit("@"), F.url_encode(F.trim(e["value"]))),
                     ).otherwise(F.lit("")),
                 ),
             ),

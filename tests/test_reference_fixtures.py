@@ -1434,3 +1434,31 @@ def test_googlecode_projectjson_mapper_matches_reference_expected(spark):
     assert r.vcs_url == e["vcs_url"]
     assert [r.datasource_id] == e["datasource_ids"]
     assert list(r.keywords or []) == (e.get("keywords") or [])
+
+
+def test_haxe_mapper_matches_reference_expected(spark):
+    """Replay openfl's haxelib.json through the haxe mapper vs the
+    reference's expected package (percent-encoded dependency purls)."""
+    from purldb_spark.sources.miners6 import map_haxe_docs
+
+    doc = _load("haxe/project_package.json")
+    e = json.loads(_load("haxe/project_package.json-expected"))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_haxe_docs(
+        spark.createDataFrame([(doc,)], "doc string")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.purl == e["purl"]
+    assert r.description == e["description"]
+    assert r.download_url == e["download_url"]
+    assert r.extracted_license_statement == e["extracted_license_statement"]
+    assert sorted(r.parties.split("; ")) == sorted(
+        p["name"] for p in e["parties"]
+    )
+    assert sorted(r.dependencies.split("; ")) == sorted(
+        d["purl"] for d in e["dependencies"]
+    )
