@@ -563,3 +563,55 @@ def pom_packages_full(docs: DataFrame, text_col: str = "pom_text") -> DataFrame:
         # the reference dedupes repeated <dependency> coordinates
         F.array_distinct(mkdep).alias("dependencies"),
     )
+
+
+def maven_metadata_uris(
+    docs: DataFrame, xml_col: str = "xml", source_col: str = "source_uri"
+) -> DataFrame:
+    """maven-metadata.xml -> per-version artifact URIs (the reference's
+    MavenMetaDataVisitor: for each <version> under <versioning><versions>,
+    yield the .jar and -sources.jar as scan-only (visited) and the .pom as
+    to-visit, all under pkg:maven/{groupId}/{artifactId}@{version}).
+
+    One explode over the version list; the artifact URL root derives from
+    the metadata URL itself (…/maven-metadata.xml -> …/{version}/)."""
+    xml = F.col(xml_col)
+    g = F.regexp_extract(xml, r"<groupId>([^<]*)</groupId>", 1)
+    a = F.regexp_extract(xml, r"<artifactId>([^<]*)</artifactId>", 1)
+    versions = F.regexp_extract_all(
+        xml, F.lit(r"<version>([^<]*)</version>"), 1
+    )
+    root = F.regexp_replace(F.col(source_col), r"maven-metadata\.xml$", "")
+    base = docs.select(
+        F.col(source_col).alias("source_uri"),
+        root.alias("_root"),
+        g.alias("_g"),
+        a.alias("_a"),
+        F.explode(versions).alias("version"),
+    )
+    stem = F.concat(
+        F.col("_root"), F.col("version"), F.lit("/"), F.col("_a"),
+        F.lit("-"), F.col("version"),
+    )
+    purl = F.concat(
+        F.lit("pkg:maven/"), F.col("_g"), F.lit("/"), F.col("_a"),
+        F.lit("@"), F.col("version"),
+    )
+    suffixes = F.array(
+        F.struct(F.lit(".jar").alias("suf"), F.lit(True).alias("visited")),
+        F.struct(
+            F.lit("-sources.jar").alias("suf"), F.lit(True).alias("visited")
+        ),
+        F.struct(F.lit(".pom").alias("suf"), F.lit(False).alias("visited")),
+    )
+    return base.select(
+        "source_uri",
+        purl.alias("package_url"),
+        F.explode(suffixes).alias("s"),
+        stem.alias("_stem"),
+    ).select(
+        F.concat(F.col("_stem"), F.col("s.suf")).alias("uri"),
+        "package_url",
+        F.col("s.visited").alias("visited"),
+        "source_uri",
+    )

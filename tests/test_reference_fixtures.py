@@ -1462,3 +1462,19 @@ def test_haxe_mapper_matches_reference_expected(spark):
     assert sorted(r.dependencies.split("; ")) == sorted(
         d["purl"] for d in e["dependencies"]
     )
+
+
+def test_maven_metadata_visitor_matches_reference_expected(spark):
+    """Replay maven-metadata.xml through maven_metadata_uris vs the
+    reference's expected URI records (jar+sources scan-only, pom visited)."""
+    from purldb_spark.sources.collectors import maven_metadata_uris
+
+    xml = _load("maven/maven-metadata/maven-metadata.xml")
+    expected = json.loads(_load("maven/maven-metadata/expected_maven_xml.json"))
+    src = "https://repo1.maven.org/maven2/st/digitru/identity-core/maven-metadata.xml"
+    rows = maven_metadata_uris(
+        spark.createDataFrame([(xml, src)], "xml string, source_uri string")
+    ).collect()
+    got = {(r.uri, r.package_url, r.visited) for r in rows}
+    want = {(e["uri"], e["package_url"], e["visited"]) for e in expected}
+    assert got == want
