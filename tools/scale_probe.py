@@ -41,8 +41,8 @@ PROBES = [
     ("dedup_simhash", "pigeonhole bands — linear"),
     ("dedup_ngram_jaccard_capped", "df-capped inverted index — linear"),
     ("dedup_ngram_jaccard", "uncapped inverted index — sum(df^2)"),
-    ("dedup_cluster_cc", "pointer-jumping CC — linear x O(log d) waves"),
-    ("dedup_cluster_keep_best", "closure + per-cluster argmax — linear"),
+    ("dedup_cluster_cc", "CC over the shared pair fixture — O(log d) waves"),
+    ("dedup_cluster_keep_best", "closure + argmax over pair fixture — linear"),
     ("decontam_ngram_overlap", "broadcast benchmark shingles — linear"),
     ("emb_blocked_8x8", "LSH 8 bands x 8-bit buckets, cos>=0.55 — linear"),
     ("knn_lsh_bucketed", "bucket equi-join — linear"),
@@ -54,7 +54,7 @@ PROBES = [
     ("sample_stratified", "map-only md5 threshold — linear"),
     ("pack_sequences", "16-shard window cumsum — linear"),
     ("shuffle_global", "sharded rank + broadcast offsets — linear"),
-    ("corpus_curate_pipeline", "full curation composition — pair-gen bound"),
+    ("corpus_curate_pipeline", "gates + sample + pack over pair fixture — linear"),
 ]
 
 
