@@ -1,0 +1,361 @@
+"""Miner-mapper queries, batch 10: the round-5 reference-fixture-parity
+mappers get driver-oracle coverage — gemspec YAML, CRAN package-page HTML,
+maven-metadata.xml, and the debian ls-lR visitor. Same fixture strategy as
+earlier batches: wire-format documents are SYNTHESIZED from the `part`
+table column-expressions, pushed through the real parser, and the DuckDB
+oracle computes the expected values directly from the same source columns
+(so the Spark side must survive the full serialize -> parse round trip to
+match)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+from purldb_spark.sources.collectors import maven_metadata_uris
+from purldb_spark.sources.listings import parse_lslr
+from purldb_spark.sources.lslr_debian import debian_lslr_uris
+from purldb_spark.sources.miners2 import map_gemspec_yaml_docs
+from purldb_spark.sources.miners3 import map_cran_html_docs
+
+_NAME_SQL = "lower(replace(p_brand, '#', '-')) || '-' || CAST(p_partkey AS VARCHAR)"
+_VER_SQL = (
+    "CAST(p_partkey % 9 AS VARCHAR) || '.' || CAST(p_partkey % 5 AS VARCHAR) || '.0'"
+)
+
+_BASE_SQL = f"""
+  SELECT p_partkey AS k, {_NAME_SQL} AS name, {_VER_SQL} AS ver,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        k.alias("k"),
+        F.concat(
+            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
+            F.lit("-"),
+            k.cast("string"),
+        ).alias("name"),
+        F.concat(
+            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        ).alias("ver"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+@query(
+    "x_gemspec_map",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'gem' AS type, name, ver AS version,
+           'pkg:gem/' || name || '@' || ver AS purl,
+           'Gem ' || name AS description,
+           'https://example.org/' || name AS homepage_url,
+           CASE WHEN k % 2 = 0 THEN ['MIT'] ELSE ['MIT', 'Apache-2.0'] END
+             AS extracted_license_statement,
+           ['Ann Dev', 'Bo Dev'] AS authors,
+           '2021-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' AS release_date,
+           'https://rubygems.org/downloads/' || name || '-' || ver || '.gem'
+             AS download_url,
+           CASE WHEN k % 3 = 0
+                THEN 'dep-a|~> 1.0|runtime; dep-b||development'
+                ELSE 'dep-a|~> 1.0|runtime' END AS deps
+    FROM base
+    """,
+)
+def x_gemspec_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gemspec YAML round trip: serialize a Gem::Specification YAML per
+    part row (two authors, one or two licenses, runtime + development
+    dependencies with a dropped `>= 0` constraint), parse with
+    map_gemspec_yaml_docs, flatten the dependency structs for the hash
+    compare."""
+    b = _base(spark, sf_dir)
+    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    lic_block = F.when(k % 2 == 0, F.lit("licenses:\n- MIT\n")).otherwise(
+        F.lit("licenses:\n- MIT\n- Apache-2.0\n")
+    )
+    dep_b = F.when(
+        k % 3 == 0,
+        F.lit(
+            "- !ruby/object:Gem::Dependency\n"
+            "  name: dep-b\n"
+            "  requirement: !ruby/object:Gem::Requirement\n"
+            "    requirements:\n"
+            '    - - ">="\n'
+            "      - !ruby/object:Gem::Version\n"
+            "        version: '0'\n"
+            "  type: :development\n"
+            "  prerelease: false\n"
+        ),
+    ).otherwise(F.lit(""))
+    yaml = F.concat(
+        F.lit("--- !ruby/object:Gem::Specification\nname: "),
+        name,
+        F.lit("\nversion: !ruby/object:Gem::Version\n  version: "),
+        ver,
+        F.lit("\nplatform: ruby\nauthors:\n- Ann Dev\n- Bo Dev\ndate: 2021-0"),
+        (k % 9 + 1).cast("string"),
+        F.lit("-15 00:00:00.000000000 Z\ndependencies:\n"),
+        F.lit(
+            "- !ruby/object:Gem::Dependency\n"
+            "  name: dep-a\n"
+            "  requirement: !ruby/object:Gem::Requirement\n"
+            "    requirements:\n"
+            '    - - "~>"\n'
+            "      - !ruby/object:Gem::Version\n"
+            "        version: '1.0'\n"
+            "  type: :runtime\n"
+            "  prerelease: false\n"
+        ),
+        dep_b,
+        F.lit("description: Gem "),
+        name,
+        F.lit("\nsummary: Gem "),
+        name,
+        F.lit("\nhomepage: https://example.org/"),
+        name,
+        F.lit("\n"),
+        lic_block,
+    )
+    docs = b.select(
+        yaml.alias("metadata"),
+        F.concat(
+            F.lit("https://rubygems.org/downloads/"),
+            name,
+            F.lit("-"),
+            ver,
+            F.lit(".gem"),
+        ).alias("download_url"),
+    )
+    out = map_gemspec_yaml_docs(docs)
+    return out.select(
+        "type",
+        "name",
+        "version",
+        "purl",
+        "description",
+        "homepage_url",
+        "extracted_license_statement",
+        "authors",
+        "release_date",
+        "download_url",
+        F.array_join(
+            F.transform(
+                F.col("dependencies"),
+                lambda d: F.concat_ws(
+                    "|",
+                    d["purl"],
+                    F.coalesce(d["extracted_requirement"], F.lit("")),
+                    d["scope"],
+                ),
+            ),
+            "; ",
+        ).alias("deps"),
+    )
+
+
+@query(
+    "x_cran_html_map",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'cran' AS type, name, ver AS version,
+           'pkg:cran/' || name || '@' || ver AS purl,
+           'R package ' || name AS description,
+           'https://example.org/' || name AS homepage_url,
+           ['../../licenses/GPL-3'] AS extracted_license_statement,
+           'Ann Dev' AS author,
+           'Bo Maint' AS maintainer,
+           'bo.maint@example.org' AS maintainer_email,
+           '2021-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' AS release_date,
+           'cran_metadata' AS datasource_id,
+           dl AS download_url
+    FROM base,
+         unnest(['https://cloud.r-project.org/src/contrib/' || name || '_'
+                   || ver || '.tar.gz',
+                 'https://cloud.r-project.org/bin/windows/contrib/4.3/'
+                   || name || '_' || ver || '.zip']) AS t(dl)
+    """,
+)
+def x_cran_html_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAN package-page round trip: render the reference's HTML table
+    shape per part row (hex-entity-armored maintainer address included),
+    parse with map_cran_html_docs — one output row per source/binary
+    download link."""
+    b = _base(spark, sf_dir)
+    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    # "bo.maint at example.org" armored as &#xHH; entities like CRAN does
+    armored = "".join(f"&#x{ord(c):02x};" for c in "<bo.maint at example.org>")
+    html = F.concat(
+        F.lit("<html><body><h2>"),
+        name,
+        F.lit(": pkg</h2>\n<p>R package "),
+        name,
+        F.lit("</p>\n<table>\n<tr>\n<td>Version:</td>\n<td>"),
+        ver,
+        F.lit("</td>\n</tr>\n<tr>\n<td>Published:</td>\n<td>2021-0"),
+        (k % 9 + 1).cast("string"),
+        F.lit("-15</td>\n</tr>\n<tr>\n<td>Author:</td>\n<td>Ann Dev</td>\n</tr>\n"),
+        F.lit("<tr>\n<td>Maintainer:</td>\n<td>Bo Maint  " + armored + "</td>\n</tr>\n"),
+        F.lit(
+            '<tr>\n<td>License:</td>\n<td><a href="../../licenses/GPL-3">'
+            "GPL-3</a></td>\n</tr>\n"
+        ),
+        F.lit('<tr>\n<td>URL:</td>\n<td><a href="https://example.org/'),
+        name,
+        F.lit('">site</a></td>\n</tr>\n</table>\n<table>\n'),
+        F.lit('<tr>\n<td> Package&nbsp;source: </td>\n<td> <a href="../../../src/contrib/'),
+        name,
+        F.lit("_"),
+        ver,
+        F.lit('.tar.gz">tarball</a> </td>\n</tr>\n'),
+        F.lit('<tr>\n<td> Windows&nbsp;binaries: </td>\n<td> <a href="../../../bin/windows/contrib/4.3/'),
+        name,
+        F.lit("_"),
+        ver,
+        F.lit('.zip">zip</a> </td>\n</tr>\n</table></body></html>'),
+    )
+    docs = b.select(
+        html.alias("html"),
+        F.concat(
+            F.lit("https://cloud.r-project.org/web/packages/"),
+            name,
+            F.lit("/index.html"),
+        ).alias("uri"),
+        F.concat(F.lit("pkg:cran/"), name, F.lit("@"), ver).alias("purl"),
+    )
+    return map_cran_html_docs(docs)
+
+
+@query(
+    "x_maven_metadata_map",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    v AS (
+      SELECT k, name, ver || '.' || CAST(n AS VARCHAR) AS version
+      FROM base, unnest([0, 1]) AS t(n)
+    )
+    SELECT 'https://repo1.maven.org/maven2/org/example/' || name || '/'
+             || version || '/' || name || '-' || version || s.suf AS uri,
+           'pkg:maven/org.example/' || name || '@' || version AS package_url,
+           s.visited AS visited,
+           'https://repo1.maven.org/maven2/org/example/' || name
+             || '/maven-metadata.xml' AS source_uri
+    FROM v, (VALUES ('.jar', TRUE), ('-sources.jar', TRUE), ('.pom', FALSE))
+           AS s(suf, visited)
+    """,
+)
+def x_maven_metadata_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maven-metadata.xml round trip: render the versioning XML (two
+    versions per part row), run the visitor — jar + sources scan-only,
+    pom to-visit, purls with the dotted groupId."""
+    b = _base(spark, sf_dir)
+    name, ver = F.col("name"), F.col("ver")
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n<metadata>\n'
+            "  <groupId>org.example</groupId>\n  <artifactId>"
+        ),
+        name,
+        F.lit(
+            "</artifactId>\n  <versioning>\n    <versions>\n      <version>"
+        ),
+        ver,
+        F.lit(".0</version>\n      <version>"),
+        ver,
+        F.lit(
+            ".1</version>\n    </versions>\n  </versioning>\n</metadata>\n"
+        ),
+    )
+    docs = b.select(
+        xml.alias("xml"),
+        F.concat(
+            F.lit("https://repo1.maven.org/maven2/org/example/"),
+            name,
+            F.lit("/maven-metadata.xml"),
+        ).alias("source_uri"),
+    )
+    return maven_metadata_uris(docs)
+
+
+@query(
+    "x_debian_lslr_map",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT 'http://ftp.debian.org/debian/pool/main/x/' || name || '/' || f.fn
+             AS uri,
+           f.purl AS package_url, f.fn AS file_name,
+           size + f.off AS size,
+           '2021-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' AS date,
+           'http://ftp.debian.org/debian/ls-lR.gz' AS source_uri
+    FROM base, LATERAL (
+      SELECT * FROM (VALUES
+        (name || '_' || ver || '_amd64.deb',
+         'pkg:deb/debian/' || name || '@' || ver || '?arch=amd64',
+         CAST(0 AS BIGINT)),
+        (name || '_' || ver || '.dsc', NULL, CAST(1 AS BIGINT))
+      ) AS v(fn, purl, off)
+    ) f
+    """,
+)
+def x_debian_lslr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debian ls-lR round trip: render a directory block per part row
+    (a .deb with an nva-parseable filename, a .dsc, and a non-collectible
+    README that must be filtered out), parse with parse_lslr + the
+    directory-index visitor."""
+    b = _base(spark, sf_dir)
+    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    month = F.date_format(
+        F.to_date(
+            F.concat(F.lit("2021-0"), (k % 9 + 1).cast("string"), F.lit("-15"))
+        ),
+        "MMM",
+    )
+    day_year = F.concat(F.lit("15  2021"))
+    listing = F.concat(
+        F.lit("./pool/main/x/"),
+        name,
+        F.lit(":\ntotal 100\n-rw-rw-r-- 2 dak debadmin "),
+        F.col("size").cast("string"),
+        F.lit(" "),
+        month,
+        F.lit(" "),
+        day_year,
+        F.lit(" "),
+        name,
+        F.lit("_"),
+        ver,
+        F.lit("_amd64.deb\n-rw-rw-r-- 2 dak debadmin "),
+        (F.col("size") + 1).cast("string"),
+        F.lit(" "),
+        month,
+        F.lit(" "),
+        day_year,
+        F.lit(" "),
+        name,
+        F.lit("_"),
+        ver,
+        F.lit(".dsc\n-rw-rw-r-- 2 dak debadmin 12 "),
+        month,
+        F.lit(" "),
+        day_year,
+        F.lit(" README\n"),
+    )
+    # one synthetic listing file per row -> explode lines with a per-row
+    # "file" identity so the window-scoped dir context stays per listing
+    lines = b.select(
+        F.col("k").alias("_doc"), F.explode(F.split(listing, "\n")).alias("value")
+    )
+    # parse_lslr partitions its window by input_file_name(); for in-memory
+    # rows that is empty — substitute the per-row doc id as the file key
+    import purldb_spark.sources.listings as L
+
+    entries = L.parse_lslr_with_key(lines, key_col="_doc")
+    return debian_lslr_uris(
+        entries, "http://ftp.debian.org/debian/ls-lR.gz"
+    )

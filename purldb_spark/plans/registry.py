@@ -65,6 +65,7 @@ def load_inventory() -> None:
         q_miners7,
         q_miners8,
         q_miners9,
+        q_miners10,
         q_collectors2,
         q_collectors3,
         q_seqmatch,

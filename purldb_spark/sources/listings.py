@@ -68,7 +68,9 @@ _LSLR_FILE_RX = (
 )
 
 
-def parse_lslr(lines: DataFrame, text_col: str = "value") -> DataFrame:
+def parse_lslr(
+    lines: DataFrame, text_col: str = "value", key_col: str | None = None
+) -> DataFrame:
     """`ls -alR` block listing -> (path, type, size, date) rows.
 
     The directory context is inherently sequential state, so it propagates
@@ -85,10 +87,13 @@ def parse_lslr(lines: DataFrame, text_col: str = "value") -> DataFrame:
     regular files carry size/date; `.`/`..` rows are dropped; paths are
     cleaned of leading `./`."""
     c = F.col(text_col)
+    # key_col: for listings that are ROWS (one document per row exploded
+    # into lines) rather than files, the caller supplies the per-document
+    # key; input_file_name() is empty for in-memory data
     raw = lines.select(
         c.alias("line"),
         F.monotonically_increasing_id().alias("_pos"),
-        F.input_file_name().alias("_file"),
+        (F.col(key_col) if key_col else F.input_file_name()).alias("_file"),
     )
     is_file_row = F.regexp_extract("line", _LSLR_FILE_RX, 1) != ""
     header = F.when(
@@ -215,3 +220,11 @@ def parse_find_ls(lines: DataFrame, text_col: str = "value") -> DataFrame:
         )
         .filter(~F.col("path").rlike(r"(^|/)\.\.?$") & (F.col("path") != ""))
     )
+
+
+def parse_lslr_with_key(
+    lines: DataFrame, text_col: str = "value", key_col: str = "_doc"
+) -> DataFrame:
+    """parse_lslr over exploded in-memory rows: directory context scoped
+    by the caller's per-document key instead of input_file_name()."""
+    return parse_lslr(lines, text_col, key_col)
