@@ -1478,3 +1478,35 @@ def test_maven_metadata_visitor_matches_reference_expected(spark):
     got = {(r.uri, r.package_url, r.visited) for r in rows}
     want = {(e["uri"], e["package_url"], e["visited"]) for e in expected}
     assert got == want
+
+
+def test_sourceforge_sitemap_visitors_match_reference_expected(spark):
+    """Replay sitemap.xml (index -> 148 sub-sitemaps) and sitemap-1.xml
+    (page -> 37 project API URIs with purls) through the sitemap
+    visitors."""
+    from purldb_spark.sources.sitemaps import (
+        sitemap_locs,
+        sourceforge_sitemap_page_uris,
+    )
+
+    idx = _load("sourceforge/sitemap.xml")
+    exp_idx = json.loads(_load("sourceforge/expected_sf_sitemap_new.json"))
+    rows = sitemap_locs(
+        spark.createDataFrame(
+            [(idx, "https://sourceforge.net/sitemap.xml")],
+            "xml string, source_uri string",
+        )
+    ).collect()
+    assert [r.uri for r in rows] == [e["uri"] for e in exp_idx]
+
+    page = _load("sourceforge/sitemap-1.xml")
+    exp_page = json.loads(_load("sourceforge/expected_sf_sitemap_page_new.json"))
+    rows = sourceforge_sitemap_page_uris(
+        spark.createDataFrame(
+            [(page, "http://sourceforge.net/sitemap-1.xml")],
+            "xml string, source_uri string",
+        )
+    ).collect()
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in exp_page}
+    assert got == want
