@@ -83,3 +83,46 @@ def html_index_uris(pages: DataFrame, html_col: str = "html", base_col: str = "b
         _size_bytes(size_s).alias("size"),
         purl.alias("package_url"),
     )
+
+
+_ECLIPSE_SUFFIXES = (
+    "-win32.zip",
+    "-win64.exe",
+    "-win32-x86_64.zip",
+    "-linux-gtk-x86_64.tar.gz",
+    "-macosx-cocoa-x86_64.tar.gz",
+    "-linux-gtk.tar.gz",
+    "-x86_64.tar.gz",
+)
+
+
+def eclipse_release_uris(
+    pages: DataFrame, html_col: str = "html", source_col: str = "source_uri"
+) -> DataFrame:
+    """Eclipse release-page download anchors -> (uri, file_name,
+    package_url, source_uri) (EclipseReleaseVisitor,
+    minecode/miners/eclipse.py:107-137): every href containing
+    `download.php?file=`, the purl name = file name with the
+    platform-suffix list stripped.
+
+    Intentional divergence: the reference iterates anchors once per
+    ANCESTOR div (BeautifulSoup find_all nesting), emitting each URI ~13
+    times; this visitor emits the DISTINCT set — the duplicates carry no
+    information and the crawler's frontier dedupes them anyway."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'href="([^"]*download\.php\?file=[^"]*)"'), 1
+    )
+    rows = pages.select(
+        F.col(source_col).alias("source_uri"),
+        F.explode(F.array_distinct(hrefs)).alias("uri"),
+    )
+    fname = F.substring_index(F.col("uri"), "/", -1)
+    name = fname
+    for suf in _ECLIPSE_SUFFIXES:
+        name = F.replace(name, F.lit(suf), F.lit(""))
+    return rows.select(
+        "uri",
+        fname.alias("file_name"),
+        F.concat(F.lit("pkg:eclipse/"), name).alias("package_url"),
+        "source_uri",
+    )

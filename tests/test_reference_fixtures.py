@@ -1510,3 +1510,22 @@ def test_sourceforge_sitemap_visitors_match_reference_expected(spark):
     got = {(r.uri, r.package_url) for r in rows}
     want = {(e["uri"], e["package_url"]) for e in exp_page}
     assert got == want
+
+
+def test_eclipse_release_visitor_matches_reference_expected(spark):
+    """Replay Neon_R.html through the eclipse release visitor; the
+    reference's nested-div iteration duplicates every URI ~13x, so parity
+    is asserted on the DISTINCT (uri, file_name, package_url) set."""
+    from purldb_spark.sources.html_index import eclipse_release_uris
+
+    html = _load("eclipse/Neon_R.html")
+    expected = json.loads(_load("eclipse/Neon_R-expected.json"))
+    rows = eclipse_release_uris(
+        spark.createDataFrame(
+            [(html, "http://www.eclipse.org/downloads/packages/release/Neon/R")],
+            "html string, source_uri string",
+        )
+    ).collect()
+    got = {(r.uri, r.file_name, r.package_url) for r in rows}
+    want = {(e["uri"], e["file_name"], e["package_url"]) for e in expected}
+    assert got == want
