@@ -126,3 +126,49 @@ def eclipse_release_uris(
         F.concat(F.lit("pkg:eclipse/"), name).alias("package_url"),
         "source_uri",
     )
+
+
+def dockerhub_explore_uris(
+    pages: DataFrame, html_col: str = "html", source_col: str = "source_uri"
+) -> DataFrame:
+    """DockerHub explore-page anchors -> per official image the HTML page
+    URI and the v2 registry API URI (both under pkg:docker/library/<name>),
+    plus the next explore page when the page had any images
+    (DockHubExplorePageVisitor, minecode/miners/dockerhub.py:58-97)."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'href="(/_/[^"]*)"'), 1
+    )
+    base = pages.select(
+        F.col(source_col).alias("source_uri"), hrefs.alias("_hrefs")
+    )
+    per_image = base.select(
+        "source_uri", F.explode("_hrefs").alias("href")
+    )
+    short = F.regexp_replace(
+        F.regexp_extract(F.col("href"), r"^/_/(.*)$", 1), r"/$", ""
+    )
+    purl = F.concat(F.lit("pkg:docker/library/"), short)
+    pair = F.array(
+        F.concat(F.lit("https://hub.docker.com"), F.col("href")),
+        F.concat(
+            F.lit("https://registry.hub.docker.com/v2/repositories/library/"),
+            F.regexp_extract(F.col("href"), r"^/_/(.*)$", 1),
+        ),
+    )
+    image_rows = per_image.select(
+        F.explode(pair).alias("uri"), purl.alias("package_url"), "source_uri"
+    )
+    next_rows = base.filter(F.size("_hrefs") > 0).select(
+        F.concat(
+            F.lit("https://hub.docker.com/explore/?page="),
+            (
+                F.regexp_extract(F.col("source_uri"), r"page=(\d+)", 1).cast(
+                    "int"
+                )
+                + 1
+            ).cast("string"),
+        ).alias("uri"),
+        F.lit(None).cast("string").alias("package_url"),
+        "source_uri",
+    )
+    return image_rows.unionByName(next_rows)

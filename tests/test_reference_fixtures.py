@@ -1529,3 +1529,22 @@ def test_eclipse_release_visitor_matches_reference_expected(spark):
     got = {(r.uri, r.file_name, r.package_url) for r in rows}
     want = {(e["uri"], e["file_name"], e["package_url"]) for e in expected}
     assert got == want
+
+
+def test_dockerhub_explore_visitor_matches_reference_expected(spark):
+    """Replay the explore page through dockerhub_explore_uris: html + v2
+    API URI per official image, plus the next-page URI."""
+    from purldb_spark.sources.html_index import dockerhub_explore_uris
+
+    html = _load("dockerhub/Explore_DockerHub_Page1.html")
+    expected = json.loads(_load("dockerhub/visitor_explore_page1_expected"))
+    rows = dockerhub_explore_uris(
+        spark.createDataFrame(
+            [(html, "https://hub.docker.com/explore/?page=1")],
+            "html string, source_uri string",
+        )
+    ).collect()
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in expected}
+    assert got == want
+    assert len(rows) == len(expected)
