@@ -172,3 +172,33 @@ def dockerhub_explore_uris(
         "source_uri",
     )
     return image_rows.unionByName(next_rows)
+
+
+def eclipse_packages_uris(
+    pages: DataFrame, html_col: str = "html", source_col: str = "source_uri"
+) -> DataFrame:
+    """Eclipse packages-page `field-content` spans -> (uri, package_url,
+    source_uri) (EclipsePackagesVisitor, minecode/miners/eclipse.py:82-104):
+    anchor href is the release page URI, anchor TEXT is the purl name
+    (spaces percent-encoded, e.g. pkg:eclipse/Neon%20RC3); spans whose
+    anchor wraps markup instead of a text node are skipped like the
+    reference's isinstance(str) guard."""
+    frags = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(
+            r'<span class="field-content">\s*<a href="([^"]*)">([^<]+)</a>'
+        ),
+        0,
+    )
+    rows = pages.select(
+        F.col(source_col).alias("source_uri"), F.explode(frags).alias("frag")
+    )
+    href = F.regexp_extract("frag", r'href="([^"]*)"', 1)
+    name = F.regexp_extract("frag", r'">([^<]+)</a>', 1)
+    return rows.select(
+        href.alias("uri"),
+        F.concat(
+            F.lit("pkg:eclipse/"), F.replace(name, F.lit(" "), F.lit("%20"))
+        ).alias("package_url"),
+        "source_uri",
+    )

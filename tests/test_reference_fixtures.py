@@ -1548,3 +1548,19 @@ def test_dockerhub_explore_visitor_matches_reference_expected(spark):
     want = {(e["uri"], e["package_url"]) for e in expected}
     assert got == want
     assert len(rows) == len(expected)
+
+
+def test_eclipse_packages_visitor_matches_reference_expected(spark):
+    from purldb_spark.sources.html_index import eclipse_packages_uris
+
+    html = _load("eclipse/All_Releases_Packages.html")
+    expected = json.loads(_load("eclipse/eclipse_packages_expected"))
+    rows = eclipse_packages_uris(
+        spark.createDataFrame(
+            [(html, "http://www.eclipse.org/downloads/packages/all")],
+            "html string, source_uri string",
+        )
+    ).collect()
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in expected}
+    assert got == want
