@@ -202,3 +202,48 @@ def eclipse_packages_uris(
         ).alias("package_url"),
         "source_uri",
     )
+
+
+def cpan_author_dir_uris(
+    pages: DataFrame, html_col: str = "html", base_col: str = "source_uri"
+) -> DataFrame:
+    """CPAN author-directory page anchors -> file URIs with purls
+    (CpanProjectHTMLVisitors, minecode/miners/cpan.py:128-165). The purl
+    derives from the reference's REPLACE-then-rpartition quirk verbatim:
+    "tar.gz" is substring-replaced (leaving the preceding dot in the
+    version, e.g. pkg:cpan/AWS-Signature4@1.00.), .readme/.meta are
+    dropped, and the last '-' splits name from version; hrefs starting
+    with '/' or '?' (navigation) are skipped."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'href="([^"]+)"'), 1
+    )
+    rows = pages.select(
+        F.col(base_col).alias("source_uri"), F.explode(hrefs).alias("href")
+    ).filter(
+        ~F.col("href").startswith("/") & ~F.col("href").startswith("?")
+    )
+    stem = F.replace(
+        F.replace(
+            F.replace(F.col("href"), F.lit("tar.gz"), F.lit("")),
+            F.lit(".readme"),
+            F.lit(""),
+        ),
+        F.lit(".meta"),
+        F.lit(""),
+    )
+    name = F.regexp_extract(stem, r"^(.*)-[^-]*$", 1)
+    version = F.regexp_extract(stem, r"-([^-]*)$", 1)
+    purl = F.when(
+        (name != "") & (version != ""),
+        F.concat(F.lit("pkg:cpan/"), name, F.lit("@"), version),
+    )
+    return rows.select(
+        F.concat(
+            F.col("source_uri"),
+            F.when(
+                F.col("source_uri").endswith("/"), F.col("href")
+            ).otherwise(F.concat(F.lit("/"), F.col("href"))),
+        ).alias("uri"),
+        purl.alias("package_url"),
+        "source_uri",
+    )

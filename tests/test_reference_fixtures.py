@@ -1564,3 +1564,21 @@ def test_eclipse_packages_visitor_matches_reference_expected(spark):
     got = {(r.uri, r.package_url) for r in rows}
     want = {(e["uri"], e["package_url"]) for e in expected}
     assert got == want
+
+
+def test_cpan_author_dir_visitor_matches_reference_expected(spark):
+    """Replay the LDS author directory page (1338 file anchors) through
+    cpan_author_dir_uris, including the reference's version-dot quirk."""
+    from purldb_spark.sources.html_index import cpan_author_dir_uris
+
+    html = _load("cpan/Index_of_authors_id_L_LD_LDS.html")
+    expected = json.loads(_load("cpan/expected_html_files.json"))
+    rows = cpan_author_dir_uris(
+        spark.createDataFrame(
+            [(html, "http://www.cpan.org/authors/id/L/LD/LDS/")],
+            "html string, source_uri string",
+        )
+    ).collect()
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in expected}
+    assert got == want
