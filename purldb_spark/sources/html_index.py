@@ -247,3 +247,30 @@ def cpan_author_dir_uris(
         purl.alias("package_url"),
         "source_uri",
     )
+
+
+def cpan_modules_uris(
+    pages: DataFrame, html_col: str = "html", base_col: str = "source_uri"
+) -> DataFrame:
+    """CPAN modules-index anchors -> author-page URIs
+    (CpanModulesVisitors, minecode/miners/cpan.py:100-124): keep hrefs
+    under ../authors, drop .zip/.tar.gz (the author-dir visitor captures
+    archives), rewrite ../X to http://www.cpan.org/X."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'href="([^"]+)"'), 1
+    )
+    rows = pages.select(
+        F.col(base_col).alias("source_uri"), F.explode(hrefs).alias("href")
+    )
+    keep = (
+        F.col("href").startswith("../authors")
+        & ~F.col("href").endswith(".zip")
+        & ~F.col("href").endswith(".tar.gz")
+    )
+    return rows.filter(keep).select(
+        F.concat(
+            F.lit("http://www.cpan.org/"),
+            F.expr("substring(href, 4)"),
+        ).alias("uri"),
+        "source_uri",
+    )

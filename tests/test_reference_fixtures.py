@@ -1582,3 +1582,17 @@ def test_cpan_author_dir_visitor_matches_reference_expected(spark):
     got = {(r.uri, r.package_url) for r in rows}
     want = {(e["uri"], e["package_url"]) for e in expected}
     assert got == want
+
+
+def test_cpan_modules_visitor_matches_reference_expected(spark):
+    from purldb_spark.sources.html_index import cpan_modules_uris
+
+    html = _load("cpan/Modules on CPAN alphabetically.html")
+    expected = json.loads(_load("cpan/expected_html_modules.json"))
+    rows = cpan_modules_uris(
+        spark.createDataFrame(
+            [(html, "http://www.cpan.org/modules/01modules.index.html")],
+            "html string, source_uri string",
+        )
+    ).collect()
+    assert {r.uri for r in rows} == {e["uri"] for e in expected}
