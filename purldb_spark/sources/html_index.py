@@ -274,3 +274,52 @@ def cpan_modules_uris(
         ).alias("uri"),
         "source_uri",
     )
+
+
+def googlecode_search_uris(
+    pages: DataFrame, html_col: str = "html", base_col: str = "source_uri"
+) -> DataFrame:
+    """Google Code archive search pages -> per-project archive
+    project.json URIs with purls, plus the "Next page" pagination link
+    (GoogleProjectPagesVisitor, minecode/miners/googlecode.py:85-109)."""
+    proj_hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r'href="https://code\.google\.com/archive/p/([^"]+)"'),
+        1,
+    )
+    base = pages.select(
+        F.col(base_col).alias("source_uri"),
+        proj_hrefs.alias("_projects"),
+        # the Next anchor carries other attributes before href and HTML-
+        # escapes & in the url — unescape &amp; like BeautifulSoup does
+        F.replace(
+            F.regexp_extract(
+                F.col(html_col), r'<a [^>]*href="([^"]*)"[^>]*>\s*Next', 1
+            ),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ).alias("_next"),
+    )
+    projects = base.select(
+        "source_uri", F.explode("_projects").alias("p")
+    ).select(
+        F.concat(
+            F.lit(
+                "https://storage.googleapis.com/google-code-archive/"
+                "v2/code.google.com/"
+            ),
+            F.col("p"),
+            F.lit("/project.json"),
+        ).alias("uri"),
+        F.concat(
+            F.lit("pkg:googlecode/"),
+            F.regexp_replace(F.col("p"), r"/$", ""),
+        ).alias("package_url"),
+        "source_uri",
+    )
+    nxt = base.filter(F.col("_next") != "").select(
+        F.col("_next").alias("uri"),
+        F.lit(None).cast("string").alias("package_url"),
+        "source_uri",
+    )
+    return projects.unionByName(nxt)

@@ -1596,3 +1596,33 @@ def test_cpan_modules_visitor_matches_reference_expected(spark):
         )
     ).collect()
     assert {r.uri for r in rows} == {e["uri"] for e in expected}
+
+
+@pytest.mark.parametrize(
+    "page,expected_file,src",
+    [
+        (
+            "googlecode/v2_api/GoogleCodeProjectHosting.htm",
+            "googlecode/v2_api/expected_googleprojects.json",
+            "https://code.google.com/archive/search?q=domain:code.google.com",
+        ),
+        (
+            "googlecode/v2_api/GoogleCodeProjectHosting_page2.htm",
+            "googlecode/v2_api/expected_googleproject_page2.json",
+            "https://code.google.com/archive/search?q=domain:code.google.com&page=2",
+        ),
+    ],
+)
+def test_googlecode_search_visitor_matches_reference_expected(
+    spark, page, expected_file, src
+):
+    from purldb_spark.sources.html_index import googlecode_search_uris
+
+    html = _load(page)
+    expected = json.loads(_load(expected_file))
+    rows = googlecode_search_uris(
+        spark.createDataFrame([(html, src)], "html string, source_uri string")
+    ).collect()
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in expected}
+    assert got == want
