@@ -354,3 +354,84 @@ def map_openssl_listing(
         ),
         F.lit("openssl_metadeta").alias("datasource_id"),
     )
+
+
+_GC_DL_SCHEMA = T.StructType(
+    [
+        T.StructField("pageNumber", T.IntegerType()),
+        T.StructField("totalPages", T.IntegerType()),
+        T.StructField(
+            "downloads",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("filename", T.StringType()),
+                        T.StructField("releaseDate", T.LongType()),
+                        T.StructField("fileSize", T.LongType()),
+                        T.StructField("sha1Checksum", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def googlecode_downloads_uris(
+    docs: DataFrame, json_col: str = "doc", uri_col: str = "uri"
+) -> DataFrame:
+    """Google Code archive downloads-page JSON -> per-file download URIs
+    (+ the next page while pageNumber < totalPages)
+    (GoogleDownloadsPageJsonVisitor, minecode/miners/googlecode.py:124-170):
+    filenames of the form name_version.ext split into a versioned purl,
+    anything else keeps the whole filename as the purl name; releaseDate
+    is a unix timestamp rendered as local (=UTC here) datetime."""
+    j = F.from_json(F.col(json_col), _GC_DL_SCHEMA)
+    base = docs.select(
+        F.col(uri_col).alias("source_uri"),
+        j["pageNumber"].alias("_p"),
+        j["totalPages"].alias("_t"),
+        j["downloads"].alias("_dls"),
+    )
+    root = F.regexp_replace(
+        F.col("source_uri"), r"downloads-page-\d+\.json$", ""
+    )
+    nxt = base.filter(F.col("_p") < F.col("_t")).select(
+        F.concat(
+            root,
+            F.lit("downloads-page-"),
+            (F.col("_p") + 1).cast("string"),
+            F.lit(".json"),
+        ).alias("uri"),
+        F.lit(None).cast("string").alias("package_url"),
+        F.lit(None).cast("string").alias("file_name"),
+        F.lit(None).cast("long").alias("size"),
+        F.lit(None).cast("string").alias("date"),
+        F.lit(None).cast("string").alias("sha1"),
+        "source_uri",
+    )
+    d = F.col("d")
+    fname = d["filename"]
+    versioned = fname.contains("_") & fname.contains(".")
+    # reference splits on the FIRST underscore then drops the last
+    # extension: a_b_c.jar -> name a, version b_c
+    pname = F.substring_index(fname, "_", 1)
+    version = F.regexp_extract(fname, r"^[^_]*_(.*)\.[^.]*$", 1)
+    purl = F.when(
+        versioned,
+        F.concat(F.lit("pkg:googlecode/"), pname, F.lit("@"), version),
+    ).otherwise(F.concat(F.lit("pkg:googlecode/"), fname))
+    files = base.select(
+        "source_uri", root.alias("_root"), F.explode("_dls").alias("d")
+    ).select(
+        F.concat(F.col("_root"), fname).alias("uri"),
+        purl.alias("package_url"),
+        fname.alias("file_name"),
+        d["fileSize"].alias("size"),
+        F.date_format(
+            F.to_timestamp(d["releaseDate"]), "yyyy-MM-dd HH:mm:ss"
+        ).alias("date"),
+        d["sha1Checksum"].alias("sha1"),
+        "source_uri",
+    )
+    return nxt.unionByName(files)

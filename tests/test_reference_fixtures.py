@@ -1626,3 +1626,33 @@ def test_googlecode_search_visitor_matches_reference_expected(
     got = {(r.uri, r.package_url) for r in rows}
     want = {(e["uri"], e["package_url"]) for e in expected}
     assert got == want
+
+
+def test_googlecode_downloads_visitor_matches_reference_expected(spark):
+    from purldb_spark.sources.miners9 import googlecode_downloads_uris
+
+    doc = _load("googlecode/v2_api/downloads-page-1.json")
+    expected = json.loads(_load("googlecode/v2_api/hg4j_download_expected.json"))
+    src = (
+        "https://storage.googleapis.com/google-code-archive/v2/"
+        "code.google.com/hg4j/downloads-page-1.json"
+    )
+    rows = googlecode_downloads_uris(
+        spark.createDataFrame([(doc, src)], "doc string, uri string")
+    ).collect()
+    got = {
+        (r.uri, r.package_url, r.file_name, r.size, r.date, r.sha1)
+        for r in rows
+    }
+    want = {
+        (
+            e["uri"],
+            e["package_url"],
+            e["file_name"],
+            e["size"],
+            e["date"],
+            e["sha1"],
+        )
+        for e in expected
+    }
+    assert got == want
