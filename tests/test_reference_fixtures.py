@@ -1656,3 +1656,29 @@ def test_googlecode_downloads_visitor_matches_reference_expected(spark):
         for e in expected
     }
     assert got == want
+
+
+def test_gc_archive_zip_visitor_matches_reference_expected(spark):
+    """Replay the google-code-archive.txt.zip fixture through the zip
+    line extractor + URI transform."""
+    from purldb_spark.sources.gc_archive_zip import (
+        gc_archive_uris,
+        zip_text_lines,
+    )
+
+    src = "https://storage.googleapis.com/google-code-archive/google-code-archive.txt.zip"
+    with open(
+        os.path.join(_TESTFILES, "googlecode/google-code-archive.txt.zip"),
+        "rb",
+    ) as fh:
+        blob = fh.read()
+    blobs = spark.createDataFrame(
+        [(src, bytearray(blob))], "source_uri string, content binary"
+    )
+    rows = gc_archive_uris(zip_text_lines(blobs)).collect()
+    expected = json.loads(
+        _load("googlecode/expected_google-code-archive.txt.zip.json")
+    )
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in expected}
+    assert got == want
