@@ -1682,3 +1682,30 @@ def test_gc_archive_zip_visitor_matches_reference_expected(spark):
     got = {(r.uri, r.package_url) for r in rows}
     want = {(e["uri"], e["package_url"]) for e in expected}
     assert got == want
+
+
+def test_npm_changes_visitor_matches_reference_expected(spark):
+    """Replay the replicate _changes page through npm_changes_uris:
+    next-index URI + 98 pre-visited package records with compacted doc
+    passthrough."""
+    from purldb_spark.sources.npm_changes import npm_changes_uris
+
+    raw = _load("npm/replicate_doc1.json")
+    src = (
+        "https://replicate.npmjs.com/registry/_changes"
+        "?include_docs=true&limit=1000&since=2300000"
+    )
+    rows = npm_changes_uris(
+        spark.createDataFrame([(raw, src)], "doc string, source_uri string")
+    ).collect()
+    expected = json.loads(_load("npm/expected_doclimit_visitor.json"))
+    assert len(rows) == len(expected)
+    got = {r.uri: r for r in rows}
+    for e in expected:
+        r = got[e["uri"]]
+        assert r.package_url == e["package_url"], e["uri"]
+        assert r.visited == e["visited"], e["uri"]
+        if e["data"] is None:
+            assert r.data is None
+        else:
+            assert json.loads(r.data) == json.loads(e["data"]), e["uri"]
