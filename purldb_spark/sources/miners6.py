@@ -507,3 +507,56 @@ def map_nix_docs(
         )
         .drop("_hash", "_url_path")
     )
+
+
+_DH_SEARCH_SCHEMA = T.StructType(
+    [
+        T.StructField("num_pages", T.IntegerType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField(
+            "results",
+            T.ArrayType(
+                T.StructType([T.StructField("name", T.StringType())])
+            ),
+        ),
+    ]
+)
+
+
+def dockerhub_search_uris(
+    docs: DataFrame, json_col: str = "doc", uri_col: str = "uri"
+) -> DataFrame:
+    """DockerHub v1 search JSON -> repository API URIs with purls plus the
+    next search page while page < num_pages
+    (DockHubGetAllProjectsFromSearchVisitor,
+    minecode/miners/dockerhub.py:135-159)."""
+    j = F.from_json(F.col(json_col), _DH_SEARCH_SCHEMA)
+    base = docs.select(
+        F.col(uri_col).alias("source_uri"),
+        j["num_pages"].alias("_np"),
+        j["page"].alias("_p"),
+        j["results"].alias("_rs"),
+    )
+    nxt = base.filter(
+        F.col("_np").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.col("_p") < F.col("_np"))
+    ).select(
+        F.concat(
+            F.regexp_replace(F.col("source_uri"), r"=[^=]*$", "="),
+            (F.col("_p") + 1).cast("string"),
+        ).alias("uri"),
+        F.lit(None).cast("string").alias("package_url"),
+        "source_uri",
+    )
+    names = base.select(
+        "source_uri", F.explode("_rs").alias("r")
+    ).filter(F.col("r.name").isNotNull())
+    repos = names.select(
+        F.concat(
+            F.lit("https://hub.docker.com/v2/repositories/"), F.col("r.name")
+        ).alias("uri"),
+        F.concat(F.lit("pkg:docker/"), F.col("r.name")).alias("package_url"),
+        "source_uri",
+    )
+    return nxt.unionByName(repos)

@@ -1709,3 +1709,17 @@ def test_npm_changes_visitor_matches_reference_expected(spark):
             assert r.data is None
         else:
             assert json.loads(r.data) == json.loads(e["data"]), e["uri"]
+
+
+def test_dockerhub_search_visitor_matches_reference_expected(spark):
+    from purldb_spark.sources.miners6 import dockerhub_search_uris
+
+    doc = _load("dockerhub/search.json")
+    src = "https://index.docker.io/v1/search?q=1a&n=100&page=2"
+    rows = dockerhub_search_uris(
+        spark.createDataFrame([(doc, src)], "doc string, uri string")
+    ).collect()
+    expected = json.loads(_load("dockerhub/visitor_search_expected"))
+    got = {(r.uri, r.package_url) for r in rows}
+    want = {(e["uri"], e["package_url"]) for e in expected}
+    assert got == want
