@@ -1723,3 +1723,34 @@ def test_dockerhub_search_visitor_matches_reference_expected(spark):
     got = {(r.uri, r.package_url) for r in rows}
     want = {(e["uri"], e["package_url"]) for e in expected}
     assert got == want
+
+
+def test_dockerhub_tags_mapper_matches_reference_expected(spark):
+    """Replay the nginx summary+tags fixture through the per-tag path of
+    the dockerhub mapper vs expected-nginx1.json."""
+    from purldb_spark.sources.miners6 import map_dockerhub_docs
+
+    meta = json.loads(_load("dockerhub/nginx.json"))
+    doc = json.dumps(
+        {"summary": meta["summary"], "tags": meta["tags_metadata"]}
+    )
+    e = json.loads(_load("dockerhub/expected-nginx1.json"))
+    e = e[0] if isinstance(e, list) else e
+    rows = map_dockerhub_docs(
+        spark.createDataFrame(
+            [(doc, "nginx", None)],
+            "doc string, name string, namespace string",
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.purl == e["purl"]
+    assert r.sha256 == e["sha256"]
+    assert r.size == e["size"]
+    assert r.parties == e["parties"][0]["name"]
+    assert r.homepage_url == e["homepage_url"]
+    assert r.download_url == e["download_url"]
+    assert r.datasource_id == e["datasource_id"]
