@@ -1754,3 +1754,39 @@ def test_dockerhub_tags_mapper_matches_reference_expected(spark):
     assert r.homepage_url == e["homepage_url"]
     assert r.download_url == e["download_url"]
     assert r.datasource_id == e["datasource_id"]
+
+
+def test_fdroid_mapper_matches_reference_expected_full_index(spark):
+    """Replay every visited F-Droid package doc (36 packages from
+    index-v2) through map_fdroid_docs and compare the full 166-row mapped
+    output with the reference's expected (keyed by download_url)."""
+    from purldb_spark.sources.miners3 import map_fdroid_docs
+
+    visited = json.loads(_load("fdroid/index-v2-visited.json"))
+    expected = json.loads(_load("fdroid/index-v2-visited-expected-mapped.json"))
+    inputs = [
+        (v["data"], v["package_url"].replace("pkg:fdroid/", ""))
+        for v in visited
+        if v.get("data")
+    ]
+    rows = map_fdroid_docs(
+        spark.createDataFrame(inputs, "doc string, name string")
+    ).collect()
+    assert len(rows) == len(expected)
+    got = {r.download_url: r for r in rows}
+    for e in expected:
+        r = got[e["download_url"]]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.purl == e["purl"]
+        assert r.sha256 == e.get("sha256")
+        assert (str(r.size) if r.size is not None else None) == (
+            str(e["size"]) if e.get("size") is not None else None
+        )
+        assert r.vcs_url == e.get("vcs_url")
+        assert r.bug_tracking_url == e.get("bug_tracking_url")
+        assert r.extracted_license_statement == e.get(
+            "extracted_license_statement"
+        )
+        assert r.repository_homepage_url == e.get("repository_homepage_url")
