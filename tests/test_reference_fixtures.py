@@ -1790,3 +1790,26 @@ def test_fdroid_mapper_matches_reference_expected_full_index(spark):
             "extracted_license_statement"
         )
         assert r.repository_homepage_url == e.get("repository_homepage_url")
+
+
+def test_freebsd_mapper_matches_reference_expected(spark):
+    """Replay the FreeBSD compact-manifest index fixture (18 packages)
+    through map_freebsd_docs vs the reference's mapped expected."""
+    from purldb_spark.sources.miners8 import map_freebsd_docs
+
+    text = _load("freebsd/mapper_input1")
+    expected = json.loads(_load("freebsd/indexfile_expected_mapper.json"))
+    rows = map_freebsd_docs(
+        spark.createDataFrame([(text,)], "packagesite string")
+    ).collect()
+    assert len(rows) == len(expected)
+    got = {r.purl: r for r in rows}
+    for e in expected:
+        r = got[e["purl"]]
+        assert r.type == e["type"]
+        assert r.name == e["name"]
+        assert r.version == e["version"]
+        assert r.download_url == e["download_url"]
+        assert r.homepage_url == e.get("homepage_url")
+        assert r.code_view_url == e.get("code_view_url")
+        assert r.datasource_id == e["datasource_id"]
