@@ -29,6 +29,7 @@ import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 RECORD_SCHEMA = T.StructType(
@@ -332,4 +333,43 @@ def read_nexus_index(
     return spark.createDataFrame(
         blobs.rdd.mapPartitions(lambda it: decode_nexus_blobs(it, worthy_only)),
         NEXUS_ARTIFACT_SCHEMA,
+    )
+
+
+def nexus_incremental_chunk_uris(
+    props: DataFrame, text_col: str = "text", uri_col: str = "source_uri"
+) -> DataFrame:
+    """nexus-maven-repository-index.properties -> one URI per incremental
+    index chunk (MavenNexusPropertiesVisitor semantics): every
+    `nexus.index.incremental-K=N` line names chunk N, fetched as
+    nexus-maven-repository-index.N.gz next to the properties file, in
+    PROPERTIES-FILE ORDER (the reference iterates the parsed properties
+    as-is and its expected fixture pins that order)."""
+    chunks = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"(?m)^nexus\.index\.incremental-\d+=(\d+)\s*$"),
+        1,
+    )
+    base = F.regexp_replace(
+        F.col(uri_col), r"nexus-maven-repository-index\.properties$", ""
+    )
+    return (
+        props.select(
+            F.col(uri_col).alias("source_uri"),
+            base.alias("_base"),
+            F.posexplode(F.array_distinct(chunks)).alias("pos", "chunk"),
+        )
+        .select(
+            F.concat(
+                F.col("_base"),
+                F.lit("nexus-maven-repository-index."),
+                F.col("chunk"),
+                F.lit(".gz"),
+            ).alias("uri"),
+            F.col("chunk").cast("int").alias("chunk_no"),
+            F.col("pos"),
+            "source_uri",
+        )
+        .orderBy("pos")
+        .drop("pos")
     )

@@ -200,3 +200,28 @@ def test_reference_buggy_index_entry_parity():
         f"{base}/nexus-maven-repository-index.gz",
         f"{base}/expected_entries.json",
     )
+
+
+def test_reference_properties_chain_parity(spark):
+    """The incremental-chain properties fixture -> 30 chunk URIs in
+    ascending chunk order, matching the reference's expected list."""
+    import json
+    import os
+
+    from purldb_spark.sources.gzip_index import nexus_incremental_chunk_uris
+
+    base = "/root/reference/minecode/tests/testfiles/maven/index/increment"
+    if not os.path.isdir(base):
+        import pytest
+
+        pytest.skip("reference checkout not available")
+    text = open(f"{base}/nexus-maven-repository-index.properties").read()
+    src = (
+        "https://repo1.maven.org/maven2/.index/"
+        "nexus-maven-repository-index.properties"
+    )
+    rows = nexus_incremental_chunk_uris(
+        spark.createDataFrame([(text, src)], "text string, source_uri string")
+    ).collect()
+    expected = json.load(open(f"{base}/expected_properties_uris.json"))
+    assert [r.uri for r in rows] == [e["uri"] for e in expected]
