@@ -1813,3 +1813,64 @@ def test_freebsd_mapper_matches_reference_expected(spark):
         assert r.homepage_url == e.get("homepage_url")
         assert r.code_view_url == e.get("code_view_url")
         assert r.datasource_id == e["datasource_id"]
+
+
+@pytest.mark.parametrize(
+    "replace,expected_file",
+    [
+        (False, "run_map/test_merge_packages_no_replace-expected.json"),
+        (True, "run_map/test_merge_packages_with_replace-expected.json"),
+    ],
+)
+def test_merge_packages_matches_reference_expected(spark, replace, expected_file):
+    """Replay the reference's merge_packages scenarios through
+    merge_upsert: fill-empty always wins, value-on-both-sides replaced
+    only under the replace policy (mining level), checksum conflicts
+    dead-lettered — compare the merged row with the reference's expected
+    package dict."""
+    from purldb_spark.operators.merge import MergeSpec, Policy, merge_upsert
+
+    base = "/root/reference/minecode/tests/testfiles/"
+    with open(os.path.join(base, expected_file)) as fh:
+        e = json.load(fh)
+
+    existing = spark.createDataFrame(
+        [("http://testdomap3.com", "generic", "pack", "0.1", "", "beef", 1)],
+        "download_url string, type string, name string, version string,"
+        " description string, sha1 string, level int",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (
+                "http://testdomap3.com",
+                "generic",
+                "pack",
+                "0.2",
+                "Description Updated",
+                None,
+                2 if replace else 0,
+            )
+        ],
+        "download_url string, type string, name string, version string,"
+        " description string, sha1 string, level int",
+    )
+    spec = MergeSpec(
+        key="download_url",
+        fields={
+            "type": Policy.REPLACE,
+            "name": Policy.REPLACE,
+            "version": Policy.REPLACE,
+            "description": Policy.REPLACE,
+            "sha1": Policy.CHECKSUM,
+        },
+        level_col="level",
+    )
+    merged, conflicts = merge_upsert(existing, incoming, spec)
+    assert conflicts.count() == 0  # new sha1 is empty: no checksum clash
+    r = merged.collect()[0]
+    assert r.type == e["type"]
+    assert r.name == e["name"]
+    assert r.version == e["version"]
+    assert r.description == e["description"]
+    assert r.sha1 == e["sha1"]
+    assert r.download_url == e["download_url"]
