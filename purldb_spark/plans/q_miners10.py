@@ -57,9 +57,9 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
            'pkg:gem/' || name || '@' || ver AS purl,
            'Gem ' || name AS description,
            'https://example.org/' || name AS homepage_url,
-           CASE WHEN k % 2 = 0 THEN ['MIT'] ELSE ['MIT', 'Apache-2.0'] END
+           CASE WHEN k % 2 = 0 THEN 'MIT' ELSE 'MIT|Apache-2.0' END
              AS extracted_license_statement,
-           ['Ann Dev', 'Bo Dev'] AS authors,
+           'Ann Dev|Bo Dev' AS authors,
            '2021-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' AS release_date,
            'https://rubygems.org/downloads/' || name || '-' || ver || '.gem'
              AS download_url,
@@ -134,6 +134,9 @@ def x_gemspec_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("download_url"),
     )
     out = map_gemspec_yaml_docs(docs)
+    # ArrayType columns are joined to flat strings for the driver's
+    # pandas-based hash compare (lists are unhashable there); the oracle
+    # emits the same '|'-joined form.
     return out.select(
         "type",
         "name",
@@ -141,8 +144,10 @@ def x_gemspec_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purl",
         "description",
         "homepage_url",
-        "extracted_license_statement",
-        "authors",
+        F.array_join(F.col("extracted_license_statement"), "|").alias(
+            "extracted_license_statement"
+        ),
+        F.array_join(F.col("authors"), "|").alias("authors"),
         "release_date",
         "download_url",
         F.array_join(
@@ -168,7 +173,7 @@ def x_gemspec_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            'pkg:cran/' || name || '@' || ver AS purl,
            'R package ' || name AS description,
            'https://example.org/' || name AS homepage_url,
-           ['../../licenses/GPL-3'] AS extracted_license_statement,
+           '../../licenses/GPL-3' AS extracted_license_statement,
            'Ann Dev' AS author,
            'Bo Maint' AS maintainer,
            'bo.maint@example.org' AS maintainer_email,
@@ -229,7 +234,12 @@ def x_cran_html_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uri"),
         F.concat(F.lit("pkg:cran/"), name, F.lit("@"), ver).alias("purl"),
     )
-    return map_cran_html_docs(docs)
+    out = map_cran_html_docs(docs)
+    # flatten the license href array for the driver's hash compare
+    return out.withColumn(
+        "extracted_license_statement",
+        F.array_join(F.col("extracted_license_statement"), "|"),
+    )
 
 
 @query(
