@@ -118,3 +118,27 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cached_fixture(spark, f"near_dup_pairs:{sf_dir}", build)
+
+
+def unit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with a unit-normalized ``u`` column, read and
+    normalized ONCE per (session, sf_dir) and shared by the whole
+    embedding/ANN family (dedup_embedding_*, knn_*). In production this is
+    the materialized normalized-vector table the indexing pipeline writes
+    next to the raw embeddings; per-query work should be joins and bucket
+    keys, not re-normalization of the full corpus. Columns:
+    ``vec_id, embedding, u``."""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.knn import normalize_expr
+
+    def build() -> DataFrame:
+        # one parquet file -> one input partition: spread by vec_id so every
+        # downstream key projection / join / verify runs wide instead of on
+        # a single task (the banded-keys stage measured 1-task serial here)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = load(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
+        return e.select(
+            "vec_id", "embedding", normalize_expr("embedding").alias("u")
+        ).localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"unit_embeddings:{sf_dir}", build)

@@ -1,0 +1,242 @@
+"""Training-data-pipeline queries, embedding near-dup family (split from the
+former q_llm.py so one edit no longer invalidates the whole LLM-ops
+inventory's verification hashes at once).
+
+Coverage:
+  exact cosine pairs -> dedup_embedding_cosine   (all-pairs ground truth)
+  LSH blocking       -> dedup_embedding_blocked  (the 100 TB scale path)
+  multiprobe         -> dedup_embedding_multiprobe (recall knob, 4-bit fixture)
+
+The ANN top-k search family lives in q_knn.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.knn import (
+    bucket_sql,
+    dot_expr,
+    dot_sql_duckdb,
+    hyperplanes,
+    normalize_sql_duckdb,
+)
+from purldb_spark.plans.fixture_cache import unit_embeddings
+from purldb_spark.plans.registry import query
+
+# The production-shaped blocking config: bucket BITS sized ~log2(N) per
+# BENCH_scale.md finding 1 (random-pair bucket collisions scale as
+# N²·bands/2^bits; the 4-bit layout measured 2.4 s -> 111 s at 10x data,
+# this 8-bit layout stays linear). 8 independent bands buy back the recall
+# the narrower buckets cost.
+_BLOCK_BANDS = [hyperplanes(dim=64, n_planes=8, seed=100 + b) for b in range(8)]
+
+# The labeled RECALL FIXTURE: 4 bands x 4-bit buckets. Wide buckets give the
+# multiprobe demonstration a measurable recall floor (54% single-probe) and
+# headroom (96% with 1-flip probes); it is NOT the scale config — see
+# _BLOCK_BANDS above and tests/test_llm_ops.py's recall comparison.
+_RECALL_BANDS = [hyperplanes(dim=64, n_planes=4, seed=100 + b) for b in range(4)]
+
+
+def embedding_blocked_pairs(
+    e: DataFrame, bands: list[list[list[float]]], threshold: float
+) -> DataFrame:
+    """LSH-bucket-blocked embedding near-dup pairs, parameterized by band
+    layout: each band's hyperplane list gives every vector one (band_idx,
+    bucket) key; candidate pairs share a key (ONE equi-join on the banded
+    table), then the exact normalized dot product verifies >= threshold.
+
+    Scale rule (measured in tools/scale_probe.py): bucket BITS must grow
+    with log(N). A band of k planes makes 2^k buckets, so random-pair
+    collisions — and with them candidate volume — scale as N²·bands/2^k;
+    holding k fixed while N grows 10x turns a linear plan quadratic. At
+    production N use ~log2(N) planes per band and add bands to buy back
+    recall."""
+    from purldb_spark.operators.knn import banded_keys, normalize_expr
+
+    if "u" in e.columns:  # pre-normalized session fixture
+        unit = e.select("vec_id", "u")
+    else:
+        unit = e.select("vec_id", normalize_expr("embedding").alias("u"))
+    banded = banded_keys(e, "vec_id", "embedding", bands)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    cands = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    return (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _bands_cte(bands: list[list[list[float]]]) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx,"
+        f" {bucket_sql('embedding', planes, dialect='duckdb')} AS bucket"
+        " FROM embeddings"
+        for b, planes in enumerate(bands)
+    )
+
+
+@query(
+    "dedup_embedding_blocked",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    ),
+    bands AS (
+      {_bands_cte(_BLOCK_BANDS)}
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {dot_sql_duckdb("ua.u", "ub.u")} AS cosine
+    FROM cands c
+    JOIN unit ua ON ua.vec_id = c.id_a
+    JOIN unit ub ON ub.vec_id = c.id_b
+    WHERE {dot_sql_duckdb("ua.u", "ub.u")} >= 0.4
+    """,
+)
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-dup pairs: LSH-bucket blocking,
+    8 bands x 8 hyperplanes (buckets sized ~log2(N), BENCH_scale.md
+    finding 1 — the former 4-bit layout went quadratic at 10x data and
+    survives only as the labeled recall fixture _RECALL_BANDS), exact
+    cosine verify >= 0.4.
+
+    vs dedup_embedding_cosine (the exact all-pairs ground truth): candidate
+    generation is O(N · bucket occupancy) instead of O(N²), scores of
+    emitted pairs are bit-identical, and recall is tuned by the band count
+    exactly like MinHash-LSH. At 100 TB (band_idx, bucket) is the shuffle
+    key — uniform by construction (random hyperplanes), no skew."""
+    return embedding_blocked_pairs(
+        unit_embeddings(spark, sf_dir), _BLOCK_BANDS, 0.4
+    )
+
+
+@query(
+    "dedup_embedding_multiprobe",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    ),
+    bands AS (
+      {_bands_cte(_RECALL_BANDS)}
+    ),
+    probes AS (
+      SELECT vec_id, band_idx,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, (1 << (j - 1))) END AS bucket
+      FROM bands, unnest(generate_series(0, {len(_RECALL_BANDS[0])})) AS t(j)
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM probes a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {dot_sql_duckdb("ua.u", "ub.u")} AS cosine
+    FROM cands c
+    JOIN unit ua ON ua.vec_id = c.id_a
+    JOIN unit ub ON ub.vec_id = c.id_b
+    WHERE {dot_sql_duckdb("ua.u", "ub.u")} >= 0.4
+    """,
+)
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe over the labeled 4-bit recall fixture (_RECALL_BANDS):
+    the query side also probes every bucket one sign-flip away
+    (operators/knn.py::multiprobe_keys), the index side keeps single keys —
+    recall rises from 54% (500/920) to 96% (880/920) of the exact >= 0.4
+    pair set at sf0.1 with ZERO index growth. This is the recall knob that
+    composes with finding 1 of BENCH_scale.md (grow bucket bits with log N,
+    buy recall back with probes, not index copies)."""
+    from purldb_spark.operators.knn import index_keys, multiprobe_keys
+
+    e = unit_embeddings(spark, sf_dir)
+    unit = e.select("vec_id", "u")
+    a = multiprobe_keys(e, "vec_id", "embedding", _RECALL_BANDS).alias("a")
+    b = index_keys(e, "vec_id", "embedding", _RECALL_BANDS).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    return (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql_duckdb("a.u", "b.u")} AS cosine
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    WHERE {dot_sql_duckdb("a.u", "b.u")} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.4 (the synthetic
+    vectors are near-orthogonal, so 0.4 is the planted-similarity tail).
+
+    Vectors are unit-normalized ONCE per session (fixture_cache.
+    unit_embeddings), so the O(N²) pair stage is a bare dot product — 3x
+    less flops and no per-pair norm recomputation; the oracle mirrors the
+    same normalize-then-dot association so doubles stay bit-exact. Brute
+    force is the correctness baseline; LSH bucketing (knn_lsh_bucketed) is
+    the scale path. At 100 TB: block the pair space (bucket x bucket) and
+    broadcast one side per block."""
+    e = unit_embeddings(spark, sf_dir).select("vec_id", "u")
+    # the checkpointed fixture is a handful of partitions: spread the
+    # streamed side across the cluster (HASH partitioning: round-robin
+    # forces a determinism sort and measured 7x slower here) and broadcast
+    # the (small) build side so every task scans its slice of A against
+    # all of B
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(
+        n_part, "id_a"
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"), "inner")
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )

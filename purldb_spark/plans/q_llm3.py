@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.text import quality_features, quality_sql
 from purldb_spark.operators.dedup import connected_components, word_shingles
-from purldb_spark.plans.q_llm import _SHINGLES_SQL
+from purldb_spark.plans.q_dedup import _SHINGLES_SQL
 from purldb_spark.plans.registry import query
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.text import n_tokens_ws, quality_sql
 from purldb_spark.operators.assemble import pack_greedy, stratified_sample
-from purldb_spark.plans.q_llm import _SHINGLES_SQL
+from purldb_spark.plans.q_dedup import _SHINGLES_SQL
 from purldb_spark.plans.q_llm2 import text_repetition
 from purldb_spark.plans.q_llm3 import dedup_cluster_keep_best
 from purldb_spark.plans.q_llm4 import _DEFAULT_RATE, _H_SQL, _RATES, _THRESH_SQL

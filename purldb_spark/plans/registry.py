@@ -43,6 +43,8 @@ def load_inventory() -> None:
         q_bonus,
         q_clearindex,
         q_collect,
+        q_d2d,
+        q_update,
         # never-driver-checked queries register oldest-first: the bounded
         # check window fills front-to-back among unverified queries, so
         # q_streaming's batch faces and the miners3/4 batches (registered
@@ -55,7 +57,10 @@ def load_inventory() -> None:
         q_halohash,
         q_joins,
         q_licenses,
-        q_llm,
+        q_dedup,
+        q_embed,
+        q_knn,
+        q_text,
         q_match,
         q_merge,
         q_miners,

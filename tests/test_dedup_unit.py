@@ -132,16 +132,22 @@ def test_contamination_overlap_counts(spark):
 
 
 def test_multiprobe_superset_of_single_probe(spark):
-    """Multiprobe candidates strictly extend single-probe candidates: the
-    base bucket is always probed, so every single-probe pair survives, and
-    1-flip probes add pairs split by exactly one plane."""
+    """Multiprobe candidates strictly extend single-probe candidates AT THE
+    SAME band layout (the labeled 4-bit recall fixture): the base bucket is
+    always probed, so every single-probe pair survives, and 1-flip probes
+    add pairs split by exactly one plane. (The registry's
+    dedup_embedding_blocked itself runs the 8-bit production layout and is
+    not comparable pair-for-pair.)"""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.plans.q_embed import _RECALL_BANDS, embedding_blocked_pairs
     from purldb_spark.plans.registry import QUERIES, load_inventory
 
     load_inventory()
     sf = "/root/testdata/sf0.01"
+    e = load(spark, sf, "embeddings")
     single = {
         (r["id_a"], r["id_b"])
-        for r in QUERIES["dedup_embedding_blocked"](spark, sf).collect()
+        for r in embedding_blocked_pairs(e, _RECALL_BANDS, 0.4).collect()
     }
     multi = {
         (r["id_a"], r["id_b"])
@@ -149,6 +155,29 @@ def test_multiprobe_superset_of_single_probe(spark):
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_blocked_production_layout_bounds_candidates(spark):
+    """BENCH_scale finding 1 regression fence: the registry
+    dedup_embedding_blocked must carry the log2(N)-sized bucket layout
+    (>= 8 planes/band), because 4-bit buckets measured quadratic (2.4 s ->
+    111 s at 10x data). Checks the config directly plus that every emitted
+    pair passes the exact-cosine verify against the brute-force pair set."""
+    from purldb_spark.plans.q_embed import _BLOCK_BANDS
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    assert all(len(band) >= 8 for band in _BLOCK_BANDS)
+    sf = "/root/testdata/sf0.01"
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_embedding_blocked"](spark, sf).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf).collect()
+    }
+    assert blocked <= exact  # no false positives: verify stage is exact
 
 
 def test_ivf_nprobe2_improves_recall(spark):

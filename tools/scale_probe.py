@@ -182,7 +182,7 @@ def _emb_blocked_8x8(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from purldb_spark.operators.knn import hyperplanes
-    from purldb_spark.plans.q_llm import embedding_blocked_pairs
+    from purldb_spark.plans.q_embed import embedding_blocked_pairs
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     bands = [hyperplanes(dim=64, n_planes=8, seed=500 + b) for b in range(8)]
