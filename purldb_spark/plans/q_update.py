@@ -165,3 +165,164 @@ def x_update_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("set_uuid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PackageActivity inbox listener (reference packagedb/api.py:1393-1411
+# PackageActivityListenerView, registered at purldb/urls.py via
+# /api/users/@purldb/inbox; store = packagedb/models.py:1514-1530
+# PackageActivity, serializer packagedb/serializers.py:548-560).
+#
+# The endpoint receives ActivityPub "Create" messages whose object Note
+# carries (author, content, update_date) — see the reference's own fixture
+# packagedb/tests/test_api.py:1620-1652.  A message is stored only when its
+# type lower-cases to "create" AND the note content is non-empty; anything
+# else is answered with the literal {"error": "Invalid JSON"} body.
+# ---------------------------------------------------------------------------
+
+# the JSON template both engines build, then PARSE with their native JSON
+# functions ('\n' stays a 2-char escape in the payload; parsing makes it a
+# real newline, exactly like the reference fixture's YAML note content)
+_ACT_PURL_SQL = (
+    "'pkg:npm/lib-' || CAST(k % 97 AS VARCHAR) || '@1.' "
+    "|| CAST(k % 7 AS VARCHAR) || '.0'"
+)
+_ACT_TYPE_SQL = (
+    "CASE WHEN k % 4 = 0 THEN 'Create' WHEN k % 4 = 1 THEN 'create' "
+    "WHEN k % 4 = 2 THEN 'Update' ELSE 'Create' END"
+)
+_ACT_CONTENT_SQL = (
+    "CASE WHEN k % 4 = 3 THEN '' ELSE "
+    "'purl: ' || purl || '\\nscans:\\n  - tool: pkg:pypi/scancode-toolkit"
+    "\\n    file_name: scancodeio.json\\n' END"
+)
+_ACT_DATE_SQL = (
+    "'2024-12-' || lpad(CAST((k % 28) + 1 AS VARCHAR), 2, '0') "
+    "|| ' 10:49:26.201915+00:00'"
+)
+_ACT_PAYLOAD_SQL = (
+    "'{\"@context\": [\"https://www.w3.org/ns/activitystreams\", "
+    "\"https://www.aboutcode.org/ns/federatedcode\"], "
+    "\"type\": \"' || msg_type || '\", "
+    "\"actor\": {\"type\": \"Package\", \"purl\": \"' || purl || '\"}, "
+    "\"object\": {\"type\": \"Note\", \"author\": \"' || purl "
+    "|| '@federation.example.org\", \"content\": \"' || content "
+    "|| '\", \"update_date\": \"' || update_date || '\"}}'"
+)
+
+
+@query(
+    "x_package_activity",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k FROM events
+    ),
+    note AS (
+      SELECT k, {_ACT_PURL_SQL} AS purl, {_ACT_TYPE_SQL} AS msg_type
+      FROM base
+    ),
+    msg AS (
+      SELECT k, purl, msg_type,
+             {_ACT_CONTENT_SQL} AS content, {_ACT_DATE_SQL} AS update_date
+      FROM note
+    ),
+    payload AS (
+      SELECT k, {_ACT_PAYLOAD_SQL} AS body FROM msg
+    ),
+    parsed AS (
+      SELECT k,
+             json_extract_string(body, '$.type') AS p_type,
+             json_extract_string(body, '$.object.author') AS p_author,
+             json_extract_string(body, '$.object.content') AS p_content,
+             json_extract_string(body, '$.object.update_date') AS p_date
+      FROM payload
+    )
+    SELECT k AS request_id, 'stored' AS status,
+           CAST(NULL AS VARCHAR) AS error,
+           p_author AS author, p_content AS content,
+           p_date AS activity_update_date, FALSE AS is_processed
+    FROM parsed
+    WHERE lower(p_type) = 'create' AND p_content <> ''
+    UNION ALL
+    SELECT k, 'error', 'Invalid JSON',
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), FALSE
+    FROM parsed
+    WHERE NOT (lower(p_type) = 'create' AND p_content <> '')
+    """,
+)
+def x_package_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation inbox as a batch pass over an inbound-message log: build
+    the ActivityPub payload per event, parse it back with JSON-path
+    extraction (the listener never trusts pre-parsed fields), store rows
+    whose type lower-cases to 'create' with non-empty note content
+    (api.py:1400-1406), answer 'Invalid JSON' otherwise (api.py:1408-1411).
+    Map-only: at 100 TB of federation traffic this is a scan->project
+    pipeline with no shuffle; the store append is the only write."""
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    purl = F.concat(
+        F.lit("pkg:npm/lib-"),
+        (k % 97).cast("string"),
+        F.lit("@1."),
+        (k % 7).cast("string"),
+        F.lit(".0"),
+    )
+    msg_type = (
+        F.when(k % 4 == 0, F.lit("Create"))
+        .when(k % 4 == 1, F.lit("create"))
+        .when(k % 4 == 2, F.lit("Update"))
+        .otherwise(F.lit("Create"))
+    )
+    content = F.when(k % 4 == 3, F.lit("")).otherwise(
+        F.concat(
+            F.lit("purl: "),
+            purl,
+            F.lit(
+                "\\nscans:\\n  - tool: pkg:pypi/scancode-toolkit"
+                "\\n    file_name: scancodeio.json\\n"
+            ),
+        )
+    )
+    update_date = F.concat(
+        F.lit("2024-12-"),
+        F.lpad(((k % 28) + 1).cast("string"), 2, "0"),
+        F.lit(" 10:49:26.201915+00:00"),
+    )
+    body = F.concat(
+        F.lit(
+            '{"@context": ["https://www.w3.org/ns/activitystreams", '
+            '"https://www.aboutcode.org/ns/federatedcode"], '
+            '"type": "'
+        ),
+        msg_type,
+        F.lit('", "actor": {"type": "Package", "purl": "'),
+        purl,
+        F.lit('"}, "object": {"type": "Note", "author": "'),
+        purl,
+        F.lit('@federation.example.org", "content": "'),
+        content,
+        F.lit('", "update_date": "'),
+        update_date,
+        F.lit('"}}'),
+    )
+    parsed = ev.select(
+        k.cast("long").alias("request_id"), body.alias("body")
+    ).select(
+        "request_id",
+        F.get_json_object("body", "$.type").alias("p_type"),
+        F.get_json_object("body", "$.object.author").alias("p_author"),
+        F.get_json_object("body", "$.object.content").alias("p_content"),
+        F.get_json_object("body", "$.object.update_date").alias("p_date"),
+    )
+    ok = (F.lower(F.col("p_type")) == "create") & (F.col("p_content") != "")
+    return parsed.select(
+        "request_id",
+        F.when(ok, F.lit("stored")).otherwise(F.lit("error")).alias("status"),
+        F.when(~ok, F.lit("Invalid JSON")).alias("error"),
+        F.when(ok, F.col("p_author")).alias("author"),
+        F.when(ok, F.col("p_content")).alias("content"),
+        F.when(ok, F.col("p_date")).alias("activity_update_date"),
+        # store default on every row: the model boolean is non-null
+        F.lit(False).alias("is_processed"),
+    )
