@@ -37,7 +37,9 @@ def _dot_spark(vec_col: str, c: list[float]) -> str:
 
 
 def _dot_duckdb(vec_col: str, c: list[float]) -> str:
-    arr = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
+    # scientific notation parses directly as DOUBLE; a plain decimal
+    # literal goes through DECIMAL first and can land 1 ulp off
+    arr = "[" + ", ".join(f"{float(x):.17e}" for x in c) + "]"
     return (
         f"list_reduce(list_transform(list_zip({vec_col}, {arr}),"
         f" p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
@@ -88,3 +90,16 @@ def top2_cells_sql(vec_col: str) -> str:
         f"list_transform(list_distinct(list_filter([{c1}, {c2}],"
         f" x -> x IS NOT NULL)), x -> CAST(x AS INTEGER))"
     )
+
+
+def maxdot_expr(vec_col: str) -> Column:
+    """The winning centroid dot product itself (how central a vector sits
+    in its cell) — SemDeDup's keep-priority: among near-duplicates the one
+    LEAST similar to its centroid is kept (Abbas et al. 2023, SemDeDup)."""
+    dots = "array(" + ", ".join(_dot_spark(vec_col, c) for c in CENTROIDS) + ")"
+    return F.expr(f"array_max({dots})")
+
+
+def maxdot_sql(vec_col: str) -> str:
+    dots = "[" + ", ".join(_dot_duckdb(vec_col, c) for c in CENTROIDS) + "]"
+    return f"list_aggregate({dots}, 'max')"

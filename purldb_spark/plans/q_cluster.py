@@ -1,0 +1,213 @@
+"""Clustering family: distributed k-means training (operators/kmeans.py)
+and SemDeDup-style semantic dedup built on the clustered space.
+
+kmeans_train is the trainer that produces what operators/ivf.py freezes
+(its module docstring: "a trained k-means would drop in the same way") —
+the query materializes the final (vec_id, cluster, cluster_size)
+assignment, i.e. the IVF cell table an indexing pipeline writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.operators.kmeans import kmeans_assign, kmeans_oracle_sql
+from purldb_spark.plans.registry import query
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+
+
+@query(
+    "kmeans_train",
+    oracle=kmeans_oracle_sql(
+        "embeddings", "embedding", "vec_id", _K, _ITERS, _DIM
+    ),
+)
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations, k=8, over the embeddings table: deterministic
+    hash-order init, map-only literal-centroid assignment, exact-decimal
+    mean update (k*dim-row shuffle per iteration after map-side partial
+    agg). Output = the final cell assignment with cluster sizes."""
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, "embedding", "vec_id", _K, _ITERS)
+
+
+_TAU = 0.4  # the synthetic planted-similarity tail (same gate as q_embed)
+
+from purldb_spark.operators.ivf import cell_sql, maxdot_sql  # noqa: E402
+from purldb_spark.operators.knn import (  # noqa: E402
+    dot_sql_duckdb,
+    normalize_sql_duckdb,
+)
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u,
+             CAST({cell_sql("embedding")} AS BIGINT) AS cell,
+             {maxdot_sql("embedding")} AS prio
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT a.vec_id AS id_a, COUNT(*) AS n_better_dups
+      FROM e a JOIN e b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE {dot_sql_duckdb("a.u", "b.u")} >= {_TAU}
+        AND (b.prio < a.prio
+             OR (b.prio = a.prio AND b.vec_id < a.vec_id))
+      GROUP BY a.vec_id
+    )
+    SELECT e.vec_id, e.cell,
+           d.id_a IS NULL AS is_kept,
+           COALESCE(d.n_better_dups, 0) AS n_better_dups
+    FROM e LEFT JOIN dropped d ON d.id_a = e.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed as DataFrame ops: cluster
+    the embedding space (here the frozen IVF centroids from operators/ivf.py
+    — kmeans_train above is the trainer that produces such a table), then
+    compare ONLY within a cluster: pairs with cosine >= tau are semantic
+    duplicates, and of each pair the member MORE similar to its centroid is
+    the one dropped (the paper keeps the least-central example for
+    diversity; ties break to the higher vec_id dropping).
+
+    Scale shape: the pair stage is an equi-join on the cell id, so the
+    blowup is bounded by the largest cell, not the corpus — at 100 TB you
+    grow k with N (the trainer is linear per iteration) to cap cell sizes,
+    which is exactly the SemDeDup recipe. No cartesian anywhere."""
+    from purldb_spark.operators.ivf import cell_expr, maxdot_expr
+    from purldb_spark.operators.knn import dot_expr
+    from purldb_spark.plans.fixture_cache import unit_embeddings
+
+    e = unit_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "u",
+        cell_expr("embedding").alias("cell"),
+        maxdot_expr("embedding").alias("prio"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("u").alias("u_a"),
+        F.col("cell"),
+        F.col("prio").alias("prio_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("u").alias("u_b"),
+        F.col("cell"),
+        F.col("prio").alias("prio_b"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(dot_expr("u_a", "u_b") >= _TAU)
+    )
+    # id_a is dropped when some partner is LESS central (prio_b < prio_a),
+    # tie -> lower id_b wins the keep
+    dropped = (
+        pairs.filter(
+            (F.col("prio_b") < F.col("prio_a"))
+            | (
+                (F.col("prio_b") == F.col("prio_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .groupBy("id_a")
+        .agg(F.count("*").alias("n_better_dups"))
+    )
+    return (
+        e.select("vec_id", "cell")
+        .join(
+            F.broadcast(dropped),
+            e["vec_id"] == dropped["id_a"],
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("id_a").isNull().alias("is_kept"),
+            F.coalesce(F.col("n_better_dups"), F.lit(0)).alias(
+                "n_better_dups"
+            ),
+        )
+    )
+
+
+from purldb_spark.operators.ivf import cell_expr  # noqa: E402
+from purldb_spark.operators.pq import (  # noqa: E402
+    adc_expr,
+    adc_sql,
+    encode_expr,
+    encode_sql,
+)
+from pyspark.sql import Window  # noqa: E402
+
+
+@query(
+    "knn_ivfpq",
+    oracle=f"""
+    WITH idx AS (
+      SELECT vec_id, CAST({cell_sql("embedding")} AS BIGINT) AS cell,
+             {encode_sql("embedding")} AS codes
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_vec_id, embedding AS q_embedding,
+             CAST({cell_sql("embedding")} AS BIGINT) AS cell
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.q_vec_id, i.vec_id,
+             {adc_sql("q.q_embedding", "i.codes")} AS adc,
+             row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {adc_sql("q.q_embedding", "i.codes")}, i.vec_id
+             ) AS rank
+      FROM q JOIN idx i ON q.cell = i.cell AND q.q_vec_id <> i.vec_id
+    )
+    SELECT q_vec_id, vec_id, adc, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ (operators/pq.py): the index side carries only the
+    IVF cell and 8 4-bit PQ codes (4 bytes/vector, 64x smaller than
+    float32); each full-precision query probes its own cell and ranks
+    candidates by ADC distance (sum over subspaces of squared L2 to the
+    code centroid), top-3 per query.
+
+    At 100 TB the cell is the partition key and the per-probe scan touches
+    4-byte codes instead of 256-byte vectors — the index fits executor
+    memory, which neither brute force nor raw-vector IVF can claim. Exact
+    re-ranking of PQ's top candidates against the raw vectors is the
+    standard refinement step (knn_ivf_cell is that exact-scoring shape)."""
+    e = load(spark, sf_dir, "embeddings")
+    idx = e.select(
+        "vec_id",
+        cell_expr("embedding").cast("long").alias("cell"),
+        encode_expr("embedding").alias("codes"),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        cell_expr("embedding").cast("long").alias("q_cell"),
+    )
+    joined = q.join(
+        idx,
+        (F.col("q_cell") == F.col("cell"))
+        & (F.col("q_vec_id") != F.col("vec_id")),
+    )
+    scored = joined.withColumn("adc", adc_expr("q_embedding", "codes"))
+    w = Window.partitionBy("q_vec_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id", "adc", "rank")
+    )

@@ -42,6 +42,7 @@ def load_inventory() -> None:
         q_analytics,
         q_bonus,
         q_clearindex,
+        q_cluster,
         q_collect,
         q_d2d,
         q_update,
