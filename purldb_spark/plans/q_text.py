@@ -124,3 +124,112 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed.groupBy("doc_id").agg(
         F.countDistinct("fp").alias("n_fingerprints")
     )
+
+
+_BN = 3   # boilerplate gram width (tokens)
+_BP = 0.99  # DF-percentile: grams in the top 1% of document frequency
+
+
+@query(
+    "text_boilerplate_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t.i AS i, array_to_string(w[i:i + {_BN - 1}], ' ') AS g
+      FROM toks, LATERAL unnest(generate_series(1, len(w) - {_BN - 1})) t(i)
+      WHERE len(w) >= {_BN}
+    ),
+    df AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g
+    ),
+    thr AS (SELECT quantile_cont(d, {_BP}) AS t FROM df),
+    boiler AS (
+      SELECT g FROM df, thr WHERE d >= thr.t
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, CAST(gr.i - 1 + o.j AS BIGINT) AS pos
+      FROM grams gr JOIN boiler b ON gr.g = b.g,
+           LATERAL unnest(generate_series(0, {_BN - 1})) o(j)
+    ),
+    cov_per_doc AS (
+      SELECT doc_id, list(pos) AS cov FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(generate_series(0, len(t.w) - 1),
+                           p -> NOT list_contains(COALESCE(c.cov, []), p)),
+               p -> t.w[CAST(p AS INT) + 1]),
+             ' '), '') AS scrubbed
+    FROM toks t LEFT JOIN cov_per_doc c ON c.doc_id = t.doc_id
+    """,
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, the C4/CCNet cleanup step: token
+    {_BN}-grams in the top 1% of document frequency are corpus boilerplate
+    (headers, footers, license banners in real data); every token position
+    covered by such a gram is scrubbed and the survivors re-joined in
+    order. The threshold is a DF PERCENTILE, not an absolute count, so the
+    policy is scale-free — an absolute cutoff tuned at 500 docs scrubbed
+    99.9% of a 10x corpus in testing.
+
+    Scale shape: gram DF is one groupBy (map-side combined); the
+    boilerplate set is the top percentile and SMALL by construction, so it
+    broadcasts; cover-marking and re-assembly shuffle by doc_id only — all
+    equi-joins, linear in corpus size at 100 TB. Reassembly filters
+    positions inside a single array expression per doc (no giant
+    collect_list of exploded tokens)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    grams = d.filter(F.size("w") >= _BN).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_BN - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {_BN})))"
+            )
+        ).alias("i0", "g"),
+    )
+    df_t = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("d"))
+    # the percentile is ONE scalar: materialize it driver-side (same
+    # precedent as the k-means centroids) — joining a 1-row aggregate
+    # back in compiles to a BroadcastNestedLoopJoin, which the
+    # plan-shape fence rightly forbids
+    thr_val = float(
+        df_t.agg(F.expr(f"percentile(d, {_BP})").alias("t")).collect()[0]["t"]
+    )
+    boiler = df_t.filter(F.col("d") >= F.lit(thr_val)).select("g")
+    covered = (
+        grams.join(F.broadcast(boiler), "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"sequence(cast(i0 as bigint), cast(i0 as bigint) + {_BN - 1})"
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    cov_per_doc = covered.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("cov")
+    )
+    return (
+        d.join(cov_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+            F.expr(
+                "array_join(transform(filter(sequence(0, size(w) - 1),"
+                " p -> not array_contains(coalesce(cov, array()), p)),"
+                " p -> element_at(w, cast(p as int) + 1)), ' ')"
+            ).alias("scrubbed"),
+        )
+    )
