@@ -33,12 +33,20 @@ def main() -> None:
     # per-query work — the match-family timings below measure the read path
     from purldb_spark.plans.fixture_cache import (
         doc_fingerprint_base,
+        doc_shingles,
+        dup_clusters,
+        minhash_band_index,
         near_dup_pairs,
+        unit_embeddings,
     )
 
     t0 = time.perf_counter()
     doc_fingerprint_base(spark, sf_dir).count()
     near_dup_pairs(spark, sf_dir).count()
+    doc_shingles(spark, sf_dir).count()
+    minhash_band_index(spark, sf_dir).count()
+    dup_clusters(spark, sf_dir).count()
+    unit_embeddings(spark, sf_dir).count()
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
@@ -109,14 +117,16 @@ def main() -> None:
             ("sample_", "shuffle_", "pack_", "mix_", "corpus_")
         ):
             return "assembly"
-        if name.startswith(("dedup_", "decontam", "knn_", "text_", "mm_")):
+        if name.startswith(
+            ("dedup_", "decontam", "knn_", "text_", "mm_", "kmeans")
+        ):
             return "llm_ops"
         if name.startswith(("match_", "f5_", "snippet", "x_bah128")):
             return "match"
         if "_map" in name or "_collect" in name or name.startswith(
             ("x_route", "x_fetchcode", "x_golang", "x_version_api", "x_purl",
              "x_maven_pom", "x_npm", "x_pypi_map", "x_cd_harvest",
-             "x_license", "x_debian")
+             "x_license", "x_debian", "x_d2d", "x_update", "x_package")
         ):
             return "miners_collectors"
         if name.startswith(("p", "s1", "s2")):

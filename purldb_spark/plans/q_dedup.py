@@ -27,13 +27,12 @@ from purldb_spark.operators.dedup import (
     exact_dedup,
     incremental_lsh_dedup,
     lsh_candidate_pairs,
-    minhash_bands,
     simhash,
     simhash_near_pairs,
     simhash_sql,
     verify_jaccard,
-    word_shingles,
 )
+from purldb_spark.plans.fixture_cache import doc_shingles, minhash_band_index
 from purldb_spark.plans.q_match import a5_snippet_jaccard
 from purldb_spark.plans.registry import ORACLES, query
 
@@ -115,9 +114,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(colliding pairs), and the expensive exact verify runs only on
     candidates. The all-pairs variant (dedup_ngram_jaccard) is the oracle's
     ground truth at small scale."""
-    docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    bands = minhash_bands(sh, "doc_id", _N_HASHES, _BAND_SIZE)
+    sh = doc_shingles(spark, sf_dir)
+    bands = minhash_band_index(spark, sf_dir)
     cands = lsh_candidate_pairs(bands, "doc_id")
     return verify_jaccard(cands, sh, "doc_id", 0.5)
 
@@ -159,9 +157,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the index side is a parquet table partitioned by
     hash(band_key) that each batch appends to after verification, making
     per-batch cost O(batch x collision rate) regardless of corpus size."""
-    docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    bands = minhash_bands(sh, "doc_id", _N_HASHES, _BAND_SIZE)
+    sh = doc_shingles(spark, sf_dir)
+    bands = minhash_band_index(spark, sf_dir)
     is_new = F.col("doc_id") % 7 == 0
     cands = incremental_lsh_dedup(
         bands.filter(is_new), bands.filter(~is_new), "doc_id"
@@ -236,11 +233,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are identical. The plan is equi-joins only — no shingle key ever
     fans out more than df_cap ways, so the shuffle volume is linear in
     corpus size at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
-    # tokenize ONCE: the shingle table feeds candidate generation and both
-    # sides of the verify; without the checkpoint each consumer re-runs the
-    # split/transform/explode tokenization over the full corpus
-    sh = word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
+    # the session-shared shingle fixture feeds candidate generation and
+    # both sides of the verify (fixture_cache.doc_shingles)
+    sh = doc_shingles(spark, sf_dir)
     cands = df_capped_candidate_pairs(
         sh, "doc_id", _DF_CAP, _MIN_SUPPORT, jaccard_floor=0.5
     )
@@ -278,8 +273,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes; pairs at hamming ≤ 3 found via 4-band pigeonhole join (hamming ≤ 3
     over 4 bands forces ≥ 1 identical byte), then exact bit_count verify.
     Features are 3-word shingles (see _TOKENS_SQL note)."""
-    docs = load(spark, sf_dir, "documents")
-    toks = word_shingles(docs, "doc_id", "text", n=3).withColumnRenamed("sh", "tok")
+    toks = doc_shingles(spark, sf_dir).withColumnRenamed("sh", "tok")
     sim = simhash(toks, "doc_id")
     return simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
 
@@ -402,8 +396,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_overlap)."""
     from purldb_spark.operators.dedup import contamination_overlap
 
-    docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sh = doc_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 37 == 0)
     corpus = sh.filter(F.col("doc_id") % 37 != 0)
     return contamination_overlap(corpus, bench, "doc_id")
@@ -453,13 +446,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     state appended by the incremental dedup pipeline
     (streaming/dedup_stream.py), read here like the match family reads
     the BAH128 index."""
-    from purldb_spark.operators.dedup import connected_components
-    from purldb_spark.plans.fixture_cache import near_dup_pairs
+    from purldb_spark.plans.fixture_cache import dup_clusters
 
-    near = near_dup_pairs(spark, sf_dir)
     # thresholded near-dup clusters are near-cliques: the changed-label
     # early-exit stops after 2-3 waves; max_iter stays a deep safety bound
-    cc = connected_components(near, "doc_a", "doc_b")
-    return cc.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return dup_clusters(spark, sf_dir)

@@ -25,7 +25,6 @@ from pyspark.sql import Window as W
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.text import quality_features, quality_sql
-from purldb_spark.operators.dedup import connected_components, word_shingles
 from purldb_spark.plans.q_dedup import _SHINGLES_SQL
 from purldb_spark.plans.registry import query
 
@@ -88,16 +87,13 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> keep the highest-quality doc per cluster (tie ->
     smallest doc_id); docs outside any cluster form singleton clusters
     and keep themselves."""
-    from purldb_spark.plans.fixture_cache import near_dup_pairs
+    from purldb_spark.plans.fixture_cache import dup_clusters
 
     docs = load(spark, sf_dir, "documents")
-    # the pair table is the shared session fixture (materialized state in
-    # production — streaming/dedup_stream.py appends it per batch)
-    near = near_dup_pairs(spark, sf_dir)
-    cc = connected_components(near, "doc_a", "doc_b")
-    clusters = cc.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    # the CC label table is the shared session fixture (materialized state
+    # in production — the pairs feeding it are appended per batch by
+    # streaming/dedup_stream.py)
+    clusters = dup_clusters(spark, sf_dir)
     quality = docs.select(
         "doc_id", quality_features("text")["quality_score"].alias("quality_score")
     )

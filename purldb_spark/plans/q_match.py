@@ -349,17 +349,9 @@ def a5_snippet_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a document-frequency cap (drop shingles appearing in >k docs, they carry
     no signal), which is also what makes MinHash-LSH (q_llm) the preferred
     path; this operator is the exact verifier behind it."""
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= 3)  # sequence() runs backward on n<1 — guard
-    )
-    shingles = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")
-        ).alias("sh"),
-    ).dropDuplicates()
+    from purldb_spark.plans.fixture_cache import doc_shingles
+
+    shingles = doc_shingles(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -481,9 +473,9 @@ def match_cascade_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def stage_content(q: DataFrame) -> DataFrame:
-        from purldb_spark.operators.dedup import word_shingles
+        from purldb_spark.plans.fixture_cache import doc_shingles
 
-        sh = word_shingles(docs, "doc_id", "text", n=3)
+        sh = doc_shingles(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         q_sh = sh.join(
             q.select(F.col("q_doc_id").alias("doc_id")), "doc_id", "left_semi"
