@@ -24,8 +24,24 @@ def main() -> None:
     spark = get_spark("purldb_spark_bench")
     load_inventory()
 
-    # warm the JVM + parquet footers once so timings measure query work
+    # warm the ENGINE once so timings measure steady-state query work, not
+    # process spin-up: JVM + parquet footers (q1), the Python/Arrow worker
+    # pool (32 trivial pandas-UDF tasks), and worker-side module imports +
+    # codegen of the collector/seqmatch shapes (three representative
+    # queries at the smallest scale factor — different sf_dir, so no result
+    # or fixture reuse leaks into the measured runs)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_py(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 32, 1, 32).select(_warm_py("id")).count()
+    for _w in ("x_pypi_collect", "x_collect_flow", "f5_seqmatch_rank"):
+        QUERIES[_w](spark, "/root/testdata/sf0.001").count()
 
     # build the shared BAH128 fingerprint index up front and report its cost
     # as its own metric: in production this is a precomputed table maintained

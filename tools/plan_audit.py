@@ -40,6 +40,10 @@ AUDIT = [
     ("dedup_embedding_blocked", "8x8 LSH blocking (log2(N) buckets)"),
     ("dedup_embedding_multiprobe", "multiprobe LSH embedding pairs"),
     ("x_d2d_request", "d2d intake: map-only projection"),
+    ("kmeans_train", "Lloyd k-means: literal-centroid map + k*dim shuffle"),
+    ("dedup_semantic", "SemDeDup: cell equi-join, centroid-priority keep"),
+    ("knn_ivfpq", "IVFPQ: cell equi-join over 4-byte PQ codes, ADC rank"),
+    ("text_boilerplate_scrub", "percentile-DF boilerplate scrub, map-heavy"),
     ("shuffle_global", "global shuffle rank (broadcast offsets)"),
     ("corpus_curate_pipeline", "end-to-end curation flagship"),
     ("t_tumbling_rollup_daily", "watermarked tumbling rollup (batch face)"),
