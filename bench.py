@@ -32,14 +32,13 @@ def main() -> None:
     # or fixture reuse leaks into the measured runs)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    # mapInPandas, not a hinted pandas_udf: this module has
+    # `from __future__ import annotations`, which stringifies the type
+    # hints pandas_udf needs for inference
+    def _warm_py(batches):
+        yield from batches
 
-    @pandas_udf("long")
-    def _warm_py(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(0, 32, 1, 32).select(_warm_py("id")).count()
+    spark.range(0, 32, 1, 32).mapInPandas(_warm_py, "id long").count()
     for _w in ("x_pypi_collect", "x_collect_flow", "f5_seqmatch_rank"):
         QUERIES[_w](spark, "/root/testdata/sf0.001").count()
 
