@@ -50,10 +50,12 @@ def main() -> None:
         doc_fingerprint_base,
         doc_shingles,
         dup_clusters,
+        emb_band_index,
         minhash_band_index,
         near_dup_pairs,
         unit_embeddings,
     )
+    from purldb_spark.plans.q_embed import _BLOCK_BANDS, _RECALL_BANDS
 
     t0 = time.perf_counter()
     doc_fingerprint_base(spark, sf_dir).count()
@@ -62,6 +64,8 @@ def main() -> None:
     minhash_band_index(spark, sf_dir).count()
     dup_clusters(spark, sf_dir).count()
     unit_embeddings(spark, sf_dir).count()
+    emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()
+    emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS).count()
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}

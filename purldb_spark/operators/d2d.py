@@ -18,9 +18,12 @@ the endpoint's exact validation message and URL-list normalization:
   whole request with ``"Could not fetch: " + "\\n".join(errors)``
   (matchcode/api.py:540-543);
 * a url element containing a newline is a textarea submission: the FIRST
-  element is split on newlines, stripped, and blanks dropped
-  (matchcode/api.py:549-556 — faithful for the real request shapes, where
-  the textarea string is the only/first element);
+  such element contributes the split of input_urls[0] (first list element,
+  split on newlines, stripped, blanks dropped); the loop then REBINDS
+  ``input_urls`` to that split list (matchcode/api.py:549-556), so every
+  LATER newline-bearing element contributes only the first line of the
+  first textarea again (splitting ``input_urls[0]`` of the rebound list —
+  a single already-stripped line — yields just that line);
 * plain elements are stripped and dropped when empty.
 
 The run row carries scancode.io's initial-state constants: status
@@ -61,19 +64,42 @@ def d2d_create(requests: DataFrame) -> DataFrame:
     Map-only column expressions — no shuffle; at 100 TB of request logs this
     is a straight projection that fuses into the scan.
     """
+    # the reference loop iterates the ORIGINAL list but rebinds input_urls
+    # on the first newline element, so later newline elements re-split the
+    # rebound list's first entry (one stripped line). Mirror that exactly:
+    # split0 = normalized split of the original first element; first_line =
+    # its head; the first newline-bearing element (by index) emits split0,
+    # any later one emits [first_line].
+    split0 = F.filter(
+        F.transform(
+            F.split(F.element_at(F.col("input_urls"), 1), "\n"),
+            # explicit 1-arg lambda: transform would otherwise feed the
+            # element INDEX to F.trim's trim-chars arg
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    first_line = F.element_at(split0, 1)  # null when split0 is empty (the
+    # reference raises IndexError there; fixtures keep textareas non-blank)
+    first_nl_idx = F.array_min(
+        F.filter(
+            F.transform(
+                F.col("input_urls"),
+                lambda e, i: F.when(e.contains("\n"), i),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
     urls_norm = F.flatten(
         F.transform(
             F.col("input_urls"),
-            lambda e: F.when(
+            lambda e, i: F.when(
                 e.contains("\n"),
-                F.filter(
-                    F.transform(
-                        F.split(F.element_at(F.col("input_urls"), 1), "\n"),
-                        # explicit 1-arg lambda: transform would otherwise
-                        # feed the element INDEX to F.trim's trim-chars arg
-                        lambda x: F.trim(x),
-                    ),
-                    lambda x: x != "",
+                F.when(i == first_nl_idx, split0).otherwise(
+                    F.filter(
+                        F.array(first_line),
+                        lambda x: x.isNotNull() & (x != ""),
+                    )
                 ),
             ).otherwise(F.filter(F.array(F.trim(e)), lambda x: x != "")),
         )

@@ -58,6 +58,27 @@ def sqdist_spark(vec_col: str, c: list[float]) -> str:
     )
 
 
+def sqdist_cols_spark(a: str, b: str) -> str:
+    """Squared L2 between two array columns (deterministic left fold) —
+    the exact-re-rank metric of the PQ refinement step."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def sqdist_cols_duckdb(a: str, b: str) -> str:
+    """DuckDB twin of sqdist_cols_spark (same left fold, bit-identical)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+        " (acc, x) -> acc + x)"
+    )
+
+
 def assign_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """1-based argmin cluster id over literal centroids (first-min ties)."""
     dists = (
@@ -169,12 +190,13 @@ def _sqdist_duckdb(vec_expr: str, cent_expr: str) -> str:
     )
 
 
-def kmeans_oracle_sql(
+def kmeans_cells_ctes(
     table: str, vec_col: str, id_col: str, k: int, iters: int, dim: int
 ) -> str:
-    """Unrolled Lloyd SQL: cent0 = hash-order init; per iteration an
-    assignment (cross join vs k centroid rows, row_number ties to lowest
-    cluster) and an exact-decimal mean update with COALESCE keep-old."""
+    """The comma-joined CTE definitions of the unrolled Lloyd oracle, ending
+    in ``asgF(vid, cluster)`` — the trained cell assignment. Shared by
+    kmeans_oracle_sql and any oracle that composes the trained cells into a
+    downstream index (knn_trained_ivfpq_refine probes them)."""
     dist = _sqdist_duckdb(f"e.{vec_col}", "c.cv")
     parts = [
         f"""
@@ -231,7 +253,16 @@ def kmeans_oracle_sql(
     asgF AS (
       SELECT vid, CAST(cluster AS BIGINT) AS cluster FROM rankF WHERE rn = 1
     )""")
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def kmeans_oracle_sql(
+    table: str, vec_col: str, id_col: str, k: int, iters: int, dim: int
+) -> str:
+    """Unrolled Lloyd SQL: cent0 = hash-order init; per iteration an
+    assignment (cross join vs k centroid rows, row_number ties to lowest
+    cluster) and an exact-decimal mean update with COALESCE keep-old."""
+    body = kmeans_cells_ctes(table, vec_col, id_col, k, iters, dim)
     return f"""
     WITH{body}
     SELECT a.vid AS {id_col}, a.cluster,

@@ -105,7 +105,9 @@ def brute_force_topk(
     (small) query set broadcast — streaming the query side instead runs the
     whole O(Q·N) score pass on however few partitions the queries occupy
     (measured 1 task here: single-file parquet)."""
-    n_part = int(index.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from purldb_spark.conf import shuffle_partitions
+
+    n_part = shuffle_partitions(index.sparkSession)
     joined = (
         index.repartition(n_part, i_id)
         .crossJoin(F.broadcast(queries))
@@ -220,13 +222,20 @@ def multiprobe_keys(
     bucket bits must grow with log N, which cuts per-band recall; probing
     adjacent buckets buys it back on the query side only, so index size,
     shuffle key distribution, and storage stay unchanged)."""
-    k = len(bands[0])
     base = banded_keys(e, id_col, vec_col, bands)
+    return multiprobe_expand(base, id_col, len(bands[0]))
+
+
+def multiprobe_expand(keys: DataFrame, id_col: str, n_bits: int) -> DataFrame:
+    """Expand a stored (id, band_idx, bucket) key table to its multiprobe
+    set (own bucket + every 1-bit flip) — a pure bit expression, so probe
+    keys can be derived from a materialized band index without recomputing
+    any hyperplane dot products."""
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(k)],
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)],
     )
-    return base.select(
+    return keys.select(
         F.col(id_col), F.col("band_idx"), F.explode(probes).alias("bucket")
     )
 

@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from purldb_spark.conf import shuffle_partitions
+
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -56,7 +58,7 @@ def doc_fingerprint_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one parquet file -> one input partition: spread the docs by the agg
         # key BEFORE the explode so the aggregation runs wide (and needs no
         # second shuffle — hash(doc_id) satisfies the groupBy clustering)
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_partitions(spark)
         words = (
             load(spark, sf_dir, "documents")
             .repartition(n_part, "doc_id")
@@ -135,7 +137,7 @@ def unit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one parquet file -> one input partition: spread by vec_id so every
         # downstream key projection / join / verify runs wide instead of on
         # a single task (the banded-keys stage measured 1-task serial here)
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_partitions(spark)
         e = load(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
         return e.select(
             "vec_id", "embedding", normalize_expr("embedding").alias("u")
@@ -157,7 +159,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purldb_spark.operators.dedup import word_shingles
 
     def build() -> DataFrame:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = shuffle_partitions(spark)
         docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
         return word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(
             eager=True
@@ -180,6 +182,30 @@ def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return minhash_bands(sh, "doc_id", 8, 2).localCheckpoint(eager=True)
 
     return cached_fixture(spark, f"minhash_band_index:{sf_dir}", build)
+
+
+def emb_band_index(
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    bands: list[list[list[float]]],
+) -> DataFrame:
+    """The embedding LSH band-key table (vec_id, band_idx, bucket) for one
+    band layout — the vector twin of minhash_band_index: in production the
+    indexing pipeline writes these keys next to the embeddings and batch
+    queries only equi-join against them. Materializing it also hoists the
+    bands x planes x dim literal-matrix projection (a large codegen unit —
+    measured ~2.5 s of per-query compile at the 4-band config) out of every
+    query into one session-scoped build."""
+    from purldb_spark.operators.knn import index_keys
+
+    def build() -> DataFrame:
+        e = unit_embeddings(spark, sf_dir)
+        return index_keys(e, "vec_id", "embedding", bands).localCheckpoint(
+            eager=True
+        )
+
+    return cached_fixture(spark, f"emb_band_index:{key}:{sf_dir}", build)
 
 
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

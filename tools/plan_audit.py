@@ -44,6 +44,10 @@ AUDIT = [
     ("dedup_semantic", "SemDeDup: cell equi-join, centroid-priority keep"),
     ("knn_ivfpq", "IVFPQ: cell equi-join over 4-byte PQ codes, ADC rank"),
     ("text_boilerplate_scrub", "percentile-DF boilerplate scrub, map-heavy"),
+    ("knn_trained_ivfpq_refine", "train -> cell+PQ index -> probe -> exact re-rank"),
+    ("match_post_assign", "match-post assignment (r6 bench regression pin)"),
+    ("snippet_match_pipeline", "snippet inverted-index match (r6 bench regression pin)"),
+    ("x_debian_lslr_map", "debian ls-lR listing map (r6 bench regression pin)"),
     ("shuffle_global", "global shuffle rank (broadcast offsets)"),
     ("corpus_curate_pipeline", "end-to-end curation flagship"),
     ("t_tumbling_rollup_daily", "watermarked tumbling rollup (batch face)"),

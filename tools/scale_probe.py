@@ -55,6 +55,11 @@ PROBES = [
     ("pack_sequences", "16-shard window cumsum — linear"),
     ("shuffle_global", "sharded rank + broadcast offsets — linear"),
     ("corpus_curate_pipeline", "gates + sample + pack over pair fixture — linear"),
+    ("kmeans_train", "Lloyd trainer — scan + k*dim-row shuffle per iteration"),
+    ("semantic_tau055", "SemDeDup cell equi-join, tau=0.55 deep tail — largest-cell bound"),
+    ("knn_ivfpq", "IVFPQ cell probe over 4-byte codes — linear"),
+    ("knn_trained_ivfpq_refine", "train -> cell+PQ index -> probe -> exact re-rank"),
+    ("text_boilerplate_scrub", "percentile-DF boilerplate scrub — linear"),
 ]
 
 
@@ -189,7 +194,22 @@ def _emb_blocked_8x8(spark, sf_dir: str):
     return embedding_blocked_pairs(e, bands, 0.55)
 
 
-SPECIAL = {"emb_blocked_8x8": _emb_blocked_8x8}
+def _semantic_tau055(spark, sf_dir: str):
+    """Scale-probe variant of dedup_semantic at tau=0.55: the registry
+    query's 0.4 sits inside the synthetic vectors' random-cosine tail
+    (BENCH_scale.md finding 2), where TRUE pair output grows ~N² for any
+    algorithm; 0.55 models the deep-tail regime real semantic dedup runs
+    in, so the probe measures the PLAN's scaling (cell equi-join bounded
+    by the largest cell), not output growth."""
+    from purldb_spark.plans.q_cluster import semantic_dedup_frame
+
+    return semantic_dedup_frame(spark, sf_dir, 0.55)
+
+
+SPECIAL = {
+    "emb_blocked_8x8": _emb_blocked_8x8,
+    "semantic_tau055": _semantic_tau055,
+}
 
 
 def run_probe(spark, sf_dir: str) -> dict[str, dict]:
