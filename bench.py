@@ -52,7 +52,10 @@ def main() -> None:
         dup_clusters,
         emb_band_index,
         minhash_band_index,
+        ivf_cell_index,
+        kmeans_cell_index,
         near_dup_pairs,
+        pq_code_index,
         unit_embeddings,
     )
     from purldb_spark.plans.q_embed import _BLOCK_BANDS, _RECALL_BANDS
@@ -66,6 +69,9 @@ def main() -> None:
     unit_embeddings(spark, sf_dir).count()
     emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()
     emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS).count()
+    kmeans_cell_index(spark, sf_dir, 8, 3).count()
+    pq_code_index(spark, sf_dir).count()
+    ivf_cell_index(spark, sf_dir).count()
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}

@@ -158,12 +158,18 @@ def kmeans_fit(
 
 
 def kmeans_assign(
-    df: DataFrame, vec_col: str, id_col: str, k: int, iters: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Train on ``df`` then return (id, cluster, cluster_size) under the
-    final assignment — the materialized output an indexing pipeline would
-    write next to the corpus (IVF cell ids)."""
-    cents = kmeans_fit(df, vec_col, id_col, k, iters)
+    """Train on ``df`` (or take pre-trained ``centroids``) then return
+    (id, cluster, cluster_size) under the final assignment — the
+    materialized output an indexing pipeline would write next to the
+    corpus (IVF cell ids)."""
+    cents = centroids or kmeans_fit(df, vec_col, id_col, k, iters)
     assigned = df.select(
         F.col(id_col),
         assign_expr(vec_col, cents).alias("cluster"),
