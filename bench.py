@@ -143,7 +143,8 @@ def main() -> None:
         ):
             return "assembly"
         if name.startswith(
-            ("dedup_", "decontam", "knn_", "text_", "mm_", "kmeans")
+            ("dedup_", "decontam", "knn_", "text_", "mm_", "kmeans",
+             "select_")
         ):
             return "llm_ops"
         if name.startswith(("match_", "f5_", "snippet", "x_bah128")):

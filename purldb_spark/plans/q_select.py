@@ -1,0 +1,302 @@
+"""Training-data SELECTION family: DSIR importance resampling and
+ExactSubstr-style repeated-span scrubbing.
+
+Beyond-reference ops (the purldb reference has no ML-corpus tooling;
+SURVEY.md §8): these are the data-selection steps a 100 TB pretraining
+pipeline runs between dedup and assembly.
+
+  select_dsir               -> hashed-n-gram importance resampling
+                               (Xie et al. 2023, "Data Selection for
+                               Language Models via Importance Resampling")
+  text_repeated_span_scrub  -> corpus-wide duplicated-token-span removal
+                               keeping the first occurrence (the ExactSubstr
+                               policy of Lee et al. 2021, "Deduplicating
+                               Training Data Makes Language Models Better",
+                               re-expressed on word 10-grams)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# select_dsir
+# ---------------------------------------------------------------------------
+
+_B = 1024         # hashed-unigram feature buckets
+_KSEL = 100       # resampled corpus size (Gumbel-top-k)
+_SEED = "dsir"    # shared md5 seed for the Gumbel uniforms
+
+# the "target" distribution: the labeled-English slice (stand-in for the
+# Wikipedia/books target corpus of the paper — the synthetic languages
+# have genuinely different stopword distributions, so the hashed-unigram
+# ratio carries real signal); raw = the whole pool
+_TARGET_PRED_SPARK = "lang = 'en'"
+_TARGET_PRED_SQL = _TARGET_PRED_SPARK
+
+# md5-derived unigram bucket in [0, 1024): the cross-engine hash convention
+# of operators/assemble.py (first 8 md5 hex chars as an integer)
+_BUCKET_SPARK = (
+    "pmod(cast(conv(substring(md5({w}), 1, 8), 16, 10) as bigint), 1024)"
+)
+_BUCKET_SQL = (
+    "CAST(CAST(concat('0x', substring(md5({w}), 1, 8)) AS UBIGINT)"
+    " % 1024 AS BIGINT)"
+)
+
+# Gumbel noise from the shared uniform-hash convention; u is offset by 0.5
+# so it can never hit 0 or 1 (both logs stay finite)
+_GUMBEL_SPARK = (
+    "cast(floor(1000000.0 * -ln(-ln("
+    "(cast(conv(substring(md5(concat('dsir|', cast(doc_id as string))),"
+    " 1, 8), 16, 10) as double) + 0.5) / 4294967296.0"
+    "))) as bigint)"
+)
+_GUMBEL_SQL = (
+    "CAST(floor(1000000.0 * -ln(-ln("
+    "(CAST(CAST(concat('0x', substring(md5('dsir|' ||"
+    " CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)"
+    " / 4294967296.0"
+    "))) AS BIGINT)"
+)
+
+
+@query(
+    "select_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, ({_TARGET_PRED_SQL}) AS is_t, u.wd
+      FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+    ),
+    bucketed AS (
+      SELECT doc_id, is_t, {_BUCKET_SQL.format(w="wd")} AS b FROM toks
+    ),
+    counts AS (
+      SELECT r.b,
+             COALESCE(SUM(CASE WHEN t.is_t THEN 1 ELSE 0 END), 0) AS ct,
+             COALESCE(COUNT(t.b), 0) AS cr
+      FROM range({_B}) r(b) LEFT JOIN bucketed t ON t.b = r.b
+      GROUP BY r.b
+    ),
+    totals AS (
+      SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts
+    ),
+    lr AS (
+      SELECT c.b,
+             CAST(floor(1000000.0 * (
+               ln(CAST(c.ct + 1 AS DOUBLE)) - ln(CAST(t.tt + {_B} AS DOUBLE))
+               - ln(CAST(c.cr + 1 AS DOUBLE)) + ln(CAST(t.tr + {_B} AS DOUBLE))
+             )) AS BIGINT) AS l
+      FROM counts c, totals t
+    ),
+    scored AS (
+      SELECT t.doc_id, CAST(SUM(lr.l) AS BIGINT) AS log_w
+      FROM bucketed t JOIN lr ON lr.b = t.b
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, log_w, log_w + {_GUMBEL_SQL} AS key
+    FROM scored
+    ORDER BY key DESC, doc_id
+    LIMIT {_KSEL}
+    """,
+)
+def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): estimate hashed-unigram
+    bucket distributions for a curated TARGET slice and for the RAW pool,
+    weight every raw document by its importance log-ratio
+    sum_tokens[ln p_target(b) - ln p_raw(b)] (add-1 smoothed), and resample
+    the top-k by Gumbel-perturbed weight (Gumbel-top-k == sampling without
+    replacement proportional to w, made deterministic by drawing the
+    uniforms from the shared md5 convention of operators/assemble.py).
+
+    Determinism contract: the per-bucket log-ratio is snapped to a 1e-6
+    integer grid (floor(1e6 * lr) as BIGINT — ln comes from the same libm
+    on both engines, and a 1-ulp input difference flips the floor only
+    within 1 ulp of a grid boundary); per-document scores are then exact
+    BIGINT sums, associative and order-free, and the Gumbel key is snapped
+    the same way.
+
+    Scale shape: the bucket histograms are ONE map-side-combined groupBy
+    collapsing 100 TB to 2x1024 driver-side counts (the trained "model",
+    same split as fixture_cache.trained_centroids); scoring is map-only —
+    the 1024 log-ratios ride along as a literal array and each document
+    folds its own tokens, no explode shuffle, no join; selection is a
+    distributed TakeOrdered top-k. The paper's full pipeline (train on
+    selected docs) starts from exactly this selected-id table."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.expr(f"({_TARGET_PRED_SPARK})").alias("is_t"),
+            F.explode(F.split("text", " ")).alias("wd"),
+        )
+        .select(
+            "is_t", F.expr(_BUCKET_SPARK.format(w="wd")).alias("b")
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+        .collect()
+    )
+    ct = {int(r["b"]): int(r["ct"]) for r in counts}
+    cr = {int(r["b"]): int(r["cr"]) for r in counts}
+    tt = sum(ct.values())
+    tr = sum(cr.values())
+    lr = [
+        math.floor(
+            1000000.0
+            * (
+                math.log(ct.get(b, 0) + 1)
+                - math.log(tt + _B)
+                - math.log(cr.get(b, 0) + 1)
+                + math.log(tr + _B)
+            )
+        )
+        for b in range(_B)
+    ]
+    lr_lit = "array(" + ", ".join(f"{v}L" for v in lr) + ")"
+    bucket_wd = _BUCKET_SPARK.format(w="wd")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(split(text, ' '), 0L, (acc, wd) ->"
+            f" acc + element_at({lr_lit}, cast({bucket_wd} as int) + 1))"
+        ).alias("log_w"),
+    )
+    return (
+        scored.withColumn("key", F.col("log_w") + F.expr(_GUMBEL_SPARK))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(_KSEL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_repeated_span_scrub
+# ---------------------------------------------------------------------------
+
+_SN = 10  # duplicated-span width (word tokens)
+
+
+@query(
+    "text_repeated_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t.i AS i,
+             array_to_string(w[i:i + {_SN - 1}], ' ') AS g,
+             doc_id * 1000000 + t.i AS occ_key
+      FROM toks, LATERAL unnest(generate_series(1, len(w) - {_SN - 1})) t(i)
+      WHERE len(w) >= {_SN}
+    ),
+    dup AS (
+      SELECT g, MIN(occ_key) AS keeper
+      FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, CAST(gr.i - 1 + o.j AS BIGINT) AS pos
+      FROM grams gr JOIN dup d ON d.g = gr.g AND gr.occ_key <> d.keeper,
+           LATERAL unnest(generate_series(0, {_SN - 1})) o(j)
+    ),
+    cov_per_doc AS (
+      SELECT doc_id, list(pos) AS cov FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(generate_series(0, len(t.w) - 1),
+                           p -> NOT list_contains(COALESCE(c.cov, []), p)),
+               p -> t.w[CAST(p AS INT) + 1]),
+             ' '), '') AS scrubbed
+    FROM toks t LEFT JOIN cov_per_doc c ON c.doc_id = t.doc_id
+    """,
+)
+def text_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021) on word {_SN}-grams: any token
+    span duplicated ANYWHERE in the corpus (across documents or within
+    one) is removed from every occurrence EXCEPT the first — the keeper is
+    the minimum (doc_id, position) occurrence, encoded as an integer
+    occ_key so both engines argmin with plain MIN. Survivor tokens are
+    re-joined in order (same reassembly shape as text_boilerplate_scrub,
+    which removes by corpus-frequency percentile instead of exact
+    duplication and keeps NO occurrence).
+
+    Scale shape: the dup-gram table is O(duplicated spans) — NOT small, so
+    it is a plain shuffle equi-join on the gram (contrast with the
+    boilerplate set, which is top-percentile small and broadcasts); gram
+    counting is one map-side-combined groupBy carrying MIN(occ_key) along
+    with COUNT; cover-marking and reassembly shuffle by doc_id only.
+    Everything is linear in corpus size plus true duplication volume. The
+    real ExactSubstr uses a suffix array to find maximal spans of ANY
+    length; fixed-width grams + position-set union reconstructs the same
+    removal set for spans >= {_SN} tokens, the regime the paper targets
+    (its threshold is 50 BPE tokens)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    grams = (
+        d.filter(F.size("w") >= _SN)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SN - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_SN})))"
+                )
+            ).alias("i0", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            "g",
+            (F.col("doc_id") * 1000000 + F.col("i0") + 1).alias("occ_key"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("cnt"), F.min("occ_key").alias("keeper"))
+        .filter(F.col("cnt") >= 2)
+        .select("g", "keeper")
+    )
+    covered = (
+        grams.join(dup, "g")
+        .filter(F.col("occ_key") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"sequence(cast(i - 1 as bigint),"
+                    f" cast(i - 1 as bigint) + {_SN - 1})"
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    cov_per_doc = covered.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("cov")
+    )
+    return (
+        d.join(cov_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+            F.expr(
+                "array_join(transform(array_except("
+                "sequence(0L, cast(size(w) as bigint) - 1),"
+                " coalesce(cov, cast(array() as array<bigint>))),"
+                " p -> element_at(w, cast(p as int) + 1)), ' ')"
+            ).alias("scrubbed"),
+        )
+    )

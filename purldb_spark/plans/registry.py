@@ -85,6 +85,7 @@ def load_inventory() -> None:
         q_multimodal,
         q_overlay,
         q_scans,
+        q_select,
         q_snippet,
         q_vcs,
         q_version_apis,

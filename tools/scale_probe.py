@@ -55,10 +55,13 @@ PROBES = [
     ("pack_sequences", "16-shard window cumsum — linear"),
     ("shuffle_global", "sharded rank + broadcast offsets — linear"),
     ("corpus_curate_pipeline", "gates + sample + pack over pair fixture — linear"),
-    ("kmeans_train", "Lloyd trainer — scan + k*dim-row shuffle per iteration"),
+    ("kmeans_train", "cell-index view: sizes agg + broadcast join — linear"),
+    ("kmeans_fit_cold", "Lloyd trainer, no cache — scan + k*dim-row shuffle per iteration"),
+    ("pq_encode_cold", "PQ index build (8x16 argmin encode), no cache — map-only linear"),
     ("semantic_tau055", "SemDeDup cell equi-join, tau=0.55 deep tail — largest-cell bound"),
-    ("knn_ivfpq", "IVFPQ cell probe over 4-byte codes — linear"),
-    ("knn_trained_ivfpq_refine", "train -> cell+PQ index -> probe -> exact re-rank"),
+    ("knn_ivfpq", "IVFPQ probe, FIXED k=8 cells — quadratic (see finding 4)"),
+    ("knn_trained_ivfpq_refine", "train+probe+refine, FIXED k=8 cells — quadratic (finding 4)"),
+    ("knn_trained_pq_kscaled", "train+probe with k grown ~N/250 — restores linear"),
     ("text_boilerplate_scrub", "percentile-DF boilerplate scrub — linear"),
 ]
 
@@ -206,9 +209,78 @@ def _semantic_tau055(spark, sf_dir: str):
     return semantic_dedup_frame(spark, sf_dir, 0.55)
 
 
+def _kmeans_fit_cold(spark, sf_dir: str):
+    """The full train+assign path with NO session cache — measures the
+    trainer's claimed shape (one scan + a k*dim-row shuffle per Lloyd
+    iteration) rather than the warm cell-index view the registry query
+    reads (fixture_cache.kmeans_cell_index)."""
+    from purldb_spark.operators.kmeans import kmeans_assign
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans_assign(e, "embedding", "vec_id", 8, 3)
+
+
+def _pq_encode_cold(spark, sf_dir: str):
+    """The PQ index build (encode_expr over the corpus) with NO session
+    cache — the map-only pass fixture_cache.pq_code_index materializes."""
+    from purldb_spark.operators.pq import encode_expr
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return e.select("vec_id", encode_expr("embedding").alias("codes"))
+
+
+def _knn_trained_pq_kscaled(spark, sf_dir: str):
+    """The IVF remedy for finding 4: the cell count k grows with the
+    corpus (k ~ N/250, i.e. constant expected cell size), so per-query
+    probe work stays flat and total probe cost stays linear — the same
+    grow-the-parameter-with-log-or-linear-N law as LSH bucket bits
+    (finding 1). Trains (3 Lloyd iterations at that k), indexes, probes
+    ADC, exact re-rank — the full knn_trained_ivfpq_refine pipeline."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.kmeans import (
+        assign_expr,
+        kmeans_fit,
+        sqdist_cols_spark,
+    )
+    from purldb_spark.operators.pq import adc_expr, encode_expr
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = e.count()
+    k = max(8, n // 250)
+    cents = kmeans_fit(e, "embedding", "vec_id", k, 3)
+    idx = e.select(
+        "vec_id",
+        assign_expr("embedding", cents).alias("cell"),
+        encode_expr("embedding").alias("codes"),
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        assign_expr("embedding", cents).alias("q_cell"),
+    )
+    short = q.join(
+        idx,
+        (F.col("q_cell") == F.col("cell"))
+        & (F.col("q_vec_id") != F.col("vec_id")),
+    ).withColumn("adc", adc_expr("q_embedding", "codes"))
+    w_adc = Window.partitionBy("q_vec_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = short.withColumn("r", F.row_number().over(w_adc)).filter("r <= 10")
+    raw = e.select("vec_id", F.col("embedding").alias("i_embedding"))
+    ref = cand.join(raw, "vec_id").withColumn(
+        "exact_d", F.expr(sqdist_cols_spark("q_embedding", "i_embedding"))
+    )
+    w_ex = Window.partitionBy("q_vec_id").orderBy(F.asc("exact_d"), F.asc("vec_id"))
+    return ref.withColumn("rank", F.row_number().over(w_ex)).filter("rank <= 3")
+
+
 SPECIAL = {
     "emb_blocked_8x8": _emb_blocked_8x8,
     "semantic_tau055": _semantic_tau055,
+    "kmeans_fit_cold": _kmeans_fit_cold,
+    "pq_encode_cold": _pq_encode_cold,
+    "knn_trained_pq_kscaled": _knn_trained_pq_kscaled,
 }
 
 
@@ -329,6 +401,17 @@ def main() -> None:
         "   jaccard, incremental, CC) scales sub-linearly in wall-clock at",
         "   10x on local[32] because sf0.1 under-fills the 32 cores;",
         "   shuffle bytes grow ~linearly as designed.",
+        "4. **IVF cell count must grow with N** — the vector-index twin of",
+        "   finding 1. With k FIXED at 8 cells, 10x data puts 10x vectors",
+        "   AND 10x queries in every cell, so probe pairs grow 100x:",
+        "   `knn_ivfpq` / `knn_trained_ivfpq_refine` measure ~19x at 10x",
+        "   (quadratic, not the advertised linear). `knn_trained_pq_kscaled`",
+        "   grows k ~ N/250 (constant expected cell size; the standard",
+        "   sqrt(N)-to-N/const IVF sizing), paying a k*dim-literal assign",
+        "   and k-proportional training cost to keep per-query probe work",
+        "   flat — the registry queries keep k=8 because their oracle must",
+        "   replay the exact unrolled-Lloyd SQL, but production sizing",
+        "   follows this row.",
         "",
     ]
     with open(os.path.join(HERE, "BENCH_scale.md"), "w") as fh:
