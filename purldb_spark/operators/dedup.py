@@ -273,16 +273,26 @@ def verify_jaccard(
 
 # --------------------------------------------------------------- SimHash --
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 
 
 def simhash(df_tokens: DataFrame, id_col: str) -> DataFrame:
-    """32-bit SimHash per document from distinct tokens (id, tok).
+    """60-bit SimHash per document from distinct tokens (id, tok).
 
-    Token hash = first 8 hex of md5 as int; bit b of the fingerprint is the
-    sign of sum(±1) of that bit over tokens. All bit votes aggregate in one
-    groupBy pass (32 conditional sums — wide but single-shuffle)."""
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    Token hash = first 15 hex of md5 as int (60 bits keeps every value and
+    every band arithmetic inside positive signed-64 territory on BOTH
+    engines — no arithmetic-vs-logical shift or two's-complement edge);
+    bit b of the fingerprint is the sign of sum(±1) of that bit over
+    tokens. All bit votes aggregate in one groupBy pass (60 conditional
+    sums — wide but single-shuffle, map-side combined).
+
+    Width is a SCALE parameter: with 4 pigeonhole bands the per-band
+    bucket count is 2^(bits/4), and band-join collisions grow
+    N^2 / 2^(bits/4) — the 32-bit original (256 buckets/band) measured
+    ~quadratic at 10x corpus (BENCH_scale.md finding 1 applies); 15-bit
+    bands (32768 buckets) restore linear at probe scales, and production
+    N grows the hash again (Google's original is 64-bit)."""
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     toks = df_tokens.withColumn("h", h)
     votes = [
         F.sum(
@@ -310,7 +320,7 @@ def simhash_sql(id_col: str, tokens_sql: str) -> str:
     return f"""
       SELECT {id_col}, CAST({fp} AS BIGINT) AS simhash FROM (
         SELECT {id_col}, {votes}
-        FROM (SELECT {id_col}, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        FROM (SELECT {id_col}, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
               FROM ({tokens_sql}))
         GROUP BY {id_col}
       )
@@ -321,7 +331,7 @@ def simhash_near_pairs(
     sim: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming ≤ max_hamming, via banded join:
-    split the 32-bit fingerprint into `n_bands` bytes; hamming ≤ n_bands-1
+    split the fingerprint into `n_bands` equal slices; hamming ≤ n_bands-1
     guarantees ≥1 identical band (pigeonhole), so candidates come from a
     hash join, then bit_count verifies."""
     assert max_hamming < n_bands, "pigeonhole needs bands > max_hamming"

@@ -254,7 +254,7 @@ _TOKENS_SQL = _SHINGLES_SQL.replace("AS sh", "AS tok")
     oracle=f"""
     WITH sim AS ({simhash_sql("doc_id", _TOKENS_SQL)}),
     bands AS (
-      SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_key
+      SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 15)) & 32767 AS band_key
       FROM sim, unnest([0, 1, 2, 3]) AS t(b)
     ),
     cands AS (
@@ -269,10 +269,13 @@ _TOKENS_SQL = _SHINGLES_SQL.replace("AS sh", "AS tok")
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection: 32-bit fingerprint from per-shingle bit
+    """SimHash near-dup detection: 60-bit fingerprint from per-shingle bit
     votes; pairs at hamming ≤ 3 found via 4-band pigeonhole join (hamming ≤ 3
-    over 4 bands forces ≥ 1 identical byte), then exact bit_count verify.
-    Features are 3-word shingles (see _TOKENS_SQL note)."""
+    over 4 bands forces ≥ 1 identical 15-bit band), then exact bit_count
+    verify. Features are 3-word shingles (see _TOKENS_SQL note). The 32-bit
+    original's 256-buckets-per-band measured ~quadratic at 10x corpus
+    (random band collisions ~ N^2/2^width); 15-bit bands restore linear —
+    see operators/dedup.simhash and BENCH_scale.md finding 1."""
     toks = doc_shingles(spark, sf_dir).withColumnRenamed("sh", "tok")
     sim = simhash(toks, "doc_id")
     return simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
