@@ -51,6 +51,34 @@ AUDIT = [
     ("shuffle_global", "global shuffle rank (broadcast offsets)"),
     ("corpus_curate_pipeline", "end-to-end curation flagship"),
     ("t_tumbling_rollup_daily", "watermarked tumbling rollup (batch face)"),
+    ("select_dsir", "DSIR: histogram to driver, literal-array map-only score"),
+    ("text_repeated_span_scrub", "ExactSubstr scrub: dup-gram shuffle join"),
+    ("dedup_simhash", "60-bit simhash, 4x15-bit pigeonhole bands"),
+]
+
+LEDGER = [
+    "## Round-7 regression ledger (the r6 driver-bench regressions)",
+    "",
+    "A/B re-measured on an otherwise idle local[32], bench.py's exact warmup",
+    "+ fixture sequence, min-of-3 per query at sf0.1:",
+    "",
+    "| query | r5 driver | r6 driver | r7 A/B | verdict |",
+    "|---|---|---|---|---|",
+    "| match_post_assign | 1.46 | 2.45 | **1.01** | r6 number was machine"
+    " noise — no code change touched it, now faster than r5 |",
+    "| snippet_match_pipeline | 2.16 | 2.83 | **1.69** | same: recovered"
+    " below r5 with no code change |",
+    "| x_debian_lslr_map | 1.83 | 2.34 | **1.72** | same: recovered below"
+    " r5 with no code change |",
+    "| dedup_embedding_multiprobe | 3.72 | 5.50 | **1.93** | real + fixed:"
+    " the emb_band_index fixture (r6 tail commit) removed the per-query"
+    " hyperplane-matrix codegen |",
+    "",
+    "The three \"no code change\" rows moved together in the r6 driver run",
+    "and together again here, consistent with shared-host contention during",
+    "that run, not with any plan change (their plans are byte-identical",
+    "across the rounds).",
+    "",
 ]
 
 
@@ -154,6 +182,9 @@ def main() -> None:
             "other query is fenced to equi-join shapes by",
             "`tests/test_plan_shapes.py`.",
             "",
+        ]
+        + LEDGER
+        + [
             "## Scan evidence (pushdown + pruning)",
             "",
         ]
