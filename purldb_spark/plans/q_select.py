@@ -13,6 +13,9 @@ pipeline runs between dedup and assembly.
                                policy of Lee et al. 2021, "Deduplicating
                                Training Data Makes Language Models Better",
                                re-expressed on word 10-grams)
+  text_tfidf_neighbors      -> IDF-weighted sparse cosine top-n neighbors
+                               over the shared shingle fixture (df-capped
+                               inverted index)
 """
 
 from __future__ import annotations
@@ -299,4 +302,143 @@ def text_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " p -> element_at(w, cast(p as int) + 1)), ' ')"
             ).alias("scrubbed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_neighbors
+# ---------------------------------------------------------------------------
+
+_DF_CAP_TFIDF = 64   # inverted-index document-frequency cap (scale bound)
+_COS_FLOOR = 0.3     # similarity floor
+_TOPN = 5            # neighbors per document
+
+_TFIDF_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(generate_series(1, len(w) - 2)) AS t(i)
+"""
+
+
+@query(
+    "text_tfidf_neighbors",
+    oracle=f"""
+    WITH shingles AS ({_TFIDF_SHINGLES_SQL}),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT sh,
+             CAST(floor(1000000.0 * ln(
+               CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (COUNT(*) + 1)
+             )) AS BIGINT) AS w
+      FROM shingles GROUP BY sh HAVING COUNT(*) <= {_DF_CAP_TFIDF}
+    ),
+    posting AS (
+      SELECT s.doc_id, s.sh, i.w FROM shingles s JOIN idf i ON i.sh = s.sh
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(CAST(SUM(w * w) AS BIGINT) AS DOUBLE)) AS nrm
+      FROM posting GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS s
+      FROM posting a JOIN posting b
+        ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_a, d.doc_b,
+             CAST(d.s AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b
+    ),
+    ranked AS (
+      SELECT doc_a, doc_b, cos,
+             row_number() OVER (
+               PARTITION BY doc_a ORDER BY cos DESC, doc_b
+             ) AS rank
+      FROM scored WHERE cos >= {_COS_FLOOR}
+    )
+    SELECT doc_a, doc_b, cos, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPN}
+    """,
+)
+def text_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted sparse cosine neighbors — the classic TF-IDF similarity
+    completing the near-dup family's metric coverage: set overlap
+    (jaccard), bit sketch (simhash), permutation sketch (minhash), dense
+    embedding (knn/emb_*), and here the SPARSE WEIGHTED vector space over
+    word 3-shingles (distinct shingles, so tf = 1 and the weight is the
+    idf alone). For each document, the top-{_TOPN} neighbors with cosine
+    >= {_COS_FLOOR}.
+
+    Determinism contract (same rules as select_dsir / kmeans): idf is
+    snapped to a 1e-6 integer grid, dot products and squared norms are
+    exact BIGINT sums; only the final sqrt/divide are double ops, and
+    those are IEEE-identical on both engines given identical integer
+    inputs.
+
+    Scale shape: the inverted index joins on the shingle with a document-
+    frequency cap of {_DF_CAP_TFIDF} (pair fan-out per term is df^2, so
+    the cap bounds the join at O(sum_t min(df_t, cap)^2) — the same
+    lossless-for-rare-terms bound as dedup_ngram_jaccard_capped, and
+    ubiquitous shingles carry near-zero idf weight anyway); norms are one
+    map-side-combined groupBy; the final top-n is a per-doc window over
+    the surviving pairs only. Shares the session shingle fixture
+    (fixture_cache.doc_shingles) with the rest of the dedup family."""
+    from purldb_spark.plans.fixture_cache import doc_shingles
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    sh = doc_shingles(spark, sf_dir)
+    idf = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CAP_TFIDF)
+        .select(
+            "sh",
+            F.expr(
+                f"cast(floor(1000000.0 * ln(cast({n_docs + 1} as double)"
+                " / (df + 1))) as bigint)"
+            ).alias("w"),
+        )
+    )
+    posting = sh.join(idf, "sh")
+    norms = posting.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = posting.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("w").alias("w_a")
+    )
+    b = posting.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("w").alias("w_b")
+    )
+    dots = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("s"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("s").cast("double") / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= _COS_FLOOR)
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("doc_a").orderBy(F.desc("cos"), "doc_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _TOPN)
+        .select("doc_a", "doc_b", "cos", "rank")
     )

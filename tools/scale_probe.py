@@ -63,6 +63,9 @@ PROBES = [
     ("knn_trained_ivfpq_refine", "train+probe+refine, FIXED k=8 cells — quadratic (finding 4)"),
     ("knn_trained_pq_kscaled", "train+probe with k grown ~N/250 — restores linear"),
     ("text_boilerplate_scrub", "percentile-DF boilerplate scrub — linear"),
+    ("text_tfidf_neighbors", "df-capped idf inverted index — sum min(df,cap)^2"),
+    ("text_repeated_span_scrub", "dup-gram shuffle join — linear in duplication"),
+    ("select_dsir", "histogram agg + map-only literal-array score — linear"),
 ]
 
 
