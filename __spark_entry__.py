@@ -95,13 +95,21 @@ def _rotated_names() -> list[str]:
     evidence, so they outrank stale ones (green once at an older source —
     regression risk, but at least once externally confirmed), which in
     turn outrank currently-verified ones being re-confirmed.
+
+    Queries WITHOUT an oracle (f5_seqmatch_rank) go last regardless: their
+    driver check is rows-only and yields the same record every round, so
+    re-running one can never upgrade its status — a front slot spent on it
+    is a stale oracle-bearing query left unverified.
     """
     verified, stale = _verification_state()
-    return (
+    names = (
         [n for n in QUERIES if n not in stale and n not in verified]
         + [n for n in QUERIES if n in stale]
         + [n for n in QUERIES if n in verified]
     )
+    return [n for n in names if n in ORACLES] + [
+        n for n in names if n not in ORACLES
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -127,6 +127,9 @@ def main() -> None:
         "knn_bruteforce",
         "knn_lsh_bucketed",
         "knn_ivf_cell",
+        "select_dsir",
+        "text_tfidf_neighbors",
+        "text_repeated_span_scrub",
         "text_winnow_fingerprint",
         "mm_decode_meta",
         "t_tumbling_rollup_daily",
