@@ -128,6 +128,8 @@ def main() -> None:
         "knn_lsh_bucketed",
         "knn_ivf_cell",
         "select_dsir",
+        "select_perplexity_buckets",
+        "select_quality_classifier",
         "text_tfidf_neighbors",
         "text_repeated_span_scrub",
         "text_winnow_fingerprint",

@@ -442,3 +442,195 @@ def text_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPN)
         .select("doc_a", "doc_b", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# select_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+# add-one-smoothed char-trigram logprob on the 1e-6 integer grid (the
+# select_dsir determinism contract: ln from the same libm on both engines,
+# floor can flip only within 1 ulp of a grid boundary)
+_TRIGRAMS_SPARK = (
+    "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+)
+
+
+@query(
+    "select_perplexity_buckets",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, lang, substr(text, i, 3) AS g
+      FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) t(i)
+      WHERE length(text) >= 3
+    ),
+    ref AS (
+      SELECT g, count(*) AS cnt FROM grams WHERE lang = 'en' GROUP BY g
+    ),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM ref),
+    lm AS (
+      SELECT g, CAST(floor(1000000.0 * ln((cnt + 1) / CAST(total + v AS DOUBLE)))
+                     AS BIGINT) AS lq
+      FROM ref CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT gr.doc_id, gr.lang,
+             CAST(SUM(COALESCE(lm.lq,
+               (SELECT CAST(floor(1000000.0 * ln(1.0 / CAST(total + v AS DOUBLE)))
+                            AS BIGINT) FROM tot))) AS BIGINT) AS nll_sum_q,
+             COUNT(*) AS n_grams
+      FROM grams gr LEFT JOIN lm ON gr.g = lm.g
+      GROUP BY gr.doc_id, gr.lang
+    )
+    SELECT doc_id, lang, nll_sum_q, n_grams,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY nll_sum_q * 1.0 / n_grams DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored
+    """,
+)
+def select_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"): train a
+    language model on the target corpus (here the labeled-English slice,
+    the stand-in for CCNet's Wikipedia LM; an add-one-smoothed char-trigram
+    model instead of their KenLM 5-gram, which no sandbox library
+    provides), score every document by its average negative logprob, and
+    split each language into head/middle/tail perplexity terciles — the
+    exact bucket labels CCNet ships and LLM pipelines sample from.
+
+    Determinism contract: per-TRIGRAM logprob is snapped to the 1e-6
+    integer grid (the select_dsir convention), so per-document scores are
+    exact BIGINT sums; the tercile ordering key avg = nll_sum_q/n_grams is
+    one IEEE division of exact integers (identical in both engines) with
+    doc_id as total tie-break, so ntile is deterministic.
+
+    Scale shape: the LM is one map-side-combined groupBy over the target
+    slice's trigrams, bounded by charset^3 — broadcastable at any corpus
+    size (contrast DSIR's 1024-bucket literal: same trained-model split,
+    bigger table, so broadcast join instead of plan literal). Its two
+    normalization scalars (total count, vocabulary size) are collected
+    driver-side and baked as plan literals — the text_boilerplate_scrub
+    BNLJ-avoidance pattern, two BIGINTs off a map-side-combined agg.
+    Scoring is explode -> broadcast-hash join -> partial-agg sum by
+    doc_id: linear, one doc_id shuffle. The tercile window sorts per
+    language; at 100 TB CCNet itself replaces the exact sort with two
+    sampled quantile cutoffs per language (scalar thresholds, map-only
+    assignment) — the same percentile-threshold swap documented in
+    text_boilerplate_scrub."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = d.select(
+        "doc_id", "lang", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("g")
+    )
+    ref = (
+        grams.filter(F.col("lang") == "en")
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total, v = ref.agg(F.sum("cnt"), F.count("*")).first()
+    denom = int(total) + int(v)
+    lm = ref.select(
+        "g",
+        F.expr(
+            f"cast(floor(1000000.0 * ln((cnt + 1) / cast({denom} as double)))"
+            " as bigint)"
+        ).alias("lq"),
+    )
+    lq0 = math.floor(1000000.0 * math.log(1.0 / float(denom)))
+    scored = (
+        grams.join(F.broadcast(lm), "g", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("lq", F.lit(lq0).cast("long")).alias("lq"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("lq").alias("nll_sum_q"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_ppl = Window.partitionBy("lang").orderBy(
+        (F.col("nll_sum_q") * 1.0 / F.col("n_grams")).desc(), "doc_id"
+    )
+    tile = F.ntile(3).over(w_ppl)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "nll_sum_q",
+        "n_grams",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# select_quality_classifier
+# ---------------------------------------------------------------------------
+
+_QC_B = 4096  # hashed-token feature buckets
+# frozen model weight for one token: bucket = md5(token) mod 4096, then
+# weight(bucket) = md5('qw|' || bucket) mod 2001 - 1000, an integer in
+# [-1000, 1000] on the exact grid. The weights are a deterministic
+# stand-in for a trained fastText/logistic model (same frozen-artifact
+# policy as operators/pq_codebooks.json — no trained classifier ships in
+# the sandbox); the Spark shape is what the real model would run.
+_QC_W_SPARK = (
+    "pmod(cast(conv(substring(md5(concat('qw|', cast("
+    "pmod(cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint), 4096)"
+    " as string))), 1, 8), 16, 10) as bigint), 2001) - 1000"
+)
+_QC_W_SQL = (
+    "CAST(CAST(concat('0x', substring(md5(concat('qw|', CAST("
+    "CAST(CAST(concat('0x', substring(md5(w), 1, 8)) AS UBIGINT)"
+    " % 4096 AS BIGINT) AS VARCHAR))), 1, 8)) AS UBIGINT)"
+    " % 2001 AS BIGINT) - 1000"
+)
+
+
+@query(
+    "select_quality_classifier",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                                          w -> {_QC_W_SQL})) AS BIGINT) AS score_q
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, score_q, score_q >= 0 AS is_quality
+    FROM scored
+    """,
+)
+def select_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality-classifier gate (Brown et al. 2020 Appendix A;
+    the RedPajama/CCNet fastText filter is the same shape): a linear
+    bag-of-hashed-tokens model — token -> hash bucket (fastText's hashing
+    trick, Joulin et al. 2016) -> frozen per-bucket weight -> document
+    score = sum of token weights -> keep if score >= 0.
+
+    The weights here are a deterministic md5-derived stand-in for the
+    trained model (documented frozen-artifact policy, see _QC_W_SPARK);
+    correctness of the PIPELINE (hashing, folding, gating) is what the
+    oracle checks, bit-exactly, because everything stays on the integer
+    grid.
+
+    Scale shape: the ideal one — pure map, no explode, no shuffle, no
+    join. Each document folds its own token list with aggregate(); a
+    trained 4096-float weight vector would ride along as a plan literal
+    exactly like select_dsir's log-ratio array (a bigger vocab would be a
+    broadcast join like select_perplexity_buckets' LM). 100 TB cost is
+    one scan."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(split(text, ' '), 0L, (acc, w) -> acc + ({_QC_W_SPARK}))"
+        ).alias("score_q"),
+    ).withColumn("is_quality", F.col("score_q") >= 0)

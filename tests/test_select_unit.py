@@ -153,3 +153,104 @@ def test_scrub_no_duplicate_10grams_remain(spark, scrub_df):
     )
     assert before > 0
     assert after <= before * 0.1
+
+
+# ---------------------------------------------------------------------------
+# select_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ppl_rows(spark):
+    return QUERIES["select_perplexity_buckets"](spark, SF).collect()
+
+
+def test_ppl_covers_every_document(spark, ppl_rows):
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "length(text) >= 3"
+    ).count()
+    assert len(ppl_rows) == n_docs
+    assert len({r["doc_id"] for r in ppl_rows}) == n_docs
+
+
+def test_ppl_terciles_are_balanced_per_language(ppl_rows):
+    # ntile(3) guarantee: within each language the three buckets differ
+    # in size by at most 1
+    from collections import Counter
+
+    by_lang: dict[str, Counter] = {}
+    for r in ppl_rows:
+        by_lang.setdefault(r["lang"], Counter())[r["ppl_bucket"]] += 1
+    for lang, c in by_lang.items():
+        sizes = [c["head"], c["middle"], c["tail"]]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_ppl_bucket_order_matches_avg_logprob(ppl_rows):
+    # CCNet semantics: head = lowest perplexity = highest avg logprob.
+    # Within each language every head doc must score >= every middle doc,
+    # and every middle >= every tail (ties broken by doc_id inside ntile,
+    # so compare with >=).
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in ppl_rows:
+        avg = r["nll_sum_q"] / r["n_grams"]
+        by_lang.setdefault(r["lang"], {}).setdefault(
+            r["ppl_bucket"], []
+        ).append(avg)
+    for lang, b in by_lang.items():
+        assert min(b["head"]) >= max(b["middle"]), lang
+        assert min(b["middle"]) >= max(b["tail"]), lang
+
+
+def test_ppl_scores_are_negative_log_sums(ppl_rows):
+    # every per-gram logprob is < 0 on the 1e-6 grid, so each document's
+    # sum must be strictly negative and at least -1e6 * n_grams * ln(2)
+    # ... i.e. bounded below by the worst smoothed prob (1/denom)
+    for r in ppl_rows:
+        assert r["nll_sum_q"] < 0
+        assert r["n_grams"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# select_quality_classifier
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qc_rows(spark):
+    return QUERIES["select_quality_classifier"](spark, SF).collect()
+
+
+def test_qc_recomputes_in_python(spark, qc_rows):
+    # independent reimplementation of the hashing-trick fold: md5 bucket
+    # then md5-derived frozen weight, per token — the direct check that
+    # the Spark fold implements the documented model
+    import hashlib
+
+    def weight(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+        return int(
+            hashlib.md5(f"qw|{b}".encode()).hexdigest()[:8], 16
+        ) % 2001 - 1000
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in qc_rows[:50]:
+        toks = docs[r["doc_id"]].split(" ")
+        assert r["n_tokens"] == len(toks)
+        assert r["score_q"] == sum(weight(t) for t in toks), r["doc_id"]
+
+
+def test_qc_gate_matches_score_sign(qc_rows):
+    for r in qc_rows:
+        assert r["is_quality"] == (r["score_q"] >= 0)
+        assert abs(r["score_q"]) <= 1000 * r["n_tokens"]
+
+
+def test_qc_score_bounded_by_weight_grid(qc_rows):
+    # weights live on [-1000, 1000]; a document of n tokens cannot exceed
+    # that envelope, and the corpus should exercise both classes
+    labels = {r["is_quality"] for r in qc_rows}
+    assert labels == {True, False}

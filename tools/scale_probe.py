@@ -66,6 +66,8 @@ PROBES = [
     ("text_tfidf_neighbors", "df-capped idf inverted index — sum min(df,cap)^2"),
     ("text_repeated_span_scrub", "dup-gram shuffle join — linear in duplication"),
     ("select_dsir", "histogram agg + map-only literal-array score — linear"),
+    ("select_perplexity_buckets", "trigram-LM broadcast join + per-lang tercile sort — linear (N log N sort)"),
+    ("select_quality_classifier", "hashed linear model, map-only fold — linear, zero shuffle"),
 ]
 
 
