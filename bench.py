@@ -47,6 +47,7 @@ def main() -> None:
     # by the indexing pipeline (reference matchcode/models.py:247-265), not
     # per-query work — the match-family timings below measure the read path
     from purldb_spark.plans.fixture_cache import (
+        bucketed_orderkey_tables,
         doc_fingerprint_base,
         doc_shingles,
         dup_clusters,
@@ -72,6 +73,7 @@ def main() -> None:
     kmeans_cell_index(spark, sf_dir, 8, 3).count()
     pq_code_index(spark, sf_dir).count()
     ivf_cell_index(spark, sf_dir).count()
+    bucketed_orderkey_tables(spark, sf_dir)
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
@@ -113,6 +115,7 @@ def main() -> None:
         "match_cascade_full",
         "snippet_match_pipeline",
         "f5_rank_tiebreak",
+        "j1_fk_join_bucketed",
         "j6_banding_join",
         "m1_merge_upsert",
         "dedup_exact",

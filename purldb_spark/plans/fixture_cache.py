@@ -315,3 +315,55 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
     return cached_fixture(spark, f"dup_clusters:{sf_dir}", build)
+
+
+_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def bucketed_orderkey_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[str, str]:
+    """Materialize `lineitem` and `orders` as storage-BUCKETED tables
+    (bucketBy on the orderkey, same bucket count both sides) and return the
+    two table names. Built once per (session, sf_dir) — the co-located-join
+    counterpart of the band/cell indexes above: in production the ingest
+    pipeline bucket-writes its biggest FK pair ONCE, and every downstream
+    join on that key runs with zero Exchange on either side (Spark's
+    storage-partitioned join contract: equal bucket counts + join key =
+    bucket key). At 100 TB this converts the engine's most frequent join
+    from a 2-sided shuffle into a local merge per bucket; the bucket count
+    scales with cluster width, not data size.
+
+    Files land under the repo-scratch `.bucketed/<appId>/` (the `.scale`
+    convention); the catalog entries are per-session (in-memory catalog),
+    so a new session rebuilds them exactly like every other fixture."""
+    import hashlib
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED:
+        return _BUCKETED[key]
+    from purldb_spark.catalog.tables import load
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names: list[str] = []
+    for base, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"bk_{base}_{sfx}"
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, base)
+                .write.mode("overwrite")
+                .option(
+                    "path",
+                    os.path.join(
+                        here, ".bucketed", spark.sparkContext.applicationId, name
+                    ),
+                )
+                .bucketBy(n_buckets, keycol)
+                .sortBy(keycol)
+                .saveAsTable(name)
+            )
+        names.append(name)
+    _BUCKETED[key] = (names[0], names[1])
+    return _BUCKETED[key]

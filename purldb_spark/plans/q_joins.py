@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.halohash import bah128_fingerprint_sql
-from purldb_spark.plans.fixture_cache import doc_fingerprint_base
+from purldb_spark.plans.fixture_cache import (
+    bucketed_orderkey_tables,
+    doc_fingerprint_base,
+)
 from purldb_spark.plans.registry import query
 
 
@@ -40,6 +43,33 @@ def j1_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.5)
     o = load(spark, sf_dir, "orders")
     return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@query(
+    "j1_fk_join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderstatus, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 49.5
+    """,
+)
+def j1_fk_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's co-located twin: the same FK equi-join read from storage-
+    BUCKETED tables (fixture_cache.bucketed_orderkey_tables — bucketBy(16)
+    on the orderkey, both sides), joined with a merge hint so the plan is
+    a SortMergeJoin with ZERO Exchange on either side (asserted by
+    tests/test_joins_bucketed.py). This is the brief's "bucketing for
+    co-located joins" made concrete: at 100 TB the ingest pipeline bucket-
+    writes the resource->package FK pair once and every downstream join on
+    that key skips both shuffles. Identical semantics and oracle as
+    j1_fk_join — only the physical plan differs."""
+    li_name, o_name = bucketed_orderkey_tables(spark, sf_dir)
+    li = spark.table(li_name).filter(F.col("l_quantity") >= 49.5)
+    o = spark.table(o_name)
+    return li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey, "inner").select(
         "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus", "o_orderpriority"
     )
 

@@ -54,6 +54,9 @@ AUDIT = [
     ("select_dsir", "DSIR: histogram to driver, literal-array map-only score"),
     ("text_repeated_span_scrub", "ExactSubstr scrub: dup-gram shuffle join"),
     ("dedup_simhash", "60-bit simhash, 4x15-bit pigeonhole bands"),
+    ("select_perplexity_buckets", "CCNet LM broadcast join + per-lang terciles"),
+    ("select_quality_classifier", "hashed linear model, map-only fold"),
+    ("j1_fk_join_bucketed", "storage-bucketed FK join: zero-Exchange SMJ"),
 ]
 
 LEDGER = [
