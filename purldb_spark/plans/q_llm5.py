@@ -4,6 +4,8 @@ pack assignments out, in one declarative plan.
     dedup decision (near-dup clusters -> keep best)          [q_llm3]
       -> quality gate (score >= 0.2)                         [functions/text]
       -> repetition gate (Gopher top-word/dup-bigram)        [q_llm2]
+      -> classifier gate (hashed linear model, score >= 0)   [q_select]
+      -> perplexity gate (drop the CCNet 'tail' tercile)     [q_select]
       -> deterministic stratified sample (per-source rates)  [assemble]
       -> sequence packing into 4096-token bins               [assemble]
 
@@ -31,6 +33,7 @@ from purldb_spark.plans.q_dedup import _SHINGLES_SQL
 from purldb_spark.plans.q_llm2 import text_repetition
 from purldb_spark.plans.q_llm3 import dedup_cluster_keep_best
 from purldb_spark.plans.q_llm4 import _DEFAULT_RATE, _H_SQL, _RATES, _THRESH_SQL
+from purldb_spark.plans.q_select import _QC_W_SQL, _QC_W_SPARK, select_perplexity_buckets
 from purldb_spark.plans.registry import query
 
 _QUALITY_FLOOR = 0.2
@@ -105,12 +108,47 @@ _PACK_BUDGET = 4096
         AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
               <= 0.3
     ),
+    qc AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(list_sum(list_transform(string_split(text, ' '),
+                                         w -> {_QC_W_SQL})) AS BIGINT) >= 0
+    ),
+    pgrams AS (
+      SELECT doc_id, lang, substr(text, i, 3) AS g
+      FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) t(i)
+      WHERE length(text) >= 3
+    ),
+    pref AS (SELECT g, count(*) AS cnt FROM pgrams WHERE lang = 'en' GROUP BY g),
+    ptot AS (SELECT sum(cnt) AS total, count(*) AS v FROM pref),
+    plm AS (
+      SELECT g, CAST(floor(1000000.0 * ln((cnt + 1) / CAST(total + v AS DOUBLE)))
+                     AS BIGINT) AS lq
+      FROM pref CROSS JOIN ptot
+    ),
+    pscored AS (
+      SELECT gr.doc_id, gr.lang,
+             CAST(SUM(COALESCE(plm.lq,
+               (SELECT CAST(floor(1000000.0 * ln(1.0 / CAST(total + v AS DOUBLE)))
+                            AS BIGINT) FROM ptot))) AS BIGINT) AS nll_sum_q,
+             COUNT(*) AS n_grams
+      FROM pgrams gr LEFT JOIN plm ON gr.g = plm.g
+      GROUP BY gr.doc_id, gr.lang
+    ),
+    pok AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+                 ORDER BY nll_sum_q * 1.0 / n_grams DESC, doc_id) AS tile
+        FROM pscored
+      ) WHERE tile <> 3
+    ),
     survivors AS (
       SELECT d.doc_id AS doc_id, d.source, k.quality_score,
              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
       FROM documents d
       JOIN kept k ON k.doc_id = d.doc_id
       JOIN nonrep r ON r.doc_id = d.doc_id
+      JOIN qc ON qc.doc_id = d.doc_id
+      JOIN pok ON pok.doc_id = d.doc_id
       WHERE {_H_SQL.replace("doc_id", "d.doc_id")}
             < {_THRESH_SQL.replace("source", "d.source")}
     ),
@@ -134,9 +172,10 @@ _PACK_BUDGET = 4096
 )
 def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> training-ready pack assignments: dedup keep-best,
-    quality floor, repetition gate, deterministic stratified sample,
-    4096-token sequence packing. Composes the standalone-verified
-    operators; see module docstring for the scale argument."""
+    quality floor, repetition gate, hashed-classifier gate, CCNet
+    perplexity tail-drop, deterministic stratified sample, 4096-token
+    sequence packing. Composes the standalone-verified operators; see
+    module docstring for the scale argument."""
     from purldb_spark.functions.text import quality_features
 
     docs = load(spark, sf_dir, "documents")
@@ -156,10 +195,25 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= _QUALITY_FLOOR)
     )
     nonrep = text_repetition(spark, sf_dir).filter("keep").select("doc_id")
+    # classifier gate fuses into the scan (map-only, no join); the
+    # perplexity gate joins the bucket-label table — in production those
+    # labels are a column stamped at ingest (CCNet ships them per shard),
+    # so the join disappears into the scan there too
+    ppl_ok = (
+        select_perplexity_buckets(spark, sf_dir)
+        .filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id")
+    )
     base = (
-        docs.select("doc_id", "source", n_tokens_ws("text").alias("n_tokens"))
+        docs.filter(
+            F.expr(
+                f"aggregate(split(text, ' '), 0L, (acc, w) -> acc + ({_QC_W_SPARK})) >= 0"
+            )
+        )
+        .select("doc_id", "source", n_tokens_ws("text").alias("n_tokens"))
         .join(kept, "doc_id")
         .join(nonrep, "doc_id")
+        .join(ppl_ok, "doc_id")
     )
     sampled = stratified_sample(
         base, "source", "doc_id", _RATES, _DEFAULT_RATE, seed=42
