@@ -57,6 +57,7 @@ def main() -> None:
         kmeans_cell_index,
         near_dup_pairs,
         pq_code_index,
+        simhash_fingerprints,
         unit_embeddings,
     )
     from purldb_spark.plans.q_embed import _BLOCK_BANDS, _RECALL_BANDS
@@ -66,6 +67,7 @@ def main() -> None:
     near_dup_pairs(spark, sf_dir).count()
     doc_shingles(spark, sf_dir).count()
     minhash_band_index(spark, sf_dir).count()
+    simhash_fingerprints(spark, sf_dir).count()
     dup_clusters(spark, sf_dir).count()
     unit_embeddings(spark, sf_dir).count()
     emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()

@@ -32,7 +32,11 @@ from purldb_spark.operators.dedup import (
     simhash_sql,
     verify_jaccard,
 )
-from purldb_spark.plans.fixture_cache import doc_shingles, minhash_band_index
+from purldb_spark.plans.fixture_cache import (
+    doc_shingles,
+    minhash_band_index,
+    simhash_fingerprints,
+)
 from purldb_spark.plans.q_match import a5_snippet_jaccard
 from purldb_spark.plans.registry import ORACLES, query
 
@@ -276,8 +280,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     original's 256-buckets-per-band measured ~quadratic at 10x corpus
     (random band collisions ~ N^2/2^width); 15-bit bands restore linear —
     see operators/dedup.simhash and BENCH_scale.md finding 1."""
-    toks = doc_shingles(spark, sf_dir).withColumnRenamed("sh", "tok")
-    sim = simhash(toks, "doc_id")
+    sim = simhash_fingerprints(spark, sf_dir)
     return simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
 
 
