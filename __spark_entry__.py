@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import os
 from collections.abc import Callable
 
@@ -26,18 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["corpus_curate_pipeline"](spark, "/root/testdata/sf0.001")
 
 
-def _prior_green() -> set[str]:
-    """Query names already fully verified in an earlier round's CORRECTNESS file.
+def _prior_green() -> dict[str, int]:
+    """Latest round in which each query had a fully-green CORRECTNESS row.
 
     The driver's per-round oracle run covers a bounded prefix of the
     registration order, so we rotate: queries with no green row yet register
     first, previously-green ones last (they stay guarded by the identical
     local check in tests/test_oracle.py).
     """
-    green: set[str] = set()
+    green: dict[str, int] = {}
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)", path)
+            rnd = int(m.group(1)) if m else 0
             with open(path) as fh:
                 data = json.load(fh)
             if not isinstance(data, dict):
@@ -49,14 +52,14 @@ def _prior_green() -> set[str]:
                     and res.get("schema_match")
                     and res.get("hash_match")
                 ):
-                    green.add(name)
+                    green[name] = max(rnd, green.get(name, 0))
     except Exception:
-        return set()
+        return {}
     return green
 
 
-def _verification_state() -> tuple[set[str], set[str]]:
-    """(verified, stale) partition of the previously-green queries.
+def _verification_state() -> tuple[set[str], set[str], dict[str, int]]:
+    """(verified, stale, last-green-round) over the previously-green queries.
 
     A query counts as verified only if it has a green CORRECTNESS row AND its
     current content hash (builder module + transitive purldb_spark imports +
@@ -67,7 +70,7 @@ def _verification_state() -> tuple[set[str], set[str]]:
     """
     green = _prior_green()
     if not green:
-        return set(), set()
+        return set(), set(), {}
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "QUERY_HASHES.json")) as fh:
@@ -82,9 +85,10 @@ def _verification_state() -> tuple[set[str], set[str]]:
         finally:
             sys.path.remove(os.path.join(here, "tools"))
     except Exception:
-        return green, set()  # no hash data: fall back to plain green rotation
+        # no hash data: fall back to plain green rotation
+        return set(green), set(), green
     verified = {n for n in green if recorded.get(n) and recorded[n] == current.get(n)}
-    return verified, green - verified
+    return verified, set(green) - verified, green
 
 
 def _rotated_names() -> list[str]:
@@ -101,11 +105,18 @@ def _rotated_names() -> list[str]:
     re-running one can never upgrade its status — a front slot spent on it
     is a stale oracle-bearing query left unverified.
     """
-    verified, stale = _verification_state()
+    verified, stale, last_green = _verification_state()
+    order = list(QUERIES)
+    # stale queries go least-recently-verified FIRST: a query green last in
+    # round k has waited longer (and drifted further) than one green in
+    # round k+1, so it gets the scarcer slot (LRU over driver evidence)
     names = (
-        [n for n in QUERIES if n not in stale and n not in verified]
-        + [n for n in QUERIES if n in stale]
-        + [n for n in QUERIES if n in verified]
+        [n for n in order if n not in stale and n not in verified]
+        + sorted(
+            (n for n in order if n in stale),
+            key=lambda n: (last_green.get(n, 0), order.index(n)),
+        )
+        + [n for n in order if n in verified]
     )
     return [n for n in names if n in ORACLES] + [
         n for n in names if n not in ORACLES
