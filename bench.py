@@ -76,6 +76,9 @@ def main() -> None:
     pq_code_index(spark, sf_dir).count()
     ivf_cell_index(spark, sf_dir).count()
     bucketed_orderkey_tables(spark, sf_dir)
+    from purldb_spark.plans.q_select import _trigram_lm
+
+    _trigram_lm(spark, sf_dir)[0].count()
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
