@@ -370,7 +370,11 @@ def bucketed_orderkey_tables(
         name = f"bk_{base}_{sfx}"
         if not spark.catalog.tableExists(name):
             (
+                # align input partitions to buckets so the write runs
+                # n_buckets-wide (one task per bucket) instead of one task
+                # writing all 16 files from the single parquet partition
                 load(spark, sf_dir, base)
+                .repartition(n_buckets, keycol)
                 .write.mode("overwrite")
                 .option(
                     "path",
