@@ -365,6 +365,16 @@ def bucketed_orderkey_tables(
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(here, ".bucketed")
+    # drop other sessions' table files (same lifecycle as cached_fixture's
+    # stale-application eviction — dead sessions never read them again)
+    if os.path.isdir(root):
+        import shutil
+
+        for d in os.listdir(root):
+            if d != app:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     names: list[str] = []
     for base, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         name = f"bk_{base}_{sfx}"
