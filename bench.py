@@ -76,9 +76,10 @@ def main() -> None:
     pq_code_index(spark, sf_dir).count()
     ivf_cell_index(spark, sf_dir).count()
     bucketed_orderkey_tables(spark, sf_dir)
-    from purldb_spark.plans.q_select import _trigram_lm
+    from purldb_spark.plans.q_select import _tfidf_postings, _trigram_lm
 
     _trigram_lm(spark, sf_dir)[0].count()
+    _tfidf_postings(spark, sf_dir).count()
     fixture_build_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}

