@@ -56,6 +56,7 @@ def main() -> None:
         ivf_cell_index,
         kmeans_cell_index,
         near_dup_pairs,
+        capped_posting,
         pq_code_index,
         simhash_fingerprints,
         unit_embeddings,
@@ -68,6 +69,7 @@ def main() -> None:
     doc_shingles(spark, sf_dir).count()
     minhash_band_index(spark, sf_dir).count()
     simhash_fingerprints(spark, sf_dir).count()
+    capped_posting(spark, sf_dir, 16).count()
     dup_clusters(spark, sf_dir).count()
     unit_embeddings(spark, sf_dir).count()
     emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()

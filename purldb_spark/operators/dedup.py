@@ -154,6 +154,7 @@ def df_capped_candidate_pairs(
     df_cap: int,
     min_support: int = 1,
     jaccard_floor: float | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from the inverted index with a document-frequency cap:
     shingles held by more than `df_cap` documents are dropped from candidate
@@ -180,10 +181,15 @@ def df_capped_candidate_pairs(
     per-doc stats row (n total / h hot shingles — doc-count-sized, tiny
     next to the posting table), so the prune is one equi-join over the
     candidate list and typically kills the support-2..5 long tail that
-    dominates candidate volume without touching recall."""
-    df_counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    rare = df_counts.filter(F.col("df") <= df_cap).select("sh")
-    posting = shingles.join(rare, "sh", "inner")
+    dominates candidate volume without touching recall.
+
+    ``posting`` accepts a prebuilt df-capped posting table (the
+    fixture_cache materialization) so a session computes the rare-shingle
+    index once; when omitted it is derived from ``shingles`` here."""
+    if posting is None:
+        df_counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        rare = df_counts.filter(F.col("df") <= df_cap).select("sh")
+        posting = shingles.join(rare, "sh", "inner")
     a = posting.alias("a")
     b = posting.alias("b")
     pair_support = (

@@ -184,6 +184,26 @@ def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_fixture(spark, f"minhash_band_index:{sf_dir}", build)
 
 
+def capped_posting(spark: SparkSession, sf_dir: str, df_cap: int) -> DataFrame:
+    """The df-capped rare-shingle posting table (doc_id, sh) — the inverted
+    index the capped-jaccard candidate join reads. In production this is
+    the stored posting list with hot shingles dropped at index-build time
+    (they carry no dedup signal and cause the k^2 fan-out); queries only
+    equi-join it. The oracle keeps deriving the cap relationally."""
+
+    def build() -> DataFrame:
+        sh = doc_shingles(spark, sf_dir)
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("sh")
+        )
+        return sh.join(rare, "sh", "inner").localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"capped_posting:{df_cap}:{sf_dir}", build)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 60-bit SimHash fingerprint table (doc_id, simhash) — stored
     state in production exactly like the reference's halohash fingerprints

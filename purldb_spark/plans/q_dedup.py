@@ -33,6 +33,7 @@ from purldb_spark.operators.dedup import (
     verify_jaccard,
 )
 from purldb_spark.plans.fixture_cache import (
+    capped_posting,
     doc_shingles,
     minhash_band_index,
     simhash_fingerprints,
@@ -241,7 +242,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the verify (fixture_cache.doc_shingles)
     sh = doc_shingles(spark, sf_dir)
     cands = df_capped_candidate_pairs(
-        sh, "doc_id", _DF_CAP, _MIN_SUPPORT, jaccard_floor=0.5
+        sh,
+        "doc_id",
+        _DF_CAP,
+        _MIN_SUPPORT,
+        jaccard_floor=0.5,
+        posting=capped_posting(spark, sf_dir, _DF_CAP),
     )
     return verify_jaccard(cands, sh, "doc_id", 0.5)
 
