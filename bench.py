@@ -143,6 +143,7 @@ def main() -> None:
         "select_quality_classifier",
         "text_tfidf_neighbors",
         "text_repeated_span_scrub",
+        "bpe_train",
         "text_winnow_fingerprint",
         "mm_decode_meta",
         "t_tumbling_rollup_daily",

@@ -1,0 +1,183 @@
+"""BPE tokenizer family: distributed vocabulary training and corpus
+encoding under the trained merges (SURVEY.md §8; operator in
+operators/bpe.py).
+
+  bpe_train        -> the learned subword vocabulary (token, freq) after
+                      N greedy merges (Sennrich et al. 2016)
+  bpe_encode_stats -> per-document token counts under the trained
+                      tokenizer (the train -> encode composition, same
+                      trained-artifact pattern as knn_trained_ivfpq_refine)
+
+The trained artifact — every corpus word mapped to its subword sequence —
+is materialized once per session (fixture_cache.cached_fixture) and both
+queries join/aggregate against it; the DuckDB oracles retrain from raw
+documents via an unrolled merge chain (one MATERIALIZED CTE stage per
+iteration — materialization keeps the doubly-referenced per-iteration
+tables from inlining exponentially), so the cache can never mask a
+trainer bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.operators.bpe import (
+    EOW,
+    bpe_fit,
+    encoded_vocab,
+    word_vocab,
+)
+from purldb_spark.plans.fixture_cache import cached_fixture
+from purldb_spark.plans.registry import query
+
+_ITERS = 12  # merge iterations (oracle unrolls one CTE stage per merge)
+
+
+def bpe_trained_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized tokenizer artifact: (w, cnt, toks) — every
+    corpus word with its subword segmentation under the trained merges.
+    Training runs once per (session, sf_dir); see operators/bpe.py for
+    the per-iteration cost model."""
+
+    def build() -> DataFrame:
+        vocab = word_vocab(
+            load(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        merges = bpe_fit(vocab, _ITERS)
+        return encoded_vocab(
+            vocab, [(left, right) for left, right, _ in merges]
+        ).localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"bpe_words:{sf_dir}", build)
+
+
+def _bpe_ctes(iters: int) -> str:
+    """The unrolled-training CTE chain, ending in ``w{iters}(w, cnt, syms)``
+    — the oracle twin of bpe_trained_words. Stage i: adjacent-pair counts
+    from the previous symbols (p{i}), the argmax pair with the
+    (count DESC, l, r) tie-break (b{i}), and the greedy left-fold merge
+    (w{i}; LEFT JOIN ON TRUE keeps the chain total when no pair remains,
+    matching bpe_fit's early stop)."""
+    parts = [
+        f"""
+    w0 AS MATERIALIZED (
+      SELECT w, cnt,
+             list_aggregate(
+               list_append(
+                 list_transform(generate_series(1, length(w)), i -> w[i]),
+                 '{EOW}'),
+               'string_agg', ' ') AS syms
+      FROM (
+        SELECT u.wd AS w, COUNT(*) AS cnt
+        FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+        WHERE u.wd <> ''
+        GROUP BY u.wd
+      )
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT l, r, SUM(cnt) AS c FROM (
+        SELECT cnt,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(syms, ' ')) - 1),
+                 i -> {{'l': string_split(syms, ' ')[i],
+                        'r': string_split(syms, ' ')[i + 1]}}),
+                 recursive := true)
+        FROM w{i - 1}
+      ) GROUP BY l, r
+    ),
+    b{i} AS (SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT w.w, w.cnt,
+             CASE WHEN b.l IS NULL THEN w.syms
+                  ELSE list_reduce(string_split(w.syms, ' '),
+                    (acc, x) -> CASE WHEN x = b.r AND
+                      (acc = b.l OR ends_with(acc, ' ' || b.l))
+                      THEN acc || x ELSE acc || ' ' || x END)
+             END AS syms
+      FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE
+    )""")
+    return ",".join(parts)
+
+
+@query(
+    "bpe_train",
+    oracle=f"""
+    WITH {_bpe_ctes(_ITERS)}
+    SELECT tok AS token, CAST(SUM(cnt) AS BIGINT) AS freq
+    FROM (
+      SELECT cnt, unnest(string_split(syms, ' ')) AS tok FROM w{_ITERS}
+    )
+    GROUP BY tok
+    """,
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016) — the
+    learned subword vocabulary with corpus frequencies after {_ITERS}
+    greedy merges. Beyond-reference op (SURVEY.md §8): the reference's
+    token handling stops at whitespace splitting (e.g. the snippet
+    tokenizer, matchcode-toolkit fingerprinting); a pretraining pipeline
+    needs the trained-tokenizer artifact itself.
+
+    Scale shape (operators/bpe.py): one corpus scan collapses the text to
+    a vocabulary-bounded (word, count) table; each merge iteration is a
+    map-only pair expansion over that table, an O(distinct pairs)
+    map-side-combined shuffle, and a 1-row argmax to the driver; the
+    merge application is a map-only literal fold (no join). The output
+    here is the token-frequency view of the trained artifact, so any
+    wrong merge anywhere in the chain changes the result set."""
+    enc = bpe_trained_words(spark, sf_dir)
+    return (
+        enc.select(
+            F.col("cnt"), F.explode(F.split("toks", " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=f"""
+    WITH {_bpe_ctes(_ITERS)}
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(e.syms, ' '))) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, u.wd
+      FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+      WHERE u.wd <> ''
+    ) d
+    JOIN w{_ITERS} e ON e.w = d.wd
+    GROUP BY d.doc_id
+    """,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding under the trained tokenizer: per-document word and
+    subword-token counts — the "token counting" every mixture/packing
+    step needs (operators/assemble.py budgets by tokens), now under a
+    REAL learned vocabulary instead of a whitespace proxy.
+
+    Scale shape: the trained artifact is vocabulary-sized, so the join is
+    corpus x vocab on the word hash — an equi-join Spark can broadcast
+    when the vocab fits (AQE decides; no forced hint, the vocab is the
+    small side by construction), followed by one map-side-combined
+    groupBy(doc_id). No per-token Python, no quadratic anything."""
+    enc = bpe_trained_words(spark, sf_dir)
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size(F.split("toks", " "))).cast("long").alias("n_tokens"),
+        )
+    )

@@ -86,6 +86,8 @@ def load_inventory() -> None:
         q_overlay,
         q_scans,
         q_select,
+        q_bpe,
+        q_bloom,
         q_snippet,
         q_vcs,
         q_version_apis,

@@ -1,0 +1,100 @@
+"""BPE trainer parity: the distributed trainer (operators/bpe.py) must
+reproduce a plain-Python replay of the Sennrich et al. 2016 merge loop —
+greedy left-to-right pair merging with (count DESC, left, right)
+tie-breaks — merge for merge and segmentation for segmentation.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.bpe import (
+    EOW,
+    bpe_fit,
+    encoded_vocab,
+    word_vocab,
+)
+
+# a corpus with real merge structure: repeated stems, shared suffixes,
+# a tie (the counts of ('l','o') and ('o','w') collide) and 1-char words
+_DOCS = [
+    "low lower lowest low low slow slower",
+    "new newer newest new news low a",
+    "wide wider widest wide new slow i",
+    "low lower new newer wide slow slow",
+]
+
+
+def _py_bpe(docs: list[str], iters: int):
+    """Reference replay: dict-of-tuples vocabulary, explicit pair count,
+    greedy non-overlapping merge scan."""
+    vocab = Counter()
+    for d in docs:
+        for w in d.split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: [*w, EOW] for w in vocab}
+    merges = []
+    for _ in range(iters):
+        pairs: Counter = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return vocab, syms, merges
+
+
+def test_trainer_matches_python_replay(spark):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(_DOCS)], "doc_id long, text string")
+    vocab_df = word_vocab(docs).localCheckpoint(eager=True)
+    got_merges = bpe_fit(vocab_df, 10)
+    _, py_syms, py_merges = _py_bpe(_DOCS, 10)
+    assert got_merges == py_merges
+
+    enc = encoded_vocab(
+        vocab_df, [(left, right) for left, right, _ in got_merges]
+    )
+    got_syms = {r["w"]: r["toks"].split(" ") for r in enc.collect()}
+    assert got_syms == py_syms
+
+
+def test_merge_is_greedy_non_overlapping(spark):
+    # 'a a a a' under pair (a,a) must give 'aa aa', and 'a a a' -> 'aa a':
+    # the fold merges left-to-right without re-merging fresh tokens
+    df = spark.range(1).select(
+        F.expr("'a a a a'").alias("syms")
+    )
+    from purldb_spark.operators.bpe import merge_fold_expr
+
+    out = df.select(F.expr(merge_fold_expr("syms", "a", "a")).alias("m")).first()["m"]
+    assert out == "aa aa"
+    df3 = spark.range(1).select(F.expr("'a a a'").alias("syms"))
+    out3 = df3.select(F.expr(merge_fold_expr("syms", "a", "a")).alias("m")).first()["m"]
+    assert out3 == "aa a"
+
+
+def test_eow_marker_segments_word_boundaries(spark):
+    # the last symbol of every segmentation carries the marker, so no merge
+    # can ever cross a word boundary
+    docs = spark.createDataFrame([(0, _DOCS[0])], "doc_id long, text string")
+    vocab_df = word_vocab(docs)
+    enc = encoded_vocab(vocab_df, [])
+    for r in enc.collect():
+        assert r["toks"].split(" ")[-1] == EOW
