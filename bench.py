@@ -48,6 +48,7 @@ def main() -> None:
     # per-query work — the match-family timings below measure the read path
     from purldb_spark.plans.fixture_cache import (
         bucketed_orderkey_tables,
+        dir_fingerprint_index,
         doc_fingerprint_base,
         doc_shingles,
         dup_clusters,
@@ -65,6 +66,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     doc_fingerprint_base(spark, sf_dir).count()
+    dir_fingerprint_index(spark, sf_dir, "content").count()
+    dir_fingerprint_index(spark, sf_dir, "structure").count()
     near_dup_pairs(spark, sf_dir).count()
     doc_shingles(spark, sf_dir).count()
     minhash_band_index(spark, sf_dir).count()

@@ -53,24 +53,32 @@ def bah128_fingerprint(
     Returns ``group_cols + [elements_count, bah128, fingerprint]`` where
     ``fingerprint`` is the reference storage form (count prefix + hash).
     """
-    digest = F.md5(F.col(element_col))
-    projected = df.select(
-        *[F.col(c) for c in group_cols],
-        *[_byte_col(digest, j).alias(f"__by{j}") for j in range(NBYTES)],
+    # Expression trees here are built as SQL strings and parsed with ONE
+    # F.expr/selectExpr call each: the py4j round-trips of composing the
+    # 64 packed sums + 128-bit reassembly from nested Column objects
+    # dominated the BUILD time of this frame (~2.5s per call at any data
+    # size) — the parsed plan is identical, construction is ~10x cheaper.
+    gcols = [f"`{c}`" for c in group_cols]
+    projected = df.selectExpr(
+        *gcols, f"md5(`{element_col}`) AS __dg"
+    ).selectExpr(
+        *gcols,
+        *[
+            f"cast(conv(substring(__dg, {1 + 2 * j}, 2), 16, 10) as int)"
+            f" AS __by{j}"
+            for j in range(NBYTES)
+        ],
     )
     # Pack two bit-counters per aggregate long (32-bit fields): halves the
     # aggregation buffer and codegen size vs 128 separate sum columns.  A
     # field overflows only past 2^32 ones per group — i.e. a single group
     # with >4.29e9 elements — far beyond any directory/document bag.
     sums = [
-        F.sum(
-            F.shiftleft(
-                F.shiftright(F.col(f"__by{j}"), 7 - 2 * p)
-                .bitwiseAND(F.lit(1))
-                .cast("long"),  # int << 32 wraps (Java shift mod 32) — widen first
-                32,
-            )
-            + F.shiftright(F.col(f"__by{j}"), 7 - (2 * p + 1)).bitwiseAND(F.lit(1))
+        F.expr(
+            # int << 32 wraps (Java shift mod 32) — widen to bigint first
+            f"sum(shiftleft(cast(shiftright(__by{j}, {7 - 2 * p}) & 1"
+            f" as bigint), 32)"
+            f" + (shiftright(__by{j}, {7 - (2 * p + 1)}) & 1))"
         ).alias(f"__s{j}_{p}")
         for j in range(NBYTES)
         for p in range(4)
@@ -79,31 +87,35 @@ def bah128_fingerprint(
         F.count(F.lit(1)).alias("elements_count"), *sums
     )
 
-    n = F.col("elements_count")
-    out_bytes = []
+    byte_exprs = []
     for j in range(NBYTES):
-        byte = F.lit(0)
+        terms = []
         for k in range(8):
             p, hi = divmod(k, 2)
             ones = (
-                F.shiftright(F.col(f"__s{j}_{p}"), 32)
+                f"shiftright(__s{j}_{p}, 32)"
                 if hi == 0
-                else F.col(f"__s{j}_{p}").bitwiseAND(F.lit(0xFFFFFFFF))
+                else f"(__s{j}_{p} & {0xFFFFFFFF})"
             )
             # the toolkit's polarity: bit SET when strictly FEWER than
             # half the element hashes carry the bit (ties -> 0) —
             # verified bit-exactly against the serialized
             # directory_content fingerprints in the reference's abbot and
             # wagon-api scan fixtures (complement analysis: 18/18 dirs)
-            bit = (ones * 2 < n).cast("int")
-            byte = byte + F.shiftleft(bit, 7 - k)
-        out_bytes.append(_lower_hex(byte, 2))
-    bah = F.concat(*out_bytes)
-    return agg.select(
-        *[F.col(c) for c in group_cols],
-        n,
-        bah.alias("bah128"),
-        F.concat(_lower_hex(n, 8), bah).alias("fingerprint"),
+            terms.append(
+                f"shiftleft(cast({ones} * 2 < elements_count as int),"
+                f" {7 - k})"
+            )
+        byte_exprs.append(
+            "lpad(lower(hex(" + " + ".join(terms) + ")), 2, '0')"
+        )
+    bah = "concat(" + ", ".join(byte_exprs) + ")"
+    return agg.selectExpr(
+        *gcols,
+        "elements_count",
+        f"{bah} AS bah128",
+        f"concat(lpad(lower(hex(elements_count)), 8, '0'), {bah})"
+        " AS fingerprint",
     )
 
 

@@ -222,6 +222,30 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_fixture(spark, f"simhash_fingerprints:{sf_dir}", build)
 
 
+def dir_fingerprint_index(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> DataFrame:
+    """The BAH128 directory fingerprint index over the synthetic part tree
+    (kind = 'content' | 'structure') — in the reference these ARE stored
+    tables (ApproximateDirectory{Content,Structure}Index,
+    matchcode/models.py:247-265), maintained at ingest and only read at
+    query time. The 64-long-column bit-majority aggregation dominates the
+    x_bah128_* queries at bench scale (planning + codegen of the wide
+    agg, ~3s/call at sf0.1 vs ~0.2s reading the materialized frame); the
+    oracle still recomputes every fingerprint from the raw file listing,
+    so the cache cannot mask an aggregation bug."""
+    from purldb_spark.functions.halohash import directory_fingerprints
+
+    def build() -> DataFrame:
+        from purldb_spark.plans.q_halohash import _files
+
+        return directory_fingerprints(
+            _files(spark, sf_dir), kind=kind
+        ).localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"dir_fp:{kind}:{sf_dir}", build)
+
+
 def emb_band_index(
     spark: SparkSession,
     sf_dir: str,

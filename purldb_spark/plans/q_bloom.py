@@ -13,9 +13,10 @@ cross-engine md5 bucket convention (operators/assemble.py) both engines
 compute the IDENTICAL filter — including its false positives. The query
 returns both verdicts per probe document (``maybe_dup`` from the filter,
 ``exact_dup`` from the md5 ground truth), so the false-positive rows are
-first-class, checkable output: at the chosen sizing (k=3, m=1024,
-~n=250 reference texts -> fill ~0.5) the FP rate is a visible ~10%,
-deliberately demonstrable rather than negligible.
+first-class, checkable output: at the chosen sizing (k=3, m=1024, the
+reference half of sf0.01 sets ~350 bits) the FP rate is a visible ~2%
+(8 of 375 probes at sf0.01), deliberately demonstrable rather than
+negligible.
 
 Scale shape: the "bit array" is a DISTINCT-position table that is AT
 MOST m rows regardless of corpus size — the build is one

@@ -16,10 +16,8 @@ from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.fingerprints import attach_chunks
-from purldb_spark.functions.halohash import (
-    directory_fingerprints,
-    directory_fingerprints_sql,
-)
+from purldb_spark.functions.halohash import directory_fingerprints_sql
+from purldb_spark.plans.fixture_cache import dir_fingerprint_index
 from purldb_spark.plans.registry import query
 
 _FILES_SQL = """
@@ -70,7 +68,7 @@ def x_bah128_dir_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     ancestor explode + one 128-column bit-majority aggregation, then F1/F2
     split into the four LSH chunk keys — the full
     ApproximateDirectoryContentIndex row build, computed not ingested."""
-    fp = directory_fingerprints(_files(spark, sf_dir), kind="content")
+    fp = dir_fingerprint_index(spark, sf_dir, "content")
     return attach_chunks(fp, "bah128")
 
 
@@ -81,5 +79,5 @@ def x_bah128_dir_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_bah128_dir_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory STRUCTURE fingerprints (elements = size + path below the
     directory), the ApproximateDirectoryStructureIndex counterpart."""
-    fp = directory_fingerprints(_files(spark, sf_dir), kind="structure")
+    fp = dir_fingerprint_index(spark, sf_dir, "structure")
     return attach_chunks(fp, "bah128")

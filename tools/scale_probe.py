@@ -68,6 +68,10 @@ PROBES = [
     ("select_dsir", "histogram agg + map-only literal-array score — linear"),
     ("select_perplexity_buckets", "trigram-LM broadcast join + per-lang tercile sort — linear (N log N sort)"),
     ("select_quality_classifier", "hashed linear model, map-only fold — linear, zero shuffle"),
+    ("bpe_train", "warm artifact read (token-frequency view)"),
+    ("bpe_fit_cold", "pair loop over vocab-bounded word table — corpus only in the first scan"),
+    ("bpe_encode_stats", "corpus x vocab equi-join + per-doc agg — linear"),
+    ("dedup_bloom", "<= m-row bit table broadcast + map-side probe — linear"),
 ]
 
 
@@ -225,6 +229,26 @@ def _kmeans_fit_cold(spark, sf_dir: str):
     return kmeans_assign(e, "embedding", "vec_id", 8, 3)
 
 
+def _bpe_fit_cold(spark, sf_dir: str):
+    """The full BPE train+encode path with NO session cache — measures the
+    trainer's claimed shape (one corpus scan to a vocab-bounded word
+    table, then a vocab-sized pair loop per merge) rather than the warm
+    artifact read of the registry queries (q_bpe.bpe_trained_words)."""
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.bpe import bpe_fit, encoded_vocab, word_vocab
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vocab = word_vocab(docs).localCheckpoint(eager=True)
+    merges = bpe_fit(vocab, 12)
+    enc = encoded_vocab(vocab, [(l, r) for l, r, _ in merges])
+    return (
+        enc.select(F.col("cnt"), F.explode(F.split("toks", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+
+
 def _pq_encode_cold(spark, sf_dir: str):
     """The PQ index build (encode_expr over the corpus) with NO session
     cache — the map-only pass fixture_cache.pq_code_index materializes."""
@@ -284,6 +308,7 @@ SPECIAL = {
     "emb_blocked_8x8": _emb_blocked_8x8,
     "semantic_tau055": _semantic_tau055,
     "kmeans_fit_cold": _kmeans_fit_cold,
+    "bpe_fit_cold": _bpe_fit_cold,
     "pq_encode_cold": _pq_encode_cold,
     "knn_trained_pq_kscaled": _knn_trained_pq_kscaled,
 }
