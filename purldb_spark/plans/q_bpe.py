@@ -156,17 +156,9 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.doc_id
     """,
 )
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus encoding under the trained tokenizer: per-document word and
-    subword-token counts — the "token counting" every mixture/packing
-    step needs (operators/assemble.py budgets by tokens), now under a
-    REAL learned vocabulary instead of a whitespace proxy.
-
-    Scale shape: the trained artifact is vocabulary-sized, so the join is
-    corpus x vocab on the word hash — an equi-join Spark can broadcast
-    when the vocab fits (AQE decides; no forced hint, the vocab is the
-    small side by construction), followed by one map-side-combined
-    groupBy(doc_id). No per-token Python, no quadratic anything."""
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_tokens) under the trained tokenizer — shared by
+    bpe_encode_stats and pack_bpe_budget."""
     enc = bpe_trained_words(spark, sf_dir)
     words = (
         load(spark, sf_dir, "documents")
@@ -181,3 +173,76 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("toks", " "))).cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding under the trained tokenizer: per-document word and
+    subword-token counts — the "token counting" every mixture/packing
+    step needs (operators/assemble.py budgets by tokens), now under a
+    REAL learned vocabulary instead of a whitespace proxy.
+
+    Scale shape: the trained artifact is vocabulary-sized, so the join is
+    corpus x vocab on the word hash — an equi-join Spark can broadcast
+    when the vocab fits (AQE decides; no forced hint, the vocab is the
+    small side by construction), followed by one map-side-combined
+    groupBy(doc_id). No per-token Python, no quadratic anything."""
+    return _doc_token_counts(spark, sf_dir)
+
+
+_PACK_BUDGET = 1024  # BPE tokens per packed sequence
+_ENC_SQL = f"""
+    enc AS (
+      SELECT d.doc_id,
+             CAST(SUM(len(string_split(e.syms, ' '))) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, u.wd
+        FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+        WHERE u.wd <> ''
+      ) d
+      JOIN w{_ITERS} e ON e.w = d.wd
+      GROUP BY d.doc_id
+    )"""
+
+
+@query(
+    "pack_bpe_budget",
+    oracle=f"""
+    WITH {_bpe_ctes(_ITERS)},
+    {_ENC_SQL},
+    k AS (
+      SELECT doc_id, n_tokens,
+             md5(concat('11|', CAST(doc_id AS VARCHAR))) AS hk
+      FROM enc
+    ),
+    c AS (
+      SELECT doc_id, substring(hk, 1, 1) AS shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY substring(hk, 1, 1)
+               ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+           n_tokens
+    FROM c
+    """,
+)
+def pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the TRAINED tokenizer: the pack_sequences
+    shape (operators/assemble.py::pack_greedy, 16 hash shards, window
+    cumsum) with the budget measured in real BPE tokens from the
+    materialized tokenizer artifact instead of the whitespace proxy —
+    the train -> encode -> pack composition an actual pretraining data
+    pipeline runs (token budgets are tokenizer-defined, and packing by a
+    proxy misallocates bins exactly where subword fertility is high).
+
+    Scale shape: the token counts are the bpe_encode_stats join; packing
+    adds one shard shuffle + a partitioned window — no new join, and the
+    oracle re-derives the whole chain (train + encode + pack) from raw
+    documents."""
+    from purldb_spark.operators.assemble import pack_greedy
+
+    counts = _doc_token_counts(spark, sf_dir).select("doc_id", "n_tokens")
+    packed = pack_greedy(counts, "doc_id", "n_tokens", _PACK_BUDGET, seed=11)
+    return packed.select("doc_id", "shard", "bin_id", "n_tokens")

@@ -674,3 +674,79 @@ def select_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate(split(text, ' '), 0L, (acc, w) -> acc + ({_QC_W_SPARK}))"
         ).alias("score_q"),
     ).withColumn("is_quality", F.col("score_q") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# select_domain_cap
+# ---------------------------------------------------------------------------
+
+_DOM_CAP = 20      # max documents kept per source/domain
+_DOM_BUDGET = 150  # global corpus budget after capping
+
+
+@query(
+    "select_domain_cap",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                                          w -> {_QC_W_SQL})) AS BIGINT) AS score_q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score_q,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY score_q DESC, doc_id
+             ) AS BIGINT) AS dom_rank
+      FROM scored
+    ),
+    capped AS (SELECT * FROM ranked WHERE dom_rank <= {_DOM_CAP}),
+    top AS (
+      SELECT doc_id FROM capped
+      ORDER BY score_q DESC, doc_id LIMIT {_DOM_BUDGET}
+    )
+    SELECT c.doc_id, c.source, c.score_q, c.dom_rank,
+           c.doc_id IN (SELECT doc_id FROM top) AS kept
+    FROM capped c
+    """,
+)
+def select_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap + global budget — the web-curation step that stops
+    any single domain from dominating the corpus (RefinedWeb / Gopher
+    keep per-domain limits for exactly this): rank documents within each
+    source by the frozen quality-classifier score (_QC_W_SPARK, the same
+    artifact select_quality_classifier gates on), keep the top
+    {_DOM_CAP} per source, then fill the global {_DOM_BUDGET}-document
+    budget by score across the capped pool.
+
+    Scale shape: the per-domain rank is a window partitioned by source —
+    one shuffle on the domain key (a mega-domain is a skew key; AQE skew
+    handling or operators/skew.py salting applies, the cap itself is
+    unaffected because ranks beyond {_DOM_CAP} are dropped); the global
+    budget is a distributed TakeOrdered top-k (no single-partition
+    window), flagged back onto the capped pool with a doc_id equi-join."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"aggregate(split(text, ' '), 0L, (acc, w) -> acc + ({_QC_W_SPARK}))"
+        ).alias("score_q"),
+    )
+    w_dom = Window.partitionBy("source").orderBy(F.desc("score_q"), "doc_id")
+    capped = d.withColumn(
+        "dom_rank", F.row_number().over(w_dom).cast("long")
+    ).where(F.col("dom_rank") <= _DOM_CAP)
+    top = (
+        capped.orderBy(F.desc("score_q"), "doc_id")
+        .limit(_DOM_BUDGET)
+        .select("doc_id", F.lit(True).alias("_kept"))
+    )
+    return capped.join(top, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "score_q",
+        "dom_rank",
+        F.coalesce(F.col("_kept"), F.lit(False)).alias("kept"),
+    )

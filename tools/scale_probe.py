@@ -72,6 +72,8 @@ PROBES = [
     ("bpe_fit_cold", "pair loop over vocab-bounded word table — corpus only in the first scan"),
     ("bpe_encode_stats", "corpus x vocab equi-join + per-doc agg — linear"),
     ("dedup_bloom", "<= m-row bit table broadcast + map-side probe — linear"),
+    ("pack_bpe_budget", "encode join + shard-window cumsum — linear"),
+    ("select_domain_cap", "source-partitioned rank + TakeOrdered budget — linear"),
 ]
 
 
