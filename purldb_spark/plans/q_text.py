@@ -247,3 +247,67 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scrubbed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64   # tokens per chunk
+_CHUNK_S = 48   # stride (25% overlap)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s.s / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+             CAST(s.s AS BIGINT) AS start_tok,
+             w[s.s + 1 : s.s + {_CHUNK_W}] AS cw
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, len(w), {_CHUNK_S})) AS s
+      ) s
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: split every document into
+    {_CHUNK_W}-token chunks on a {_CHUNK_S}-token stride (25% overlap) —
+    the upstream step pack_greedy's docstring defers to ("chunking
+    oversized documents is the tokenizer's job"), and the unit of
+    retrieval/embedding pipelines. Each chunk carries a content hash so
+    chunk-level exact dedup composes directly (dedup_exact on chunk_hash).
+
+    Scale shape: pure map — per document, the chunk starts are a
+    sequence() the size of n_tokens/stride and each chunk is a slice of
+    the already-split token array; no shuffle, no join, output rows =
+    sum(ceil(n_tokens/stride)). The md5 is the same cross-engine hash
+    convention as everywhere else."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0L, cast(size(w) as bigint) - 1, {_CHUNK_S}),"
+                f" s -> struct(cast(s / {_CHUNK_S} as bigint) as chunk_idx,"
+                " s as start_tok,"
+                f" slice(w, cast(s as int) + 1, {_CHUNK_W}) as cw))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx"),
+        F.col("c.start_tok"),
+        F.size("c.cw").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("c.cw", " ")).alias("chunk_hash"),
+    )

@@ -74,6 +74,7 @@ PROBES = [
     ("dedup_bloom", "<= m-row bit table broadcast + map-side probe — linear"),
     ("pack_bpe_budget", "encode join + shard-window cumsum — linear"),
     ("select_domain_cap", "source-partitioned rank + TakeOrdered budget — linear"),
+    ("text_chunk_overlap", "map-only sequence+slice chunking — linear"),
 ]
 
 
