@@ -57,6 +57,13 @@ AUDIT = [
     ("select_perplexity_buckets", "CCNet LM broadcast join + per-lang terciles"),
     ("select_quality_classifier", "hashed linear model, map-only fold"),
     ("j1_fk_join_bucketed", "storage-bucketed FK join: zero-Exchange SMJ"),
+    ("bpe_train", "BPE trainer artifact: token-frequency view"),
+    ("bpe_encode_stats", "corpus x vocab encode join"),
+    ("pack_bpe_budget", "BPE-token packing: shard window cumsum"),
+    ("dedup_bloom", "Bloom gate: <=m-row broadcast bit table"),
+    ("select_domain_cap", "per-source rank cap + TakeOrdered budget"),
+    ("text_chunk_overlap", "map-only overlap chunking"),
+    ("x_bah128_dir_content", "BAH128 dir index read (materialized fixture)"),
 ]
 
 LEDGER = [
