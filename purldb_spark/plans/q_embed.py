@@ -261,3 +261,238 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_random_projection
+# ---------------------------------------------------------------------------
+
+_JL_DIM = 64   # input embedding dimensionality
+_JL_OUT = 16   # projected dimensionality (4x compression)
+
+
+def _jl_sign(r: int, c: int) -> int:
+    """Deterministic Rademacher sign for matrix cell (r, c): +-1 from the
+    shared md5 convention, identical in the Spark expr, the DuckDB oracle
+    and this Python plan-build step (the matrix is baked into both plans
+    as literal +/- terms, so there is nothing to keep in sync at run time)."""
+    import hashlib
+
+    h = hashlib.md5(f"jl|{r}|{c}".encode()).hexdigest()[:8]
+    return 1 if int(h, 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [[_jl_sign(r, c) for r in range(_JL_DIM)] for c in range(_JL_OUT)]
+
+
+def _jl_terms(c: int, fmt: str) -> str:
+    """Signed sum of the 64 snapped input elements for output dim c."""
+    return " + ".join(
+        (fmt.format(r=r) if _JL_SIGNS[c][r] > 0 else f"(- {fmt.format(r=r)})")
+        for r in range(_JL_DIM)
+    )
+
+
+_JL_ORACLE = (
+    "WITH s AS (SELECT vec_id, "
+    + ", ".join(
+        f"CAST(floor(1000000.0 * CAST(embedding[{r + 1}] AS DOUBLE))"
+        f" AS BIGINT) AS e{r}"
+        for r in range(_JL_DIM)
+    )
+    + " FROM embeddings), p AS (SELECT vec_id, "
+    + ", ".join(f"({_jl_terms(c, 'e{r}')}) AS y{c}" for c in range(_JL_OUT))
+    + " FROM s) SELECT vec_id, "
+    + ", ".join(f"y{c}" for c in range(_JL_OUT))
+    + ", ("
+    + " + ".join(f"y{c} * y{c}" for c in range(_JL_OUT))
+    + ") AS norm_sq FROM p"
+)
+
+
+@query("embed_random_projection", oracle=_JL_ORACLE)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, the standard dimensionality
+    reduction in front of an ANN index: project the 64-d embeddings to 16-d
+    with a deterministic Rademacher (+-1) sign matrix (Achlioptas 2001,
+    "Database-friendly random projections" — sign matrices satisfy the JL
+    lemma with the same distortion bound as Gaussians and need no floating
+    multiplies, each output is a signed sum). Inputs are snapped to the
+    repo's 1e-6 integer grid first, so every output coordinate and the
+    projected squared norm are exact BIGINT arithmetic — bit-identical in
+    both engines by construction rather than by libm luck.
+
+    Scale shape: map-only, zero shuffle, 64 adds per output dim per row —
+    at 100 TB this is the cheap pre-step that shrinks every downstream
+    LSH/IVF/PQ structure 4x (bucket keys, centroid tables, ADC codes all
+    operate on the 16-d output; distances are preserved within the JL
+    distortion for the pair thresholds the near-dup family uses).
+
+    The Spark side folds each output dim with zip_with/aggregate over a
+    literal sign array instead of a 64-term flat sum: the flat-sum form
+    blew the janino 64KB method limit and silently fell back to
+    interpreted eval (whole-stage codegen OFF for the whole stage); the
+    higher-order form keeps the expression tree ~16 small nodes and the
+    stage inside codegen. The DuckDB oracle keeps the unrolled literal
+    sums — its vectorized engine has no codegen cliff."""
+    from purldb_spark.catalog.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    snapped = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(1000000.0 * cast(x as double)) as bigint))"
+        ).alias("es"),
+    )
+    proj = snapped.select(
+        "vec_id",
+        *[
+            F.expr(
+                "aggregate(zip_with(es, array("
+                + ", ".join(f"{s}L" for s in _JL_SIGNS[c])
+                + "), (x, s) -> x * s), 0L, (acc, v) -> acc + v)"
+            ).alias(f"y{c}")
+            for c in range(_JL_OUT)
+        ],
+    )
+    return proj.select(
+        "vec_id",
+        *[f"y{c}" for c in range(_JL_OUT)],
+        F.expr(" + ".join(f"y{c} * y{c}" for c in range(_JL_OUT))).alias("norm_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_projected_blocked
+# ---------------------------------------------------------------------------
+
+_PROJ_N_BANDS = 2   # the 16 JL outputs double as 2 bands x 8 sign bits
+_PROJ_BITS = 8
+
+
+def _proj_bucket_terms(b: int, fmt: str) -> str:
+    """8-bit sign bucket for band b: bit i set iff y_{8b+i} > 0."""
+    return " + ".join(
+        f"(CASE WHEN {fmt.format(c=_PROJ_BITS * b + i)} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_PROJ_BITS)
+    )
+
+
+_PROJ_ORACLE = (
+    "WITH s AS (SELECT vec_id, "
+    + ", ".join(
+        f"CAST(floor(1000000.0 * CAST(embedding[{r + 1}] AS DOUBLE))"
+        f" AS BIGINT) AS e{r}"
+        for r in range(_JL_DIM)
+    )
+    + " FROM embeddings), p AS (SELECT vec_id, "
+    + ", ".join(f"({_jl_terms(c, 'e{r}')}) AS y{c}" for c in range(_JL_OUT))
+    + " FROM s), banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id, CAST({b} AS BIGINT) AS band_idx,"
+        f" CAST({_proj_bucket_terms(b, 'y{c}')} AS BIGINT) AS bucket FROM p"
+        for b in range(_PROJ_N_BANDS)
+    )
+    + """),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    unit AS (
+      SELECT vec_id, """
+    + normalize_sql_duckdb("embedding")
+    + """ AS u FROM embeddings
+    )
+    SELECT c.id_a, c.id_b, """
+    + dot_sql_duckdb("ua.u", "ub.u")
+    + """ AS cosine
+    FROM cands c
+    JOIN unit ua ON ua.vec_id = c.id_a
+    JOIN unit ub ON ub.vec_id = c.id_b
+    WHERE """
+    + dot_sql_duckdb("ua.u", "ub.u")
+    + " >= 0.4"
+)
+
+
+@query("embed_projected_blocked", oracle=_PROJ_ORACLE)
+def embed_projected_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup blocking IN THE PROJECTED SPACE — the composition that
+    makes embed_random_projection a working index stage rather than a
+    standalone transform: a Rademacher JL projection is itself a
+    hyperplane LSH (each output coordinate's sign is a random-hyperplane
+    side bit), so the SAME 16 signed sums serve as both the 4x-compressed
+    vectors and the blocking keys — {_PROJ_N_BANDS} bands x {_PROJ_BITS}
+    sign bits, zero extra hash work. Candidates share a (band, bucket)
+    key; the exact cosine on the ORIGINAL 64-d unit vectors verifies
+    >= 0.4, so emitted pairs score bit-identically to
+    dedup_embedding_cosine (the all-pairs ground truth) and
+    dedup_embedding_blocked (the dedicated-hyperplane config this
+    composition trades a little recall against for free keys).
+
+    Scale shape: identical to dedup_embedding_blocked — one banded
+    equi-join, bucket bits sized ~log2(N) (8 bits here, BENCH_scale.md
+    finding 1), uniform keys by construction. The projection itself is
+    map-only; at 100 TB the 16-d output is ALSO what IVF/PQ would
+    quantize, so one scan feeds compression and blocking together."""
+    from purldb_spark.catalog.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    snapped = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(1000000.0 * cast(x as double)) as bigint))"
+        ).alias("es"),
+    )
+    proj = snapped.select(
+        "vec_id",
+        *[
+            F.expr(
+                "aggregate(zip_with(es, array("
+                + ", ".join(f"{s}L" for s in _JL_SIGNS[c])
+                + "), (x, s) -> x * s), 0L, (acc, v) -> acc + v)"
+            ).alias(f"y{c}")
+            for c in range(_JL_OUT)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{b}L, cast({_proj_bucket_terms(b, 'y{c}')} as bigint)"
+        for b in range(_PROJ_N_BANDS)
+    )
+    banded = proj.select(
+        "vec_id",
+        F.expr(
+            f"stack({_PROJ_N_BANDS}, {stack_args}) as (band_idx, bucket)"
+        ),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), "band_idx", "bucket"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), "band_idx", "bucket"
+    )
+    cands = (
+        a.join(b, ["band_idx", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    u = unit_embeddings(spark, sf_dir).select("vec_id", "u")
+    return (
+        cands.join(
+            u.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")),
+            "id_a",
+        )
+        .join(
+            u.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b")),
+            "id_b",
+        )
+        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )

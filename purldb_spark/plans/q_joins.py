@@ -465,3 +465,59 @@ def j12_json_extract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(n), e.k % 25 == n.n_nationkey, "inner").select(
         "event_id", "event_type", "k", "n_name"
     )
+
+
+@query(
+    "j13_skew_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs,
+             CAST(sum(n_chars) AS BIGINT) AS lang_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, m.lang_docs, m.lang_chars,
+           d.n_chars * m.lang_docs > m.lang_chars AS above_avg
+    FROM documents d JOIN dim m ON d.lang = m.lang
+    """,
+)
+def j13_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (beyond-reference scale shape): salted equi-join against a hot
+    key — the fact table joins a per-language stats dimension, and `en`
+    holds ~44% of all rows, so an unsalted shuffle join would send nearly
+    half the fact table through one reducer. operators/skew.py::
+    salt_explode_join spreads each hot key over 8 reducers: the big side
+    gets a deterministic xxhash64-derived salt, the dimension is exploded
+    across all 8 salt values, and the join key becomes (lang, salt); every
+    fact row still matches exactly one dimension row, so the result is
+    bit-identical to the plain join the oracle runs.
+
+    At bench scale AQE broadcasts the 8x-exploded dimension (the salt is
+    plan-neutral there); the shape is for the production case where the
+    dimension exceeds the broadcast threshold (billions of zipf-distributed
+    domains/languages) AND its key frequency is skewed — salting is then
+    the only way to bound the largest reducer, complementing AQE's
+    skew-join split which handles the probe side but not a build-side hot
+    partition. Deterministic salt (no rand()) keeps retries/idempotence
+    safe (DESIGN.md salting-as-last-resort)."""
+    from purldb_spark.operators.skew import salt_explode_join
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dim = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lang_docs"),
+            F.sum("n_chars").cast("long").alias("lang_chars"),
+        )
+    )
+    out = salt_explode_join(docs, dim, "lang", "doc_id", buckets=8)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lang_docs",
+        "lang_chars",
+        (F.col("n_chars") * F.col("lang_docs") > F.col("lang_chars")).alias(
+            "above_avg"
+        ),
+    )

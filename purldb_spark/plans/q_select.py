@@ -750,3 +750,270 @@ def select_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dom_rank",
         F.coalesce(F.col("_kept"), F.lit(False)).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# select_unimax_budget
+# ---------------------------------------------------------------------------
+
+_UNI_EPOCHS = 1          # max epochs per language (the UniMax C=1 headline)
+_UNI_NUM, _UNI_DEN = 8, 10   # token budget = 80% of total corpus tokens
+
+
+@query(
+    "select_unimax_budget",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    base AS (
+      SELECT lang, n_tokens,
+             CAST({_UNI_EPOCHS} * n_tokens AS BIGINT) AS capacity
+      FROM per
+    ),
+    ord AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY capacity, lang) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(capacity) OVER (
+               ORDER BY capacity, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS prefix,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(({_UNI_NUM} * CAST(SUM(n_tokens) OVER () AS BIGINT))
+                  // {_UNI_DEN} AS BIGINT) AS budget
+      FROM base
+    ),
+    flag AS (
+      SELECT *,
+             CASE WHEN capacity * (n - rn + 1) <= budget - prefix
+                  THEN 1 ELSE 0 END AS cond
+      FROM ord
+    ),
+    run AS (
+      SELECT *,
+             CAST(MIN(cond) OVER (
+               ORDER BY capacity, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS capped_i
+      FROM flag
+    ),
+    fin AS (
+      SELECT *,
+             CAST(SUM(capped_i) OVER () AS BIGINT) AS k,
+             CAST(COALESCE(SUM(CASE WHEN capped_i = 1 THEN capacity END)
+                           OVER (), 0) AS BIGINT) AS pk
+      FROM run
+    )
+    SELECT lang, n_tokens, capacity, rn,
+           capped_i = 1 AS capped,
+           CAST(CASE WHEN capped_i = 1 THEN capacity
+                ELSE (budget - pk) // greatest(n - k, 1) END
+           AS BIGINT) AS alloc_tokens,
+           CAST((CASE WHEN capped_i = 1 THEN capacity
+                 ELSE (budget - pk) // greatest(n - k, 1) END * 1000000)
+                // n_tokens AS BIGINT) AS epochs_e6
+    FROM fin
+    """,
+)
+def select_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): waterfill a global token budget
+    ({_UNI_NUM}/{_UNI_DEN} of corpus tokens) uniformly across languages,
+    capping each language at {_UNI_EPOCHS} epoch(s) of its own data —
+    low-resource languages are used in full, high-resource ones are
+    down-sampled to the shared water level.
+
+    Closed form via sorting (standard waterfilling): order languages by
+    capacity ascending; a language is capped iff capacity * remaining_langs
+    <= remaining_budget at its position, and the capped set is a prefix of
+    that order (once one language exceeds its uniform share, all larger
+    ones do too), computed as a running MIN over the per-row condition.
+    Every quantity stays BIGINT (capacities, prefix sums, integer
+    division), so the Spark and DuckDB results are bit-identical.
+
+    Scale shape: one aggregation to language granularity (a few thousand
+    rows even at 100 TB), then windows over that tiny frame — the
+    single-partition window is on the post-agg frame, never the corpus.
+    The per-document application of the resulting rates is mix_weights /
+    sample_stratified (operators/assemble.py) downstream."""
+    from pyspark.sql import Window
+
+    per = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"))
+        .withColumn("capacity", (F.lit(_UNI_EPOCHS) * F.col("n_tokens")).cast("long"))
+    )
+    w_ord = Window.orderBy("capacity", "lang")
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordd = (
+        per.withColumn("rn", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "prefix", F.coalesce(F.sum("capacity").over(w_pre), F.lit(0)).cast("long")
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn(
+            "budget",
+            F.expr(
+                f"({_UNI_NUM}L * sum(n_tokens) over ()) div {_UNI_DEN}L"
+            ).cast("long"),
+        )
+    )
+    flag = ordd.withColumn(
+        "cond",
+        F.when(
+            F.col("capacity") * (F.col("n") - F.col("rn") + 1)
+            <= F.col("budget") - F.col("prefix"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = flag.withColumn("capped_i", F.min("cond").over(w_run).cast("long"))
+    fin = run.withColumn("k", F.sum("capped_i").over(w_all).cast("long")).withColumn(
+        "pk",
+        F.coalesce(
+            F.sum(F.when(F.col("capped_i") == 1, F.col("capacity"))).over(w_all),
+            F.lit(0),
+        ).cast("long"),
+    )
+    level = F.expr("(budget - pk) div greatest(n - k, 1L)")
+    alloc = F.when(F.col("capped_i") == 1, F.col("capacity")).otherwise(level)
+    return fin.select(
+        "lang",
+        "n_tokens",
+        "capacity",
+        "rn",
+        (F.col("capped_i") == 1).alias("capped"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(
+            "(CASE WHEN capped_i = 1 THEN capacity"
+            " ELSE (budget - pk) div greatest(n - k, 1L) END * 1000000L)"
+            " div n_tokens"
+        ).cast("long").alias("epochs_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# select_gopher_rules
+# ---------------------------------------------------------------------------
+
+# Gopher rule battery (Rae et al. 2021, appendix A1.1), thresholds adapted
+# to the synthetic corpus' 10-99-word documents but rule semantics intact.
+# The corpus has no line structure, so the line-shaped rules (bullet /
+# ellipsis line fractions) have no signal here and are left to the
+# boilerplate scrub (text_boilerplate_scrub), which is their real
+# counterpart at corpus scale.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 25, 90   # paper: 50 .. 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 4, 5         # paper: 3 .. 10 chars
+_GOPHER_MIN_STOPWORDS = 2                       # paper: >= 2 of 8 function words
+_GOPHER_TOP_WORD_DEN = 5                        # top word <= 1/5 of tokens
+
+_GOPHER_STOP_SQL = "['the', 'a', 'of', 'to', 'and', 'in', 'is']"
+_GOPHER_STOP_SPARK = "array('the', 'a', 'of', 'to', 'and', 'in', 'is')"
+
+
+@query(
+    "select_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, u.wd
+      FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n
+      FROM (SELECT doc_id, wd, count(*) AS c FROM w GROUP BY doc_id, wd)
+      GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter({_GOPHER_STOP_SQL},
+               s -> list_contains(string_split(text, ' '), s))) AS BIGINT)
+               AS stop_hits
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_words, b.stop_hits, t.top_word_n,
+           b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+             AS r_word_count,
+           {_GOPHER_MIN_MWL} * b.n_words <= b.n_chars - b.n_words + 1
+             AND b.n_chars - b.n_words + 1 <= {_GOPHER_MAX_MWL} * b.n_words
+             AS r_word_len,
+           b.stop_hits >= {_GOPHER_MIN_STOPWORDS} AS r_stopwords,
+           t.top_word_n * {_GOPHER_TOP_WORD_DEN} <= b.n_words AS r_repetition,
+           (b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND ({_GOPHER_MIN_MWL} * b.n_words <= b.n_chars - b.n_words + 1
+                  AND b.n_chars - b.n_words + 1 <= {_GOPHER_MAX_MWL} * b.n_words)
+             AND b.stop_hits >= {_GOPHER_MIN_STOPWORDS}
+             AND t.top_word_n * {_GOPHER_TOP_WORD_DEN} <= b.n_words
+             AS keep
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    """,
+)
+def select_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-battery document filter (Rae et al. 2021 "Scaling
+    Language Models: ... Gopher", appendix A1.1 quality heuristics):
+    hard per-document gates, one boolean per rule plus the conjunction —
+    word-count bounds, mean-word-length bounds, minimum distinct function
+    words ({_GOPHER_MIN_STOPWORDS} of the 7-word list), and the repetition
+    gate (most frequent word <= 1/{_GOPHER_TOP_WORD_DEN} of tokens).
+    Distinct from text_quality (soft linear score) and
+    select_quality_classifier (learned weights): this is the named
+    rule-battery stage real curation pipelines run FIRST, and per-rule
+    flags are what its operators monitor (rejection-reason dashboards).
+
+    Every gate is exact integer arithmetic — ratio thresholds are
+    cross-multiplied (mean word length in [{_GOPHER_MIN_MWL},
+    {_GOPHER_MAX_MWL}] becomes {_GOPHER_MIN_MWL}*n_words <= n_chars -
+    n_words + 1 <= {_GOPHER_MAX_MWL}*n_words), so both engines agree
+    bit-for-bit with no float snapping.
+
+    Scale shape: three of the four rules are map-only column expressions;
+    the repetition gate needs the per-document top-word count — an
+    explode + (doc_id, word) groupBy + per-doc max, the same O(tokens)
+    word-granularity shuffle as the BPE/n-gram inverted indexes, keyed by
+    doc_id so it re-aggregates locally (no corpus-wide hot key)."""
+    d = load(spark, sf_dir, "documents")
+    top = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("wd"))
+        .groupBy("doc_id", "wd")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("long").alias("top_word_n"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr(
+            f"size(filter({_GOPHER_STOP_SPARK},"
+            " s -> array_contains(split(text, ' '), s)))"
+        ).cast("long").alias("stop_hits"),
+    )
+    j = base.join(top, "doc_id")
+    mwl = F.col("n_chars") - F.col("n_words") + 1
+    r_wc = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    r_wl = (F.lit(_GOPHER_MIN_MWL) * F.col("n_words") <= mwl) & (
+        mwl <= F.lit(_GOPHER_MAX_MWL) * F.col("n_words")
+    )
+    r_sw = F.col("stop_hits") >= _GOPHER_MIN_STOPWORDS
+    r_rep = F.col("top_word_n") * _GOPHER_TOP_WORD_DEN <= F.col("n_words")
+    return j.select(
+        "doc_id",
+        "n_words",
+        "stop_hits",
+        "top_word_n",
+        r_wc.alias("r_word_count"),
+        r_wl.alias("r_word_len"),
+        r_sw.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_wl & r_sw & r_rep).alias("keep"),
+    )

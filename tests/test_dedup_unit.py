@@ -211,3 +211,60 @@ def test_ivf_nprobe2_improves_recall(spark):
     }
     assert len(two & exact) >= len(one & exact)
     assert len(two) >= len(one)
+
+
+def test_jl_projection_separates_near_dups_from_random_pairs(spark):
+    """JL lemma smoke at k=16: single-pair distortion is coarse (eps ~
+    sqrt(ln n / k)), so don't assert a per-pair bound — assert the
+    property blocking actually needs: true near-dup pairs (exact 64-d
+    cosine >= 0.4) keep a systematically higher PROJECTED cosine than
+    random pairs. A broken sign matrix (constant, rank-deficient) erases
+    this separation."""
+    import math
+
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["embed_random_projection"](spark, sf).collect()
+    ys = {r["vec_id"]: [r[f"y{c}"] for c in range(16)] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    dup_pairs = [
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf).collect()
+    ]
+    assert dup_pairs
+    dup_cos = [cos(ys[a], ys[b]) for a, b in dup_pairs]
+    ids = sorted(ys)
+    rand_cos = [
+        cos(ys[ids[i]], ys[ids[i + 1]]) for i in range(0, len(ids) - 1, 2)
+    ]
+    mean_dup = sum(dup_cos) / len(dup_cos)
+    mean_rand = sum(rand_cos) / len(rand_cos)
+    assert mean_dup > mean_rand + 0.2
+    # and most near-dup pairs individually stay above the random mean
+    above = sum(1 for c in dup_cos if c > mean_rand)
+    assert above / len(dup_cos) > 0.8
+
+
+def test_projected_blocking_is_subset_of_exact_pairs(spark):
+    """Every pair the JL-sign blocking emits must appear in the exact
+    all-pairs >= 0.4 set with an identical score (blocking changes recall,
+    never precision or scores)."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf).collect()
+    }
+    blocked = QUERIES["embed_projected_blocked"](spark, sf).collect()
+    assert blocked  # the config must surface at least one pair at sf0.01
+    for r in blocked:
+        assert exact[(r["id_a"], r["id_b"])] == r["cosine"]

@@ -254,3 +254,100 @@ def test_qc_score_bounded_by_weight_grid(qc_rows):
     # that envelope, and the corpus should exercise both classes
     labels = {r["is_quality"] for r in qc_rows}
     assert labels == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# select_unimax_budget (UniMax waterfilling)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def unimax_rows(spark):
+    return QUERIES["select_unimax_budget"](spark, SF).collect()
+
+
+def test_unimax_allocations_respect_caps(unimax_rows):
+    for r in unimax_rows:
+        assert 0 < r["alloc_tokens"] <= r["capacity"]
+        assert r["epochs_e6"] <= 1_000_000  # never above the epoch cap
+
+
+def test_unimax_spends_the_budget_up_to_rounding(unimax_rows):
+    total = sum(r["n_tokens"] for r in unimax_rows)
+    budget = (8 * total) // 10
+    spent = sum(r["alloc_tokens"] for r in unimax_rows)
+    n_uncapped = sum(1 for r in unimax_rows if not r["capped"])
+    assert spent <= budget
+    # integer division leaves < 1 token per uncapped language unassigned
+    assert budget - spent < max(n_uncapped, 1)
+
+
+def test_unimax_capped_set_is_prefix_of_capacity_order(unimax_rows):
+    rows = sorted(unimax_rows, key=lambda r: (r["capacity"], r["lang"]))
+    flags = [r["capped"] for r in rows]
+    # once a language is uncapped, every larger one is too
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_unimax_uncapped_share_a_water_level(unimax_rows):
+    levels = {r["alloc_tokens"] for r in unimax_rows if not r["capped"]}
+    assert len(levels) <= 1
+    if levels:
+        # the water level is below every uncapped capacity (else it'd be capped)
+        level = levels.pop()
+        for r in unimax_rows:
+            if not r["capped"]:
+                assert level < r["capacity"]
+
+
+# ---------------------------------------------------------------------------
+# select_gopher_rules
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gopher_rows(spark):
+    return QUERIES["select_gopher_rules"](spark, SF).collect()
+
+
+def test_gopher_keep_is_the_rule_conjunction(gopher_rows):
+    for r in gopher_rows:
+        assert r["keep"] == (
+            r["r_word_count"] and r["r_word_len"]
+            and r["r_stopwords"] and r["r_repetition"]
+        )
+
+
+def test_gopher_every_rule_discriminates(gopher_rows):
+    # thresholds are tuned to the synthetic corpus: each rule must actually
+    # reject something and keep something, else the gate is dead weight
+    for rule in ("r_word_count", "r_word_len", "r_stopwords", "r_repetition"):
+        vals = {r[rule] for r in gopher_rows}
+        assert vals == {True, False}, rule
+
+
+def test_gopher_rules_recompute_on_a_handcrafted_doc(spark):
+    from purldb_spark.plans.q_select import (
+        _GOPHER_MIN_WORDS,
+        _GOPHER_TOP_WORD_DEN,
+    )
+
+    # 30 words, "the"/"of" present, top word 'x' repeated 24x -> repetition fail
+    text = " ".join(["x"] * 24 + ["the", "of", "alpha", "beta", "gamma", "delta"])
+    df = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    import purldb_spark.plans.q_select as qs
+
+    base_loader = qs.load
+    try:
+        qs.load = lambda _s, _d, _t: df
+        row = QUERIES["select_gopher_rules"](spark, SF).collect()[0]
+    finally:
+        qs.load = base_loader
+    assert row["n_words"] == 30 >= _GOPHER_MIN_WORDS
+    assert row["r_word_count"]
+    assert row["r_stopwords"]
+    assert row["top_word_n"] == 24
+    assert not row["r_repetition"]  # 24 * 5 > 30
+    assert not row["keep"]

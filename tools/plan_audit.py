@@ -64,6 +64,11 @@ AUDIT = [
     ("select_domain_cap", "per-source rank cap + TakeOrdered budget"),
     ("text_chunk_overlap", "map-only overlap chunking"),
     ("x_bah128_dir_content", "BAH128 dir index read (materialized fixture)"),
+    ("select_unimax_budget", "UniMax waterfilling on the language aggregate"),
+    ("embed_random_projection", "JL Rademacher projection: HOF folds, codegen-safe"),
+    ("embed_projected_blocked", "JL sign-bit bands + exact 64-d verify"),
+    ("select_gopher_rules", "Gopher gate battery + repetition word groupBy"),
+    ("j13_skew_salted_join", "salted hot-key fact-to-dim join"),
 ]
 
 LEDGER = [

@@ -75,6 +75,11 @@ PROBES = [
     ("pack_bpe_budget", "encode join + shard-window cumsum — linear"),
     ("select_domain_cap", "source-partitioned rank + TakeOrdered budget — linear"),
     ("text_chunk_overlap", "map-only sequence+slice chunking — linear"),
+    ("select_unimax_budget", "agg to language granularity + tiny-frame waterfilling windows — linear"),
+    ("embed_random_projection", "JL sign folds — map-only, zero shuffle, linear"),
+    ("embed_projected_blocked", "JL sign bits as 2x8-bit band keys + exact verify — linear"),
+    ("select_gopher_rules", "3 map-only gates + doc_id-keyed word groupBy — O(tokens)"),
+    ("j13_skew_salted_join", "salted hot-key join, 8x dim explode — linear, largest reducer bounded"),
 ]
 
 
