@@ -359,3 +359,99 @@ def knn_trained_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("q_vec_id", "vec_id", "exact_d", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_hard_negatives
+# ---------------------------------------------------------------------------
+
+_HN_TOPK = 2  # hard negatives mined per anchor
+
+
+@query(
+    "knn_hard_negatives",
+    oracle=f"""
+    WITH{kmeans_cells_ctes("embeddings", "embedding", "vec_id", _K, _ITERS, _DIM)},
+    unit AS (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    ),
+    idx AS (
+      SELECT u.vec_id, u.u, a.cluster AS cell
+      FROM unit u JOIN asgF a ON a.vid = u.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS q_vec_id, u AS q_u, cell
+      FROM idx WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.q_vec_id, i.vec_id, {dot_sql_duckdb("q.q_u", "i.u")} AS cosine
+      FROM q JOIN idx i ON q.cell = i.cell AND q.q_vec_id <> i.vec_id
+      WHERE {dot_sql_duckdb("q.q_u", "i.u")} < {_TAU}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id
+      ) AS rank
+      FROM scored
+    )
+    SELECT q_vec_id, vec_id AS neg_vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_HN_TOPK}
+    """,
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining — the training-data face of the ANN
+    index (the standard recipe for embedding-model / retriever training,
+    e.g. DPR, Karpukhin et al. 2020; ANCE, Xiong et al. 2021): for each
+    anchor, the hardest negatives are the most-similar corpus vectors that
+    are NOT near-duplicates — similar enough to be informative, distinct
+    enough to be true negatives.
+
+    Composition over the existing index state: anchors probe their own
+    trained k-means cell (fixture_cache.kmeans_cell_index — the same table
+    knn_trained_ivfpq_refine probes), candidates above the near-dup gate
+    (cosine >= {_TAU}, dedup_semantic's positives) are excluded, and the
+    top-{_HN_TOPK} remaining by exact cosine are kept. Oracle recomputes
+    the cells from raw embeddings via the unrolled Lloyd CTEs, so the
+    fixture cannot mask an assignment bug.
+
+    Scale shape: cell-bounded equi-join (same bound as dedup_semantic —
+    grow k with N to cap cell sizes), dot products on the session-normalized
+    unit vectors, per-anchor top-k window partitioned by q_vec_id. At 100 TB
+    the anchor set is the training batch stream and this exact plan is the
+    per-epoch negative-refresh job (ANCE's asynchronous index refresh)."""
+    from purldb_spark.operators.knn import dot_expr
+    from purldb_spark.plans.fixture_cache import (
+        kmeans_cell_index,
+        unit_embeddings,
+    )
+
+    e = unit_embeddings(spark, sf_dir).select("vec_id", "u")
+    cells = kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+    idx = e.join(cells, "vec_id")
+    q = idx.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("u").alias("q_u"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = (
+        q.join(
+            idx,
+            (F.col("q_cell") == F.col("cell"))
+            & (F.col("q_vec_id") != F.col("vec_id")),
+        )
+        .withColumn("cosine", dot_expr("q_u", "u"))
+        .filter(F.col("cosine") < _TAU)
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HN_TOPK)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neg_vec_id"),
+            "cosine",
+            "rank",
+        )
+    )

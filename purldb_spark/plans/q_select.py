@@ -1017,3 +1017,209 @@ def select_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_rep.alias("r_repetition"),
         (r_wc & r_wl & r_sw & r_rep).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature_sampling
+# ---------------------------------------------------------------------------
+
+# alpha = 1/2: the exponentiated-smoothing family of mBERT/XLM (p_l ^ alpha
+# with alpha in [0.2, 0.7]).  1/2 specifically because sqrt is the ONE
+# power IEEE 754 requires to be correctly rounded — JVM Math.sqrt and
+# DuckDB/libm sqrt are bit-identical, where pow(n, 0.3) and exp(0.3*ln n)
+# both measurably diverge between engines on this machine (1-ulp flips at
+# n=4567 / n=888888888).  The weight then rides the integer e6 grid so
+# every downstream sum/division is exact BIGINT arithmetic.
+_TEMP_NUM, _TEMP_DEN = 1, 2   # token budget = half the corpus
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_tokens,
+             CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)))
+                  AS BIGINT) AS w_e6
+      FROM per
+    ),
+    tot AS (
+      SELECT *,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+             CAST(SUM(w_e6) OVER () AS BIGINT) AS tot_w
+      FROM w
+    )
+    SELECT lang, n_tokens, w_e6,
+           CAST((n_tokens * 1000000) // tot_tokens AS BIGINT) AS p_raw_e6,
+           CAST((w_e6 * 1000000) // tot_w AS BIGINT) AS p_samp_e6,
+           CAST(((tot_tokens * {_TEMP_NUM}) // {_TEMP_DEN}) * w_e6 // tot_w
+                AS BIGINT) AS alloc_tokens,
+           CAST((((tot_tokens * {_TEMP_NUM}) // {_TEMP_DEN}) * w_e6 // tot_w)
+                * 1000000 // n_tokens AS BIGINT) AS epochs_e6
+    FROM tot
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling (Devlin et al. 2019 mBERT
+    exponentiated smoothing; Conneau & Lample 2019 XLM eq. 1): sample
+    languages proportional to p_l^alpha so low-resource languages are
+    up-weighted relative to their raw share.  alpha = 1/2, computed as
+    sqrt — the one power where cross-engine bit-exactness is guaranteed
+    (IEEE 754 requires sqrt correctly rounded; pow(n, 0.3) measurably
+    differs between the JVM and libm on this machine).
+
+    The weight is snapped once to the e6 integer grid (floor(1e6*sqrt(n)),
+    a deterministic double multiply on an identical double); every later
+    quantity — weight total, probabilities, the {_TEMP_NUM}/{_TEMP_DEN}
+    token-budget allocation, effective epochs — is pure BIGINT arithmetic,
+    so Spark and DuckDB agree bit-for-bit with no float snapping downstream.
+    p_raw_e6 vs p_samp_e6 exposes the flattening (en's share shrinks toward
+    the mean, zh/fr grow); UniMax (select_unimax_budget) is the capped
+    alternative on the same aggregate.
+
+    Scale shape: identical to select_unimax_budget — one aggregation to
+    language granularity (thousands of rows at 100 TB), then windows over
+    that tiny frame; the single-partition window never touches the corpus."""
+    from pyspark.sql import Window
+
+    per = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    w = per.withColumn(
+        "w_e6",
+        F.expr(
+            "cast(floor(1000000.0d * sqrt(cast(n_tokens as double))) as bigint)"
+        ),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = w.withColumn(
+        "tot_tokens", F.sum("n_tokens").over(w_all).cast("long")
+    ).withColumn("tot_w", F.sum("w_e6").over(w_all).cast("long"))
+    alloc = F.expr(
+        f"((tot_tokens * {_TEMP_NUM}L) div {_TEMP_DEN}L) * w_e6 div tot_w"
+    )
+    return tot.select(
+        "lang",
+        "n_tokens",
+        "w_e6",
+        F.expr("(n_tokens * 1000000L) div tot_tokens")
+        .cast("long")
+        .alias("p_raw_e6"),
+        F.expr("(w_e6 * 1000000L) div tot_w").cast("long").alias("p_samp_e6"),
+        alloc.cast("long").alias("alloc_tokens"),
+        (alloc * F.lit(1000000).cast("long") / F.col("n_tokens"))
+        .cast("long")
+        .alias("epochs_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_funnel_report
+# ---------------------------------------------------------------------------
+
+_FUN_LANGS_SQL = "('en', 'de', 'fr', 'es')"   # zh routed to its own pipeline
+_FUN_MIN_W, _FUN_MAX_W = 25, 90
+_FUN_MIN_MWL, _FUN_MAX_MWL = 4, 5
+
+
+@query(
+    "corpus_funnel_report",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             lang IN {_FUN_LANGS_SQL} AS g1,
+             len(string_split(text, ' '))
+               BETWEEN {_FUN_MIN_W} AND {_FUN_MAX_W} AS g2,
+             ({_FUN_MIN_MWL} * len(string_split(text, ' '))
+                <= length(text) - len(string_split(text, ' ')) + 1
+              AND length(text) - len(string_split(text, ' ')) + 1
+                <= {_FUN_MAX_MWL} * len(string_split(text, ' '))) AS g3,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+               AS g4
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS k1,
+             CAST(count(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS k2,
+             CAST(count(*) FILTER (WHERE g1 AND g2 AND g3) AS BIGINT) AS k3,
+             CAST(count(*) FILTER (WHERE g1 AND g2 AND g3 AND g4) AS BIGINT)
+               AS k4
+      FROM b
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, 'lang_allowlist' AS stage_name,
+           n0 AS n_in, k1 AS n_kept FROM a
+    UNION ALL SELECT 2, 'word_count', k1, k2 FROM a
+    UNION ALL SELECT 3, 'word_length', k2, k3 FROM a
+    UNION ALL SELECT 4, 'exact_dedup', k3, k4 FROM a
+    """,
+)
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel dashboard: one row per pipeline stage with documents
+    entering and surviving it — the rejection-reason report every
+    production curation run monitors (stage ordering follows the standard
+    cheap-to-expensive cascade: language allowlist, hard length gate, mean
+    word-length gate, exact dedup keep-first).
+
+    Single corpus pass: all four gates become boolean columns (the dedup
+    gate is a row_number window over md5(text)), the counts are one
+    aggregation with conditional sums of the gate-prefix conjunctions, and
+    the 4-row funnel is a stack() unpivot of that single aggregate row —
+    no per-stage rescans, no driver loop.  Every count is BIGINT so the
+    engines agree exactly.
+
+    Scale shape: the md5-partitioned window is the only shuffle (same key
+    as dedup_exact); the conditional counts ride the same map-side partial
+    agg as any count(*).  The funnel frame itself is 4 rows regardless of
+    corpus size — the report a 100 TB run prints per stage is this exact
+    query over the gate booleans its stages already materialize."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    mwl = F.length("text") - n_words + F.lit(1)
+    w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    b = d.select(
+        F.col("lang").isin("en", "de", "fr", "es").alias("g1"),
+        ((n_words >= _FUN_MIN_W) & (n_words <= _FUN_MAX_W)).alias("g2"),
+        (
+            (F.lit(_FUN_MIN_MWL) * n_words <= mwl)
+            & (mwl <= F.lit(_FUN_MAX_MWL) * n_words)
+        ).alias("g3"),
+        (F.row_number().over(w_dedup) == 1).alias("g4"),
+    )
+    a = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("g1").cast("long")).cast("long").alias("k1"),
+        F.sum((F.col("g1") & F.col("g2")).cast("long")).cast("long").alias("k2"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long"))
+        .cast("long")
+        .alias("k3"),
+        F.sum(
+            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).cast("long")
+        )
+        .cast("long")
+        .alias("k4"),
+    )
+    return a.selectExpr(
+        "stack(4,"
+        " 1L, 'lang_allowlist', n0, k1,"
+        " 2L, 'word_count', k1, k2,"
+        " 3L, 'word_length', k2, k3,"
+        " 4L, 'exact_dedup', k3, k4"
+        ") as (stage, stage_name, n_in, n_kept)"
+    )

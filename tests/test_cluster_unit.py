@@ -256,3 +256,71 @@ def test_shuffle_partitions_falls_back_on_non_numeric(spark):
         sparkContext = _SC()
 
     assert shuffle_partitions(_Fake()) == 7
+
+
+# ---------------------------------------------------------------------------
+# knn_hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_near_duplicates(spark):
+    """Every mined negative must sit BELOW the near-dup gate (it would be a
+    positive otherwise) and be the argmax cosine among in-cell non-dups —
+    recomputed here with brute-force per-anchor scans."""
+    from purldb_spark.plans.q_cluster import _HN_TOPK, _TAU
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["knn_hard_negatives"](spark, SF_SMOKE).collect()
+    assert rows, "probe anchors exist at sf0.01"
+    for r in rows:
+        assert r["cosine"] < _TAU
+        assert 1 <= r["rank"] <= _HN_TOPK
+        assert r["q_vec_id"] != r["neg_vec_id"]
+
+    # per anchor: ranks are dense from 1 and cosine non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["cosine"] >= b["cosine"]
+
+
+def test_hard_negatives_are_in_cell_maxima(spark):
+    """The rank-1 negative equals the true in-cell non-dup argmax computed
+    independently from the cell index + raw embeddings."""
+    from purldb_spark.plans.fixture_cache import (
+        kmeans_cell_index,
+        unit_embeddings,
+    )
+    from purldb_spark.plans.q_cluster import _ITERS, _K, _TAU
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["knn_hard_negatives"](spark, SF_SMOKE).collect()
+    top1 = {r["q_vec_id"]: r["neg_vec_id"] for r in rows if r["rank"] == 1}
+
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_cell_index(spark, SF_SMOKE, _K, _ITERS).collect()
+    }
+    unit = {
+        r["vec_id"]: r["u"]
+        for r in unit_embeddings(spark, SF_SMOKE).select("vec_id", "u").collect()
+    }
+    for q, expect in top1.items():
+        best, best_cos = None, None
+        for vid, cell in cells.items():
+            if vid == q or cell != cells[q]:
+                continue
+            cos = sum(a * b for a, b in zip(unit[q], unit[vid]))
+            if cos >= _TAU:
+                continue
+            if best_cos is None or cos > best_cos or (
+                cos == best_cos and vid < best
+            ):
+                best, best_cos = vid, cos
+        assert best == expect, (q, best, expect)

@@ -351,3 +351,103 @@ def test_gopher_rules_recompute_on_a_handcrafted_doc(spark):
     assert row["top_word_n"] == 24
     assert not row["r_repetition"]  # 24 * 5 > 30
     assert not row["keep"]
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature_sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def temp_rows(spark):
+    return QUERIES["mix_temperature_sampling"](spark, SF).collect()
+
+
+def test_temperature_flattens_toward_uniform(temp_rows):
+    # alpha=1/2 smoothing: every language's sampled share sits strictly
+    # between its raw share and the uniform share (the defining property
+    # of exponentiated smoothing with 0 < alpha < 1), except exactly at
+    # the crossing point
+    uniform_e6 = 1_000_000 // len(temp_rows)
+    for r in temp_rows:
+        lo, hi = sorted((r["p_raw_e6"], uniform_e6))
+        assert lo - 1 <= r["p_samp_e6"] <= hi + 1, r
+
+
+def test_temperature_preserves_language_order(temp_rows):
+    # smoothing compresses but never reorders: sqrt is monotone
+    by_raw = sorted(temp_rows, key=lambda r: (r["n_tokens"], r["lang"]))
+    by_samp = sorted(by_raw, key=lambda r: r["w_e6"])
+    assert [r["lang"] for r in by_raw] == [r["lang"] for r in by_samp]
+
+
+def test_temperature_allocation_fits_budget(temp_rows):
+    tot_tokens = sum(r["n_tokens"] for r in temp_rows)
+    budget = tot_tokens // 2
+    alloc = sum(r["alloc_tokens"] for r in temp_rows)
+    # floor division loses at most 1 token per language
+    assert budget - len(temp_rows) <= alloc <= budget
+
+
+def test_temperature_upsamples_low_resource(temp_rows):
+    # the lowest-resource language gains share, the highest loses it
+    lo = min(temp_rows, key=lambda r: r["n_tokens"])
+    hi = max(temp_rows, key=lambda r: r["n_tokens"])
+    assert lo["p_samp_e6"] > lo["p_raw_e6"]
+    assert hi["p_samp_e6"] < hi["p_raw_e6"]
+
+
+# ---------------------------------------------------------------------------
+# corpus_funnel_report
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def funnel_rows(spark):
+    rows = QUERIES["corpus_funnel_report"](spark, SF).collect()
+    return sorted(rows, key=lambda r: r["stage"])
+
+
+def test_funnel_stages_chain(funnel_rows):
+    # each stage's input is exactly the previous stage's survivors
+    assert [r["stage"] for r in funnel_rows] == [1, 2, 3, 4]
+    for prev, cur in zip(funnel_rows, funnel_rows[1:]):
+        assert cur["n_in"] == prev["n_kept"]
+    for r in funnel_rows:
+        assert 0 <= r["n_kept"] <= r["n_in"]
+
+
+def test_funnel_first_stage_sees_whole_corpus(spark, funnel_rows):
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert funnel_rows[0]["n_in"] == n_docs
+
+
+def test_funnel_lang_gate_drops_exactly_zh(spark, funnel_rows):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_zh = docs.filter("lang = 'zh'").count()
+    assert funnel_rows[0]["n_in"] - funnel_rows[0]["n_kept"] == n_zh
+
+
+def test_funnel_dedup_stage_counts_duplicate_texts(spark, funnel_rows):
+    # survivors of stages 1-3, grouped by text: the dedup stage keeps one
+    # per distinct text, independently recomputed with plain DataFrame ops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_words = F.size(F.split(F.col("text"), " "))
+    mwl = F.length("text") - n_words + F.lit(1)
+    surv = docs.filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+        & (n_words >= 25)
+        & (n_words <= 90)
+        & (F.lit(4) * n_words <= mwl)
+        & (mwl <= F.lit(5) * n_words)
+    )
+    # stage-4 keeps first-by-doc_id per md5(text) over the WHOLE corpus,
+    # so a survivor can lose to a stage-3 casualty with the same text and
+    # a smaller doc_id; recompute with the same global window
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    first = docs.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    kept = surv.join(first.select("doc_id"), "doc_id").count()
+    assert funnel_rows[3]["n_kept"] == kept
+    assert funnel_rows[3]["n_in"] == surv.count()

@@ -69,6 +69,9 @@ AUDIT = [
     ("embed_projected_blocked", "JL sign-bit bands + exact 64-d verify"),
     ("select_gopher_rules", "Gopher gate battery + repetition word groupBy"),
     ("j13_skew_salted_join", "salted hot-key fact-to-dim join"),
+    ("mix_temperature_sampling", "sqrt-smoothed language mixture on the e6 grid"),
+    ("corpus_funnel_report", "4-stage funnel: gate booleans + stack unpivot"),
+    ("knn_hard_negatives", "trained-cell probe + near-dup exclusion + top-k"),
 ]
 
 LEDGER = [

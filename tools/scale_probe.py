@@ -80,6 +80,9 @@ PROBES = [
     ("embed_projected_blocked", "JL sign bits as 2x8-bit band keys + exact verify — linear"),
     ("select_gopher_rules", "3 map-only gates + doc_id-keyed word groupBy — O(tokens)"),
     ("j13_skew_salted_join", "salted hot-key join, 8x dim explode — linear, largest reducer bounded"),
+    ("mix_temperature_sampling", "agg to language granularity + tiny-frame windows — linear"),
+    ("corpus_funnel_report", "one corpus pass, md5 window is the only shuffle — linear"),
+    ("knn_hard_negatives", "cell-bounded equi-join + per-anchor window — largest-cell bound"),
 ]
 
 
