@@ -42,50 +42,13 @@ def main() -> None:
     for _w in ("x_pypi_collect", "x_collect_flow", "f5_seqmatch_rank"):
         QUERIES[_w](spark, "/root/testdata/sf0.001").count()
 
-    # build the shared BAH128 fingerprint index up front and report its cost
-    # as its own metric: in production this is a precomputed table maintained
-    # by the indexing pipeline (reference matchcode/models.py:247-265), not
-    # per-query work — the match-family timings below measure the read path
-    from purldb_spark.plans.fixture_cache import (
-        bucketed_orderkey_tables,
-        dir_fingerprint_index,
-        doc_fingerprint_base,
-        doc_shingles,
-        dup_clusters,
-        emb_band_index,
-        minhash_band_index,
-        ivf_cell_index,
-        kmeans_cell_index,
-        near_dup_pairs,
-        capped_posting,
-        pq_code_index,
-        simhash_fingerprints,
-        unit_embeddings,
-    )
-    from purldb_spark.plans.q_embed import _BLOCK_BANDS, _RECALL_BANDS
+    # build every shared fixture up front and report the cost as its own
+    # metric: in production these are precomputed tables maintained by the
+    # indexing/training pipelines (reference matchcode/models.py:247-265),
+    # not per-query work — the timings below measure the read path
+    from purldb_spark.plans.fixture_warmup import prebuild_fixtures
 
-    t0 = time.perf_counter()
-    doc_fingerprint_base(spark, sf_dir).count()
-    dir_fingerprint_index(spark, sf_dir, "content").count()
-    dir_fingerprint_index(spark, sf_dir, "structure").count()
-    near_dup_pairs(spark, sf_dir).count()
-    doc_shingles(spark, sf_dir).count()
-    minhash_band_index(spark, sf_dir).count()
-    simhash_fingerprints(spark, sf_dir).count()
-    capped_posting(spark, sf_dir, 16).count()
-    dup_clusters(spark, sf_dir).count()
-    unit_embeddings(spark, sf_dir).count()
-    emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()
-    emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS).count()
-    kmeans_cell_index(spark, sf_dir, 8, 3).count()
-    pq_code_index(spark, sf_dir).count()
-    ivf_cell_index(spark, sf_dir).count()
-    bucketed_orderkey_tables(spark, sf_dir)
-    from purldb_spark.plans.q_select import _tfidf_postings, _trigram_lm
-
-    _trigram_lm(spark, sf_dir)[0].count()
-    _tfidf_postings(spark, sf_dir).count()
-    fixture_build_sec = round(time.perf_counter() - t0, 4)
+    fixture_build_sec = prebuild_fixtures(spark, sf_dir)
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -141,6 +104,7 @@ def main() -> None:
         "knn_bruteforce",
         "knn_lsh_bucketed",
         "knn_ivf_cell",
+        "knn_hard_negatives",
         "select_dsir",
         "select_perplexity_buckets",
         "select_quality_classifier",
