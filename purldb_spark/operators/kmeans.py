@@ -38,6 +38,8 @@ Determinism contract (what makes an exact-hash oracle possible):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -197,12 +199,20 @@ def _sqdist_duckdb(vec_expr: str, cent_expr: str) -> str:
 
 
 def kmeans_cells_ctes(
-    table: str, vec_col: str, id_col: str, k: int, iters: int, dim: int
+    table: str,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    dim: int,
+    prefix: str = "",
 ) -> str:
     """The comma-joined CTE definitions of the unrolled Lloyd oracle, ending
-    in ``asgF(vid, cluster)`` — the trained cell assignment. Shared by
-    kmeans_oracle_sql and any oracle that composes the trained cells into a
-    downstream index (knn_trained_ivfpq_refine probes them)."""
+    in ``{prefix}asgF(vid, cluster)`` — the trained cell assignment. Shared
+    by kmeans_oracle_sql and any oracle that composes the trained cells into
+    a downstream index (knn_trained_ivfpq_refine probes them). ``prefix``
+    namespaces every CTE so several independent trainings can coexist in
+    one oracle (pq_train unrolls one chain per PQ subspace)."""
     dist = _sqdist_duckdb(f"e.{vec_col}", "c.cv")
     parts = [
         f"""
@@ -259,7 +269,12 @@ def kmeans_cells_ctes(
     asgF AS (
       SELECT vid, CAST(cluster AS BIGINT) AS cluster FROM rankF WHERE rn = 1
     )""")
-    return ",".join(parts)
+    body = ",".join(parts)
+    if prefix:
+        # rename the CTE identifiers only: centN/rankN/asgN/meanN (+ F) are
+        # never column or table aliases inside the generated SQL
+        body = re.sub(r"\b(cent|rank|asg|mean)(\d+|F)\b", rf"{prefix}\1\2", body)
+    return body
 
 
 def kmeans_oracle_sql(

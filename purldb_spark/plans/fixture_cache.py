@@ -299,6 +299,44 @@ def trained_centroids(
     return cents
 
 
+def trained_pq_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, ksub: int, iters: int
+) -> list[list[list[float]]]:
+    """TRAINED product-quantizer codebooks: one independent Lloyd k-means
+    per subspace over the corpus' sliced sub-vectors (Jegou et al. 2011
+    section III: "each sub-quantizer is learned by k-means on the
+    corresponding sub-vectors") — the trained twin of the FROZEN codebooks
+    in pq_codebooks.json that operators/pq.py ships. m subspaces of
+    dim/m dims each, ksub centroids per subspace; returns
+    m x ksub x (dim/m) driver-side doubles (a few KB — the model artifact).
+    Oracles recompute via per-subspace unrolled Lloyd CTE chains
+    (kmeans_cells_ctes with a sub-space prefix), so the cache can never
+    mask a training bug."""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.kmeans import kmeans_fit
+
+    app = spark.sparkContext.applicationId
+    cache_key = (app, f"pqtrain:{sf_dir}:{m}:{ksub}:{iters}")
+    books = _DRIVER_CACHE.get(cache_key)
+    if books is None:
+        for stale in [s for s in _DRIVER_CACHE if s[0] != app]:
+            del _DRIVER_CACHE[stale]
+        e = load(spark, sf_dir, "embeddings")
+        dim = len(e.select("embedding").first()["embedding"])
+        sub = dim // m
+        books = []
+        for si in range(m):
+            sliced = e.select(
+                "vec_id",
+                F.expr(f"slice(embedding, {si * sub + 1}, {sub})").alias(
+                    "subv"
+                ),
+            )
+            books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, iters))
+        _DRIVER_CACHE[cache_key] = books
+    return books
+
+
 def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ code table (vec_id, codes) — 8 4-bit codes per vector, the
     compressed payload of the IVFPQ inverted lists. In production this IS

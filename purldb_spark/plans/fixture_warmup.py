@@ -40,6 +40,7 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
         near_dup_pairs,
         pq_code_index,
         simhash_fingerprints,
+        trained_pq_codebooks,
         unit_embeddings,
     )
     from purldb_spark.plans.q_bpe import bpe_trained_words
@@ -69,4 +70,7 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     # driver-argmax jobs) is the training pipeline's output, not per-query
     # work — bpe_encode_stats/pack_bpe_budget measure the encode/pack path
     bpe_trained_words(spark, sf_dir).count()
+    # the trained PQ codebooks (8 independent sub-quantizer k-means fits)
+    # are likewise a training-pipeline artifact
+    trained_pq_codebooks(spark, sf_dir, 8, 16, 2)
     return round(time.perf_counter() - t0, 4)

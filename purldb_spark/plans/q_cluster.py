@@ -455,3 +455,101 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pq_train
+# ---------------------------------------------------------------------------
+
+_PQM = 8       # subspaces (embedding dim 64 -> 8 dims each)
+_PQK = 16      # centroids per sub-quantizer (4-bit codes)
+_PQ_ITERS = 2  # Lloyd iterations per subspace
+
+
+def _pq_train_oracle() -> str:
+    """Per-subspace unrolled Lloyd chains (namespaced CTEs), 0-based codes,
+    plus per-(subspace, code) sizes."""
+    sub = _DIM // _PQM
+    chains = []
+    selects = []
+    for si in range(_PQM):
+        lo, hi = si * sub + 1, (si + 1) * sub
+        table = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS subv FROM embeddings)"
+        )
+        chains.append(
+            kmeans_cells_ctes(
+                table, "subv", "vec_id", _PQK, _PQ_ITERS, sub,
+                prefix=f"s{si}_",
+            )
+        )
+        selects.append(
+            f"SELECT vid AS vec_id, CAST({si} AS BIGINT) AS subspace,"
+            f" cluster - 1 AS code FROM s{si}_asgF"
+        )
+    tall = " UNION ALL ".join(selects)
+    return f"""
+    WITH{",".join(chains)},
+    tall AS ({tall}),
+    sz AS (
+      SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS code_size
+      FROM tall GROUP BY subspace, code
+    )
+    SELECT t.vec_id, t.subspace, t.code, sz.code_size
+    FROM tall t JOIN sz ON sz.subspace = t.subspace AND sz.code = t.code
+    """
+
+
+@query("pq_train", oracle=_pq_train_oracle())
+def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product quantizer (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search" §III): one independent Lloyd k-means per
+    subspace over the corpus' sliced sub-vectors — the trainer for the
+    codebooks that knn_ivfpq/knn_trained_ivfpq_refine consume (today from
+    the frozen pq_codebooks.json; this closes the same trained-vs-frozen
+    gap for PQ that kmeans_train closed for the IVF coarse quantizer).
+    Output = the code assignment table (vec_id, subspace, code) with
+    per-code sizes — {_PQM} codes x 4 bits = 4 bytes/vector, the payload
+    the indexing pipeline writes.
+
+    Training (fixture_cache.trained_pq_codebooks) runs {_PQM} independent
+    {_PQK}-centroid fits of {_PQ_ITERS} iterations; the oracle unrolls all
+    {_PQM} Lloyd chains (namespaced CTEs) from raw embeddings, so the
+    driver-side model cache can never mask a training bug. The exact
+    fixed-point-grid mean arithmetic of operators/kmeans.py carries over
+    unchanged, so codes match bit-for-bit.
+
+    Scale shape: each subspace fit is the k-means cost model on a
+    dim/{_PQM}-wide column (map-only literal assignment + ksub*subdim-row
+    shuffle per iteration); the final encode is ONE corpus scan computing
+    all {_PQM} argmins, then a (subspace, code)-keyed count — at 100 TB
+    the training runs on a sampled slice (FAISS trains on ~100k-1M
+    vectors), the encode is the full-corpus map-only pass."""
+    from purldb_spark.operators.kmeans import assign_expr
+    from purldb_spark.plans.fixture_cache import trained_pq_codebooks
+
+    books = trained_pq_codebooks(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
+    sub = _DIM // _PQM
+    e = load(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        *[
+            (
+                assign_expr(f"slice(embedding, {si * sub + 1}, {sub})", books[si])
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias(f"c{si}")
+            for si in range(_PQM)
+        ],
+    )
+    stack_args = ", ".join(f"{si}L, c{si}" for si in range(_PQM))
+    tall = coded.selectExpr(
+        "vec_id", f"stack({_PQM}, {stack_args}) as (subspace, code)"
+    )
+    sizes = tall.groupBy("subspace", "code").agg(
+        F.count("*").cast("long").alias("code_size")
+    )
+    return tall.join(F.broadcast(sizes), ["subspace", "code"]).select(
+        "vec_id", "subspace", "code", "code_size"
+    )

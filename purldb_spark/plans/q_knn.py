@@ -228,3 +228,160 @@ def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_vec_id", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_recall_eval",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {cell_sql("embedding")} AS ivf_cell
+      FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS q_vec_id, embedding AS q_embedding, ivf_cell,
+                  {top2_cells_sql("embedding")} AS probe_cells
+           FROM cells WHERE vec_id % 50 = 0),
+    gt AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT q.q_vec_id, i.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY {cosine_sql_duckdb("q.q_embedding", "i.embedding")} DESC,
+                          i.vec_id
+               ) AS rank
+        FROM qv q JOIN embeddings i ON q.q_vec_id <> i.vec_id
+      ) WHERE rank <= 3
+    ),
+    a1 AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT q.q_vec_id, i.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY {cosine_sql_duckdb("q.q_embedding", "i.embedding")} DESC,
+                          i.vec_id
+               ) AS rank
+        FROM qv q JOIN cells i
+          ON q.ivf_cell = i.ivf_cell AND q.q_vec_id <> i.vec_id
+      ) WHERE rank <= 3
+    ),
+    a2 AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT p.q_vec_id, i.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.q_vec_id
+                 ORDER BY {cosine_sql_duckdb("p.q_embedding", "i.embedding")} DESC,
+                          i.vec_id
+               ) AS rank
+        FROM (SELECT q_vec_id, q_embedding, unnest(probe_cells) AS probe_cell
+              FROM qv) p
+        JOIN cells i ON p.probe_cell = i.ivf_cell AND p.q_vec_id <> i.vec_id
+      ) WHERE rank <= 3
+    ),
+    tall AS (
+      SELECT 'ivf_nprobe1' AS method, q_vec_id, vec_id FROM a1
+      UNION ALL
+      SELECT 'ivf_nprobe2' AS method, q_vec_id, vec_id FROM a2
+    ),
+    marked AS (
+      SELECT t.method,
+             CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END AS in_gt
+      FROM tall t LEFT JOIN gt g
+        ON t.q_vec_id = g.q_vec_id AND t.vec_id = g.vec_id
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(in_gt) AS BIGINT) AS hits,
+           CAST((SELECT count(*) FROM gt) AS BIGINT) AS possible,
+           CAST(sum(in_gt) * 1000000 // (SELECT count(*) FROM gt) AS BIGINT)
+             AS recall_e6
+    FROM marked GROUP BY method
+    """,
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a first-class query: recall@3 of the two
+    IVF configurations against the exact top-3 ground truth, per method —
+    the eval row every ANN indexing pipeline publishes next to its index
+    build (FAISS's standard recall@k harness, expressed relationally).
+
+    One frame computes ground truth (the labeled-quadratic exact scan over
+    the anchor set only — |anchors| x N, not N²), both approximate methods
+    re-derive their candidate joins, everything unions into a tall
+    (method, pair) frame marked by a left join against the ground-truth
+    pairs, and one groupBy(method) yields hits / n_pairs / recall.
+    ``possible`` (= 3 x anchors) is collected driver-side as a scalar —
+    the documented BNLJ-avoidance pattern (never crossJoin a 1-row
+    aggregate) — while the oracle uses a scalar subquery for the same
+    number.
+
+    Scale shape: the GT scan is anchors x corpus with the anchor side
+    broadcast (brute_force_topk's layout) — at 100 TB you hold the anchor
+    set at a few thousand sampled queries, which is exactly how production
+    recall monitoring samples; the approximate sides stay cell-bounded
+    equi-joins. Recall integers ride the e6 grid, so the whole report is
+    BIGINT-exact."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "ivf_cell", cell_expr("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("ivf_cell").alias("q_cell"),
+    )
+    n_anchors = q.count()  # driver-side scalar (documented BNLJ avoidance)
+    possible = 3 * n_anchors
+
+    gt = brute_force_topk(q.select("q_vec_id", "q_embedding"), e, k=3).select(
+        "q_vec_id", "vec_id"
+    )
+
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    a1 = (
+        q.join(
+            e,
+            (F.col("q_cell") == F.col("ivf_cell"))
+            & (F.col("q_vec_id") != F.col("vec_id")),
+        )
+        .withColumn("cosine", cosine_expr("q_embedding", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id")
+    )
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.explode(top2_cells_expr("embedding")).alias("probe_cell"),
+    )
+    a2 = (
+        probes.join(
+            e,
+            (F.col("probe_cell") == F.col("ivf_cell"))
+            & (F.col("q_vec_id") != F.col("vec_id")),
+        )
+        .withColumn("cosine", cosine_expr("q_embedding", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_vec_id", "vec_id")
+    )
+    tall = a1.withColumn("method", F.lit("ivf_nprobe1")).unionByName(
+        a2.withColumn("method", F.lit("ivf_nprobe2"))
+    )
+    marked = tall.join(
+        gt.withColumn("in_gt", F.lit(1)), ["q_vec_id", "vec_id"], "left"
+    ).select("method", F.coalesce(F.col("in_gt"), F.lit(0)).alias("in_gt"))
+    return (
+        marked.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("in_gt").cast("long").alias("hits"),
+        )
+        .withColumn("possible", F.lit(possible).cast("long"))
+        .withColumn(
+            "recall_e6",
+            F.expr(f"hits * 1000000L div {possible}L").cast("long"),
+        )
+    )

@@ -324,3 +324,115 @@ def test_hard_negatives_are_in_cell_maxima(spark):
             ):
                 best, best_cos = vid, cos
         assert best == expect, (q, best, expect)
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_eval
+# ---------------------------------------------------------------------------
+
+
+def test_recall_eval_nprobe2_dominates_nprobe1(spark):
+    """The eval harness must reproduce the IVF recall knob: probing two
+    cells can only add ground-truth hits, and every count is bounded by
+    the 3-per-anchor possible set."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = {
+        r["method"]: r
+        for r in QUERIES["knn_recall_eval"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"ivf_nprobe1", "ivf_nprobe2"}
+    r1, r2 = rows["ivf_nprobe1"], rows["ivf_nprobe2"]
+    assert r2["hits"] >= r1["hits"]
+    assert r2["recall_e6"] >= r1["recall_e6"]
+    for r in (r1, r2):
+        assert 0 <= r["hits"] <= min(r["n_pairs"], r["possible"])
+        assert r["recall_e6"] == r["hits"] * 1_000_000 // r["possible"]
+    # nprobe1's candidates are a subset of nprobe2's cells, so the top-3
+    # cutoffs can differ — but the pair budget per anchor is the same
+    assert r1["possible"] == r2["possible"]
+
+
+def test_recall_eval_agrees_with_registry_queries(spark):
+    """hits(nprobe1) recomputed by intersecting the standalone
+    knn_ivf_cell and knn_bruteforce registry outputs."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    gt = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in QUERIES["knn_bruteforce"](spark, SF_SMOKE).collect()
+        if r["rank"] <= 3
+    }
+    a1 = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in QUERIES["knn_ivf_cell"](spark, SF_SMOKE).collect()
+    }
+    rows = {
+        r["method"]: r
+        for r in QUERIES["knn_recall_eval"](spark, SF_SMOKE).collect()
+    }
+    assert rows["ivf_nprobe1"]["hits"] == len(a1 & gt)
+
+
+# ---------------------------------------------------------------------------
+# pq_train
+# ---------------------------------------------------------------------------
+
+
+def test_pq_train_codes_are_argmin_over_trained_books(spark):
+    """Every vector gets one 4-bit code per subspace, sizes are consistent,
+    and each code is the true argmin over the trained codebook for that
+    subspace (recomputed driver-side on a sample)."""
+    from purldb_spark.plans.fixture_cache import trained_pq_codebooks
+    from purldb_spark.plans.q_cluster import _PQ_ITERS, _PQK, _PQM
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["pq_train"](spark, SF_SMOKE).collect()
+    by_vec: dict[int, dict[int, int]] = {}
+    sizes: dict[tuple[int, int], int] = {}
+    for r in rows:
+        assert 0 <= r["code"] < _PQK
+        by_vec.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
+        sizes[(r["subspace"], r["code"])] = r["code_size"]
+    for v, codes in by_vec.items():
+        assert sorted(codes) == list(range(_PQM)), v
+
+    # code_size really is the group count
+    from collections import Counter
+
+    counts = Counter((r["subspace"], r["code"]) for r in rows)
+    assert counts == Counter(dict(sizes.items())) or all(
+        sizes[k] == c for k, c in counts.items()
+    )
+
+    books = trained_pq_codebooks(spark, SF_SMOKE, _PQM, _PQK, _PQ_ITERS)
+    assert len(books) == _PQM and all(len(b) == _PQK for b in books)
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .limit(20)
+        .collect()
+    }
+    sub = len(next(iter(emb.values()))) // _PQM
+    for v, vec in emb.items():
+        for si in range(_PQM):
+            sv = vec[si * sub : (si + 1) * sub]
+            dists = [
+                sum((float(a) - b) ** 2 for a, b in zip(sv, c))
+                for c in books[si]
+            ]
+            assert by_vec[v][si] == dists.index(min(dists)), (v, si)
+
+
+def test_pq_train_books_differ_across_subspaces(spark):
+    """The sub-quantizers are trained independently — identical codebooks
+    across subspaces would mean the slicing is broken."""
+    from purldb_spark.plans.fixture_cache import trained_pq_codebooks
+    from purldb_spark.plans.q_cluster import _PQ_ITERS, _PQK, _PQM
+
+    books = trained_pq_codebooks(spark, SF_SMOKE, _PQM, _PQK, _PQ_ITERS)
+    flat = {tuple(tuple(c) for c in b) for b in books}
+    assert len(flat) == _PQM

@@ -7,6 +7,9 @@ baselines, whose bucketed scale twins are the production path:
 
 - knn_bruteforce (exact top-k ground truth; twin knn_lsh_bucketed)
 - dedup_embedding_cosine (exact pair verify; twin dedup_embedding_blocked)
+- knn_recall_eval (recall@k harness — its ground-truth side IS the
+  labeled anchors x corpus exact scan; the approximate sides under
+  evaluation stay cell-bounded equi-joins)
 
 This is the regression fence for the DESIGN.md claim that every
 candidate generation is an equi-join: a constant-folded join key (the
@@ -27,7 +30,11 @@ from tests.conftest import SF_SMOKE
 
 load_inventory()
 
-ALLPAIRS_BASELINES = {"knn_bruteforce", "dedup_embedding_cosine"}
+ALLPAIRS_BASELINES = {
+    "knn_bruteforce",
+    "dedup_embedding_cosine",
+    "knn_recall_eval",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - ALLPAIRS_BASELINES))

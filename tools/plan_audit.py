@@ -72,6 +72,8 @@ AUDIT = [
     ("mix_temperature_sampling", "sqrt-smoothed language mixture on the e6 grid"),
     ("corpus_funnel_report", "4-stage funnel: gate booleans + stack unpivot"),
     ("knn_hard_negatives", "trained-cell probe + near-dup exclusion + top-k"),
+    ("knn_recall_eval", "recall@3 harness: GT scan + 2 IVF configs + mark join"),
+    ("pq_train", "8 sub-quantizer fits + one-scan encode + code sizes"),
 ]
 
 LEDGER = [

@@ -83,6 +83,8 @@ PROBES = [
     ("mix_temperature_sampling", "agg to language granularity + tiny-frame windows — linear"),
     ("corpus_funnel_report", "one corpus pass, md5 window is the only shuffle — linear"),
     ("knn_hard_negatives", "cell-bounded equi-join + per-anchor window — largest-cell bound"),
+    ("knn_recall_eval", "anchors x corpus GT scan (sampled anchors) + cell equi-joins — linear in N at fixed anchor count"),
+    ("pq_train", "per-subspace ksub*subdim-row shuffles + map-only encode — linear"),
 ]
 
 
