@@ -82,8 +82,8 @@ PROBES = [
     ("j13_skew_salted_join", "salted hot-key join, 8x dim explode — linear, largest reducer bounded"),
     ("mix_temperature_sampling", "agg to language granularity + tiny-frame windows — linear"),
     ("corpus_funnel_report", "one corpus pass, md5 window is the only shuffle — linear"),
-    ("knn_hard_negatives", "cell-bounded equi-join + per-anchor window — largest-cell bound"),
-    ("knn_recall_eval", "anchors x corpus GT scan (sampled anchors) + cell equi-joins — linear in N at fixed anchor count"),
+    ("knn_hard_negatives", "cell-bounded equi-join + per-anchor window — largest-cell bound: 4.6x at FIXED k=8 (cells grow with N); grow k with N per finding 4 to restore linear"),
+    ("knn_recall_eval", "GT side is anchors(N/50) x N — super-linear BY CONSTRUCTION here; production pins the anchor sample, making the GT scan linear"),
     ("pq_train", "per-subspace ksub*subdim-row shuffles + map-only encode — linear"),
 ]
 
