@@ -337,6 +337,46 @@ def trained_pq_codebooks(
     return books
 
 
+def trained_pq_code_index(
+    spark: SparkSession, sf_dir: str, m: int, ksub: int, iters: int
+) -> DataFrame:
+    """Tall trained-PQ code table (vec_id, subspace, cluster 1-based) under
+    the TRAINED codebooks (trained_pq_codebooks) — the compressed index
+    payload in join-friendly form for ADC scoring. One corpus scan encodes
+    all m subspaces; oracles re-derive codes from the per-subspace unrolled
+    Lloyd chains."""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.kmeans import assign_expr
+
+    def build() -> DataFrame:
+        books = trained_pq_codebooks(spark, sf_dir, m, ksub, iters)
+        e = load(spark, sf_dir, "embeddings")
+        dim = len(books[0][0]) * m
+        sub = dim // m
+        coded = e.select(
+            "vec_id",
+            *[
+                assign_expr(
+                    f"slice(embedding, {si * sub + 1}, {sub})", books[si]
+                ).alias(f"c{si}")
+                for si in range(m)
+            ],
+        )
+        stack_args = ", ".join(f"{si}L, c{si}" for si in range(m))
+        n_part = shuffle_partitions(spark)
+        return (
+            coded.selectExpr(
+                "vec_id", f"stack({m}, {stack_args}) as (subspace, cluster)"
+            )
+            .repartition(n_part, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+    return cached_fixture(
+        spark, f"trained_pq_codes:{sf_dir}:{m}:{ksub}:{iters}", build
+    )
+
+
 def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ code table (vec_id, codes) — 8 4-bit codes per vector, the
     compressed payload of the IVFPQ inverted lists. In production this IS

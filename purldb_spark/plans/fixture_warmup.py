@@ -40,6 +40,7 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
         near_dup_pairs,
         pq_code_index,
         simhash_fingerprints,
+        trained_pq_code_index,
         trained_pq_codebooks,
         unit_embeddings,
     )
@@ -71,6 +72,8 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     # work — bpe_encode_stats/pack_bpe_budget measure the encode/pack path
     bpe_trained_words(spark, sf_dir).count()
     # the trained PQ codebooks (8 independent sub-quantizer k-means fits)
-    # are likewise a training-pipeline artifact
+    # and the code table encoded under them are likewise training-pipeline
+    # artifacts
     trained_pq_codebooks(spark, sf_dir, 8, 16, 2)
+    trained_pq_code_index(spark, sf_dir, 8, 16, 2).count()
     return round(time.perf_counter() - t0, 4)

@@ -553,3 +553,185 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tall.join(F.broadcast(sizes), ["subspace", "code"]).select(
         "vec_id", "subspace", "code", "code_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_fully_trained_ivfpq
+# ---------------------------------------------------------------------------
+
+_FT_KPRIME = 10  # ADC shortlist per query
+_FT_TOPK = 3
+
+
+def _ft_oracle() -> str:
+    """Fully-trained IVFPQ oracle: the coarse Lloyd chain (default prefix,
+    asgF = trained cells) + one namespaced Lloyd chain per PQ subspace
+    (s{i}_cent{iters} = trained codebook, s{i}_asgF = codes), ADC on the e6
+    integer grid, exact re-rank."""
+    sub = _DIM // _PQM
+    chains = [
+        kmeans_cells_ctes("embeddings", "embedding", "vec_id", _K, _ITERS, _DIM)
+    ]
+    cb_sel, code_sel = [], []
+    for si in range(_PQM):
+        lo, hi = si * sub + 1, (si + 1) * sub
+        table = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS subv FROM embeddings)"
+        )
+        chains.append(
+            kmeans_cells_ctes(
+                table, "subv", "vec_id", _PQK, _PQ_ITERS, sub,
+                prefix=f"s{si}_",
+            )
+        )
+        cb_sel.append(
+            f"SELECT CAST({si} AS BIGINT) AS subspace, cluster, cv"
+            f" FROM s{si}_cent{_PQ_ITERS}"
+        )
+        code_sel.append(
+            f"SELECT vid AS vec_id, CAST({si} AS BIGINT) AS subspace,"
+            f" cluster FROM s{si}_asgF"
+        )
+    qsub = f"array_slice(c.q_emb, k.subspace * {sub} + 1, (k.subspace + 1) * {sub})"
+    return f"""
+    WITH{",".join(chains)},
+    cb AS ({" UNION ALL ".join(cb_sel)}),
+    codes AS ({" UNION ALL ".join(code_sel)}),
+    cells AS (SELECT vid AS vec_id, cluster AS cell FROM asgF),
+    q AS (
+      SELECT e.vec_id AS q_vec_id, e.embedding AS q_emb, c.cell
+      FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+      WHERE e.vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT q.q_vec_id, q.q_emb, i.vec_id
+      FROM q JOIN cells i ON i.cell = q.cell AND i.vec_id <> q.q_vec_id
+    ),
+    terms AS (
+      SELECT c.q_vec_id, c.vec_id,
+             CAST(floor(1000000.0 *
+               {sqdist_cols_duckdb(qsub, "b.cv")}) AS BIGINT) AS term
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN cb b ON b.subspace = k.subspace AND b.cluster = k.cluster
+    ),
+    adcs AS (
+      SELECT q_vec_id, vec_id, CAST(SUM(term) AS BIGINT) AS adc
+      FROM terms GROUP BY q_vec_id, vec_id
+    ),
+    short AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY adc, vec_id
+      ) AS adc_rank
+      FROM adcs
+    ),
+    refined AS (
+      SELECT s.q_vec_id, s.vec_id, s.adc,
+             {sqdist_cols_duckdb("qq.q_emb", "e.embedding")} AS exact_d,
+             row_number() OVER (
+               PARTITION BY s.q_vec_id
+               ORDER BY {sqdist_cols_duckdb("qq.q_emb", "e.embedding")},
+                        s.vec_id
+             ) AS rank
+      FROM short s
+      JOIN q qq ON qq.q_vec_id = s.q_vec_id
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      WHERE s.adc_rank <= {_FT_KPRIME}
+    )
+    SELECT q_vec_id, vec_id, adc, exact_d, CAST(rank AS BIGINT) AS rank
+    FROM refined WHERE rank <= {_FT_TOPK}
+    """
+
+
+@query("knn_fully_trained_ivfpq", oracle=_ft_oracle())
+def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERYTHING-trained IVFPQ search — the production index with no
+    frozen artifact left: trained coarse quantizer (kmeans_cell_index, the
+    Lloyd cells of kmeans_train), trained per-subspace PQ codebooks
+    (trained_pq_codebooks / trained_pq_code_index, the pq_train artifacts),
+    ADC shortlist, exact re-rank. knn_trained_ivfpq_refine trains the
+    coarse level but scores against the FROZEN pq_codebooks.json; this
+    query closes that last gap (FAISS: train coarse + train PQ on the same
+    sample, then encode + search).
+
+    ADC determinism: each subspace's lookup-table distance is snapped to
+    the e6 integer grid (floor of an identical double — the kmeans grid
+    trick applied to ADC), so the 8-term sum is exact BIGINT regardless of
+    aggregation ORDER — a raw double SUM over a groupBy would be
+    order-nondeterministic across engines AND across Spark retries. The
+    exact re-rank distance stays a fixed-fold double (bit-identical).
+
+    Scale shape: coarse train = k*dim-row shuffles; PQ train = m
+    independent ksub*subdim-row shuffles; encode = one map-only scan; the
+    search is a cell equi-join against 4-byte codes exploded x{_PQM}
+    (tall form joins the 128-row broadcast codebook), then the refine
+    touches |queries| x {_FT_KPRIME} raw vectors. Grow k with N (finding 4
+    of BENCH_scale.md) to keep cells bounded."""
+    from purldb_spark.plans.fixture_cache import (
+        kmeans_cell_index,
+        trained_pq_code_index,
+        trained_pq_codebooks,
+    )
+
+    sub = _DIM // _PQM
+    e = load(spark, sf_dir, "embeddings")
+    cells = kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+    codes = trained_pq_code_index(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
+    books = trained_pq_codebooks(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
+    cb = spark.createDataFrame(
+        [
+            (si, ci + 1, [float(x) for x in books[si][ci]])
+            for si in range(_PQM)
+            for ci in range(_PQK)
+        ],
+        "subspace long, cluster long, cv array<double>",
+    )
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .join(cells, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+        )
+    )
+    cand = q.join(
+        cells.select("vec_id", "cell"),
+        (F.col("q_cell") == F.col("cell"))
+        & (F.col("q_vec_id") != F.col("vec_id")),
+    ).select("q_vec_id", "q_emb", "vec_id")
+    qsub = f"array(slice(q_emb, subspace * {sub} + 1, {sub}))"
+    terms = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(cb), ["subspace", "cluster"])
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.expr(
+                "cast(floor(1000000.0d * element_at(transform("
+                f"{qsub}, s -> {sqdist_cols_spark('s', 'cv')}), 1)) as bigint)"
+            ).alias("term"),
+        )
+    )
+    adcs = terms.groupBy("q_vec_id", "vec_id").agg(
+        F.sum("term").cast("long").alias("adc")
+    )
+    w_adc = Window.partitionBy("q_vec_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = adcs.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= _FT_KPRIME
+    )
+    raw = e.select("vec_id", F.col("embedding").alias("i_emb"))
+    qe = q.select("q_vec_id", "q_emb")
+    refined = (
+        short.join(qe, "q_vec_id")
+        .join(raw, "vec_id")
+        .withColumn("exact_d", F.expr(sqdist_cols_spark("q_emb", "i_emb")))
+    )
+    w_exact = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("exact_d"), F.asc("vec_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("rank") <= _FT_TOPK)
+        .select("q_vec_id", "vec_id", "adc", "exact_d", "rank")
+    )

@@ -436,3 +436,62 @@ def test_pq_train_books_differ_across_subspaces(spark):
     books = trained_pq_codebooks(spark, SF_SMOKE, _PQM, _PQK, _PQ_ITERS)
     flat = {tuple(tuple(c) for c in b) for b in books}
     assert len(flat) == _PQM
+
+
+# ---------------------------------------------------------------------------
+# knn_fully_trained_ivfpq
+# ---------------------------------------------------------------------------
+
+
+def test_fully_trained_output_ranked_by_exact_distance(spark):
+    """Final ranks follow exact_d (tie: vec_id), every returned pair shares
+    the query's TRAINED coarse cell, and adc is a valid e6-grid integer."""
+    from purldb_spark.plans.fixture_cache import kmeans_cell_index
+    from purldb_spark.plans.q_cluster import _FT_TOPK, _ITERS, _K
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["knn_fully_trained_ivfpq"](spark, SF_SMOKE).collect()
+    assert rows
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_cell_index(spark, SF_SMOKE, _K, _ITERS).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert cells[r["q_vec_id"]] == cells[r["vec_id"]]
+        assert r["adc"] >= 0
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _FT_TOPK
+        for a, b in zip(rs, rs[1:]):
+            assert (a["exact_d"], a["vec_id"]) < (b["exact_d"], b["vec_id"])
+
+
+def test_fully_trained_adc_tracks_exact_distance(spark):
+    """The trained-quantizer ADC must correlate with the exact distance on
+    the refined shortlist — Spearman over the returned pairs > 0 (the
+    quantizer is lossy, so not exact, but a trained codebook that doesn't
+    track distance is a broken trainer)."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["knn_fully_trained_ivfpq"](spark, SF_SMOKE).collect()
+    pairs = [(r["adc"], r["exact_d"]) for r in rows]
+    n = len(pairs)
+    assert n >= 6
+    concordant = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if (pairs[i][0] - pairs[j][0]) * (pairs[i][1] - pairs[j][1]) > 0
+    )
+    discordant = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if (pairs[i][0] - pairs[j][0]) * (pairs[i][1] - pairs[j][1]) < 0
+    )
+    assert concordant > discordant

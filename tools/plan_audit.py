@@ -74,6 +74,7 @@ AUDIT = [
     ("knn_hard_negatives", "trained-cell probe + near-dup exclusion + top-k"),
     ("knn_recall_eval", "recall@3 harness: GT scan + 2 IVF configs + mark join"),
     ("pq_train", "8 sub-quantizer fits + one-scan encode + code sizes"),
+    ("knn_fully_trained_ivfpq", "trained cells + trained-PQ ADC (e6 grid) + exact refine"),
 ]
 
 LEDGER = [
