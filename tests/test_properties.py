@@ -155,3 +155,107 @@ def test_purl_validity_regex_agrees_with_parser(ptype, namespace, name, version)
     except ValueError:
         raised = True
     assert raised
+
+
+# ---------------------------------------------------------------------------
+# UniMax waterfilling closed form (plans/q_select.py::select_unimax_budget)
+# ---------------------------------------------------------------------------
+
+
+def _waterfill(caps: list[int], budget: int):
+    """Reference replica of the closed form the Spark/SQL windows compute:
+    sort by (capacity, idx); a row is capped iff capacity * remaining <=
+    remaining budget at its position, taken as a running MIN (prefix);
+    uncapped rows share the leftover uniformly (floor)."""
+    n = len(caps)
+    order = sorted(range(n), key=lambda i: (caps[i], i))
+    prefix = 0
+    run = 1
+    flags = []
+    for pos, i in enumerate(order, start=1):
+        cond = 1 if caps[i] * (n - pos + 1) <= budget - prefix else 0
+        run = min(run, cond)
+        flags.append(run)
+        prefix += caps[i]
+    k = sum(flags)
+    pk = sum(caps[i] for f, i in zip(flags, order) if f)
+    level = (budget - pk) // max(n - k, 1)
+    alloc = [0] * n
+    for f, i in zip(flags, order):
+        alloc[i] = caps[i] if f else level
+    return alloc, flags, order, level, k
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=300, deadline=None)
+def test_unimax_waterfill_axioms(caps, pct):
+    budget = sum(caps) * pct // 100
+    alloc, flags, order, level, k = _waterfill(caps, budget)
+    n = len(caps)
+    # never exceed a language's own capacity-epoch cap
+    assert all(0 <= a <= max(c, level) for a, c in zip(alloc, caps))
+    for f, i in zip(flags, order):
+        if f:
+            assert alloc[i] == caps[i]
+    # budget conservation: total within floor loss of the budget, never over
+    total = sum(alloc)
+    if k < n:
+        assert total <= budget
+        assert total >= budget - (n - k)  # floor loses < 1 per uncapped row
+    else:
+        # everything fits: entire corpus allocated, budget covers it
+        assert total == sum(caps) and total <= budget
+    # the capped set is a PREFIX of the capacity order (the property that
+    # makes the running-MIN window correct)
+    assert flags == sorted(flags, reverse=True)
+    # water level dominates every capped capacity (uncapped rows never get
+    # less than a capped row's full corpus)
+    if k < n:
+        for f, i in zip(flags, order):
+            if f:
+                assert caps[i] <= level + 1  # +1 for integer floor
+
+
+# ---------------------------------------------------------------------------
+# sqrt-temperature smoothing (plans/q_select.py::mix_temperature_sampling)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=100, max_value=10**12), min_size=2, max_size=10
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_temperature_smoothing_flattens_toward_uniform(tokens):
+    import math
+
+    w = [math.floor(1e6 * math.sqrt(t)) for t in tokens]
+    tot_t, tot_w = sum(tokens), sum(w)
+    n = len(tokens)
+    # NOT every share moves toward 1/n (middle shares can move away when
+    # the distribution is multi-modal — hypothesis found [100, 556021,
+    # 1094592] where the middle share GROWS past uniform); the true
+    # invariants of p^alpha smoothing with 0 < alpha < 1 are:
+    # 1) relative-gain monotonicity: smaller languages gain relatively —
+    #    w_i * t_j >= w_j * t_i whenever t_i <= t_j (exact integers)
+    for i in range(n):
+        for j in range(n):
+            if tokens[i] <= tokens[j]:
+                # sqrt(t_i)t_j >= sqrt(t_j)t_i up to the e6 floor: compare
+                # on the grid with the floor slack of one w unit
+                assert (w[i] + 1) * tokens[j] >= (w[j] - 1) * tokens[i]
+    # 2) the extremes move toward uniform: max share shrinks, min grows
+    p_raw = [t * 1_000_000 // tot_t for t in tokens]
+    p_samp = [wi * 1_000_000 // tot_w for wi in w]
+    i_max = max(range(n), key=lambda i: (tokens[i], i))
+    i_min = min(range(n), key=lambda i: (tokens[i], -i))
+    assert p_samp[i_max] <= p_raw[i_max] + 2
+    assert p_samp[i_min] >= p_raw[i_min] - 2
+    # 3) sqrt preserves the order of the raw counts
+    order_raw = sorted(range(n), key=lambda i: (tokens[i], i))
+    order_w = sorted(range(n), key=lambda i: (w[i], i))
+    assert order_raw == order_w
