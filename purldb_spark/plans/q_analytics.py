@@ -48,9 +48,12 @@ def _revenue() -> F.Column:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: filter both fact inputs BEFORE the joins (the
-    selective customer side broadcasts), aggregate revenue exactly, top-10
-    with full tie-break. Catalyst pushes all three filters into the scans."""
+    """TPC-H Q3 shape: filter both fact inputs BEFORE the joins, aggregate
+    revenue exactly, top-10 with full tie-break. Catalyst pushes all three
+    filters into the scans. No broadcast hint on the filtered customer
+    side: at bench scale AQE broadcasts it anyway (measured BHJ), but at
+    100 TB a 1/5 slice of customer is billions of keys — forcing it to the
+    build side would OOM; AQE picks per-run from actual sizes."""
     c = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -61,7 +64,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"), "o_orderdate", "o_orderpriority"
         )
@@ -106,7 +109,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        # supplier is SF-scaled (billions of rows at 100 TB): no hint, AQE
+        # decides; nation/region below are fixed 25/5-row dims — always hint
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
