@@ -40,6 +40,7 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
         near_dup_pairs,
         pq_code_index,
         simhash_fingerprints,
+        trained_centroids,
         trained_pq_code_index,
         trained_pq_codebooks,
         unit_embeddings,
@@ -61,6 +62,7 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     unit_embeddings(spark, sf_dir).count()
     emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()
     emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS).count()
+    trained_centroids(spark, sf_dir, 8, 3)
     kmeans_cell_index(spark, sf_dir, 8, 3).count()
     pq_code_index(spark, sf_dir).count()
     ivf_cell_index(spark, sf_dir).count()

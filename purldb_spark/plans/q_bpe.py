@@ -246,3 +246,60 @@ def pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = _doc_token_counts(spark, sf_dir).select("doc_id", "n_tokens")
     packed = pack_greedy(counts, "doc_id", "n_tokens", _PACK_BUDGET, seed=11)
     return packed.select("doc_id", "shard", "bin_id", "n_tokens")
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH {_bpe_ctes(_ITERS)},
+    tok AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(e.syms, ' '))) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, lang, u.wd
+        FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+        WHERE u.wd <> ''
+      ) d
+      JOIN w{_ITERS} e ON e.w = d.wd
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) * 1000000 // SUM(n_words) AS BIGINT)
+             AS fertility_e6
+    FROM tok GROUP BY lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE tokens per word, the standard
+    multilingual-tokenizer evaluation metric (e.g. Rust et al. 2021, "How
+    Good is Your Tokenizer?"): a vocabulary trained on a skewed language
+    mix over-segments the under-represented languages, and this per-language
+    ratio is how that bias is measured and monitored. Fertility rides the
+    e6 integer grid (tokens*1e6 // words), so the report is BIGINT-exact.
+
+    Scale shape: the same corpus x vocab equi-join as bpe_encode_stats
+    (vocabulary-bounded build side, AQE broadcasts it), aggregated to
+    language granularity — a few thousand output rows at any corpus size."""
+    enc = bpe_trained_words(spark, sf_dir)
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size(F.split("toks", " "))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility_e6",
+            F.expr("n_tokens * 1000000L div n_words").cast("long"),
+        )
+    )

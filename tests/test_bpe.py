@@ -98,3 +98,22 @@ def test_eow_marker_segments_word_boundaries(spark):
     enc = encoded_vocab(vocab_df, [])
     for r in enc.collect():
         assert r["toks"].split(" ")[-1] == EOW
+
+
+def test_fertility_by_lang_consistent_with_encode_stats(spark):
+    """Per-language fertility aggregates the same (doc, token) counts as
+    bpe_encode_stats; fertility >= 1e6 (a word is at least one subword)."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+    from tests.conftest import SF_SMOKE
+
+    load_inventory()
+    fert = QUERIES["bpe_fertility_by_lang"](spark, SF_SMOKE).collect()
+    assert fert
+    for r in fert:
+        assert r["fertility_e6"] >= 1_000_000
+        assert r["fertility_e6"] == r["n_tokens"] * 1_000_000 // r["n_words"]
+    stats = QUERIES["bpe_encode_stats"](spark, SF_SMOKE).collect()
+    assert sum(r["n_tokens"] for r in fert) == sum(
+        r["n_tokens"] for r in stats
+    )
+    assert sum(r["n_words"] for r in fert) == sum(r["n_words"] for r in stats)

@@ -85,6 +85,7 @@ PROBES = [
     ("knn_hard_negatives", "cell-bounded equi-join + per-anchor window — largest-cell bound: 4.6x at FIXED k=8 (cells grow with N); grow k with N per finding 4 to restore linear"),
     ("knn_recall_eval", "GT side is anchors(N/50) x N — super-linear BY CONSTRUCTION here; production pins the anchor sample, making the GT scan linear"),
     ("pq_train", "per-subspace ksub*subdim-row shuffles + map-only encode — linear"),
+    ("bpe_fertility_by_lang", "encode join + lang agg — linear"),
     ("knn_fully_trained_ivfpq", "cell equi-join x 8-subspace explode + 128-row broadcast codebook — FIXED k=8, grows with cell size (finding 4)"),
 ]
 
