@@ -563,11 +563,13 @@ _FT_KPRIME = 10  # ADC shortlist per query
 _FT_TOPK = 3
 
 
-def _ft_oracle() -> str:
-    """Fully-trained IVFPQ oracle: the coarse Lloyd chain (default prefix,
-    asgF = trained cells) + one namespaced Lloyd chain per PQ subspace
-    (s{i}_cent{iters} = trained codebook, s{i}_asgF = codes), ADC on the e6
-    integer grid, exact re-rank."""
+def _ft_refined_ctes() -> str:
+    """Shared CTE body of the fully-trained IVFPQ oracles (through
+    ``refined``): the coarse Lloyd chain (default prefix, asgF = trained
+    cells) + one namespaced Lloyd chain per PQ subspace (s{i}_cent{iters}
+    = trained codebook, s{i}_asgF = codes), ADC on the e6 integer grid,
+    exact re-rank. knn_fully_trained_ivfpq cuts it at top-k;
+    knn_recall_fully_trained marks it against the exact ground truth."""
     sub = _DIM // _PQM
     chains = [
         kmeans_cells_ctes("embeddings", "embedding", "vec_id", _K, _ITERS, _DIM)
@@ -594,7 +596,7 @@ def _ft_oracle() -> str:
         )
     qsub = f"array_slice(c.q_emb, k.subspace * {sub} + 1, (k.subspace + 1) * {sub})"
     return f"""
-    WITH{",".join(chains)},
+    {",".join(chains)},
     cb AS ({" UNION ALL ".join(cb_sel)}),
     codes AS ({" UNION ALL ".join(code_sel)}),
     cells AS (SELECT vid AS vec_id, cluster AS cell FROM asgF),
@@ -638,6 +640,13 @@ def _ft_oracle() -> str:
       JOIN embeddings e ON e.vec_id = s.vec_id
       WHERE s.adc_rank <= {_FT_KPRIME}
     )
+    """
+
+
+def _ft_oracle() -> str:
+    """Fully-trained IVFPQ oracle: the shared CTE body + the top-k cut."""
+    return f"""
+    WITH{_ft_refined_ctes()}
     SELECT q_vec_id, vec_id, adc, exact_d, CAST(rank AS BIGINT) AS rank
     FROM refined WHERE rank <= {_FT_TOPK}
     """
@@ -734,4 +743,101 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         refined.withColumn("rank", F.row_number().over(w_exact).cast("long"))
         .filter(F.col("rank") <= _FT_TOPK)
         .select("q_vec_id", "vec_id", "adc", "exact_d", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_fully_trained
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_recall_fully_trained",
+    oracle=f"""
+    WITH{_ft_refined_ctes()},
+    approx AS (
+      SELECT q_vec_id, vec_id FROM refined WHERE rank <= {_FT_TOPK}
+    ),
+    gt AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT qq.q_vec_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY qq.q_vec_id
+                 ORDER BY {sqdist_cols_duckdb("qq.q_emb", "e.embedding")},
+                          e.vec_id
+               ) AS rank
+        FROM q qq JOIN embeddings e ON e.vec_id <> qq.q_vec_id
+      ) WHERE rank <= {_FT_TOPK}
+    ),
+    marked AS (
+      SELECT CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END AS in_gt
+      FROM approx a LEFT JOIN gt g
+        ON a.q_vec_id = g.q_vec_id AND a.vec_id = g.vec_id
+    )
+    SELECT 'fully_trained_ivfpq' AS method,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(in_gt) AS BIGINT) AS hits,
+           CAST((SELECT count(*) FROM gt) AS BIGINT) AS possible,
+           CAST(sum(in_gt) * 1000000 // (SELECT count(*) FROM gt) AS BIGINT)
+             AS recall_e6
+    FROM marked
+    """,
+)
+def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_FT_TOPK} of the SHIPPED index configuration — the
+    fully-trained IVFPQ pipeline (knn_fully_trained_ivfpq's exact plan)
+    marked against the exact squared-L2 top-{_FT_TOPK} ground truth. This
+    is the one number an ANN deployment actually publishes: not the recall
+    of a probe primitive (knn_recall_eval covers nprobe1/nprobe2) but of
+    the end-to-end trained-coarse + trained-PQ + ADC-shortlist + refine
+    stack; the GT metric is L2 to match the index's metric.
+
+    Scale shape: the approx side is the production cell-equi-join plan;
+    the GT side is the labeled anchors x corpus exact scan (same sampled-
+    anchor production note as knn_recall_eval — recall monitoring pins a
+    few thousand anchors at 100 TB, making the GT scan linear). hits /
+    possible / recall ride the e6 BIGINT grid."""
+    e = load(spark, sf_dir, "embeddings")
+    approx = knn_fully_trained_ivfpq(spark, sf_dir).select(
+        "q_vec_id", "vec_id"
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    n_anchors = q.count()  # driver-side scalar (documented BNLJ avoidance)
+    possible = _FT_TOPK * n_anchors
+
+    from purldb_spark.conf import shuffle_partitions
+
+    n_part = shuffle_partitions(spark)
+    scored = (
+        e.repartition(n_part, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("exact_d", F.expr(sqdist_cols_spark("q_emb", "embedding")))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("exact_d"), F.asc("vec_id")
+    )
+    gt = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _FT_TOPK)
+        .select("q_vec_id", "vec_id")
+    )
+    marked = approx.join(
+        gt.withColumn("in_gt", F.lit(1)), ["q_vec_id", "vec_id"], "left"
+    ).select(F.coalesce(F.col("in_gt"), F.lit(0)).alias("in_gt"))
+    return (
+        marked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("in_gt").cast("long").alias("hits"),
+        )
+        .withColumn("method", F.lit("fully_trained_ivfpq"))
+        .withColumn("possible", F.lit(possible).cast("long"))
+        .withColumn(
+            "recall_e6",
+            F.expr(f"hits * 1000000L div {possible}L").cast("long"),
+        )
+        .select("method", "n_pairs", "hits", "possible", "recall_e6")
     )

@@ -495,3 +495,20 @@ def test_fully_trained_adc_tracks_exact_distance(spark):
         if (pairs[i][0] - pairs[j][0]) * (pairs[i][1] - pairs[j][1]) < 0
     )
     assert concordant > discordant
+
+
+def test_recall_fully_trained_row_is_consistent(spark):
+    """One row, integer-exact fields, hits bounded by both pair count and
+    the possible set, and the refine guarantee: every returned pair that
+    IS in the exact top-k counts as a hit (recall > 0 on the planted
+    near-dup structure)."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["knn_recall_fully_trained"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["method"] == "fully_trained_ivfpq"
+    assert 0 <= r["hits"] <= min(r["n_pairs"], r["possible"])
+    assert r["recall_e6"] == r["hits"] * 1_000_000 // r["possible"]
+    assert r["recall_e6"] > 0

@@ -2,14 +2,15 @@
 
 Every registered query's physical plan must be free of
 CartesianProduct / BroadcastNestedLoopJoin — the shapes that stop
-scaling past one executor — except the two labeled all-pairs
-baselines, whose bucketed scale twins are the production path:
+scaling past one executor — except the labeled all-pairs
+baselines below, whose bucketed scale twins (or sampled-anchor
+production shapes) are the scale path:
 
 - knn_bruteforce (exact top-k ground truth; twin knn_lsh_bucketed)
 - dedup_embedding_cosine (exact pair verify; twin dedup_embedding_blocked)
-- knn_recall_eval (recall@k harness — its ground-truth side IS the
-  labeled anchors x corpus exact scan; the approximate sides under
-  evaluation stay cell-bounded equi-joins)
+- knn_recall_eval / knn_recall_fully_trained (recall@k harnesses —
+  their ground-truth side IS the labeled anchors x corpus exact scan;
+  the approximate sides under evaluation stay cell-bounded equi-joins)
 
 This is the regression fence for the DESIGN.md claim that every
 candidate generation is an equi-join: a constant-folded join key (the
@@ -34,6 +35,7 @@ ALLPAIRS_BASELINES = {
     "knn_bruteforce",
     "dedup_embedding_cosine",
     "knn_recall_eval",
+    "knn_recall_fully_trained",
 }
 
 

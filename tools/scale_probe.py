@@ -86,6 +86,7 @@ PROBES = [
     ("knn_recall_eval", "GT side is anchors(N/50) x N — super-linear BY CONSTRUCTION here; production pins the anchor sample, making the GT scan linear"),
     ("pq_train", "per-subspace ksub*subdim-row shuffles + map-only encode — linear"),
     ("bpe_fertility_by_lang", "encode join + lang agg — linear"),
+    ("knn_recall_fully_trained", "production-config recall: approx side finding-4 cell-bound, GT side anchors(N/50) x N by construction"),
     ("knn_fully_trained_ivfpq", "cell equi-join x 8-subspace explode + 128-row broadcast codebook — FIXED k=8, grows with cell size (finding 4)"),
 ]
 
