@@ -1202,15 +1202,30 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g3"),
         (F.row_number().over(w_dedup) == 1).alias("g4"),
     )
+    # coalesce every conditional sum: on an EMPTY corpus Spark's SUM is
+    # NULL while the oracle's COUNT(*) FILTER is 0 — the funnel must report
+    # zeros, not nulls (tests/test_robustness.py pins this)
     a = b.agg(
         F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum(F.col("g1").cast("long")).cast("long").alias("k1"),
-        F.sum((F.col("g1") & F.col("g2")).cast("long")).cast("long").alias("k2"),
-        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long"))
+        F.coalesce(F.sum(F.col("g1").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("k1"),
+        F.coalesce(F.sum((F.col("g1") & F.col("g2")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("k2"),
+        F.coalesce(
+            F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("k3"),
-        F.sum(
-            (F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).cast("long")
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")
+                ).cast("long")
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("k4"),

@@ -127,14 +127,25 @@ def funnel_report(spark: SparkSession, decisions_dir: str) -> DataFrame:
     same conditional-sums + stack() unpivot as the batch face, computed
     from the decisions table so replays can never double-count."""
     d = spark.read.parquet(decisions_dir)
+    # coalesced like the batch face: zeros, not nulls, before any decision
+    # row has streamed through
     a = d.agg(
         F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum(F.col("g1").cast("long")).cast("long").alias("k1"),
-        F.sum((F.col("g1") & F.col("g2")).cast("long")).cast("long").alias("k2"),
-        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long"))
+        F.coalesce(F.sum(F.col("g1").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("k1"),
+        F.coalesce(F.sum((F.col("g1") & F.col("g2")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("k2"),
+        F.coalesce(
+            F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("k3"),
-        F.sum(F.col("admitted").cast("long")).cast("long").alias("k4"),
+        F.coalesce(F.sum(F.col("admitted").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("k4"),
     )
     return a.selectExpr(
         "stack(4,"

@@ -74,3 +74,38 @@ def test_simhash_banding_guarantee_vs_brute_force(spark):
     }
     assert found == brute  # banding finds EXACTLY the brute-force set
     assert len(brute) >= 20  # the planted pairs are all in there
+
+
+def test_new_selection_queries_on_empty_corpus(spark, tmp_path):
+    """Degenerate input: an empty documents table. The funnel must report
+    ZEROS (not nulls — Spark SUM over empty is null where the DuckDB
+    oracle's COUNT FILTER is 0); the language-mixture queries must return
+    zero rows without erroring."""
+    import pyspark.sql.types as T
+
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame([], schema).write.parquet(f"{sf}/documents.parquet")
+
+    funnel = sorted(
+        QUERIES["corpus_funnel_report"](spark, sf).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in funnel] == [1, 2, 3, 4]
+    for r in funnel:
+        assert r["n_in"] == 0 and r["n_kept"] == 0  # zeros, never null
+
+    assert QUERIES["mix_temperature_sampling"](spark, sf).count() == 0
+    assert QUERIES["select_unimax_budget"](spark, sf).count() == 0
+    assert QUERIES["select_gopher_rules"](spark, sf).count() == 0
