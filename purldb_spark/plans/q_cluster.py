@@ -776,9 +776,10 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'fully_trained_ivfpq' AS method,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(in_gt) AS BIGINT) AS hits,
+           CAST(COALESCE(sum(in_gt), 0) AS BIGINT) AS hits,
            CAST((SELECT count(*) FROM gt) AS BIGINT) AS possible,
-           CAST(sum(in_gt) * 1000000 // (SELECT count(*) FROM gt) AS BIGINT)
+           CAST(COALESCE(sum(in_gt), 0) * 1000000
+                // (SELECT greatest(count(*), 1) FROM gt) AS BIGINT)
              AS recall_e6
     FROM marked
     """,
@@ -828,16 +829,19 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = approx.join(
         gt.withColumn("in_gt", F.lit(1)), ["q_vec_id", "vec_id"], "left"
     ).select(F.coalesce(F.col("in_gt"), F.lit(0)).alias("in_gt"))
+    # coalesced + division guard so an EMPTY corpus reports a zero row
+    # identically in both engines (Spark SUM over empty is null; x div 0
+    # is null where DuckDB // 0 errors)
     return (
         marked.agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("in_gt").cast("long").alias("hits"),
+            F.coalesce(F.sum("in_gt"), F.lit(0)).cast("long").alias("hits"),
         )
         .withColumn("method", F.lit("fully_trained_ivfpq"))
         .withColumn("possible", F.lit(possible).cast("long"))
         .withColumn(
             "recall_e6",
-            F.expr(f"hits * 1000000L div {possible}L").cast("long"),
+            F.expr(f"hits * 1000000L div {max(possible, 1)}L").cast("long"),
         )
         .select("method", "n_pairs", "hits", "possible", "recall_e6")
     )
