@@ -845,3 +845,70 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("method", "n_pairs", "hits", "possible", "recall_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_index_stats
+# ---------------------------------------------------------------------------
+
+_HOT_NUM, _HOT_DEN = 2, 1  # hot cell: size > 2x the perfect-balance share
+
+
+@query(
+    "ann_index_stats",
+    oracle=f"""
+    WITH{kmeans_cells_ctes("embeddings", "embedding", "vec_id", _K, _ITERS, _DIM)},
+    sizes AS (
+      SELECT cluster AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM asgF GROUP BY cluster
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(n_vectors) OVER () AS BIGINT) AS n_total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+      FROM sizes
+    )
+    SELECT cell, n_vectors,
+           CAST(n_vectors * 1000000 // n_total AS BIGINT) AS share_e6,
+           n_vectors * n_cells * {_HOT_DEN} > n_total * {_HOT_NUM} AS is_hot
+    FROM tot
+    """,
+)
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-balance monitoring — per-cell population of the trained IVF
+    index: vector count, corpus share on the e6 grid, and the hot-cell
+    flag (size > {_HOT_NUM}x the perfect-balance share, cross-multiplied
+    so the comparison stays BIGINT-exact). This is the dashboard row
+    behind BENCH_scale.md finding 4: probe cost is bounded by the largest
+    cell, so a production deployment watches exactly this skew and grows
+    k (retrains) when cells run hot — the monitoring face of the
+    train/encode/maintain/probe/eval family.
+
+    Scale shape: one count per cell off the materialized cell index
+    (k rows out regardless of corpus size), two window functions over the
+    k-row frame. The oracle recomputes the cells from raw embeddings via
+    the unrolled Lloyd chain, so the cached index cannot mask a drifted
+    assignment."""
+    from pyspark.sql import Window
+
+    from purldb_spark.plans.fixture_cache import kmeans_cell_index
+
+    sizes = (
+        kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = sizes.withColumn(
+        "n_total", F.sum("n_vectors").over(w_all).cast("long")
+    ).withColumn("n_cells", F.count(F.lit(1)).over(w_all).cast("long"))
+    return tot.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        F.expr("n_vectors * 1000000L div n_total").cast("long").alias("share_e6"),
+        (
+            F.col("n_vectors") * F.col("n_cells") * F.lit(_HOT_DEN)
+            > F.col("n_total") * F.lit(_HOT_NUM)
+        ).alias("is_hot"),
+    )
