@@ -75,6 +75,9 @@ AUDIT = [
     ("knn_recall_eval", "recall@3 harness: GT scan + 2 IVF configs + mark join"),
     ("pq_train", "8 sub-quantizer fits + one-scan encode + code sizes"),
     ("knn_fully_trained_ivfpq", "trained cells + trained-PQ ADC (e6 grid) + exact refine"),
+    ("knn_recall_fully_trained", "shipped-config recall: GT scan + mark join + 1-row agg"),
+    ("ann_index_stats", "k-row cell agg + tiny-frame windows"),
+    ("bpe_fertility_by_lang", "encode join + language agg"),
 ]
 
 LEDGER = [
