@@ -208,9 +208,11 @@ def main() -> None:
         + rows
         + [
             "",
-            "The only intentional nested-loop plan in the registry is the",
-            "labeled kNN ground-truth baseline (`knn_bruteforce`); every",
-            "other query is fenced to equi-join shapes by",
+            "The only intentional nested-loop plans in the registry are the",
+            "labeled kNN ground-truth baseline (`knn_bruteforce`) and the two",
+            "recall@k harnesses (`knn_recall_eval`, `knn_recall_fully_trained`),",
+            "whose ground-truth side IS that labeled anchors x corpus scan;",
+            "every other query is fenced to equi-join shapes by",
             "`tests/test_plan_shapes.py`.",
             "",
         ]
