@@ -463,3 +463,117 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thresholded near-dup clusters are near-cliques: the changed-label
     # early-exit stops after 2-3 waves; max_iter stays a deep safety bound
     return dup_clusters(spark, sf_dir)
+
+
+# ---------------------------------------------------- dedup_recall_eval --
+
+
+@query(
+    "dedup_recall_eval",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM shingles GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS intersection
+      FROM cands c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    lsh AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes na ON na.doc_id = id_a
+                 JOIN sizes nb ON nb.doc_id = id_b
+      WHERE CAST(intersection AS DOUBLE) / (na.n + nb.n - intersection) >= 0.5
+    ),
+    gt AS (
+      SELECT doc_a AS id_a, doc_b AS id_b FROM (
+        {ORACLES["dedup_ngram_jaccard"]}
+      ) g
+    ),
+    marked AS (
+      SELECT CASE WHEN l.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM gt g LEFT JOIN lsh l
+        ON l.id_a = g.id_a AND l.id_b = g.id_b
+    )
+    SELECT 'minhash_lsh_{_N_HASHES}x{_BAND_SIZE}' AS method,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(sum(hit), 0) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS possible,
+           CAST(COALESCE(sum(hit), 0) * 1000000
+                // (SELECT greatest(count(*), 1) FROM gt) AS BIGINT)
+             AS recall_e6,
+           CAST(COALESCE(sum(hit), 0) * 1000000
+                // (SELECT greatest(count(*), 1) FROM cands) AS BIGINT)
+             AS cand_precision_e6
+    FROM marked
+    """,
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation — the text twin of knn_recall_fully_trained:
+    banding recall of the MinHash-LSH pipeline against the EXACT
+    all-pairs jaccard >= 0.5 ground truth (dedup_ngram_jaccard's inverted
+    index), plus candidate efficiency (what fraction of banded candidate
+    pairs survive the exact verify — the knob that prices the verify
+    stage). Both pipelines share the identical shingle/jaccard semantics,
+    so the verified LSH pairs are a true subset of the ground truth and
+    recall isolates pure banding loss ({_N_HASHES} hashes x
+    {_N_HASHES // _BAND_SIZE} bands of {_BAND_SIZE}); this is the number a
+    production dedup run publishes when choosing its band configuration
+    (the BENCH_scale finding-1 knob: buy recall with bands/probes, not
+    index copies).
+
+    Scale shape: the approx side is the production banded equi-join off
+    the persistent band index; the GT side is the df-bounded inverted
+    index (sum(df^2) — the labeled ground-truth cost, sampled in
+    production recall monitoring). All counts and ratios ride the e6
+    BIGINT grid; empty-corpus behavior is zeros via coalesce + division
+    guards."""
+    sh = doc_shingles(spark, sf_dir)
+    bands = minhash_band_index(spark, sf_dir)
+    cands = lsh_candidate_pairs(bands, "doc_id")
+    n_candidates = cands.count()  # driver scalar (documented BNLJ avoidance)
+    lsh = verify_jaccard(cands, sh, "doc_id", 0.5).select("id_a", "id_b")
+    gt = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    n_gt = gt.count()  # driver scalar
+    marked = gt.join(
+        lsh.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select(F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    return (
+        marked.agg(
+            F.count(F.lit(1)).cast("long").alias("possible"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .withColumn(
+            "method", F.lit(f"minhash_lsh_{_N_HASHES}x{_BAND_SIZE}")
+        )
+        .withColumn("n_candidates", F.lit(n_candidates).cast("long"))
+        .withColumn(
+            "recall_e6",
+            F.expr(f"hits * 1000000L div {max(n_gt, 1)}L").cast("long"),
+        )
+        .withColumn(
+            "cand_precision_e6",
+            F.expr(f"hits * 1000000L div {max(n_candidates, 1)}L").cast(
+                "long"
+            ),
+        )
+        .select(
+            "method",
+            "n_candidates",
+            "hits",
+            "possible",
+            "recall_e6",
+            "cand_precision_e6",
+        )
+    )

@@ -268,3 +268,32 @@ def test_projected_blocking_is_subset_of_exact_pairs(spark):
     assert blocked  # the config must surface at least one pair at sf0.01
     for r in blocked:
         assert exact[(r["id_a"], r["id_b"])] == r["cosine"]
+
+
+def test_dedup_recall_eval_consistent_with_registry_queries(spark):
+    """recall numerator equals the intersection of the standalone LSH and
+    exact-jaccard registry outputs; verified-LSH pairs are a subset of the
+    ground truth (shared threshold), so candidate precision <= recall
+    denominator logic holds."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+    from tests.conftest import SF_SMOKE
+
+    load_inventory()
+    row = QUERIES["dedup_recall_eval"](spark, SF_SMOKE).collect()[0]
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    gt = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    assert lsh <= gt  # same verify threshold: banding only loses pairs
+    assert row["hits"] == len(lsh & gt) == len(lsh)
+    assert row["possible"] == len(gt)
+    assert 0 < row["hits"] <= row["n_candidates"]
+    assert row["recall_e6"] == row["hits"] * 1_000_000 // max(len(gt), 1)
+    assert (
+        row["cand_precision_e6"]
+        == row["hits"] * 1_000_000 // max(row["n_candidates"], 1)
+    )

@@ -78,6 +78,7 @@ AUDIT = [
     ("knn_recall_fully_trained", "shipped-config recall: GT scan + mark join + 1-row agg"),
     ("ann_index_stats", "k-row cell agg + tiny-frame windows"),
     ("bpe_fertility_by_lang", "encode join + language agg"),
+    ("dedup_recall_eval", "LSH-vs-exact-jaccard mark join + 1-row agg"),
 ]
 
 LEDGER = [

@@ -88,6 +88,7 @@ PROBES = [
     ("bpe_fertility_by_lang", "encode join + lang agg — linear"),
     ("knn_recall_fully_trained", "production-config recall: approx side finding-4 cell-bound, GT side anchors(N/50) x N by construction"),
     ("ann_index_stats", "k-row agg off the cell index + tiny-frame windows — linear"),
+    ("dedup_recall_eval", "banded equi-join approx side + sum(df^2) GT side (labeled ground-truth cost, sampled in production)"),
     ("knn_fully_trained_ivfpq", "cell equi-join x 8-subspace explode + 128-row broadcast codebook — FIXED k=8, grows with cell size (finding 4)"),
 ]
 
