@@ -50,9 +50,15 @@ EOW = "</w>"
 
 
 def _q(sym: str) -> str:
-    """SQL-quote a symbol literal (symbols never contain spaces — they are
-    drawn from whitespace-split words plus the marker)."""
-    return "'" + sym.replace("'", "''") + "'"
+    """Spark-SQL-quote a symbol literal (symbols never contain spaces —
+    they are drawn from whitespace-split words plus the marker).
+
+    Spark's default lexer escapes with BACKSLASH, not SQL-92 doubling:
+    ``'it''s'`` lexes as two adjacent string tokens, so a corpus word with
+    an apostrophe in a learned merge pair would break the plan while the
+    DuckDB oracle (which re-derives merges relationally and never sees
+    these literals) sailed on — escape ``\\`` then ``'`` instead."""
+    return "'" + sym.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -459,6 +459,60 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
 
+_OWNER_PIDFILE = ".owner_pid"
+# a directory with NO pidfile (pre-pidfile layout, or one racing between
+# mkdir and pidfile write) is evicted only once it is unambiguously stale
+_NO_PIDFILE_TTL_SEC = 3600.0
+
+
+def _pid_alive(pid: int) -> bool:
+    """True iff ``pid`` exists on this host (signal-0 probe).
+
+    PermissionError means the pid exists under another uid — alive."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _evict_dead_bucketed(root: str, app: str) -> None:
+    """Remove other sessions' ``.bucketed/<appId>`` directories ONLY when
+    their owning driver process is provably dead (pidfile probe), or —
+    for directories without a pidfile — older than _NO_PIDFILE_TTL_SEC.
+
+    A live concurrent session (parallel bench, test run, CI worker) keeps
+    its directory: blind rmtree of everything-not-me would yank its
+    bucketed table files mid-query (missing-file task failures)."""
+    import os
+    import shutil
+    import time
+
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if d == app:
+            continue
+        path = os.path.join(root, d)
+        pidfile = os.path.join(path, _OWNER_PIDFILE)
+        try:
+            pid = int(open(pidfile).read().strip())
+        except (OSError, ValueError):
+            # no/unreadable pidfile: age-based fallback only
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age > _NO_PIDFILE_TTL_SEC:
+                shutil.rmtree(path, ignore_errors=True)
+            continue
+        if not _pid_alive(pid):
+            shutil.rmtree(path, ignore_errors=True)
+
 
 def bucketed_orderkey_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 16
@@ -489,14 +543,15 @@ def bucketed_orderkey_tables(
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     app = spark.sparkContext.applicationId
     root = os.path.join(here, ".bucketed")
-    # drop other sessions' table files (same lifecycle as cached_fixture's
-    # stale-application eviction — dead sessions never read them again)
-    if os.path.isdir(root):
-        import shutil
-
-        for d in os.listdir(root):
-            if d != app:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # claim this session's directory (pidfile first, before any table file
+    # lands in it) and evict only PROVABLY DEAD sessions' directories — a
+    # concurrent session (parallel bench / test run / CI worker) must never
+    # lose its live table files mid-query
+    appdir = os.path.join(root, app)
+    os.makedirs(appdir, exist_ok=True)
+    with open(os.path.join(appdir, _OWNER_PIDFILE), "w") as fh:
+        fh.write(str(os.getpid()))
+    _evict_dead_bucketed(root, app)
     names: list[str] = []
     for base, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         name = f"bk_{base}_{sfx}"

@@ -806,8 +806,6 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_emb"),
     )
-    n_anchors = q.count()  # driver-side scalar (documented BNLJ avoidance)
-    possible = _FT_TOPK * n_anchors
 
     from purldb_spark.conf import shuffle_partitions
 
@@ -825,7 +823,13 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _FT_TOPK)
         .select("q_vec_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
+    # the ACTUAL ground-truth row count, not _FT_TOPK x anchors: an anchor
+    # with fewer eligible neighbors yields fewer gt rows, and the oracle's
+    # (SELECT count(*) FROM gt) counts that way (driver scalar off the
+    # checkpointed gt — documented BNLJ avoidance)
+    possible = gt.count()
     marked = approx.join(
         gt.withColumn("in_gt", F.lit(1)), ["q_vec_id", "vec_id"], "left"
     ).select(F.coalesce(F.col("in_gt"), F.lit(0)).alias("in_gt"))

@@ -312,10 +312,10 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derive their candidate joins, everything unions into a tall
     (method, pair) frame marked by a left join against the ground-truth
     pairs, and one groupBy(method) yields hits / n_pairs / recall.
-    ``possible`` (= 3 x anchors) is collected driver-side as a scalar —
-    the documented BNLJ-avoidance pattern (never crossJoin a 1-row
-    aggregate) — while the oracle uses a scalar subquery for the same
-    number.
+    ``possible`` (= count of ground-truth pairs) is collected driver-side
+    as a scalar — the documented BNLJ-avoidance pattern (never crossJoin a
+    1-row aggregate) — while the oracle uses a scalar subquery for the
+    same number.
 
     Scale shape: the GT scan is anchors x corpus with the anchor side
     broadcast (brute_force_topk's layout) — at 100 TB you hold the anchor
@@ -331,12 +331,17 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_embedding"),
         F.col("ivf_cell").alias("q_cell"),
     )
-    n_anchors = q.count()  # driver-side scalar (documented BNLJ avoidance)
-    possible = 3 * n_anchors
-
-    gt = brute_force_topk(q.select("q_vec_id", "q_embedding"), e, k=3).select(
-        "q_vec_id", "vec_id"
+    gt = (
+        brute_force_topk(q.select("q_vec_id", "q_embedding"), e, k=3)
+        .select("q_vec_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
+    # ``possible`` must be the ACTUAL ground-truth row count, not
+    # 3 x anchors: an anchor with fewer than 3 eligible neighbors (tiny or
+    # sparse corpus) yields fewer gt rows, and the oracle's
+    # (SELECT count(*) FROM gt) already counts that way.  Driver-side
+    # scalar off the checkpointed gt (documented BNLJ avoidance).
+    possible = gt.count()
 
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
 
@@ -382,6 +387,6 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("possible", F.lit(possible).cast("long"))
         .withColumn(
             "recall_e6",
-            F.expr(f"hits * 1000000L div {possible}L").cast("long"),
+            F.expr(f"hits * 1000000L div {max(possible, 1)}L").cast("long"),
         )
     )

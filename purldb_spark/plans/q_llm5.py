@@ -121,14 +121,14 @@ _PACK_BUDGET = 4096
     pref AS (SELECT g, count(*) AS cnt FROM pgrams WHERE lang = 'en' GROUP BY g),
     ptot AS (SELECT sum(cnt) AS total, count(*) AS v FROM pref),
     plm AS (
-      SELECT g, CAST(floor(1000000.0 * ln((cnt + 1) / CAST(total + v AS DOUBLE)))
+      SELECT g, CAST(floor(1000000.0 * ln((cnt + 1) / CAST(greatest(COALESCE(total, 0) + v, 1) AS DOUBLE)))
                      AS BIGINT) AS lq
       FROM pref CROSS JOIN ptot
     ),
     pscored AS (
       SELECT gr.doc_id, gr.lang,
              CAST(SUM(COALESCE(plm.lq,
-               (SELECT CAST(floor(1000000.0 * ln(1.0 / CAST(total + v AS DOUBLE)))
+               (SELECT CAST(floor(1000000.0 * ln(1.0 / CAST(greatest(COALESCE(total, 0) + v, 1) AS DOUBLE)))
                             AS BIGINT) FROM ptot))) AS BIGINT) AS nll_sum_q,
              COUNT(*) AS n_grams
       FROM pgrams gr LEFT JOIN plm ON gr.g = plm.g

@@ -495,7 +495,11 @@ def _trigram_lm(spark: SparkSession, sf_dir: str):
             .agg(F.count("*").alias("cnt"))
         )
         total, v = ref.agg(F.sum("cnt"), F.count("*")).first()
-        denom = int(total) + int(v)
+        # empty target slice (no 'en' docs with length >= 3): Spark's SUM
+        # is NULL — short-circuit to an empty LM with a DEFINED denominator
+        # (>= 1) so the OOV fallback logprob stays finite; the oracle's
+        # greatest(total + v, 1) is the same guard
+        denom = max(int(total or 0) + int(v), 1)
         _PPL_DENOM[key] = denom
         return ref.select(
             "g",
@@ -522,14 +526,14 @@ def _trigram_lm(spark: SparkSession, sf_dir: str):
     ),
     tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM ref),
     lm AS (
-      SELECT g, CAST(floor(1000000.0 * ln((cnt + 1) / CAST(total + v AS DOUBLE)))
+      SELECT g, CAST(floor(1000000.0 * ln((cnt + 1) / CAST(greatest(COALESCE(total, 0) + v, 1) AS DOUBLE)))
                      AS BIGINT) AS lq
       FROM ref CROSS JOIN tot
     ),
     scored AS (
       SELECT gr.doc_id, gr.lang,
              CAST(SUM(COALESCE(lm.lq,
-               (SELECT CAST(floor(1000000.0 * ln(1.0 / CAST(total + v AS DOUBLE)))
+               (SELECT CAST(floor(1000000.0 * ln(1.0 / CAST(greatest(COALESCE(total, 0) + v, 1) AS DOUBLE)))
                             AS BIGINT) FROM tot))) AS BIGINT) AS nll_sum_q,
              COUNT(*) AS n_grams
       FROM grams gr LEFT JOIN lm ON gr.g = lm.g
@@ -1129,7 +1133,11 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_funnel_report
 # ---------------------------------------------------------------------------
 
-_FUN_LANGS_SQL = "('en', 'de', 'fr', 'es')"   # zh routed to its own pipeline
+# zh routed to its own pipeline; the tuple is the single source of truth —
+# the oracle's IN-list AND streaming/funnel_stream.py's isin() both derive
+# from it, so the batch, oracle, and streaming funnels cannot desynchronize
+_FUN_LANGS = ("en", "de", "fr", "es")
+_FUN_LANGS_SQL = "('" + "', '".join(_FUN_LANGS) + "')"
 _FUN_MIN_W, _FUN_MAX_W = 25, 90
 _FUN_MIN_MWL, _FUN_MAX_MWL = 4, 5
 
@@ -1194,7 +1202,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     b = d.select(
-        F.col("lang").isin("en", "de", "fr", "es").alias("g1"),
+        F.col("lang").isin(*_FUN_LANGS).alias("g1"),
         ((n_words >= _FUN_MIN_W) & (n_words <= _FUN_MAX_W)).alias("g2"),
         (
             (F.lit(_FUN_MIN_MWL) * n_words <= mwl)

@@ -35,13 +35,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from purldb_spark.plans.q_select import (
+    _FUN_LANGS,
     _FUN_MAX_MWL,
     _FUN_MAX_W,
     _FUN_MIN_MWL,
     _FUN_MIN_W,
 )
 
-_LANGS = ("en", "de", "fr", "es")
+# the batch face's allowlist tuple IS the streaming gate — a q_select edit
+# can no longer desynchronize the two funnels (or the oracle, which derives
+# its IN-list from the same tuple)
+_LANGS = _FUN_LANGS
 
 
 def _gated(batch_docs: DataFrame) -> DataFrame:

@@ -117,3 +117,28 @@ def test_fertility_by_lang_consistent_with_encode_stats(spark):
         r["n_tokens"] for r in stats
     )
     assert sum(r["n_words"] for r in fert) == sum(r["n_words"] for r in stats)
+
+
+def test_trainer_handles_quote_and_backslash_symbols(spark):
+    """Symbol literals reach the Spark plan as SQL strings: a corpus whose
+    learned merges contain an apostrophe or a backslash must still parse
+    (Spark's lexer escapes with backslash, NOT SQL-92 '' doubling) and
+    reproduce the Python replay exactly."""
+    docs_txt = ["don't don't don't it's", "a\\b a\\b c'd"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_txt)], "doc_id long, text string"
+    )
+    vocab_df = word_vocab(docs).localCheckpoint(eager=True)
+    got_merges = bpe_fit(vocab_df, 6)
+    _, py_syms, py_merges = _py_bpe(docs_txt, 6)
+    assert got_merges == py_merges
+    # at least one learned pair must actually carry the hazardous chars,
+    # or this test proves nothing
+    flat = "".join(l + r for l, r, _ in got_merges)
+    assert "'" in flat and "\\" in flat
+
+    enc = encoded_vocab(
+        vocab_df, [(left, right) for left, right, _ in got_merges]
+    )
+    got_syms = {r["w"]: r["toks"].split(" ") for r in enc.collect()}
+    assert got_syms == py_syms

@@ -1,0 +1,75 @@
+"""Liveness-aware eviction of the on-disk bucketed-table directories
+(plans/fixture_cache._evict_dead_bucketed): a CONCURRENT live session's
+directory must survive, only provably-dead sessions' directories (owner
+pid gone, or pidfile-less and stale past the TTL) are removed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from purldb_spark.plans.fixture_cache import (
+    _NO_PIDFILE_TTL_SEC,
+    _OWNER_PIDFILE,
+    _evict_dead_bucketed,
+    _pid_alive,
+)
+
+
+def _mkdir_with_pid(root, name, pid):
+    d = root / name
+    d.mkdir()
+    (d / _OWNER_PIDFILE).write_text(str(pid))
+    return d
+
+
+def _dead_pid() -> int:
+    """A pid guaranteed dead: fork a child that exits immediately, reap it."""
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    return pid
+
+
+def test_live_concurrent_session_survives(tmp_path):
+    live = _mkdir_with_pid(tmp_path, "app-other-live", os.getpid())
+    dead = _mkdir_with_pid(tmp_path, "app-other-dead", _dead_pid())
+    _evict_dead_bucketed(str(tmp_path), "app-me")
+    assert live.is_dir(), "live concurrent session's tables were evicted"
+    assert not dead.is_dir(), "dead session's tables were kept"
+
+
+def test_own_directory_never_touched(tmp_path):
+    mine = _mkdir_with_pid(tmp_path, "app-me", _dead_pid())  # even w/ dead pid
+    _evict_dead_bucketed(str(tmp_path), "app-me")
+    assert mine.is_dir()
+
+
+def test_pidfile_less_directory_uses_age_ttl(tmp_path):
+    fresh = tmp_path / "app-legacy-fresh"
+    fresh.mkdir()
+    stale = tmp_path / "app-legacy-stale"
+    stale.mkdir()
+    old = os.path.getmtime(stale) - (_NO_PIDFILE_TTL_SEC + 60)
+    os.utime(stale, (old, old))
+    _evict_dead_bucketed(str(tmp_path), "app-me")
+    assert fresh.is_dir(), "recent pidfile-less dir (mid-creation race) evicted"
+    assert not stale.is_dir(), "stale pidfile-less dir kept"
+
+
+def test_garbage_pidfile_falls_back_to_ttl(tmp_path):
+    d = tmp_path / "app-garbage"
+    d.mkdir()
+    (d / _OWNER_PIDFILE).write_text("not-a-pid")
+    _evict_dead_bucketed(str(tmp_path), "app-me")
+    assert d.is_dir()  # fresh -> kept despite unreadable pidfile
+
+
+def test_missing_root_is_noop(tmp_path):
+    _evict_dead_bucketed(str(tmp_path / "nope"), "app-me")
+
+
+def test_pid_alive_probe():
+    assert _pid_alive(os.getpid())
+    assert not _pid_alive(_dead_pid())

@@ -109,3 +109,69 @@ def test_new_selection_queries_on_empty_corpus(spark, tmp_path):
     assert QUERIES["mix_temperature_sampling"](spark, sf).count() == 0
     assert QUERIES["select_unimax_budget"](spark, sf).count() == 0
     assert QUERIES["select_gopher_rules"](spark, sf).count() == 0
+
+
+def test_perplexity_lm_without_target_slice(spark, tmp_path):
+    """A corpus with documents but NO 'en' slice (the LM training target):
+    _trigram_lm's denominator must not TypeError on the NULL sum, and the
+    query must still match its oracle exactly (both engines guard the
+    empty-slice denominator with greatest(..., 1))."""
+    import duckdb
+
+    from purldb_spark.plans.registry import ORACLES, QUERIES, load_inventory
+    from tests.conftest import assert_same_result
+
+    load_inventory()
+    sf = str(tmp_path)
+    rows = [
+        (1, "ein kleiner text ueber dinge", "de", "web", 28),
+        (2, "noch ein text ueber andere dinge", "de", "web", 32),
+        (3, "un texte sur des choses", "fr", "web", 23),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    df = QUERIES["select_perplexity_buckets"](spark, sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert_same_result(df, con, ORACLES["select_perplexity_buckets"])
+    con.close()
+
+
+def test_recall_possible_counts_actual_ground_truth(spark, tmp_path):
+    """An anchor with fewer than 3 eligible neighbors (3-vector corpus):
+    ``possible`` must be the ground-truth row count (2), not 3 x anchors —
+    and the full report must hash-match the oracle on the same corpus."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from purldb_spark.plans.registry import ORACLES, QUERIES, load_inventory
+    from tests.conftest import assert_same_result
+
+    load_inventory()
+    sf = str(tmp_path)
+    emb = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i ->"
+            " cast(sin(cast(id * 64 + i as double)) as float))"
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+
+    df = QUERIES["knn_recall_eval"](spark, sf)
+    got = {r["method"]: r for r in df.collect()}
+    for r in got.values():
+        assert r["possible"] == 2, "possible must equal the gt row count"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    assert_same_result(df, con, ORACLES["knn_recall_eval"])
+    con.close()
