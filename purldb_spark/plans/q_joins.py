@@ -17,6 +17,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.halohash import bah128_fingerprint_sql
@@ -519,5 +520,184 @@ def j13_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_chars",
         (F.col("n_chars") * F.col("lang_docs") > F.col("lang_chars")).alias(
             "above_avg"
+        ),
+    )
+
+
+@query(
+    "j14_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    carried AS (
+      SELECT user_id, us, event_id, side,
+             last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
+             last_value(v_us IGNORE NULLS) OVER w AS view_us
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS click_event_id, user_id, us AS click_us,
+           view_event_id, view_us,
+           us - view_us AS gap_us
+    FROM carried WHERE side = 1
+    """,
+)
+def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (beyond-reference, brief-mandated custom operator): AS-OF join —
+    for every 'click' event, the most recent 'view' by the same user at or
+    before the click's timestamp (the point-in-time join of every feature
+    store / market-data system; DuckDB ships it as ``ASOF JOIN``, Spark has
+    no built-in).
+
+    Spark-first design — NOT a range join: the naive formulation
+    (t1.ts <= t2.ts AND t1.ts = max prior) is a non-equi join that Catalyst
+    can only execute as BroadcastNestedLoopJoin (fenced by
+    tests/test_plan_shapes.py) or a per-key sort-merge with full re-scan.
+    Instead both sides are UNIONED and tagged, then ONE window pass per
+    user carries the last non-null view forward (``last(col, ignoreNulls)``
+    over rows UNBOUNDED PRECEDING..CURRENT): each click row reads the view
+    that precedes it in (us, side, event_id) order. One shuffle on
+    user_id, O(n log n) per partition, zero join — the same algebra
+    Flink's event-time temporal join executes incrementally.
+
+    Determinism: total order (us, side, event_id) — a view AT the click's
+    exact timestamp sorts first (side 0) so the as-of is inclusive, and
+    equal-timestamp views resolve to the largest event_id. Timestamps ride
+    as unix-microsecond BIGINTs (identical to DuckDB's epoch_us after the
+    catalog's shared nanos->micros truncation; the NTZ->timestamp
+    cast is value-preserving under the session's pinned UTC timezone).
+
+    Scale shape: at 100 TB this is one hash-partition by user over the two
+    filtered event types (filters pushed to the parquet scan) and one
+    in-partition sort — the window carries O(1) state per row; no
+    broadcast, no fan-out, skew bounded by the hottest single user (salt
+    the window key with a session epoch if one user exceeds a partition).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(is_view, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(is_view, F.col("event_id")).alias("v_id"),
+        F.when(is_view, F.unix_micros(F.col("ts").cast("timestamp"))).alias("v_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "us",
+        "event_id",
+        "side",
+        F.last("v_id", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last("v_us", ignorenulls=True).over(w).alias("view_us"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("us").alias("click_us"),
+        "view_event_id",
+        "view_us",
+        (F.col("us") - F.col("view_us")).alias("gap_us"),
+    )
+
+
+_BIN_CENTS = 1000  # 10.00-wide price bins (integer cents, zero float math)
+
+
+@query(
+    "j15_interval_bin_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT p_brand,
+             CAST(round(min(p_retailprice) * 100) AS BIGINT) AS lo_c,
+             CAST(round(max(p_retailprice) * 100) AS BIGINT) AS hi_c
+      FROM part GROUP BY p_brand
+    ),
+    fact AS (
+      SELECT l_orderkey, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT iv.p_brand,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(COALESCE(sum(CAST(fact.l_quantity AS BIGINT)), 0) AS BIGINT)
+             AS sum_qty,
+           CAST(COALESCE(sum(fact.price_c), 0) AS BIGINT) AS sum_price_cents
+    FROM fact JOIN iv
+      ON fact.price_c BETWEEN iv.lo_c AND iv.hi_c
+    GROUP BY iv.p_brand
+    """,
+)
+def j15_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 (beyond-reference, brief-mandated custom operator): INTERVAL
+    (range) join — every lineitem whose extended price falls inside a
+    brand's [min, max] retail-price interval, intervals OVERLAPPING so a
+    fact row can match many brands (the general interval-join case, not a
+    bin lookup).
+
+    Spark-first design — the naive BETWEEN join is a pure non-equi
+    predicate, which Catalyst executes as BroadcastNestedLoopJoin: every
+    fact row tests every interval (O(N x M) work on ONE loop per
+    partition; fenced by tests/test_plan_shapes.py). The standard fix
+    (Databricks' range-join binning, DuckDB/kdb interval indexes) is to
+    quantize: each interval EXPLODES to the fixed-width bins it covers,
+    facts compute their bin with one integer division, and the join
+    becomes an EQUI-join on bin followed by the exact BETWEEN re-check.
+    Fan-out is span/bin_width per interval (bounded, broadcastable);
+    Catalyst broadcasts the exploded interval table and the whole plan is
+    map-only against the fact scan.
+
+    All arithmetic is integer cents (prices have exactly 2 decimals —
+    round(x*100) is >= 1e-10 away from any .5, so HALF_UP vs HALF_EVEN can
+    never diverge); bins are `cents div {_BIN_CENTS}`. Zero float math end
+    to end: the whole result is BIGINT-exact.
+
+    Scale shape at 100 TB: the interval dimension aggregates to
+    |brands| rows and explodes to |brands| x span/width keys — thousands
+    of rows, always broadcastable; the fact side never shuffles (map-side
+    join + partial agg, one exchange for the final |brands|-row groupBy).
+    Skewed bins (every brand overlaps [900, 1000]) cost fan-out, not a hot
+    reducer, because the fan-out happens on the broadcast side."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    iv = part.groupBy("p_brand").agg(
+        F.expr("cast(round(min(p_retailprice) * 100) as bigint)").alias("lo_c"),
+        F.expr("cast(round(max(p_retailprice) * 100) as bigint)").alias("hi_c"),
+    )
+    iv_bins = iv.select(
+        "p_brand",
+        "lo_c",
+        "hi_c",
+        F.explode(
+            F.expr(f"sequence(lo_c div {_BIN_CENTS}, hi_c div {_BIN_CENTS})")
+        ).alias("bin"),
+    )
+    fact = li.select(
+        "l_quantity",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("price_c"),
+    ).withColumn("bin", F.expr(f"price_c div {_BIN_CENTS}"))
+    joined = fact.join(F.broadcast(iv_bins), "bin").filter(
+        (F.col("price_c") >= F.col("lo_c")) & (F.col("price_c") <= F.col("hi_c"))
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.coalesce(F.sum(F.col("l_quantity").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("sum_qty"),
+        F.coalesce(F.sum("price_c"), F.lit(0)).cast("long").alias(
+            "sum_price_cents"
         ),
     )

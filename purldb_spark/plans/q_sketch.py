@@ -1,0 +1,295 @@
+"""Cardinality / frequency SKETCHES as first-class queries (beyond-reference,
+brief-mandated "novel sketch" family; SURVEY.md §8).
+
+At 100 TB you do not count distincts or token frequencies exactly on every
+dashboard refresh — you maintain mergeable fixed-size sketches:
+
+  sketch_hll_distinct -> HyperLogLog distinct-user counts per event type
+                         (Flajolet et al. 2007), m = 64 registers
+  sketch_cms_topk     -> Count-Min frequency estimates (Cormode &
+                         Muthukrishnan 2005) for the exact top-10 corpus
+                         tokens, d = 4 rows x w = 8 columns
+                         (the corpus vocabulary is ~31 tokens, so the
+                         narrow sketch genuinely collides)
+
+Both are built RELATIONALLY from the shared md5 hash convention
+(operators/assemble.py: first hex chars of md5 as an integer), so the DuckDB
+oracle computes the *identical* sketch — the estimates themselves are
+deterministic cross-engine, not just the exact baselines. Spark's built-in
+approx_count_distinct is the production shortcut but its HLL++ register
+layout is JVM-private; building the registers as rows keeps the sketch
+engine-portable (and is exactly how you'd persist it as a mergeable table).
+
+Determinism contract: register indexes, rho ranks, and counters are pure
+BIGINT (bit lengths via length(bin(x)) — no log2 floats); the one float
+step, the harmonic-mean estimate, rides the established 1e-6 grid
+(floor(1e6 * ...) with ln/division from the same libm — the select_dsir
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# sketch_hll_distinct
+# ---------------------------------------------------------------------------
+
+# m = 2^6 = 64 registers; 60-bit hash = 15 md5 hex chars (stays positive in
+# BIGINT); top 6 bits -> register index, low 54 bits -> rho rank
+_HLL_P = 6
+_HLL_M = 64
+_HLL_REST_BITS = 54
+_POW54 = 1 << 54
+_POW55 = 1 << 55
+# alpha_64 = 0.709 (the published constant for m = 64); the estimate is
+# alpha * m^2 / sum(2^-M) = 709/1000 * 4096 * 2^55 / S  with
+# S = sum(2^(55 - M)) an exact BIGINT (max 64 * 2^55 = 2^61)
+# e0 notation => DOUBLE literals in BOTH engines (DuckDB parses 123.0 as
+# DECIMAL and would overflow the product)
+_HLL_NUM = "1000000e0 * 709e0 * 4096e0 * 36028797018963968e0"
+# linear-counting cutoff: raw < 2.5 * m  (on the e6 grid)
+_HLL_LC_CUT = 160_000_000
+
+_HV_SPARK = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_HV_SQL = (
+    "CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {_HV_SQL} AS hv
+      FROM events
+    ),
+    split AS (
+      SELECT event_type, hv // {_POW54} AS idx, hv % {_POW54} AS rest
+      FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, idx,
+             MAX(CASE WHEN rest = 0 THEN 55
+                      ELSE 55 - length(bin(rest)) END) AS m
+      FROM split GROUP BY event_type, idx
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT) AS s_present
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    ),
+    est AS (
+      SELECT e.event_type, e.n_exact,
+             p.present AS registers_used,
+             {_HLL_M} - p.present AS zeros,
+             p.s_present + ({_HLL_M} - p.present) * CAST({_POW55} AS BIGINT)
+               AS s
+      FROM exact e JOIN per_type p ON e.event_type = p.event_type
+    ),
+    raw AS (
+      SELECT event_type, n_exact, registers_used, zeros,
+             CAST(floor({_HLL_NUM} / (1000e0 * CAST(s AS DOUBLE)))
+                  AS BIGINT) AS raw_e6
+      FROM est
+    )
+    SELECT event_type, n_exact,
+           CAST(registers_used AS BIGINT) AS registers_used,
+           CAST(zeros AS BIGINT) AS zeros,
+           CASE WHEN zeros > 0 AND raw_e6 < {_HLL_LC_CUT}
+                THEN CAST(floor(1000000e0 * 64e0 *
+                                ln(64e0 / CAST(zeros AS DOUBLE))) AS BIGINT)
+                ELSE raw_e6 END AS hll_est_e6
+    FROM raw
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user-per-event-type, registers built as rows:
+    hash each user id (shared md5 convention), split into (register index,
+    remainder), keep MAX(rho) per (type, register) — a map-side-combinable
+    aggregate collapsing any corpus to <= types x 64 rows — then fold the
+    registers into the harmonic-mean estimate with the standard
+    linear-counting small-range correction (zeros present and raw < 2.5m).
+    The exact distinct count rides along as the published-eval baseline
+    (the same pattern as knn_recall_eval: sketch + ground truth in one
+    report).
+
+    rho is computed WITHOUT floats: the remainder's bit length is
+    length(bin(rest)) in both engines (identical unpadded binary strings),
+    so rho = 55 - bitlen is BIGINT-exact; the only float is the final
+    harmonic estimate, snapped once to the 1e-6 grid. The 2^32 large-range
+    correction is irrelevant at a 60-bit hash and omitted.
+
+    Scale shape at 100 TB: the register table is the persistent sketch
+    state — mergeable by MAX across partitions, shards, and days (this is
+    why production metrics pipelines ship HLL registers, not counts); the
+    shuffle is bounded by types x 64 rows regardless of corpus size, while
+    the exact baseline pays the full distinct shuffle (labeled here as the
+    eval's ground truth, same status as knn_bruteforce)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    split = ev.select(
+        "event_type",
+        F.expr(f"{_HV_SPARK} div {_POW54}").alias("idx"),
+        F.expr(f"{_HV_SPARK} % {_POW54}").alias("rest"),
+    )
+    regs = split.groupBy("event_type", "idx").agg(
+        F.expr(
+            "max(case when rest = 0 then 55 else 55 - length(bin(rest)) end)"
+        ).alias("m")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.expr("cast(sum(shiftleft(1L, 55 - m)) as bigint)").alias(
+            "s_present"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    est = exact.join(F.broadcast(per_type), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("present").cast("long").alias("registers_used"),
+        (F.lit(_HLL_M) - F.col("present")).cast("long").alias("zeros"),
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("present")) * F.lit(_POW55)
+        ).alias("s"),
+    )
+    raw = est.withColumn(
+        "raw_e6",
+        F.expr(
+            f"cast(floor({_HLL_NUM} / (1000e0 * cast(s as double)))"
+            " as bigint)"
+        ),
+    )
+    return raw.select(
+        "event_type",
+        "n_exact",
+        "registers_used",
+        "zeros",
+        F.expr(
+            f"case when zeros > 0 and raw_e6 < {_HLL_LC_CUT}"
+            " then cast(floor(1000000e0 * 64e0 *"
+            " ln(64e0 / cast(zeros as double))) as bigint)"
+            " else raw_e6 end"
+        ).alias("hll_est_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_topk
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 8      # columns per row — narrower than the ~31-token vocabulary
+                # so collisions (the estimator's one-sided error) are real
+_CMS_TOPK = 10
+
+# row-j column for token w: md5 with a per-row salt, first 8 hex chars
+_CMS_COL_SPARK = (
+    "pmod(cast(conv(substring(md5(concat('cms', cast({j} as string), '|',"
+    " {w})), 1, 8), 16, 10) as bigint), 8)"
+)
+_CMS_COL_SQL = (
+    "CAST(CAST(concat('0x', substring(md5('cms' || CAST({j} AS VARCHAR)"
+    " || '|' || {w}), 1, 8)) AS UBIGINT) % 8 AS BIGINT)"
+)
+
+
+@query(
+    "sketch_cms_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT u.wd FROM documents, LATERAL unnest(string_split(text, ' ')) u(wd)
+      WHERE u.wd <> ''
+    ),
+    cells AS (
+      SELECT j.j AS j, {_CMS_COL_SQL.format(j="j.j", w="wd")} AS col,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, range({_CMS_D}) j(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT wd, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY wd
+      ORDER BY exact_cnt DESC, wd LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT e.wd, e.exact_cnt, j.j AS j,
+             {_CMS_COL_SQL.format(j="j.j", w="e.wd")} AS col
+      FROM exact e, range({_CMS_D}) j(j)
+    )
+    SELECT p.wd AS token, p.exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cms_est,
+           CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON p.j = c.j AND p.col = c.col
+    GROUP BY p.wd, p.exact_cnt
+    """,
+)
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over corpus tokens, evaluated on the
+    exact top-{_CMS_TOPK}: every token increments one counter per hash row
+    (d = {_CMS_D} salted md5 hashes into w = {_CMS_W} columns), the
+    estimate is the MIN across its row counters — a one-sided estimator
+    (cms_est >= exact always; the ``overestimate`` column is the collision
+    error, >= 0 by construction, which the test suite pins).
+
+    Pure BIGINT end to end — the sketch, the exact counts, and the error
+    are all integers; nothing rides a float grid.
+
+    Scale shape at 100 TB: the sketch is the fixed d x w cell table
+    regardless of corpus size — counters are additive (map-side combine
+    does almost all the work; the shuffle moves <= 512 rows per partial),
+    mergeable across shards/days by cell-wise sum, exactly how heavy-hitter
+    monitoring ships. The exact top-k groupBy is the labeled ground-truth
+    baseline (full token shuffle), present for the same reason
+    knn_bruteforce is."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("wd"))
+        .filter(F.col("wd") != "")
+    )
+    fan = toks.select(
+        "wd", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j")
+    )
+    cells = (
+        fan.select("j", F.expr(_CMS_COL_SPARK.format(j="j", w="wd")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "wd")
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "wd",
+        "exact_cnt",
+        F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"),
+    ).withColumn("col", F.expr(_CMS_COL_SPARK.format(j="j", w="wd")))
+    return (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy(F.col("wd").alias("token"), "exact_cnt")
+        .agg(
+            F.min("cnt").cast("long").alias("cms_est"),
+            (F.min("cnt") - F.col("exact_cnt").cast("long"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

@@ -88,6 +88,7 @@ def load_inventory() -> None:
         q_select,
         q_bpe,
         q_bloom,
+        q_sketch,
         q_snippet,
         q_vcs,
         q_version_apis,

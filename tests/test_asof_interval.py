@@ -1,0 +1,93 @@
+"""Semantics of the two brief-mandated custom join operators:
+
+- j14_asof_join: inclusive as-of (a view AT the click's timestamp matches),
+  deterministic tie-break (equal-timestamp views resolve to max event_id),
+  clicks before any view carry NULLs.
+- j15_interval_bin_join: the bin-explode equi-join rewrite must equal the
+  naive BETWEEN join (replayed in Python) — overlapping intervals included.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from purldb_spark.plans.registry import QUERIES, load_inventory
+
+load_inventory()
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).write.parquet(f"{path}/events.parquet")
+
+
+def test_asof_semantics(spark, tmp_path):
+    sec = lambda s: _T0 + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: click at t=10 sees view at t=5; click at t=3 sees nothing
+        (1, sec(5), 1, "view", 0.0, "{}"),
+        (2, sec(10), 1, "click", 0.0, "{}"),
+        (3, sec(3), 1, "click", 0.0, "{}"),
+        # user 2: view exactly AT the click's ts -> inclusive match;
+        # two equal-ts views -> the larger event_id wins
+        (10, sec(20), 2, "view", 0.0, "{}"),
+        (11, sec(20), 2, "view", 0.0, "{}"),
+        (12, sec(20), 2, "click", 0.0, "{}"),
+        # other event types are ignored entirely
+        (20, sec(1), 1, "purchase", 0.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["click_event_id"]: r
+        for r in QUERIES["j14_asof_join"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2, 3, 12}
+    assert got[2]["view_event_id"] == 1 and got[2]["gap_us"] == 5_000_000
+    assert got[3]["view_event_id"] is None and got[3]["gap_us"] is None
+    assert got[12]["view_event_id"] == 11  # inclusive + max-event_id tie
+    assert got[12]["gap_us"] == 0
+
+
+def test_interval_bin_join_equals_naive_between(spark):
+    """The binned equi-join must reproduce the naive BETWEEN join on the
+    real sf0.001 tables (intervals overlap, facts match many brands)."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    naive = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"""
+            WITH iv AS (
+              SELECT p_brand,
+                     CAST(round(min(p_retailprice) * 100) AS BIGINT) AS lo_c,
+                     CAST(round(max(p_retailprice) * 100) AS BIGINT) AS hi_c
+              FROM '{SF_SMOKE}/part.parquet' GROUP BY p_brand
+            )
+            SELECT iv.p_brand, count(*),
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT),
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM '{SF_SMOKE}/lineitem.parquet' l JOIN iv
+              ON CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 BETWEEN iv.lo_c AND iv.hi_c
+            GROUP BY iv.p_brand
+            """
+        ).fetchall()
+    }
+    con.close()
+    got = {
+        r["p_brand"]: (r["n_matches"], r["sum_qty"], r["sum_price_cents"])
+        for r in QUERIES["j15_interval_bin_join"](spark, SF_SMOKE).collect()
+    }
+    assert got == naive
+    # sanity: intervals genuinely overlap (a fact matches several brands)
+    assert sum(n for n, _, _ in got.values()) > max(
+        n for n, _, _ in got.values()
+    )
