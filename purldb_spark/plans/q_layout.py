@@ -1,0 +1,279 @@
+"""Data LAYOUT optimization as a first-class query (beyond-reference):
+Z-order (Morton curve) clustering and the file-skipping win it buys.
+
+At 100 TB the scan cost of a 2-dimensional predicate is decided before the
+query runs — by how the writer laid rows into files. Sorting by one key
+clusters that key perfectly and scatters every other; interleaving the
+bits of two keys (the Morton / Z-order curve, the layout behind Delta
+Lake's OPTIMIZE ZORDER BY and Hudi/Iceberg clustering) keeps BOTH keys'
+per-file min/max ranges narrow, so a (key1 range AND key2 range) predicate
+prunes most files from their footer stats alone.
+
+``layout_zorder_skipping`` measures exactly that, relationally: bucket the
+fact table 64 ways under three writer layouts (insertion order, single-key
+sort, Z-order), compute each bucket's min/max envelope per dimension — the
+parquet footer stats a scan planner consults — and report how many buckets
+a fixed 2-dim predicate must touch under each layout. The result is the
+data-skipping dashboard row a table-maintenance job publishes after a
+re-cluster.
+
+Determinism: the Morton value is a pure BIGINT bit-interleave (a fold over
+16 bit positions — shifts and modulo only, no floats); buckets are
+ntile(64) over a totally ordered sort (layout key, then the fact's primary
+key as tie-break), so both engines produce identical bucket envelopes.
+
+Scale shape: ntile here stands in for the writer's range partitioner — at
+100 TB the same z-value feeds repartitionByRange(n_files) + sortWithinPartitions
+at WRITE time (a one-off O(N log N) shuffle in the maintenance job, amortized
+over every subsequent scan), and the envelope aggregation is the metadata
+pass over file footers, O(n_files) not O(rows). The query's only wide
+operations are the bucket assignment sort and a 3 x 64-row envelope agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+
+_NB = 64  # buckets ~ files a maintenance job would write
+
+# the fixed 2-dim predicate whose pruning we report: a ~5% slab per dim
+_P_LO, _P_HI = 100, 199        # l_partkey
+_S_LO, _S_HI = 10, 19          # l_suppkey
+
+# Each dim is min-max scaled to 16 bits BEFORE interleaving — the Morton
+# pitfall this avoids: with raw keys of unequal magnitude (x spans ~20x
+# more values than y here) the wider key's high bits all land ABOVE the
+# narrow key's top bit and the "interleaved" curve degenerates into a
+# plain x sort. Production z-ordering does the same normalization
+# (rank/range scaling per column). Integer arithmetic only:
+# ((v - lo) * 65535) div max(hi - lo, 1).
+_NORM_SPARK = "(({v} - {lo}) * 65535L) div greatest({hi} - {lo}, 1)"
+_NORM_SQL = (
+    "(({v} - {lo}) * CAST(65535 AS BIGINT)) // greatest({hi} - {lo}, 1)"
+)
+
+# Morton interleave of the 16 normalized bits of x (odd positions) and y
+# (even): pure shifts/modulo, identical BIGINT in both engines
+_Z_SPARK = (
+    "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+    " + ((xn div shiftleft(1L, i)) % 2) * shiftleft(1L, 2 * i + 1)"
+    " + ((yn div shiftleft(1L, i)) % 2) * shiftleft(1L, 2 * i))"
+)
+_Z_SQL = (
+    "list_sum(list_transform(range(0, 16), i ->"
+    " ((xn // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2 * i + 1))"
+    " + ((yn // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2 * i))))"
+)
+
+
+@query(
+    "layout_zorder_skipping",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+             min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+      FROM lineitem
+    ),
+    normed AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey AS x, l_suppkey AS y,
+             {_NORM_SQL.format(v="l_partkey", lo="s.x_min", hi="s.x_max")}
+               AS xn,
+             {_NORM_SQL.format(v="l_suppkey", lo="s.y_min", hi="s.y_max")}
+               AS yn
+      FROM lineitem CROSS JOIN stats s
+    ),
+    fact AS (
+      SELECT l_orderkey, l_linenumber, x, y,
+             {_Z_SQL} AS z
+      FROM normed
+    ),
+    bucketed AS (
+      SELECT x, y,
+             ntile({_NB}) OVER (ORDER BY l_orderkey, l_linenumber)
+               AS b_insert,
+             ntile({_NB}) OVER (ORDER BY x, l_orderkey, l_linenumber)
+               AS b_single,
+             ntile({_NB}) OVER (ORDER BY z, l_orderkey, l_linenumber)
+               AS b_zorder
+      FROM fact
+    ),
+    tall AS (
+      SELECT 'insertion' AS layout, b_insert AS b, x, y FROM bucketed
+      UNION ALL
+      SELECT 'single_key', b_single, x, y FROM bucketed
+      UNION ALL
+      SELECT 'zorder', b_zorder, x, y FROM bucketed
+    ),
+    envelopes AS (
+      SELECT layout, b,
+             min(x) AS x_lo, max(x) AS x_hi,
+             min(y) AS y_lo, max(y) AS y_hi,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE x BETWEEN {_P_LO} AND {_P_HI}
+                                     AND y BETWEEN {_S_LO} AND {_S_HI})
+                  AS BIGINT) AS n_match_xy,
+             CAST(count(*) FILTER (WHERE y BETWEEN {_S_LO} AND {_S_HI})
+                  AS BIGINT) AS n_match_y
+      FROM tall GROUP BY layout, b
+    )
+    SELECT layout, 'xy_slab' AS predicate,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) FILTER (WHERE x_lo <= {_P_HI} AND x_hi >= {_P_LO}
+                                   AND y_lo <= {_S_HI} AND y_hi >= {_S_LO})
+                AS BIGINT) AS n_touched,
+           CAST(COALESCE(sum(n_rows) FILTER (
+                  WHERE x_lo <= {_P_HI} AND x_hi >= {_P_LO}
+                    AND y_lo <= {_S_HI} AND y_hi >= {_S_LO}), 0)
+                AS BIGINT) AS rows_scanned,
+           CAST(COALESCE(sum(n_match_xy), 0) AS BIGINT) AS rows_matching
+    FROM envelopes GROUP BY layout
+    UNION ALL
+    SELECT layout, 'y_slab' AS predicate,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) FILTER (WHERE y_lo <= {_S_HI} AND y_hi >= {_S_LO})
+                AS BIGINT) AS n_touched,
+           CAST(COALESCE(sum(n_rows) FILTER (
+                  WHERE y_lo <= {_S_HI} AND y_hi >= {_S_LO}), 0)
+                AS BIGINT) AS rows_scanned,
+           CAST(COALESCE(sum(n_match_y), 0) AS BIGINT) AS rows_matching
+    FROM envelopes GROUP BY layout
+    """,
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layout file-skipping report for two predicates — the 2-dim
+    slab (x AND y ranges) and the y-only slab: 3 layouts x 2 predicates =
+    6 rows, each with the bucket count a min-max-pruning scan planner
+    would actually touch and the rows behind those buckets.
+    `rows_matching` is layout-invariant per predicate (same data, same
+    filter) — a built-in cross-layout consistency check;
+    `n_touched`/`rows_scanned` is the layout's win.
+
+    The two predicates together are the Z-order argument: single-key sort
+    on x prunes x predicates perfectly but leaves EVERY bucket touched for
+    the y-only slab (y is uniformly scattered), while Z-order keeps both
+    dims' envelopes narrow — near-optimal on xy and still pruning most
+    buckets on y alone. Insertion order prunes nothing on either.
+
+    One fact scan computes both dimension keys and the Morton value, one
+    window pass assigns all three bucketings (ntile with the fact's
+    primary key as total-order tie-break), the envelope agg collapses to
+    3 x {_NB} rows with per-predicate match counts, and the report unions
+    the two 3-row pruning summaries."""
+    li = load(spark, sf_dir, "lineitem")
+    # per-dim min/max as driver scalars (4 BIGINTs — the documented
+    # BNLJ-avoidance pattern; the oracle's CROSS JOIN stats is the same
+    # 1-row frame on the DuckDB side)
+    x_min, x_max, y_min, y_max = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    fact = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_partkey").alias("x"),
+            F.col("l_suppkey").alias("y"),
+        )
+        .withColumn(
+            "xn",
+            F.expr(_NORM_SPARK.format(v="x", lo=int(x_min), hi=int(x_max))),
+        )
+        .withColumn(
+            "yn",
+            F.expr(_NORM_SPARK.format(v="y", lo=int(y_min), hi=int(y_max))),
+        )
+        .withColumn("z", F.expr(_Z_SPARK))
+    )
+
+    from pyspark.sql.window import Window
+
+    bucketed = fact.select(
+        "x",
+        "y",
+        F.ntile(_NB)
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("b_insert"),
+        F.ntile(_NB)
+        .over(Window.orderBy("x", "l_orderkey", "l_linenumber"))
+        .alias("b_single"),
+        F.ntile(_NB)
+        .over(Window.orderBy("z", "l_orderkey", "l_linenumber"))
+        .alias("b_zorder"),
+    )
+    tall = (
+        bucketed.select(
+            F.lit("insertion").alias("layout"),
+            F.col("b_insert").alias("b"),
+            "x",
+            "y",
+        )
+        .unionByName(
+            bucketed.select(
+                F.lit("single_key").alias("layout"),
+                F.col("b_single").alias("b"),
+                "x",
+                "y",
+            )
+        )
+        .unionByName(
+            bucketed.select(
+                F.lit("zorder").alias("layout"),
+                F.col("b_zorder").alias("b"),
+                "x",
+                "y",
+            )
+        )
+    )
+    in_xy = (
+        F.col("x").between(_P_LO, _P_HI) & F.col("y").between(_S_LO, _S_HI)
+    ).cast("long")
+    in_y = F.col("y").between(_S_LO, _S_HI).cast("long")
+    env = tall.groupBy("layout", "b").agg(
+        F.min("x").alias("x_lo"),
+        F.max("x").alias("x_hi"),
+        F.min("y").alias("y_lo"),
+        F.max("y").alias("y_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(in_xy), F.lit(0)).cast("long").alias("n_match_xy"),
+        F.coalesce(F.sum(in_y), F.lit(0)).cast("long").alias("n_match_y"),
+    ).localCheckpoint(eager=True)  # 3 x _NB rows; reused by both reports
+
+    def report(pred_name: str, touched, match_col: str) -> DataFrame:
+        return env.groupBy("layout").agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.coalesce(F.sum(touched.cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_touched"),
+            F.coalesce(
+                F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_scanned"),
+            F.coalesce(F.sum(match_col), F.lit(0))
+            .cast("long")
+            .alias("rows_matching"),
+        ).select(
+            "layout",
+            F.lit(pred_name).alias("predicate"),
+            "n_buckets",
+            "n_touched",
+            "rows_scanned",
+            "rows_matching",
+        )
+
+    t_xy = (
+        (F.col("x_lo") <= _P_HI)
+        & (F.col("x_hi") >= _P_LO)
+        & (F.col("y_lo") <= _S_HI)
+        & (F.col("y_hi") >= _S_LO)
+    )
+    t_y = (F.col("y_lo") <= _S_HI) & (F.col("y_hi") >= _S_LO)
+    return report("xy_slab", t_xy, "n_match_xy").unionByName(
+        report("y_slab", t_y, "n_match_y")
+    )

@@ -65,6 +65,64 @@ _HV_SQL = (
 )
 
 
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, idx, m): the HLL register table for a (event_type,
+    user_id) frame — the unit both the batch query and the streaming face
+    (streaming/hll_stream.py) build. MAX-mergeable: registers from any
+    partition of the data combine by max(m), which is also what makes the
+    micro-batch merge idempotent under replay."""
+    split = ev.select(
+        "event_type",
+        F.expr(f"{_HV_SPARK} div {_POW54}").alias("idx"),
+        F.expr(f"{_HV_SPARK} % {_POW54}").alias("rest"),
+    )
+    return split.groupBy("event_type", "idx").agg(
+        F.expr(
+            "max(case when rest = 0 then 55 else 55 - length(bin(rest)) end)"
+        ).alias("m")
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(event_type, registers_used, zeros, hll_est_e6) from a register
+    table — the fold the batch query applies after joining its exact
+    baseline, exposed separately so the streaming face derives estimates
+    from its PERSISTED registers with the identical expression."""
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("registers_used"),
+        F.expr("cast(sum(shiftleft(1L, 55 - m)) as bigint)").alias(
+            "s_present"
+        ),
+    )
+    est = per_type.select(
+        "event_type",
+        "registers_used",
+        (F.lit(_HLL_M) - F.col("registers_used")).cast("long").alias("zeros"),
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("registers_used")) * F.lit(_POW55)
+        ).alias("s"),
+    )
+    raw = est.withColumn(
+        "raw_e6",
+        F.expr(
+            f"cast(floor({_HLL_NUM} / (1000e0 * cast(s as double)))"
+            " as bigint)"
+        ),
+    )
+    return raw.select(
+        "event_type",
+        "registers_used",
+        "zeros",
+        F.expr(
+            f"case when zeros > 0 and raw_e6 < {_HLL_LC_CUT}"
+            " then cast(floor(1000000e0 * 64e0 *"
+            " ln(64e0 / cast(zeros as double))) as bigint)"
+            " else raw_e6 end"
+        ).alias("hll_est_e6"),
+    )
+
+
 @query(
     "sketch_hll_distinct",
     oracle=f"""
@@ -141,53 +199,12 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline pays the full distinct shuffle (labeled here as the
     eval's ground truth, same status as knn_bruteforce)."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
-    split = ev.select(
-        "event_type",
-        F.expr(f"{_HV_SPARK} div {_POW54}").alias("idx"),
-        F.expr(f"{_HV_SPARK} % {_POW54}").alias("rest"),
-    )
-    regs = split.groupBy("event_type", "idx").agg(
-        F.expr(
-            "max(case when rest = 0 then 55 else 55 - length(bin(rest)) end)"
-        ).alias("m")
-    )
-    per_type = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("present"),
-        F.expr("cast(sum(shiftleft(1L, 55 - m)) as bigint)").alias(
-            "s_present"
-        ),
-    )
+    est = hll_estimate(hll_registers(ev))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
-    est = exact.join(F.broadcast(per_type), "event_type").select(
-        "event_type",
-        "n_exact",
-        F.col("present").cast("long").alias("registers_used"),
-        (F.lit(_HLL_M) - F.col("present")).cast("long").alias("zeros"),
-        (
-            F.col("s_present")
-            + (F.lit(_HLL_M) - F.col("present")) * F.lit(_POW55)
-        ).alias("s"),
-    )
-    raw = est.withColumn(
-        "raw_e6",
-        F.expr(
-            f"cast(floor({_HLL_NUM} / (1000e0 * cast(s as double)))"
-            " as bigint)"
-        ),
-    )
-    return raw.select(
-        "event_type",
-        "n_exact",
-        "registers_used",
-        "zeros",
-        F.expr(
-            f"case when zeros > 0 and raw_e6 < {_HLL_LC_CUT}"
-            " then cast(floor(1000000e0 * 64e0 *"
-            " ln(64e0 / cast(zeros as double))) as bigint)"
-            " else raw_e6 end"
-        ).alias("hll_est_e6"),
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "n_exact", "registers_used", "zeros", "hll_est_e6"
     )
 
 
