@@ -90,6 +90,11 @@ PROBES = [
     ("ann_index_stats", "k-row agg off the cell index + tiny-frame windows — linear"),
     ("dedup_recall_eval", "banded equi-join approx side + sum(df^2) GT side (labeled ground-truth cost, sampled in production)"),
     ("knn_fully_trained_ivfpq", "cell equi-join x 8-subspace explode + 128-row broadcast codebook — FIXED k=8, grows with cell size (finding 4)"),
+    ("j14_asof_join", "union+tag, ONE window per user (disjoint users per copy: 10x partitions, same partition size) — linear"),
+    ("j15_interval_bin_join", "bin-explode broadcast equi-join + exact re-check; dim side scale-invariant — linear"),
+    ("sketch_hll_distinct", "register state fixed at types x 64 (map-side combined MAX); exact baseline pays the distinct shuffle — linear"),
+    ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
+    ("layout_zorder_skipping", "3 ntile global sorts (the write-time repartitionByRange shape) + 3x64 envelope agg — N log N"),
 ]
 
 
@@ -185,6 +190,45 @@ def build_sf1(spark) -> None:
         pout = pout.unionByName(p)
     pout.repartition(8).write.mode("overwrite").parquet(
         os.path.join(SF1, "part.parquet")
+    )
+
+    # `events` feeds the as-of join and the HLL sketch: per-copy users are
+    # DISJOINT (user_id + k*1000) so the as-of window partitions stay the
+    # same size (10x partitions, not 10x rows per partition — the linear
+    # case) and distinct-user counts genuinely grow 10x for the sketch
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    evparts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * 1000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(COPIES)
+    ]
+    evout = evparts[0]
+    for p in evparts[1:]:
+        evout = evout.unionByName(p)
+    evout.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(SF1, "events.parquet")
+    )
+
+    # `lineitem` feeds the interval join and the z-order layout probe:
+    # orderkeys shift per copy (new facts), part/supp keys KEEP their
+    # ranges so the interval dimension and the predicate selectivity are
+    # scale-invariant — the fact side grows 10x, the broadcast side not
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    liparts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000))
+        for k in range(COPIES)
+    ]
+    liout = liparts[0]
+    for p in liparts[1:]:
+        liout = liout.unionByName(p)
+    liout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "lineitem.parquet")
     )
 
 
