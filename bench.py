@@ -114,6 +114,10 @@ def main() -> None:
         "text_winnow_fingerprint",
         "mm_decode_meta",
         "t_tumbling_rollup_daily",
+        "j14_asof_join",
+        "j15_interval_bin_join",
+        "sketch_hll_distinct",
+        "layout_zorder_skipping",
     ]
     headline = {n: round(timings[n], 2) for n in headline_names if n in timings}
     other = round(total - sum(headline.values()), 2)

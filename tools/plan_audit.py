@@ -79,6 +79,11 @@ AUDIT = [
     ("ann_index_stats", "k-row cell agg + tiny-frame windows"),
     ("bpe_fertility_by_lang", "encode join + language agg"),
     ("dedup_recall_eval", "LSH-vs-exact-jaccard mark join + 1-row agg"),
+    ("j14_asof_join", "as-of join: union+tag, one window per user, zero join"),
+    ("j15_interval_bin_join", "interval join: bin-explode broadcast equi-join"),
+    ("sketch_hll_distinct", "HLL registers (types x 64) + exact-distinct baseline"),
+    ("sketch_cms_topk", "Count-Min d x w counters + exact top-k mark join"),
+    ("layout_zorder_skipping", "3 ntile sorts (write-time shape) + envelope agg"),
 ]
 
 LEDGER = [
