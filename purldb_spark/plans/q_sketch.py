@@ -310,3 +310,121 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_histogram_quantiles
+# ---------------------------------------------------------------------------
+
+_HQ_BIN_CENTS = 256          # fixed histogram bin width (2.56 value units)
+_HQ_PCTS = (50, 95, 99)
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents),
+    hist AS (
+      SELECT c // {_HQ_BIN_CENTS} AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    ),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in _HQ_PCTS)}]) AS pct),
+    ranks AS (
+      SELECT pct, (pct * n.n + 99) // 100 AS rk FROM pcts CROSS JOIN n
+    ),
+    est AS (
+      SELECT r.pct, r.rk,
+             min(c.bin) AS est_bin
+      FROM ranks r JOIN cum c ON c.cum >= r.rk
+      GROUP BY r.pct, r.rk
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, event_id) AS rank FROM cents
+    )
+    SELECT CAST(e.pct AS BIGINT) AS pct,
+           (SELECT n FROM n) AS n,
+           x.c AS exact_cents,
+           (e.est_bin + 1) * {_HQ_BIN_CENTS} - 1 AS est_hi_cents,
+           (e.est_bin + 1) * {_HQ_BIN_CENTS} - 1 - x.c AS err_cents
+    FROM est e JOIN ranked x ON x.rank = e.rk
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-width HISTOGRAM sketch — the third
+    of the classic sketch trio (HLL cardinality, CMS frequency, histogram
+    quantiles): integer-cent values bucket into {_HQ_BIN_CENTS}-cent bins
+    (one map-side-combined groupBy collapsing any corpus to a few hundred
+    rows), a cumulative window walks the tiny histogram, and each
+    percentile's estimate is the UPPER EDGE of the first bin whose
+    cumulative count reaches ceil(p*n/100) — a one-sided estimator
+    (est >= exact, error bounded by the bin width), evaluated against the
+    exact rank-order statistic riding along as the labeled baseline.
+
+    Engineered around the plan fence: the percentile list rides INSIDE the
+    histogram rows (explode + filter + groupBy min — no non-equi join, so
+    no BroadcastNestedLoopJoin), and n / rank thresholds are driver
+    scalars (documented BNLJ avoidance; the oracle uses scalar subqueries
+    and an explicit tiny cross join for the same numbers).
+
+    Scale shape at 100 TB: the histogram is additive fixed-size state like
+    the CMS grid — mergeable across partitions/shards/days by cell-wise
+    sum, the standard way distributed engines (and parquet column stats)
+    approximate quantiles; the exact baseline pays the global sort that
+    production avoids (same labeled-baseline status as knn_bruteforce)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id", F.expr("cast(round(value * 100) as bigint)").alias("c")
+    )
+    n = cents.count()  # driver scalar (documented BNLJ avoidance)
+    ranks = {p: (p * n + 99) // 100 for p in _HQ_PCTS}
+
+    hist = cents.groupBy(
+        F.expr(f"c div {_HQ_BIN_CENTS}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    # percentile thresholds ride along each histogram row (map-only
+    # explode), so "first bin reaching the rank" is filter + groupBy min —
+    # no non-equi join anywhere in the plan
+    rk_pairs = ", ".join(
+        f"struct({p}L as pct, {rk}L as rk)" for p, rk in ranks.items()
+    )
+    est = (
+        cum.select(
+            "bin", "cum", F.explode(F.expr(f"array({rk_pairs})")).alias("pr")
+        )
+        .filter(F.col("cum") >= F.col("pr.rk"))
+        .groupBy(F.col("pr.pct").alias("pct"), F.col("pr.rk").alias("rk"))
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    ranked = cents.withColumn(
+        "rank", F.row_number().over(Window.orderBy("c", "event_id"))
+    ).filter(F.col("rank").isin(*ranks.values()))
+    return (
+        est.join(ranked, est.rk == ranked.rank)
+        .select(
+            "pct",
+            F.lit(n).cast("long").alias("n"),
+            F.col("c").alias("exact_cents"),
+            ((F.col("est_bin") + 1) * _HQ_BIN_CENTS - 1).alias("est_hi_cents"),
+            ((F.col("est_bin") + 1) * _HQ_BIN_CENTS - 1 - F.col("c")).alias(
+                "err_cents"
+            ),
+        )
+    )

@@ -93,3 +93,42 @@ def test_cms_matches_python_replay_and_never_underestimates(spark):
         assert r["cms_est"] == est
         assert r["overestimate"] == est - c
         assert r["cms_est"] >= r["exact_cnt"], "CMS must never underestimate"
+
+
+def test_histogram_quantiles_match_python_replay(spark):
+    """Histogram quantile estimates replay exactly in Python, are one-sided
+    (upper bin edge >= exact), and the error is bounded by the bin width."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    vals = [
+        (r[0], int(round(r[1] * 100)))
+        for r in con.execute(
+            f"SELECT event_id, value FROM '{SF_SMOKE}/events.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    n = len(vals)
+    cents = sorted(c for _, c in vals)
+    from collections import Counter as _C
+
+    hist = _C(c // 256 for c in cents)
+    got = {
+        r["pct"]: r
+        for r in QUERIES["sketch_histogram_quantiles"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {50, 95, 99}
+    for p, r in got.items():
+        rk = (p * n + 99) // 100
+        exact = cents[rk - 1]
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= rk:
+                est = (b + 1) * 256 - 1
+                break
+        assert r["n"] == n
+        assert r["exact_cents"] == exact
+        assert r["est_hi_cents"] == est
+        assert r["err_cents"] == est - exact
+        assert 0 <= r["err_cents"] < 256, "one-sided, bin-width-bounded"

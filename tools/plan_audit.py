@@ -83,6 +83,7 @@ AUDIT = [
     ("j15_interval_bin_join", "interval join: bin-explode broadcast equi-join"),
     ("sketch_hll_distinct", "HLL registers (types x 64) + exact-distinct baseline"),
     ("sketch_cms_topk", "Count-Min d x w counters + exact top-k mark join"),
+    ("sketch_histogram_quantiles", "cent histogram + cum walk + exact-rank baseline"),
     ("layout_zorder_skipping", "3 ntile sorts (write-time shape) + envelope agg"),
 ]
 
