@@ -175,3 +175,31 @@ def test_recall_possible_counts_actual_ground_truth(spark, tmp_path):
     )
     assert_same_result(df, con, ORACLES["knn_recall_eval"])
     con.close()
+
+
+def test_event_queries_on_empty_events(spark, tmp_path):
+    """Degenerate input: an empty events table. The as-of join, the HLL
+    and quantile sketches, and the z-order-free event paths must return
+    zero rows without erroring (and without divide-by-zero in the sketch
+    estimates)."""
+    import pyspark.sql.types as T
+
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame([], schema).write.parquet(f"{sf}/events.parquet")
+
+    assert QUERIES["j14_asof_join"](spark, sf).count() == 0
+    assert QUERIES["sketch_hll_distinct"](spark, sf).count() == 0
+    assert QUERIES["sketch_histogram_quantiles"](spark, sf).count() == 0
