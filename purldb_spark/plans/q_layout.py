@@ -159,11 +159,17 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims' envelopes narrow — near-optimal on xy and still pruning most
     buckets on y alone. Insertion order prunes nothing on either.
 
-    One fact scan computes both dimension keys and the Morton value, one
-    window pass assigns all three bucketings (ntile with the fact's
-    primary key as total-order tie-break), the envelope agg collapses to
-    3 x {_NB} rows with per-predicate match counts, and the report unions
-    the two 3-row pruning summaries."""
+    One fact scan computes both dimension keys and the Morton value; each
+    layout's bucket assignment is a DISTRIBUTED exact rank (prefix-group
+    the rows by the leading bits of the layout key — a monotone function
+    of the sort order, so within-group rank + a broadcast cumulative
+    offset IS the global rank — then fold rank into ntile's first-buckets-
+    get-the-remainder formula). No single-partition window anywhere: the
+    oracle's plain ntile() over a global ORDER BY produces the identical
+    bucket for every row, but the Spark plan sorts ~{_NB}-way in parallel,
+    which is also exactly how the write-time repartitionByRange job runs.
+    The envelope agg collapses to 3 x {_NB} rows with per-predicate match
+    counts, and the report unions the two 3-row pruning summaries."""
     li = load(spark, sf_dir, "lineitem")
     # per-dim min/max as driver scalars (4 BIGINTs — the documented
     # BNLJ-avoidance pattern; the oracle's CROSS JOIN stats is the same
@@ -188,23 +194,75 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_NORM_SPARK.format(v="y", lo=int(y_min), hi=int(y_max))),
         )
         .withColumn("z", F.expr(_Z_SPARK))
+        # materialize ONCE: the Morton fold and norms would otherwise be
+        # re-evaluated through each of the three bucket-assignment shuffles
+        .localCheckpoint(eager=True)
     )
 
     from pyspark.sql.window import Window
 
-    bucketed = fact.select(
-        "x",
-        "y",
-        F.ntile(_NB)
-        .over(Window.orderBy("l_orderkey", "l_linenumber"))
-        .alias("b_insert"),
-        F.ntile(_NB)
-        .over(Window.orderBy("x", "l_orderkey", "l_linenumber"))
-        .alias("b_single"),
-        F.ntile(_NB)
-        .over(Window.orderBy("z", "l_orderkey", "l_linenumber"))
-        .alias("b_zorder"),
+    n_rows = fact.count()  # driver scalar (feeds the exact ntile formula)
+    q, r = divmod(n_rows, _NB) if n_rows else (0, 0)
+    head = r * (q + 1)
+    # SQL ntile semantics, integer-exact: the first r buckets hold q+1
+    # rows each, the rest hold q
+    _NTILE_EXPR = (
+        f"cast(case when _rank <= {head} then (_rank - 1) div {q + 1}"
+        f" else {r} + (_rank - {head} - 1) div {max(q, 1)} end + 1 as int)"
     )
+
+    def dist_bucket(df, prefix: str, order_cols: list[str], alias: str):
+        """Distributed exact rank -> ntile bucket: `prefix` must be a
+        monotone function of the (order_cols) total order, so groups are
+        contiguous rank ranges; a <=hundreds-row cumulative-offset frame
+        broadcasts back and the per-group window runs fully parallel."""
+        from purldb_spark.conf import shuffle_partitions
+
+        n_part = shuffle_partitions(df.sparkSession)
+        # explicit width: AQE would coalesce the post-join exchange to a
+        # few fat partitions and serialize the window sorts
+        with_g = df.withColumn("_g", F.expr(prefix)).repartition(
+            n_part, "_g"
+        )
+        offs = (
+            with_g.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_c").over(
+                        Window.orderBy("_g").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("_c")
+        )
+        w = Window.partitionBy("_g").orderBy(*order_cols)
+        ranked = (
+            with_g.join(F.broadcast(offs), "_g")
+            .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
+        )
+        return ranked.withColumn(alias, F.expr(_NTILE_EXPR)).drop(
+            "_g", "_off", "_rank"
+        )
+
+    # prefixes: leading bits of each layout's sort key (monotone); group
+    # counts stay bounded (<= ~hundreds) at any corpus size by widening
+    # the divisor with log N, like LSH bucket bits
+    b = dist_bucket(
+        fact, "l_orderkey div 1048576", ["l_orderkey", "l_linenumber"],
+        "b_insert",
+    )
+    b = dist_bucket(
+        b, "xn div 1024", ["x", "l_orderkey", "l_linenumber"], "b_single"
+    )
+    b = dist_bucket(
+        b, "z div 67108864", ["z", "l_orderkey", "l_linenumber"], "b_zorder"
+    )
+    bucketed = b.select("x", "y", "b_insert", "b_single", "b_zorder")
     tall = (
         bucketed.select(
             F.lit("insertion").alias("layout"),
