@@ -88,6 +88,25 @@ AUDIT = [
 ]
 
 LEDGER = [
+    "## Round-8 ledger",
+    "",
+    "- `layout_zorder_skipping` shipped at 12.25 s (sf0.1) with three",
+    "  single-partition ntile sorts, then was re-planned as a distributed",
+    "  exact rank (prefix-group by leading key bits + broadcast cumulative",
+    "  offsets + the ntile remainder formula): **8.9 s**, identical oracle",
+    "  output. The sf1 row in BENCH_scale.md reflects the re-planned",
+    "  version.",
+    "- `knn_recall_eval` / `knn_recall_fully_trained` gained ~0.6 s each:",
+    "  the advisor fix derives `possible` from the materialized ground",
+    "  truth (localCheckpoint + count) instead of k x anchors — one extra",
+    "  job, correct on sparse corpora where an anchor has fewer than k",
+    "  eligible neighbors.",
+    "- `x_cargo_gem_collect/_map` and `x_cd_harvest_packages` moved",
+    "  +8.3/+5.0/+3.8 s in one mid-round sf0.01 run with no code change",
+    "  (median per-query delta that run: +0.02 s). Same signature as the",
+    "  r6 shared-host contention cluster; the round-final solo bench is",
+    "  the number of record.",
+    "",
     "## Round-7 regression ledger (the r6 driver-bench regressions)",
     "",
     "A/B re-measured on an otherwise idle local[32], bench.py's exact warmup",

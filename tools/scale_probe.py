@@ -95,7 +95,7 @@ PROBES = [
     ("sketch_hll_distinct", "register state fixed at types x 64 (map-side combined MAX); exact baseline pays the distinct shuffle — linear"),
     ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
     ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a global sort — linear (N log N baseline)"),
-    ("layout_zorder_skipping", "3 ntile global sorts (the write-time repartitionByRange shape) + 3x64 envelope agg — N log N"),
+    ("layout_zorder_skipping", "distributed exact-rank bucketing (prefix groups + broadcast offsets, shuffle-wide sorts) + 3x64 envelope agg — N log N"),
 ]
 
 
