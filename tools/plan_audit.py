@@ -84,7 +84,7 @@ AUDIT = [
     ("sketch_hll_distinct", "HLL registers (types x 64) + exact-distinct baseline"),
     ("sketch_cms_topk", "Count-Min d x w counters + exact top-k mark join"),
     ("sketch_histogram_quantiles", "cent histogram + cum walk + exact-rank baseline"),
-    ("layout_zorder_skipping", "3 ntile sorts (write-time shape) + envelope agg"),
+    ("layout_zorder_skipping", "distributed exact-rank bucketing x3 + envelope agg"),
 ]
 
 LEDGER = [
