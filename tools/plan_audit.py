@@ -104,8 +104,11 @@ LEDGER = [
     "- `x_cargo_gem_collect/_map` and `x_cd_harvest_packages` moved",
     "  +8.3/+5.0/+3.8 s in one mid-round sf0.01 run with no code change",
     "  (median per-query delta that run: +0.02 s). Same signature as the",
-    "  r6 shared-host contention cluster; the round-final solo bench is",
-    "  the number of record.",
+    "  r6 shared-host contention cluster — and resolved the same way: the",
+    "  round-final solo runs show x_cargo_gem_collect at 2.5 s (sf0.01) /",
+    "  2.2 s (sf0.1), back at its r7 level. Round-final bench: 190",
+    "  queries, 114.7 s at sf0.01 (r7: 108.4 s / 184 — per-query flat",
+    "  while adding 6), 176.5 s at sf0.1.",
     "",
     "## Round-7 regression ledger (the r6 driver-bench regressions)",
     "",
