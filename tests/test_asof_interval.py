@@ -91,3 +91,37 @@ def test_interval_bin_join_equals_naive_between(spark):
     assert sum(n for n, _, _ in got.values()) > max(
         n for n, _, _ in got.values()
     )
+
+
+def test_asof_matches_duckdb_native_asof_join(spark):
+    """Cross-check against a PUBLIC engine's built-in: DuckDB's ASOF LEFT
+    JOIN must agree with the union+window formulation on the real event
+    table (ties on (user_id, ts) are absent at microsecond resolution, so
+    the comparison is on view timestamps, which both semantics define
+    identically)."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    native = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"""
+            WITH ev AS (SELECT * FROM '{SF_SMOKE}/events.parquet'),
+            clicks AS (SELECT event_id, user_id, ts FROM ev
+                       WHERE event_type = 'click'),
+            views AS (SELECT user_id, ts, epoch_us(ts) AS v_us FROM ev
+                      WHERE event_type = 'view')
+            SELECT c.event_id, v.v_us
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+            """
+        ).fetchall()
+    }
+    con.close()
+    got = {
+        r["click_event_id"]: r["view_us"]
+        for r in QUERIES["j14_asof_join"](spark, SF_SMOKE).collect()
+    }
+    assert got == native

@@ -456,3 +456,42 @@ def test_funnel_dedup_stage_counts_duplicate_texts(spark, funnel_rows):
     kept = surv.join(first.select("doc_id"), "doc_id").count()
     assert funnel_rows[3]["n_kept"] == kept
     assert funnel_rows[3]["n_in"] == surv.count()
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """sample_weighted_per_group: the Efraimidis-Spirakis keys and the
+    per-language top-3 replay exactly in Python from the same md5 uniforms."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+    from tests.conftest import SF_SMOKE
+
+    load_inventory()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    con.close()
+
+    def key(doc_id, n_chars):
+        h = int(hashlib.md5(f"wsamp|{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return math.floor(1e6 * math.log(u) / max(n_chars, 1))
+
+    by_lang: dict[str, list] = {}
+    for lang, doc_id, n_chars in rows:
+        by_lang.setdefault(lang, []).append((key(doc_id, n_chars), doc_id, n_chars))
+    want = {}
+    for lang, items in by_lang.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (k, doc_id, n_chars) in enumerate(items[:3], 1):
+            want[(lang, rk)] = (doc_id, k)
+
+    got = {
+        (r["lang"], r["rk"]): (r["doc_id"], r["wkey"])
+        for r in QUERIES["sample_weighted_per_group"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
