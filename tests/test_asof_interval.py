@@ -125,3 +125,56 @@ def test_asof_matches_duckdb_native_asof_join(spark):
         for r in QUERIES["j14_asof_join"](spark, SF_SMOKE).collect()
     }
     assert got == native
+
+
+def test_asof_randomized_python_replay(spark, tmp_path):
+    """Seeded randomized event sets (duplicate timestamps, view-less users,
+    click-less users, interleavings) vs a direct Python replay of the
+    as-of definition: latest view with (us, event_id) <= lexicographic
+    (click_us, +inf), inclusive at equal us, max event_id among ties."""
+    import datetime as dt
+    import random
+
+    def _sec(x):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=x)
+
+    def us(ts):
+        return int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    rng = random.Random(8)
+    for case in range(5):
+        rows = []
+        eid = 0
+        for u in range(1, 6):
+            for _ in range(rng.randint(0, 12)):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        _sec(rng.randint(0, 20)),  # coarse ts -> many ties
+                        u,
+                        rng.choice(["view", "click", "error"]),
+                        0.0,
+                        "{}",
+                    )
+                )
+        sf = str(tmp_path / f"case{case}")
+        _write_events(spark, sf, rows)
+
+        got = {
+            r["click_event_id"]: (r["view_event_id"], r["view_us"])
+            for r in QUERIES["j14_asof_join"](spark, sf).collect()
+        }
+
+        want = {}
+        for e, ts, u, typ, _v, _p in rows:
+            if typ != "click":
+                continue
+            cands = [
+                (us(vts), ve)
+                for ve, vts, vu, vtyp, _, _ in rows
+                if vtyp == "view" and vu == u and us(vts) <= us(ts)
+            ]
+            best = max(cands) if cands else (None, None)
+            want[e] = (best[1], best[0])
+        assert got == want, f"case {case}"
