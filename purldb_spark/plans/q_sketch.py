@@ -428,3 +428,133 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_merge_daily
+# ---------------------------------------------------------------------------
+
+
+def _est_sql(regs_cte: str, p: str) -> str:
+    """The register->estimate CTE chain (namespaced by ``p``), reused for
+    the merged-shards side and the direct side of the merge proof."""
+    return f"""
+    {p}per_type AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT) AS s_present
+      FROM {regs_cte} GROUP BY event_type
+    ),
+    {p}est AS (
+      SELECT event_type, present,
+             {_HLL_M} - present AS zeros,
+             s_present + ({_HLL_M} - present) * CAST({_POW55} AS BIGINT) AS s
+      FROM {p}per_type
+    ),
+    {p}raw AS (
+      SELECT event_type, zeros,
+             CAST(floor({_HLL_NUM} / (1000e0 * CAST(s AS DOUBLE)))
+                  AS BIGINT) AS raw_e6
+      FROM {p}est
+    ),
+    {p}final AS (
+      SELECT event_type,
+             CASE WHEN zeros > 0 AND raw_e6 < {_HLL_LC_CUT}
+                  THEN CAST(floor(1000000e0 * 64e0 *
+                                  ln(64e0 / CAST(zeros AS DOUBLE))) AS BIGINT)
+                  ELSE raw_e6 END AS est_e6
+      FROM {p}raw
+    )"""
+
+
+@query(
+    "sketch_hll_merge_daily",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_HV_SQL} AS hv
+      FROM events
+    ),
+    split AS (
+      SELECT event_type, day, hv // {_POW54} AS idx, hv % {_POW54} AS rest
+      FROM hashed
+    ),
+    daily AS (
+      SELECT event_type, day, idx,
+             MAX(CASE WHEN rest = 0 THEN 55
+                      ELSE 55 - length(bin(rest)) END) AS m
+      FROM split GROUP BY event_type, day, idx
+    ),
+    merged AS (
+      SELECT event_type, idx, MAX(m) AS m FROM daily
+      GROUP BY event_type, idx
+    ),
+    direct AS (
+      SELECT event_type, idx,
+             MAX(CASE WHEN rest = 0 THEN 55
+                      ELSE 55 - length(bin(rest)) END) AS m
+      FROM split GROUP BY event_type, idx
+    ),
+    {_est_sql("merged", "m_")},
+    {_est_sql("direct", "d_")}
+    SELECT m.event_type,
+           CAST((SELECT count(*) FROM daily d2
+                 WHERE d2.event_type = m.event_type) AS BIGINT)
+             AS n_daily_registers,
+           m.est_e6 AS est_merged_e6,
+           d.est_e6 AS est_direct_e6,
+           m.est_e6 = d.est_e6 AS merge_exact
+    FROM m_final m JOIN d_final d ON m.event_type = d.event_type
+    """,
+)
+def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge proof as a first-class query — the production job
+    every sketch deployment runs: per-DAY register shards (what a daily
+    ingest would persist) MAX-merged into one register table, whose
+    estimate must equal the single-pass build over all data. This is the
+    lossless-merge property that makes HLL viable at 100 TB (shards merge
+    without re-reading raw data); `merge_exact` is TRUE for every group by
+    the monoid algebra, and the oracle re-derives both sides relationally
+    so the claim is engine-checked, not asserted.
+
+    Scale shape: daily shards are <= types x days x 64 rows; the merge is
+    one tiny groupBy; neither side re-shuffles raw events more than once."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    split = ev.select(
+        "event_type",
+        "day",
+        F.expr(f"{_HV_SPARK} div {_POW54}").alias("idx"),
+        F.expr(f"{_HV_SPARK} % {_POW54}").alias("rest"),
+    )
+    rho = "max(case when rest = 0 then 55 else 55 - length(bin(rest)) end)"
+    daily = split.groupBy("event_type", "day", "idx").agg(
+        F.expr(rho).alias("m")
+    ).localCheckpoint(eager=True)  # shard table reused by merge + count
+    merged = daily.groupBy("event_type", "idx").agg(F.max("m").alias("m"))
+    direct = split.groupBy("event_type", "idx").agg(F.expr(rho).alias("m"))
+
+    m_est = hll_estimate(merged).select(
+        "event_type", F.col("hll_est_e6").alias("est_merged_e6")
+    )
+    d_est = hll_estimate(direct).select(
+        "event_type", F.col("hll_est_e6").alias("est_direct_e6")
+    )
+    n_daily = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_daily_registers")
+    )
+    return (
+        n_daily.join(F.broadcast(m_est), "event_type")
+        .join(F.broadcast(d_est), "event_type")
+        .select(
+            "event_type",
+            "n_daily_registers",
+            "est_merged_e6",
+            "est_direct_e6",
+            (F.col("est_merged_e6") == F.col("est_direct_e6")).alias(
+                "merge_exact"
+            ),
+        )
+    )
