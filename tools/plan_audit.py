@@ -95,9 +95,13 @@ LEDGER = [
     "- `layout_zorder_skipping` shipped at 12.25 s (sf0.1) with three",
     "  single-partition ntile sorts, then was re-planned as a distributed",
     "  exact rank (prefix-group by leading key bits + broadcast cumulative",
-    "  offsets + the ntile remainder formula): **8.9 s**, identical oracle",
-    "  output. The sf1 row in BENCH_scale.md reflects the re-planned",
-    "  version.",
+    "  offsets + the ntile remainder formula): **8.9 s** on the quietest",
+    "  A/B run, identical oracle output; at sf1 the re-plan measured",
+    "  19.9 s vs 39.8 s for the ntile version. BENCH_scale.md carries the",
+    "  re-planned shape; its absolute layout numbers move up to ~60%",
+    "  between solo probe runs (12.7/32.0 in the final table) — the",
+    "  long-session checkpoint/GC variance the r6/r7 ledgers document —",
+    "  while the ~2-2.5x @ 10x shape is stable.",
     "- `knn_recall_eval` / `knn_recall_fully_trained` gained ~0.6 s each:",
     "  the advisor fix derives `possible` from the materialized ground",
     "  truth (localCheckpoint + count) instead of k x anchors — one extra",
