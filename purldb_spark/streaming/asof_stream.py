@@ -118,6 +118,10 @@ def asof_join_batch(
         .drop("rn")
         .localCheckpoint(eager=True)  # materialize before overwriting source
     )
+    # plain-parquet overwrite is NOT crash-atomic; production temporal
+    # state lives in a transactional format (Delta/Iceberg). The argmax
+    # monoid makes recovery a re-merge of any recent batches, but only a
+    # transactional write removes the loss window (hll_stream note).
     new_state.write.mode("overwrite").parquet(state_dir)
 
 

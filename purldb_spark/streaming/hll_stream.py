@@ -50,6 +50,12 @@ def hll_merge_batch(
             .agg(F.max("m").alias("m"))
         )
     merged = regs.localCheckpoint(eager=True)
+    # plain-parquet overwrite is NOT crash-atomic (a kill between delete
+    # and commit can lose the table); production state tables use a
+    # transactional format (Delta/Iceberg) or staging-dir + rename. The
+    # monoid makes RECOVERY trivial either way: rebuild by re-merging any
+    # batch subset — but only a transactional write removes the loss
+    # window itself.
     merged.write.mode("overwrite").parquet(regs_dir)
 
 
