@@ -576,3 +576,129 @@ def bucketed_orderkey_tables(
         names.append(name)
     _BUCKETED[key] = (names[0], names[1])
     return _BUCKETED[key]
+
+
+def residual_frame(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> DataFrame:
+    """(vec_id, cell, resid): each vector's RESIDUAL to its trained coarse
+    centroid — the quantity the faithful IVFADC pipeline encodes (Jegou et
+    al. 2011 §IV-A: the product quantizer is learned and applied on
+    r(x) = x - q_coarse(x), not on raw vectors). Exact arithmetic both
+    engines agree on bit-for-bit: centroid components come off the
+    fixed-point-grid Lloyd means, the subtraction is one IEEE double op on
+    identical inputs. Oracles re-derive residuals from the unrolled coarse
+    chain, so this cache can never mask a training bug."""
+    from purldb_spark.catalog.tables import load
+
+    def build() -> DataFrame:
+        cents = trained_centroids(spark, sf_dir, k, iters)
+        cells = kmeans_cell_index(spark, sf_dir, k, iters)
+        cent_df = spark.createDataFrame(
+            [(ci + 1, [float(x) for x in cents[ci]]) for ci in range(k)],
+            "cell long, cv array<double>",
+        )
+        e = load(spark, sf_dir, "embeddings")
+        n_part = shuffle_partitions(spark)
+        return (
+            e.join(cells, "vec_id")
+            .join(F.broadcast(cent_df), "cell")
+            .select(
+                "vec_id",
+                "cell",
+                F.expr(
+                    "zip_with(embedding, cv,"
+                    " (a, b) -> cast(a as double) - b)"
+                ).alias("resid"),
+            )
+            .repartition(n_part, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+    return cached_fixture(
+        spark, f"residual_frame:{sf_dir}:{k}:{iters}", build
+    )
+
+
+def trained_residual_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    iters: int,
+    m: int,
+    ksub: int,
+    pq_iters: int,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on RESIDUAL sub-vectors (the IVFADC
+    construction) — one independent Lloyd fit per subspace over
+    residual_frame's slices; same driver-side model-artifact shape as
+    trained_pq_codebooks."""
+    from purldb_spark.operators.kmeans import kmeans_fit
+
+    app = spark.sparkContext.applicationId
+    cache_key = (
+        app, f"respq:{sf_dir}:{k}:{iters}:{m}:{ksub}:{pq_iters}"
+    )
+    books = _DRIVER_CACHE.get(cache_key)
+    if books is None:
+        for stale in [s for s in _DRIVER_CACHE if s[0] != app]:
+            del _DRIVER_CACHE[stale]
+        res = residual_frame(spark, sf_dir, k, iters)
+        dim = len(res.select("resid").first()["resid"])
+        sub = dim // m
+        books = []
+        for si in range(m):
+            sliced = res.select(
+                "vec_id",
+                F.expr(f"slice(resid, {si * sub + 1}, {sub})").alias("subv"),
+            )
+            books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, pq_iters))
+        _DRIVER_CACHE[cache_key] = books
+    return books
+
+
+def residual_code_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    iters: int,
+    m: int,
+    ksub: int,
+    pq_iters: int,
+) -> DataFrame:
+    """Tall residual-PQ code table (vec_id, subspace, cluster 1-based)
+    under the residual-trained codebooks — the IVFADC inverted-list
+    payload in join-friendly form."""
+    from purldb_spark.operators.kmeans import assign_expr
+
+    def build() -> DataFrame:
+        books = trained_residual_codebooks(
+            spark, sf_dir, k, iters, m, ksub, pq_iters
+        )
+        res = residual_frame(spark, sf_dir, k, iters)
+        dim = len(books[0][0]) * m
+        sub = dim // m
+        coded = res.select(
+            "vec_id",
+            *[
+                assign_expr(
+                    f"slice(resid, {si * sub + 1}, {sub})", books[si]
+                ).alias(f"c{si}")
+                for si in range(m)
+            ],
+        )
+        stack_args = ", ".join(f"{si}L, c{si}" for si in range(m))
+        n_part = shuffle_partitions(spark)
+        return (
+            coded.selectExpr(
+                "vec_id", f"stack({m}, {stack_args}) as (subspace, cluster)"
+            )
+            .repartition(n_part, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+    return cached_fixture(
+        spark,
+        f"residual_codes:{sf_dir}:{k}:{iters}:{m}:{ksub}:{pq_iters}",
+        build,
+    )

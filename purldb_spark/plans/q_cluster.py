@@ -916,3 +916,208 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n_total") * F.lit(_HOT_NUM)
         ).alias("is_hot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_residual_ivfpq
+# ---------------------------------------------------------------------------
+
+
+def _res_refined_ctes() -> str:
+    """CTE body of the RESIDUAL-coded IVFPQ oracle (through ``refined``):
+    the coarse Lloyd chain (prefix g_), a residual table (x minus the
+    trained centroid of x's cell — one exact IEEE subtraction per
+    component on bit-identical inputs), one namespaced Lloyd chain per PQ
+    subspace over RESIDUAL slices (r{i}_cent = residual codebook,
+    r{i}_asgF = residual codes), ADC between the QUERY's residual and the
+    codebooks on the e6 grid, exact re-rank on raw vectors."""
+    sub = _DIM // _PQM
+    chains = [
+        kmeans_cells_ctes(
+            "embeddings", "embedding", "vec_id", _K, _ITERS, _DIM,
+            prefix="g_",
+        )
+    ]
+    resid = f"""
+    residuals AS (
+      SELECT e.vec_id, a.cluster AS cell,
+             list_transform(range(1, {_DIM + 1}), i ->
+               CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS resid
+      FROM embeddings e
+      JOIN g_asgF a ON a.vid = e.vec_id
+      JOIN g_cent{_ITERS} c ON c.cluster = a.cluster
+    )"""
+    cb_sel, code_sel = [], []
+    for si in range(_PQM):
+        lo, hi = si * sub + 1, (si + 1) * sub
+        table = f"(SELECT vec_id, resid[{lo}:{hi}] AS subv FROM residuals)"
+        chains.append(
+            kmeans_cells_ctes(
+                table, "subv", "vec_id", _PQK, _PQ_ITERS, sub,
+                prefix=f"r{si}_",
+            )
+        )
+        cb_sel.append(
+            f"SELECT CAST({si} AS BIGINT) AS subspace, cluster, cv"
+            f" FROM r{si}_cent{_PQ_ITERS}"
+        )
+        code_sel.append(
+            f"SELECT vid AS vec_id, CAST({si} AS BIGINT) AS subspace,"
+            f" cluster FROM r{si}_asgF"
+        )
+    qsub = (
+        f"array_slice(c.q_res, k.subspace * {sub} + 1,"
+        f" (k.subspace + 1) * {sub})"
+    )
+    return f"""
+    {",".join(chains)},{resid},
+    rcb AS ({" UNION ALL ".join(cb_sel)}),
+    rcodes AS ({" UNION ALL ".join(code_sel)}),
+    q AS (
+      SELECT r.vec_id AS q_vec_id, r.cell, r.resid AS q_res,
+             e.embedding AS q_emb
+      FROM residuals r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT q.q_vec_id, q.q_res, q.q_emb, i.vec_id
+      FROM q JOIN residuals i ON i.cell = q.cell AND i.vec_id <> q.q_vec_id
+    ),
+    terms AS (
+      SELECT c.q_vec_id, c.vec_id,
+             CAST(floor(1000000.0 *
+               {sqdist_cols_duckdb(qsub, "b.cv")}) AS BIGINT) AS term
+      FROM cand c
+      JOIN rcodes k ON k.vec_id = c.vec_id
+      JOIN rcb b ON b.subspace = k.subspace AND b.cluster = k.cluster
+    ),
+    adcs AS (
+      SELECT q_vec_id, vec_id, CAST(SUM(term) AS BIGINT) AS adc
+      FROM terms GROUP BY q_vec_id, vec_id
+    ),
+    short AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY adc, vec_id
+      ) AS adc_rank
+      FROM adcs
+    ),
+    refined AS (
+      SELECT s.q_vec_id, s.vec_id, s.adc,
+             {sqdist_cols_duckdb("qq.q_emb", "e.embedding")} AS exact_d,
+             row_number() OVER (
+               PARTITION BY s.q_vec_id
+               ORDER BY {sqdist_cols_duckdb("qq.q_emb", "e.embedding")},
+                        s.vec_id
+             ) AS rank
+      FROM short s
+      JOIN q qq ON qq.q_vec_id = s.q_vec_id
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      WHERE s.adc_rank <= {_FT_KPRIME}
+    )
+    """
+
+
+@query(
+    "knn_residual_ivfpq",
+    oracle=f"""
+    WITH{_res_refined_ctes()}
+    SELECT q_vec_id, vec_id, adc, exact_d, CAST(rank AS BIGINT) AS rank
+    FROM refined WHERE rank <= {_FT_TOPK}
+    """,
+)
+def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-coded IVFPQ search — the faithful IVFADC construction
+    (Jegou et al. 2011 §IV-A): the product quantizer is trained on and
+    applied to r(x) = x - q_coarse(x), not raw vectors, so the codes spend
+    their 4 bits on the WITHIN-cell geometry the coarse quantizer cannot
+    express (the accuracy gap between PQ-on-raw and IVFADC in the paper).
+    knn_fully_trained_ivfpq trains everything but encodes raw sub-vectors;
+    this closes that last fidelity gap. Search: probe the query's cell,
+    ADC between the QUERY's residual and the residual codebooks (e6-grid
+    BIGINT terms, order-independent sum), shortlist top-{_FT_KPRIME},
+    exact re-rank on raw vectors.
+
+    Cross-engine exactness of the residual itself: centroid components
+    come off the fixed-point-grid Lloyd means (bit-identical by the
+    kmeans_train contract), and the residual is ONE IEEE double
+    subtraction per component on identical inputs — deterministic without
+    any grid snap; the grid is applied where order-dependence starts (the
+    ADC term), as everywhere in this family.
+
+    Scale shape: identical to knn_fully_trained_ivfpq — the residual
+    table is one map-side broadcast join pass (k centroid rows), training
+    adds nothing over pq_train's cost model, search is the same cell
+    equi-join over 4-byte codes. Grow k with N (BENCH_scale finding 4)."""
+    from purldb_spark.plans.fixture_cache import (
+        residual_code_index,
+        residual_frame,
+        trained_residual_codebooks,
+    )
+
+    sub = _DIM // _PQM
+    e = load(spark, sf_dir, "embeddings")
+    res = residual_frame(spark, sf_dir, _K, _ITERS)
+    books = trained_residual_codebooks(
+        spark, sf_dir, _K, _ITERS, _PQM, _PQK, _PQ_ITERS
+    )
+    codes = residual_code_index(
+        spark, sf_dir, _K, _ITERS, _PQM, _PQK, _PQ_ITERS
+    )
+    cb = spark.createDataFrame(
+        [
+            (si, ci + 1, [float(x) for x in books[si][ci]])
+            for si in range(_PQM)
+            for ci in range(_PQK)
+        ],
+        "subspace long, cluster long, cv array<double>",
+    )
+    q = (
+        res.filter(F.col("vec_id") % 50 == 0)
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("cell").alias("q_cell"),
+            F.col("resid").alias("q_res"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    cand = q.join(
+        res.select("vec_id", "cell"),
+        (F.col("q_cell") == F.col("cell"))
+        & (F.col("q_vec_id") != F.col("vec_id")),
+    ).select("q_vec_id", "q_res", "q_emb", "vec_id")
+    qsub = f"array(slice(q_res, subspace * {sub} + 1, {sub}))"
+    terms = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(cb), ["subspace", "cluster"])
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.expr(
+                "cast(floor(1000000.0d * element_at(transform("
+                f"{qsub}, s -> {sqdist_cols_spark('s', 'cv')}), 1)) as bigint)"
+            ).alias("term"),
+        )
+    )
+    adcs = terms.groupBy("q_vec_id", "vec_id").agg(
+        F.sum("term").cast("long").alias("adc")
+    )
+    w_adc = Window.partitionBy("q_vec_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = adcs.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= _FT_KPRIME
+    )
+    raw = e.select("vec_id", F.col("embedding").alias("i_emb"))
+    qe = q.select("q_vec_id", "q_emb")
+    refined = (
+        short.join(qe, "q_vec_id")
+        .join(raw, "vec_id")
+        .withColumn("exact_d", F.expr(sqdist_cols_spark("q_emb", "i_emb")))
+    )
+    w_exact = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("exact_d"), F.asc("vec_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("rank") <= _FT_TOPK)
+        .select("q_vec_id", "vec_id", "adc", "exact_d", "rank")
+    )

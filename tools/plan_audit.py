@@ -84,6 +84,7 @@ AUDIT = [
     ("sketch_hll_distinct", "HLL registers (types x 64) + exact-distinct baseline"),
     ("sketch_cms_topk", "Count-Min d x w counters + exact top-k mark join"),
     ("sketch_histogram_quantiles", "cent histogram + cum walk + exact-rank baseline"),
+    ("knn_residual_ivfpq", "IVFADC: residual-trained PQ, query-residual ADC + refine"),
     ("sketch_hll_merge_daily", "daily HLL shards MAX-merge == direct (engine-checked)"),
     ("sample_weighted_per_group", "ES weighted keys + per-group top-k window"),
     ("layout_zorder_skipping", "distributed exact-rank bucketing x3 + envelope agg"),
