@@ -41,6 +41,7 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
         pq_code_index,
         simhash_fingerprints,
         trained_centroids,
+        residual_code_index,
         trained_pq_code_index,
         trained_pq_codebooks,
         unit_embeddings,
@@ -78,4 +79,8 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     # artifacts
     trained_pq_codebooks(spark, sf_dir, 8, 16, 2)
     trained_pq_code_index(spark, sf_dir, 8, 16, 2).count()
+    # the IVFADC artifacts (residual frame + residual-trained codebooks +
+    # residual codes) — builds residual_frame and trained_residual_codebooks
+    # transitively
+    residual_code_index(spark, sf_dir, 8, 3, 8, 16, 2).count()
     return round(time.perf_counter() - t0, 4)
