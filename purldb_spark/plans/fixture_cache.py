@@ -463,14 +463,26 @@ _OWNER_PIDFILE = ".owner_pid"
 # a directory with NO pidfile (pre-pidfile layout, or one racing between
 # mkdir and pidfile write) is evicted only once it is unambiguously stale
 _NO_PIDFILE_TTL_SEC = 3600.0
+# pidfile'd directories ALSO age out, on a much more generous clock: a
+# recycled pid (or a bogus one) would otherwise make a dead session's
+# directory immortal — the liveness probe is an optimization over the
+# TTL, never a substitute for it
+_PIDFILE_TTL_SEC = 86400.0
 
 
 def _pid_alive(pid: int) -> bool:
-    """True iff ``pid`` exists on this host (signal-0 probe).
+    """True iff ``pid`` is a plausible live process on this host
+    (signal-0 probe).
 
-    PermissionError means the pid exists under another uid — alive."""
+    ``pid <= 0`` is never a specific process — 0 signals the caller's own
+    process group and negative values signal whole groups, so os.kill
+    would "succeed" and a corrupt pidfile would pin the directory forever;
+    treat those as dead.  PermissionError means the pid exists under
+    another uid — alive."""
     import os
 
+    if pid <= 0:
+        return False
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
@@ -500,17 +512,21 @@ def _evict_dead_bucketed(root: str, app: str) -> None:
         path = os.path.join(root, d)
         pidfile = os.path.join(path, _OWNER_PIDFILE)
         try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            continue
+        try:
             pid = int(open(pidfile).read().strip())
         except (OSError, ValueError):
             # no/unreadable pidfile: age-based fallback only
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
-                continue
             if age > _NO_PIDFILE_TTL_SEC:
                 shutil.rmtree(path, ignore_errors=True)
             continue
-        if not _pid_alive(pid):
+        # dead pid -> evict now; live-looking pid -> still evict once the
+        # directory is stale past the generous TTL (a recycled pid must
+        # not make a dead session's files immortal; no real session here
+        # lives anywhere near that long)
+        if not _pid_alive(pid) or age > _PIDFILE_TTL_SEC:
             shutil.rmtree(path, ignore_errors=True)
 
 

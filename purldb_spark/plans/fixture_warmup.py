@@ -63,8 +63,13 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     unit_embeddings(spark, sf_dir).count()
     emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()
     emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS).count()
-    trained_centroids(spark, sf_dir, 8, 3)
-    kmeans_cell_index(spark, sf_dir, 8, 3).count()
+    # coarse k is corpus-scaled (q_cluster.coarse_k — BENCH_scale finding
+    # 4's remedy); prebuild at the SAME k the registry queries will request
+    from purldb_spark.plans.q_cluster import coarse_k
+
+    k_coarse = coarse_k(spark, sf_dir)
+    trained_centroids(spark, sf_dir, k_coarse, 3)
+    kmeans_cell_index(spark, sf_dir, k_coarse, 3).count()
     pq_code_index(spark, sf_dir).count()
     ivf_cell_index(spark, sf_dir).count()
     bucketed_orderkey_tables(spark, sf_dir)
@@ -82,5 +87,5 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     # the IVFADC artifacts (residual frame + residual-trained codebooks +
     # residual codes) — builds residual_frame and trained_residual_codebooks
     # transitively
-    residual_code_index(spark, sf_dir, 8, 3, 8, 16, 2).count()
+    residual_code_index(spark, sf_dir, k_coarse, 3, 8, 16, 2).count()
     return round(time.perf_counter() - t0, 4)

@@ -20,6 +20,29 @@ _K = 8
 _ITERS = 3
 _DIM = 64
 
+# Expected vectors per coarse cell: the registry queries grow the coarse
+# cell count with the corpus (k = max(_K, n // _CELL_TARGET)) so probe
+# cost per query stays flat and total probe work stays linear — BENCH_scale
+# finding 4's remedy promoted from the `knn_trained_pq_kscaled` probe into
+# the shipped plans.  At every verification scale (n <= 2000 vectors at
+# sf0.001/0.01/0.1) the formula yields exactly _K, so the unrolled-Lloyd
+# oracles — which must bake a literal k into their CTE chains — stay
+# bit-identical to the engine; the sf1 scale probe (n = 20000) runs the
+# same queries at k = 80.
+_CELL_TARGET = 250
+_K_BY_CORPUS: dict[tuple[str, str], int] = {}
+
+
+def coarse_k(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus-scaled coarse cell count (memoized per session + sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    k = _K_BY_CORPUS.get(key)
+    if k is None:
+        n = load(spark, sf_dir, "embeddings").count()
+        k = max(_K, int(n) // _CELL_TARGET)
+        _K_BY_CORPUS[key] = k
+    return k
+
 
 @query(
     "kmeans_train",
@@ -28,7 +51,8 @@ _DIM = 64
     ),
 )
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 Lloyd iterations, k=8, over the embeddings table: deterministic
+    """3 Lloyd iterations at the corpus-scaled k (coarse_k — k=8 at every
+    verification scale) over the embeddings table: deterministic
     hash-order init, map-only literal-centroid assignment, exact-decimal
     mean update (k*dim-row shuffle per iteration after map-side partial
     agg). Output = the final cell assignment with cluster sizes.
@@ -40,7 +64,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes the assignment + sizes view of that table."""
     from purldb_spark.plans.fixture_cache import kmeans_cell_index
 
-    cells = kmeans_cell_index(spark, sf_dir, _K, _ITERS).select(
+    cells = kmeans_cell_index(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS).select(
         "vec_id", F.col("cell").alias("cluster")
     )
     sizes = cells.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
@@ -325,7 +349,7 @@ def knn_trained_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    cells = kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+    cells = kmeans_cell_index(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
     idx = cells.join(pq_code_index(spark, sf_dir), "vec_id")
     q = (
         e.filter(F.col("vec_id") % 50 == 0)
@@ -426,7 +450,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = unit_embeddings(spark, sf_dir).select("vec_id", "u")
-    cells = kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+    cells = kmeans_cell_index(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
     idx = e.join(cells, "vec_id")
     q = idx.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),
@@ -684,7 +708,7 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub = _DIM // _PQM
     e = load(spark, sf_dir, "embeddings")
-    cells = kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+    cells = kmeans_cell_index(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
     codes = trained_pq_code_index(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
     books = trained_pq_codebooks(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
     cb = spark.createDataFrame(
@@ -897,7 +921,7 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purldb_spark.plans.fixture_cache import kmeans_cell_index
 
     sizes = (
-        kmeans_cell_index(spark, sf_dir, _K, _ITERS)
+        kmeans_cell_index(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
         .groupBy("cell")
         .agg(F.count("*").cast("long").alias("n_vectors"))
     )
@@ -939,7 +963,7 @@ def _res_refined_ctes() -> str:
         )
     ]
     resid = f"""
-    residuals AS (
+    residuals AS MATERIALIZED (
       SELECT e.vec_id, a.cluster AS cell,
              list_transform(range(1, {_DIM + 1}), i ->
                CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS resid
@@ -1056,12 +1080,12 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub = _DIM // _PQM
     e = load(spark, sf_dir, "embeddings")
-    res = residual_frame(spark, sf_dir, _K, _ITERS)
+    res = residual_frame(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
     books = trained_residual_codebooks(
-        spark, sf_dir, _K, _ITERS, _PQM, _PQK, _PQ_ITERS
+        spark, sf_dir, coarse_k(spark, sf_dir), _ITERS, _PQM, _PQK, _PQ_ITERS
     )
     codes = residual_code_index(
-        spark, sf_dir, _K, _ITERS, _PQM, _PQK, _PQ_ITERS
+        spark, sf_dir, coarse_k(spark, sf_dir), _ITERS, _PQM, _PQK, _PQ_ITERS
     )
     cb = spark.createDataFrame(
         [

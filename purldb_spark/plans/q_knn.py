@@ -296,7 +296,8 @@ def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(in_gt) AS BIGINT) AS hits,
            CAST((SELECT count(*) FROM gt) AS BIGINT) AS possible,
-           CAST(sum(in_gt) * 1000000 // (SELECT count(*) FROM gt) AS BIGINT)
+           CAST(sum(in_gt) * 1000000
+                // (SELECT greatest(count(*), 1) FROM gt) AS BIGINT)
              AS recall_e6
     FROM marked GROUP BY method
     """,

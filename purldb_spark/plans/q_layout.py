@@ -174,9 +174,10 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-dim min/max as driver scalars (4 BIGINTs — the documented
     # BNLJ-avoidance pattern; the oracle's CROSS JOIN stats is the same
     # 1-row frame on the DuckDB side)
-    x_min, x_max, y_min, y_max = li.agg(
+    x_min, x_max, y_min, y_max, ok_max = li.agg(
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
+        F.max("l_orderkey"),
     ).first()
     fact = (
         li.select(
@@ -250,11 +251,15 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # prefixes: leading bits of each layout's sort key (monotone); group
-    # counts stay bounded (<= ~hundreds) at any corpus size by widening
-    # the divisor with log N, like LSH bucket bits
+    # counts stay bounded (<= ~hundreds) at any corpus size.  The
+    # insertion divisor derives from the OBSERVED key range (~64 groups at
+    # every sf) — a fixed literal divisor put all rows in one group below
+    # sf~10, silently re-creating the single-partition window this rank
+    # exists to avoid; xn and z are already range-normalized so their
+    # divisors are constants
     b = dist_bucket(
-        fact, "l_orderkey div 1048576", ["l_orderkey", "l_linenumber"],
-        "b_insert",
+        fact, f"l_orderkey div {max(int(ok_max) // 64, 1)}",
+        ["l_orderkey", "l_linenumber"], "b_insert",
     )
     b = dist_bucket(
         b, "xn div 1024", ["x", "l_orderkey", "l_linenumber"], "b_single"

@@ -500,14 +500,16 @@ def main() -> None:
         "4. **IVF cell count must grow with N** — the vector-index twin of",
         "   finding 1. With k FIXED at 8 cells, 10x data puts 10x vectors",
         "   AND 10x queries in every cell, so probe pairs grow 100x:",
-        "   `knn_ivfpq` / `knn_trained_ivfpq_refine` measure ~19x at 10x",
-        "   (quadratic, not the advertised linear). `knn_trained_pq_kscaled`",
-        "   grows k ~ N/250 (constant expected cell size; the standard",
-        "   sqrt(N)-to-N/const IVF sizing), paying a k*dim-literal assign",
-        "   and k-proportional training cost to keep per-query probe work",
-        "   flat — the registry queries keep k=8 because their oracle must",
-        "   replay the exact unrolled-Lloyd SQL, but production sizing",
-        "   follows this row.",
+        "   the k=8 configurations measured ~19x at 10x (quadratic, not",
+        "   linear). Since round 9 the registry queries themselves grow",
+        "   k = max(8, N/250) (q_cluster.coarse_k — constant expected cell",
+        "   size, the standard sqrt(N)-to-N/const IVF sizing), paying a",
+        "   k*dim-literal assign and k-proportional training cost to keep",
+        "   per-query probe work flat; the formula yields exactly k=8 at",
+        "   every oracle-verification scale (n <= 2000 vectors), so the",
+        "   unrolled-Lloyd oracles stay bit-identical to the engine, while",
+        "   this table's sf1 runs exercise k=80. `knn_trained_pq_kscaled`",
+        "   remains as the cold-path probe of the same law.",
         "",
     ]
     with open(os.path.join(HERE, "BENCH_scale.md"), "w") as fh:
