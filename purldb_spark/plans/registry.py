@@ -89,6 +89,7 @@ def load_inventory() -> None:
         q_bpe,
         q_bloom,
         q_sketch,
+        q_kmv,
         q_layout,
         q_sample,
         q_snippet,

@@ -88,9 +88,48 @@ AUDIT = [
     ("sketch_hll_merge_daily", "daily HLL shards MAX-merge == direct (engine-checked)"),
     ("sample_weighted_per_group", "ES weighted keys + per-group top-k window"),
     ("layout_zorder_skipping", "distributed exact-rank bucketing x3 + envelope agg"),
+    ("sketch_kmv_intersect", "two-phase bottom-k + broadcast pair frame; exact baseline"),
 ]
 
 LEDGER = [
+    "## Round-9 ledger",
+    "",
+    "- **r8 inverted-index regression: noise, pinned.** The r8 driver",
+    "  bench showed `dedup_ngram_jaccard` 1.18 -> 2.46 s (2.08x — beyond",
+    "  the documented +/-20% envelope) with the capped twin and tfidf",
+    "  moving together. `git diff` between the r7/r8 tested trees shows",
+    "  q_dedup.py and the posting fixtures byte-identical. The r7 ledger",
+    "  protocol (otherwise-idle local[32], bench.py's exact warmup +",
+    "  fixture sequence, min-of-3 at sf0.1, tools/ab_ngram.py) measures:",
+    "  dedup_ngram_jaccard **1.42 s**, dedup_ngram_jaccard_capped",
+    "  **2.68 s**, text_tfidf_neighbors **1.52 s** — all back at their r7",
+    "  levels with no code change. Same signature and same resolution as",
+    "  the r6/r8 contention clusters: the whole family moved together in",
+    "  ONE driver run and recovered solo.",
+    "- **Mega-oracle memory audit (the r8 OOM's closure).** All 14",
+    "  largest oracles (195 KB knn_ivfpq down through kmeans_train)",
+    "  re-probed under an explicit `SET memory_limit='2GB'`: every one",
+    "  completes in 0.1-2.0 s. The one structure that needed the",
+    "  MATERIALIZED keyword was knn_residual_ivfpq's `residuals` CTE",
+    "  (a derived CTE feeding 8 unrolled Lloyd chains — DuckDB inlines",
+    "  plain CTEs and re-expanded the coarse-training subtree at every",
+    "  reference: OOM at 4 GB -> 1.1 s at 1 GB after the keyword). The",
+    "  other mega-oracles' chains take base views as input, which is why",
+    "  they were always affordable. Convention recorded: any CTE fed into",
+    "  kmeans_cells_ctes or referenced by multiple chains must be",
+    "  MATERIALIZED.",
+    "- **IVF k now corpus-scaled in the registry** (BENCH_scale finding",
+    "  4's remedy promoted from probe to shipped plans): q_cluster's",
+    "  kmeans_cell_index/residual consumers request",
+    "  k = max(8, n_vectors // 250). The formula yields exactly k=8 at",
+    "  every oracle-verification scale, so the unrolled oracles stay",
+    "  bit-identical; the sf1 probe exercises k=80 through the same",
+    "  code path.",
+    "- `layout_zorder_skipping`'s insertion-layout prefix divisor now",
+    "  derives from max(l_orderkey)//64 — the fixed 2^20 literal put the",
+    "  whole corpus in ONE rank group below sf~10, silently re-creating",
+    "  the single-partition window the distributed rank replaced.",
+    "",
     "## Round-8 ledger",
     "",
     "- `layout_zorder_skipping` shipped at 12.25 s (sf0.1) with three",
