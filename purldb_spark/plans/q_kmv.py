@@ -89,6 +89,13 @@ def kmv_sketch(ev: DataFrame, k: int = _KMV_K) -> DataFrame:
     d = ev.select(
         "event_type", F.expr(_EL_SPARK).alias("hv")
     ).distinct()
+    return kmv_from_distinct(d, k)
+
+
+def kmv_from_distinct(d: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """The two-phase rank over an already-distinct (event_type, hv) frame
+    — split out so the batch query shares ONE distinct pass between the
+    sketch and its exact baseline."""
     w1 = Window.partitionBy(
         "event_type", F.expr(f"hv % {_SALTS}")
     ).orderBy("hv")
@@ -201,10 +208,15 @@ def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins; the only corpus-sized work is the labeled exact baseline.
     """
     ev = load(spark, sf_dir, "events").select("event_type", "user_id", "ts")
-    d = ev.select(
-        "event_type", F.expr(_EL_SPARK).alias("hv")
-    ).distinct()
-    kmv = kmv_sketch(ev)
+    # ONE distinct pass feeds the sketch, the exact baseline, and the type
+    # list (materialized — the session-fixture convention; the oracle
+    # recomputes it relationally as the `d` CTE)
+    d = (
+        ev.select("event_type", F.expr(_EL_SPARK).alias("hv"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kmv = kmv_from_distinct(d)
     types = sorted(
         r["event_type"] for r in d.select("event_type").distinct().collect()
     )
