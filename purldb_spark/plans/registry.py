@@ -90,6 +90,7 @@ def load_inventory() -> None:
         q_bloom,
         q_sketch,
         q_kmv,
+        q_split,
         q_layout,
         q_sample,
         q_snippet,

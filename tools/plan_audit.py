@@ -89,6 +89,7 @@ AUDIT = [
     ("sample_weighted_per_group", "ES weighted keys + per-group top-k window"),
     ("layout_zorder_skipping", "distributed exact-rank bucketing x3 + envelope agg"),
     ("sketch_kmv_intersect", "two-phase bottom-k + broadcast pair frame; exact baseline"),
+    ("split_leakage_safe", "cluster-hash split + pair accounting over materialized state"),
 ]
 
 LEDGER = [

@@ -100,6 +100,7 @@ PROBES = [
     ("sample_weighted_per_group", "map-only ES keys + per-language top-k window — linear, one group shuffle"),
     ("layout_zorder_skipping", "distributed exact-rank bucketing (prefix groups + broadcast offsets, shuffle-wide sorts) + 3x64 envelope agg — N log N"),
     ("sketch_kmv_intersect", "two-phase salted bottom-k + k-row pair merges; labeled exact baselines pay the per-pair distinct shuffle — linear"),
+    ("split_leakage_safe", "cluster-hash assignment join + doc-keyed pair accounting over materialized dedup state — linear"),
 ]
 
 
