@@ -403,8 +403,19 @@ def run_probe(spark, sf_dir: str) -> dict[str, dict]:
             r1, w1 = shuffle_totals(spark)
             if best is None or sec < best:
                 best = sec
-                rd = round((r1 - r0) / 1e6, 1) if r1 >= 0 else -1
-                wr = round((w1 - w0) / 1e6, 1) if w1 >= 0 else -1
+                # the UI store evicts old stages in long sessions; a
+                # negative delta means the window rolled between the two
+                # snapshots — report unmeasured rather than a bogus value
+                rd = (
+                    round((r1 - r0) / 1e6, 1)
+                    if r1 >= 0 and r1 >= r0
+                    else "n/a"
+                )
+                wr = (
+                    round((w1 - w0) / 1e6, 1)
+                    if w1 >= 0 and w1 >= w0
+                    else "n/a"
+                )
         out[name] = {
             "sec": best,
             "rows": n,
@@ -512,12 +523,13 @@ def main() -> None:
         "   unrolled-Lloyd oracles stay bit-identical to the engine, while",
         "   this table's sf1 runs exercise k=80. `knn_trained_pq_kscaled`",
         "   remains as the cold-path probe of the same law.",
-        "   MEASURED this round: knn_fully_trained_ivfpq 5.5x -> 1.6x,",
-        "   knn_residual_ivfpq 5.5x -> 2.0x, knn_trained_ivfpq_refine 6.6x ->",
-        "   2.9x, knn_hard_negatives 4.6x -> 1.5x at 10x. The one still-quadratic",
-        "   row, knn_ivfpq (19.4x), probes the FROZEN shipped 8-centroid artifact",
-        "   of operators/ivf.py — an untrainable constant kept as the labeled",
-        "   fixed-k baseline next to its trained, k-scaled twins.",
+        "   MEASURED this round (two independent probe runs):",
+        "   knn_fully_trained_ivfpq 5.5x -> 1.6x/1.1x, knn_residual_ivfpq 5.5x ->",
+        "   2.0x/1.6x, knn_trained_ivfpq_refine 6.6x -> 2.9x/2.8x,",
+        "   knn_hard_negatives 4.6x -> 1.5x/1.0x at 10x. The one still-quadratic",
+        "   row, knn_ivfpq (~19-22x), probes the FROZEN shipped 8-centroid",
+        "   artifact of operators/ivf.py — an untrainable constant kept as the",
+        "   labeled fixed-k baseline next to its trained, k-scaled twins.",
         "",
     ]
     with open(os.path.join(HERE, "BENCH_scale.md"), "w") as fh:
