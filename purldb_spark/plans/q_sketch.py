@@ -377,15 +377,24 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape at 100 TB: the histogram is additive fixed-size state like
     the CMS grid — mergeable across partitions/shards/days by cell-wise
     sum, the standard way distributed engines (and parquet column stats)
-    approximate quantiles; the exact baseline pays the global sort that
-    production avoids (same labeled-baseline status as knn_bruteforce)."""
+    approximate quantiles; the exact baseline pays the full sort that
+    production avoids (same labeled-baseline status as knn_bruteforce) —
+    but even the baseline ranks DISTRIBUTED (value-range prefix groups +
+    broadcast cumulative offsets, the q_layout dist_bucket shape; since
+    round 9 no corpus-sized single-partition window remains anywhere in
+    the registry)."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events")
     cents = ev.select(
         "event_id", F.expr("cast(round(value * 100) as bigint)").alias("c")
     )
-    n = cents.count()  # driver scalar (documented BNLJ avoidance)
+    # driver scalars (documented BNLJ avoidance): n feeds the rank
+    # formula, the observed cent range sizes the ~64 prefix groups of the
+    # distributed exact rank below
+    n, c_min, c_max = cents.agg(
+        F.count(F.lit(1)), F.min("c"), F.max("c")
+    ).first()
     ranks = {p: (p * n + 99) // 100 for p in _HQ_PCTS}
 
     hist = cents.groupBy(
@@ -413,9 +422,42 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pr.pct").alias("pct"), F.col("pr.rk").alias("rk"))
         .agg(F.min("bin").alias("est_bin"))
     )
-    ranked = cents.withColumn(
-        "rank", F.row_number().over(Window.orderBy("c", "event_id"))
-    ).filter(F.col("rank").isin(*ranks.values()))
+    # exact rank WITHOUT a single-partition window (the q_layout
+    # dist_bucket shape): prefix-group by leading value range (monotone
+    # in the (c, event_id) order, so groups are contiguous rank ranges),
+    # rank within each group in parallel, add broadcast cumulative
+    # offsets — bit-identical to the oracle's plain global row_number
+    div = max((int(c_max) - int(c_min)) // 64, 1) if n else 1
+    base = int(c_min) if n else 0
+    from purldb_spark.conf import shuffle_partitions
+
+    n_part = shuffle_partitions(spark)
+    with_g = cents.withColumn(
+        "_g", F.expr(f"(c - {base}) div {div}")
+    ).repartition(n_part, "_g")
+    offs = (
+        with_g.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.orderBy("_g").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_c")
+    )
+    w_in = Window.partitionBy("_g").orderBy("c", "event_id")
+    ranked = (
+        with_g.join(F.broadcast(offs), "_g")
+        .withColumn("rank", F.row_number().over(w_in) + F.col("_off"))
+        .filter(F.col("rank").isin(*ranks.values()))
+        .drop("_g", "_off")
+    )
     return (
         est.join(ranked, est.rk == ranked.rank)
         .select(
