@@ -94,7 +94,7 @@ PROBES = [
     ("j15_interval_bin_join", "bin-explode broadcast equi-join + exact re-check; dim side scale-invariant — linear"),
     ("sketch_hll_distinct", "register state fixed at types x 64 (map-side combined MAX); exact baseline pays the distinct shuffle — linear"),
     ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
-    ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a global sort — linear (N log N baseline)"),
+    ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a DISTRIBUTED full sort (prefix-group rank, r9) — linear (N log N baseline)"),
     ("knn_residual_ivfpq", "residual-coded IVFADC probe — same cell-equi-join cost model as knn_fully_trained_ivfpq, corpus-scaled k since r9"),
     ("sketch_hll_merge_daily", "daily register shards (types x days x 64) MAX-merged vs direct — two bounded groupBys over one scan each — linear"),
     ("sample_weighted_per_group", "map-only ES keys + per-language top-k window — linear, one group shuffle"),
