@@ -822,33 +822,53 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor production note as knn_recall_eval — recall monitoring pins a
     few thousand anchors at 100 TB, making the GT scan linear). hits /
     possible / recall ride the e6 BIGINT grid."""
-    e = load(spark, sf_dir, "embeddings")
     approx = knn_fully_trained_ivfpq(spark, sf_dir).select(
         "q_vec_id", "vec_id"
     )
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("embedding").alias("q_emb"),
-    )
+    return _recall_frame(spark, sf_dir, approx, "fully_trained_ivfpq")
 
+
+def _exact_l2_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact squared-L2 top-{_FT_TOPK} ground truth over the %50
+    anchors — built ONCE per session (fixture memo) and shared by every
+    end-to-end recall eval; the labeled anchors x corpus scan."""
     from purldb_spark.conf import shuffle_partitions
+    from purldb_spark.plans.fixture_cache import cached_fixture
 
-    n_part = shuffle_partitions(spark)
-    scored = (
-        e.repartition(n_part, "vec_id")
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("q_vec_id") != F.col("vec_id"))
-        .withColumn("exact_d", F.expr(sqdist_cols_spark("q_emb", "embedding")))
-    )
-    w = Window.partitionBy("q_vec_id").orderBy(
-        F.asc("exact_d"), F.asc("vec_id")
-    )
-    gt = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _FT_TOPK)
-        .select("q_vec_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    def build() -> DataFrame:
+        e = load(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        n_part = shuffle_partitions(spark)
+        scored = (
+            e.repartition(n_part, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("q_vec_id") != F.col("vec_id"))
+            .withColumn(
+                "exact_d", F.expr(sqdist_cols_spark("q_emb", "embedding"))
+            )
+        )
+        w = Window.partitionBy("q_vec_id").orderBy(
+            F.asc("exact_d"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _FT_TOPK)
+            .select("q_vec_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+    return cached_fixture(spark, f"exact_l2_gt:{sf_dir}:{_FT_TOPK}", build)
+
+
+def _recall_frame(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, method: str
+) -> DataFrame:
+    """Shared recall@{_FT_TOPK} tail: mark an end-to-end index's top-k
+    pairs against the exact ground truth, one report row out."""
+    gt = _exact_l2_gt(spark, sf_dir)
     # the ACTUAL ground-truth row count, not _FT_TOPK x anchors: an anchor
     # with fewer eligible neighbors yields fewer gt rows, and the oracle's
     # (SELECT count(*) FROM gt) counts that way (driver scalar off the
@@ -865,7 +885,7 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.coalesce(F.sum("in_gt"), F.lit(0)).cast("long").alias("hits"),
         )
-        .withColumn("method", F.lit("fully_trained_ivfpq"))
+        .withColumn("method", F.lit(method))
         .withColumn("possible", F.lit(possible).cast("long"))
         .withColumn(
             "recall_e6",
@@ -1145,3 +1165,61 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _FT_TOPK)
         .select("q_vec_id", "vec_id", "adc", "exact_d", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_residual
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_recall_residual",
+    oracle=f"""
+    WITH{_res_refined_ctes()},
+    approx AS (
+      SELECT q_vec_id, vec_id FROM refined WHERE rank <= {_FT_TOPK}
+    ),
+    gt AS (
+      SELECT q_vec_id, vec_id FROM (
+        SELECT qq.q_vec_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY qq.q_vec_id
+                 ORDER BY {sqdist_cols_duckdb("qq.q_emb", "e.embedding")},
+                          e.vec_id
+               ) AS rank
+        FROM q qq JOIN embeddings e ON e.vec_id <> qq.q_vec_id
+      ) WHERE rank <= {_FT_TOPK}
+    ),
+    marked AS (
+      SELECT CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END AS in_gt
+      FROM approx a LEFT JOIN gt g
+        ON a.q_vec_id = g.q_vec_id AND a.vec_id = g.vec_id
+    )
+    SELECT 'residual_ivfpq' AS method,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(sum(in_gt), 0) AS BIGINT) AS hits,
+           CAST((SELECT count(*) FROM gt) AS BIGINT) AS possible,
+           CAST(COALESCE(sum(in_gt), 0) * 1000000
+                // (SELECT greatest(count(*), 1) FROM gt) AS BIGINT)
+             AS recall_e6
+    FROM marked
+    """,
+)
+def knn_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_FT_TOPK} of the RESIDUAL-coded configuration (IVFADC,
+    knn_residual_ivfpq's exact plan) against the same exact squared-L2
+    ground truth as knn_recall_fully_trained — the pair of rows an index
+    team reads side by side to see what residual coding buys: PQ trained
+    on coarse residuals quantizes a much tighter distribution than raw
+    vectors, so its ADC shortlist ranks closer to the exact order
+    (Jegou et al. 2011's motivation for IVFADC over IVF+PQ-on-raw).
+
+    The oracle's `gt` anchors come from the residual chain's own `q` CTE
+    (same %50 anchor set, same L2 metric); the Spark side reuses the
+    session-shared exact-GT fixture, and the recall tail is the identical
+    marked-join algebra — only the approx frame differs. Scale shape:
+    approx side is the production residual probe (corpus-scaled k), GT
+    side the labeled anchors x corpus scan (sampled anchors in
+    production)."""
+    approx = knn_residual_ivfpq(spark, sf_dir).select("q_vec_id", "vec_id")
+    return _recall_frame(spark, sf_dir, approx, "residual_ivfpq")

@@ -36,6 +36,7 @@ ALLPAIRS_BASELINES = {
     "dedup_embedding_cosine",
     "knn_recall_eval",
     "knn_recall_fully_trained",
+    "knn_recall_residual",
 }
 
 

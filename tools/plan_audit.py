@@ -90,6 +90,7 @@ AUDIT = [
     ("layout_zorder_skipping", "distributed exact-rank bucketing x3 + envelope agg"),
     ("sketch_kmv_intersect", "two-phase bottom-k + broadcast pair frame; exact baseline"),
     ("split_leakage_safe", "cluster-hash split + pair accounting over materialized state"),
+    ("knn_recall_residual", "IVFADC recall vs shared exact-L2 GT fixture + mark join"),
 ]
 
 LEDGER = [
