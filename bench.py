@@ -6,6 +6,12 @@ payload rows).
 The driver keeps only a bounded tail of stdout (round 1 clipped the front of
 a ~2.4 KB line), so the printed line carries the headline queries only and
 the full per-query timing map is written to bench_full.json in the repo.
+
+REPO CONVENTION: the COMMITTED bench_full.json is an sf0.01 run
+(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01) — the scale every contributor
+can reproduce quickly and compare across rounds. Record sf0.1 runs in the
+per-round BENCH_r{N}.json artifacts (the driver writes those) or a scratch
+file, not over the committed convention (r9 hygiene note).
 """
 
 from __future__ import annotations

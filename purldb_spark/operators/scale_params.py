@@ -1,0 +1,105 @@
+"""Corpus-scaled index parameters — BENCH_scale.md finding 1 as a recipe.
+
+Random-pair collisions in a b-bit LSH bucket layout scale as
+N^2 * bands / 2^b: any FIXED bucket width turns a linear blocking plan
+quadratic once the corpus outgrows it (measured: the 4-bit embedding
+layout went 2.4 s -> 111 s at 10x data; the frozen k=8 IVF probed 22.3x
+at 10x until q_cluster.coarse_k corpus-scaled it). The remedy is the same
+every time: grow the parameter with log2(N) so per-bucket occupancy stays
+flat, memoize per (appId, corpus) so one count() sizes the whole session,
+and pin the formula so it yields the ORACLE-BAKED constant at every
+verification scale — static DuckDB oracle SQL stays bit-valid where the
+driver compares, and the larger widths engage only at probe/production
+scales where no oracle runs.
+
+This module holds the shared recipe; q_cluster.coarse_k (IVF cell count)
+is the same pattern specialized to cell counts and predates it.
+
+Parameters audit (round 10), one entry per banded/bucketed family:
+
+* Embedding hyperplane LSH (q_embed): bucket width = planes per band.
+  CORPUS-SCALED here via ``lsh_n_planes`` — max(8, floor(log2 N) - 4):
+  8 bits at N <= 4095 (every verification corpus: 500/500/2000), 10 bits
+  at the 20k-vector sf1 probe, ~log2(N)-4 beyond (2^(b) buckets hold
+  per-band occupancy at ~16 vectors regardless of N). Recall lost to
+  narrower buckets is bought back on the query side by multiprobe
+  (operators/knn.multiprobe_expand), which does not grow the index.
+* MinHash LSH (q_dedup): NOT bucket-width-bound — band keys are
+  concatenated 60-bit min-hash VALUES, so the key space is 2^120 and
+  random-pair collisions are governed by the Jaccard similarity
+  distribution (P ~ J^r per band), not by N^2/2^bits saturation. The
+  scale knobs there are b (bands) and r (rows/band) setting the
+  similarity threshold t ~ (1/b)^(1/r); no corpus-dependent width needed.
+* SimHash (q_dedup / operators/dedup.py): band width IS pinned by the
+  pigeonhole correctness constraint (hamming <= 3 over 4 bands needs
+  exactly 4 bands, so 60-bit fingerprints give 15-bit bands). Scaling
+  past N ~ 2^15 * sqrt(bands) therefore requires growing the FINGERPRINT
+  (e.g. 120-bit = two md5 halves -> 30-bit bands), not the band split —
+  deferred to the round-11 fixture_cache/operators-dedup batch (editing
+  operators/dedup.py re-stales 37 verified queries; see DESIGN.md
+  round-10 ledger for the window arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from purldb_spark.catalog.tables import load
+
+# minimum planes per band: the width every oracle-bearing scale uses (the
+# verification corpora hold <= 4095 vectors, where the formula floors out)
+MIN_PLANES = 8
+# slack c in max(MIN, floor(log2 N) - c): c = 4 keeps ~2^4 = 16 expected
+# vectors per bucket per band
+PLANES_SLACK = 4
+
+_N_BY_CORPUS: dict[tuple[str, str, str], int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> int:
+    """Memoized row count per (session, corpus, table) — one count() job
+    sizes every corpus-scaled parameter for the whole session."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    n = _N_BY_CORPUS.get(key)
+    if n is None:
+        n = int(load(spark, sf_dir, table).count())
+        _N_BY_CORPUS[key] = n
+    return n
+
+
+def lsh_n_planes(n: int) -> int:
+    """Planes per LSH band for an n-vector corpus:
+    max(MIN_PLANES, floor(log2 n) - PLANES_SLACK).
+
+    floor(log2 n) == n.bit_length() - 1 for n >= 1; per-band bucket
+    occupancy stays ~2^PLANES_SLACK as n grows, so candidate volume —
+    N^2 * bands / 2^planes — stays linear in N."""
+    if n <= 1:
+        return MIN_PLANES
+    return max(MIN_PLANES, (n.bit_length() - 1) - PLANES_SLACK)
+
+
+def lsh_planes_for(
+    spark: SparkSession, sf_dir: str, table: str = "embeddings"
+) -> int:
+    """Corpus-scaled LSH band width for a table, with the same
+    oracle-validity contract as q_cluster.coarse_k: static oracle SQL in
+    the calling module bakes MIN_PLANES-wide bands, valid while this
+    returns MIN_PLANES (true at every driver verification scale); wider
+    layouts engage only at probe/production scales, where the warning
+    below is the printed cause should an oracle comparison ever be
+    attempted anyway."""
+    w = lsh_n_planes(corpus_count(spark, sf_dir, table))
+    if w != MIN_PLANES:
+        import warnings
+
+        warnings.warn(
+            f"lsh_planes_for({table}@{sf_dir}) = {w} != MIN_PLANES="
+            f"{MIN_PLANES}: static LSH oracle SQL bakes the"
+            f" {MIN_PLANES}-plane layout and is NOT valid at this corpus"
+            " size (scale probes/production never compare oracles; this"
+            " is only a problem if a new verification scale exceeded"
+            f" 2^{MIN_PLANES + PLANES_SLACK + 1} - 1 rows).",
+            stacklevel=2,
+        )
+    return w

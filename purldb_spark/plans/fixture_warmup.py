@@ -24,8 +24,32 @@ import time
 from pyspark.sql import SparkSession
 
 
+def prebuild_fixtures_timed(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Per-artifact wall seconds for the prebuild (the trim audit's
+    instrument — PLANS.md ledger); ``prebuild_fixtures`` returns the sum."""
+    import time as _time
+
+    out: dict[str, float] = {}
+    t_all = _time.perf_counter()
+
+    def step(name: str, fn) -> None:
+        t0 = _time.perf_counter()
+        fn()
+        out[name] = round(_time.perf_counter() - t0, 2)
+
+    _prebuild_steps(spark, sf_dir, step)
+    out["TOTAL"] = round(_time.perf_counter() - t_all, 2)
+    return out
+
+
 def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
     """Materialize all shared fixtures for ``sf_dir``; returns seconds."""
+    return prebuild_fixtures_timed(spark, sf_dir)["TOTAL"]
+
+
+def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
     from purldb_spark.plans.fixture_cache import (
         bucketed_orderkey_tables,
         capped_posting,
@@ -47,45 +71,48 @@ def prebuild_fixtures(spark: SparkSession, sf_dir: str) -> float:
         unit_embeddings,
     )
     from purldb_spark.plans.q_bpe import bpe_trained_words
-    from purldb_spark.plans.q_embed import _BLOCK_BANDS, _RECALL_BANDS
+    from purldb_spark.plans.q_embed import block_bands
     from purldb_spark.plans.q_select import _tfidf_postings, _trigram_lm
 
-    t0 = time.perf_counter()
-    doc_fingerprint_base(spark, sf_dir).count()
-    dir_fingerprint_index(spark, sf_dir, "content").count()
-    dir_fingerprint_index(spark, sf_dir, "structure").count()
-    near_dup_pairs(spark, sf_dir).count()
-    doc_shingles(spark, sf_dir).count()
-    minhash_band_index(spark, sf_dir).count()
-    simhash_fingerprints(spark, sf_dir).count()
-    capped_posting(spark, sf_dir, 16).count()
-    dup_clusters(spark, sf_dir).count()
-    unit_embeddings(spark, sf_dir).count()
-    emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS).count()
-    emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS).count()
+    step("doc_fingerprint_base", lambda: doc_fingerprint_base(spark, sf_dir).count())
+    step("dir_fp_content", lambda: dir_fingerprint_index(spark, sf_dir, "content").count())
+    step("dir_fp_structure", lambda: dir_fingerprint_index(spark, sf_dir, "structure").count())
+    step("near_dup_pairs", lambda: near_dup_pairs(spark, sf_dir).count())
+    step("doc_shingles", lambda: doc_shingles(spark, sf_dir).count())
+    step("minhash_band_index", lambda: minhash_band_index(spark, sf_dir).count())
+    step("simhash_fingerprints", lambda: simhash_fingerprints(spark, sf_dir).count())
+    step("capped_posting", lambda: capped_posting(spark, sf_dir, 16).count())
+    step("dup_clusters", lambda: dup_clusters(spark, sf_dir).count())
+    step("unit_embeddings", lambda: unit_embeddings(spark, sf_dir).count())
+    # band width is corpus-scaled since r10 (q_embed.block_bands — the
+    # coarse_k recipe applied to LSH); prebuild the SAME layout the
+    # registry queries will request.  The former "recall4" prebuild is
+    # gone: since multiprobe re-pointed at the block index, the 4-bit
+    # _RECALL_BANDS layout is a test-only fixture built by its tests.
+    _bb, _bb_key = block_bands(spark, sf_dir)
+    step("emb_band_index", lambda: emb_band_index(spark, sf_dir, _bb_key, _bb).count())
     # coarse k is corpus-scaled (q_cluster.coarse_k — BENCH_scale finding
     # 4's remedy); prebuild at the SAME k the registry queries will request
     from purldb_spark.plans.q_cluster import coarse_k
 
     k_coarse = coarse_k(spark, sf_dir)
-    trained_centroids(spark, sf_dir, k_coarse, 3)
-    kmeans_cell_index(spark, sf_dir, k_coarse, 3).count()
-    pq_code_index(spark, sf_dir).count()
-    ivf_cell_index(spark, sf_dir).count()
-    bucketed_orderkey_tables(spark, sf_dir)
-    _trigram_lm(spark, sf_dir)[0].count()
-    _tfidf_postings(spark, sf_dir).count()
+    step("trained_centroids", lambda: trained_centroids(spark, sf_dir, k_coarse, 3))
+    step("kmeans_cell_index", lambda: kmeans_cell_index(spark, sf_dir, k_coarse, 3).count())
+    step("pq_code_index", lambda: pq_code_index(spark, sf_dir).count())
+    step("ivf_cell_index", lambda: ivf_cell_index(spark, sf_dir).count())
+    step("bucketed_orderkey_tables", lambda: bucketed_orderkey_tables(spark, sf_dir))
+    step("trigram_lm", lambda: _trigram_lm(spark, sf_dir)[0].count())
+    step("tfidf_postings", lambda: _tfidf_postings(spark, sf_dir).count())
     # the trained-tokenizer artifact (12 greedy merge iterations = 12
     # driver-argmax jobs) is the training pipeline's output, not per-query
     # work — bpe_encode_stats/pack_bpe_budget measure the encode/pack path
-    bpe_trained_words(spark, sf_dir).count()
+    step("bpe_trained_words", lambda: bpe_trained_words(spark, sf_dir).count())
     # the trained PQ codebooks (8 independent sub-quantizer k-means fits)
     # and the code table encoded under them are likewise training-pipeline
     # artifacts
-    trained_pq_codebooks(spark, sf_dir, 8, 16, 2)
-    trained_pq_code_index(spark, sf_dir, 8, 16, 2).count()
+    step("trained_pq_codebooks", lambda: trained_pq_codebooks(spark, sf_dir, 8, 16, 2))
+    step("trained_pq_code_index", lambda: trained_pq_code_index(spark, sf_dir, 8, 16, 2).count())
     # the IVFADC artifacts (residual frame + residual-trained codebooks +
     # residual codes) — builds residual_frame and trained_residual_codebooks
     # transitively
-    residual_code_index(spark, sf_dir, k_coarse, 3, 8, 16, 2).count()
-    return round(time.perf_counter() - t0, 4)
+    step("residual_code_index", lambda: residual_code_index(spark, sf_dir, k_coarse, 3, 8, 16, 2).count())

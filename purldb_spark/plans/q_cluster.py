@@ -34,13 +34,34 @@ _K_BY_CORPUS: dict[tuple[str, str], int] = {}
 
 
 def coarse_k(spark: SparkSession, sf_dir: str) -> int:
-    """Corpus-scaled coarse cell count (memoized per session + sf_dir)."""
+    """Corpus-scaled coarse cell count (memoized per session + sf_dir).
+
+    ORACLE-VALIDITY CONSTRAINT (r9 advice): every unrolled-Lloyd oracle in
+    this module bakes the literal k = _K into its CTE chains, so oracle
+    comparison is only meaningful while this formula yields _K — i.e.
+    while the corpus holds <= _K * _CELL_TARGET embeddings, true at every
+    driver verification scale (sf0.001/0.01/0.1). Larger corpora (the sf1
+    scale probe, production) legitimately run k > _K through the same
+    builders WITHOUT oracle comparison; warn loudly rather than assert so
+    the probe still runs but a mismatched oracle sweep at a too-large
+    scale has a printed, non-mysterious cause."""
     key = (spark.sparkContext.applicationId, sf_dir)
     k = _K_BY_CORPUS.get(key)
     if k is None:
         n = load(spark, sf_dir, "embeddings").count()
         k = max(_K, int(n) // _CELL_TARGET)
         _K_BY_CORPUS[key] = k
+    if k != _K:
+        import warnings
+
+        warnings.warn(
+            f"coarse_k={k} != _K={_K} for {sf_dir} ({_CELL_TARGET=}):"
+            " the unrolled-Lloyd oracle SQL in q_cluster bakes k=_K and is"
+            " NOT valid at this corpus size — any DuckDB oracle comparison"
+            " at this scale mismatches by construction (scale probes and"
+            " production runs are fine; they never compare oracles).",
+            stacklevel=2,
+        )
     return k
 
 
@@ -227,17 +248,29 @@ from pyspark.sql import Window  # noqa: E402
     """,
 )
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FAISS-style IVFPQ (operators/pq.py): the index side carries only the
-    IVF cell and 8 4-bit PQ codes (4 bytes/vector, 64x smaller than
-    float32); each full-precision query probes its own cell and ranks
-    candidates by ADC distance (sum over subspaces of squared L2 to the
-    code centroid), top-3 per query.
+    """LABELED FIXED-k BASELINE — not the shipped ANN configuration.
+    This is the historical frozen-centroid IVFPQ: operators/ivf.py's 8
+    shipped centroids are an untrainable constant, so cell occupancy grows
+    as N/8 and the probe join re-quadratizes at scale (measured 22.3x at
+    10x data, BENCH_scale.md "excluded on purpose" list). It is kept ONLY
+    as the contrast row that shows why the cell count must track the
+    corpus; the production path is ``knn_fully_trained_ivfpq`` (trained
+    centroids, corpus-scaled ``coarse_k`` — 1.1-2.8x at 10x) and
+    ``knn_residual_ivfpq`` (the residual-coded IVFADC variant).
+
+    Mechanics (shared with the trained family): FAISS-style IVFPQ
+    (operators/pq.py) — the index side carries only the IVF cell and 8
+    4-bit PQ codes (4 bytes/vector, 64x smaller than float32); each
+    full-precision query probes its own cell and ranks candidates by ADC
+    distance (sum over subspaces of squared L2 to the code centroid),
+    top-3 per query.
 
     At 100 TB the cell is the partition key and the per-probe scan touches
     4-byte codes instead of 256-byte vectors — the index fits executor
     memory, which neither brute force nor raw-vector IVF can claim. Exact
     re-ranking of PQ's top candidates against the raw vectors is the
-    standard refinement step (knn_ivf_cell is that exact-scoring shape).
+    standard refinement step (knn_trained_ivfpq_refine is that shape over
+    the trained index).
 
     The (cell, codes) index is read from the session-materialized tables
     (fixture_cache.ivf_cell_index / pq_code_index) — per-query work is the

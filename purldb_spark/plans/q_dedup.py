@@ -118,7 +118,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (partial min map-side), banding makes candidate generation
     O(colliding pairs), and the expensive exact verify runs only on
     candidates. The all-pairs variant (dedup_ngram_jaccard) is the oracle's
-    ground truth at small scale."""
+    ground truth at small scale.
+
+    Fixed-width audit (r10, the coarse_k/lsh_n_planes question asked of
+    every banded family): MinHash banding is NOT bucket-width-bound and
+    needs no corpus-scaled parameter. Its band key is the concatenation of
+    r = 2 raw 60-bit min-hash VALUES — a 2^120 key space — so random-pair
+    collisions are governed by the corpus's Jaccard distribution
+    (P = J^r per band), not by N^2/2^bits bucket saturation the way
+    fixed-width hyperplane-LSH or SimHash buckets are
+    (operators/scale_params.py). b and r stay the threshold knobs
+    (t ~ (1/b)^(1/r) = 0.25 here), chosen by the target similarity, not
+    by N."""
     sh = doc_shingles(spark, sf_dir)
     bands = minhash_band_index(spark, sf_dir)
     cands = lsh_candidate_pairs(bands, "doc_id")
@@ -285,7 +296,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. Features are 3-word shingles (see _TOKENS_SQL note). The 32-bit
     original's 256-buckets-per-band measured ~quadratic at 10x corpus
     (random band collisions ~ N^2/2^width); 15-bit bands restore linear —
-    see operators/dedup.simhash and BENCH_scale.md finding 1."""
+    see operators/dedup.simhash and BENCH_scale.md finding 1.
+
+    Fixed-width audit (r10): unlike hyperplane LSH, SimHash's band width
+    CANNOT be corpus-scaled by re-splitting — the pigeonhole guarantee
+    (hamming <= 3 requires >= 1 of exactly max_hamming + 1 = 4 identical
+    bands) pins the split, so width only grows by growing the FINGERPRINT:
+    w-bit simhash -> w/4-bit bands, and staying linear needs w/4 ~
+    log2(N) + slack, i.e. 120-bit fingerprints (two md5 halves -> 30-bit
+    bands) around N ~ 10^7-10^9. At current scales 15-bit bands saturate
+    only past N ~ 2^15·sqrt(4)/occupancy ~ 10^5-10^6 (sf1 = 5·10^4 docs is
+    measured linear). The 120-bit upgrade lives in operators/dedup.py,
+    whose edit re-stales 37 verified queries — scheduled for the round-11
+    fixture_cache batch (DESIGN.md round-10 ledger) rather than spent
+    mid-round."""
     sim = simhash_fingerprints(spark, sf_dir)
     return simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
 

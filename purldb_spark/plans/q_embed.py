@@ -22,20 +22,52 @@ from purldb_spark.operators.knn import (
     hyperplanes,
     normalize_sql_duckdb,
 )
+from purldb_spark.operators.scale_params import (
+    MIN_PLANES,
+    lsh_n_planes,
+    lsh_planes_for,
+)
 from purldb_spark.plans.fixture_cache import unit_embeddings
 from purldb_spark.plans.registry import query
 
-# The production-shaped blocking config: bucket BITS sized ~log2(N) per
+_N_BANDS = 8  # independent bands buy back the recall narrower buckets cost
+
+# The ORACLE-WIDTH blocking config: bucket BITS sized ~log2(N) per
 # BENCH_scale.md finding 1 (random-pair bucket collisions scale as
-# N²·bands/2^bits; the 4-bit layout measured 2.4 s -> 111 s at 10x data,
-# this 8-bit layout stays linear). 8 independent bands buy back the recall
-# the narrower buckets cost.
-_BLOCK_BANDS = [hyperplanes(dim=64, n_planes=8, seed=100 + b) for b in range(8)]
+# N²·bands/2^bits; the 4-bit layout measured 2.4 s -> 111 s at 10x data).
+# Since round 10 the REGISTRY queries size the width from the corpus
+# (block_bands below — the coarse_k recipe applied to LSH): this constant
+# is the MIN_PLANES-wide layout the static oracle SQL bakes, identical to
+# what block_bands returns at every verification scale.
+_BLOCK_BANDS = [
+    hyperplanes(dim=64, n_planes=MIN_PLANES, seed=100 + b)
+    for b in range(_N_BANDS)
+]
+
+
+def block_bands(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[list[float]]], str]:
+    """Corpus-scaled production band layout + its fixture key: width =
+    operators/scale_params.lsh_n_planes (max(8, floor(log2 N) - 4)) —
+    8 planes at every verification corpus (<= 4095 vectors, where the
+    returned bands == _BLOCK_BANDS and the static oracles stay bit-valid),
+    10 planes at the 20k-vector sf1 probe, ~log2(N)-4 beyond, so per-band
+    bucket occupancy and with it candidate volume stay flat in N. Seeds
+    are fixed per band index, so narrower layouts are prefixes of the
+    plane sequence, not re-rolls."""
+    w = lsh_planes_for(spark, sf_dir)
+    if w == MIN_PLANES:
+        return _BLOCK_BANDS, f"block{_N_BANDS}x{MIN_PLANES}"
+    return (
+        [hyperplanes(dim=64, n_planes=w, seed=100 + b) for b in range(_N_BANDS)],
+        f"block{_N_BANDS}x{w}",
+    )
 
 # The labeled RECALL FIXTURE: 4 bands x 4-bit buckets. Wide buckets give the
 # multiprobe demonstration a measurable recall floor (54% single-probe) and
 # headroom (96% with 1-flip probes); it is NOT the scale config — see
-# _BLOCK_BANDS above and tests/test_llm_ops.py's recall comparison.
+# _BLOCK_BANDS above and tests/test_dedup_unit.py's recall comparison.
 _RECALL_BANDS = [hyperplanes(dim=64, n_planes=4, seed=100 + b) for b in range(4)]
 
 
@@ -122,11 +154,14 @@ def _bands_cte(bands: list[list[list[float]]]) -> str:
     """,
 )
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for embedding near-dup pairs: LSH-bucket blocking,
-    8 bands x 8 hyperplanes (buckets sized ~log2(N), BENCH_scale.md
-    finding 1 — the former 4-bit layout went quadratic at 10x data and
-    survives only as the labeled recall fixture _RECALL_BANDS), exact
-    cosine verify >= 0.4.
+    """The scale path for embedding near-dup pairs: LSH-bucket blocking at
+    the CORPUS-SCALED band width (block_bands — 8 bands x max(8,
+    floor(log2 N) - 4) hyperplanes, the coarse_k recipe applied to
+    BENCH_scale.md finding 1; the former FIXED 4-bit layout went quadratic
+    at 10x data and survives only as the labeled recall fixture
+    _RECALL_BANDS), exact cosine verify >= 0.4. At every verification
+    scale the formula returns the 8-plane layout the static oracle bakes;
+    the sf1 probe runs 10-plane bands through this same code.
 
     vs dedup_embedding_cosine (the exact all-pairs ground truth): candidate
     generation is O(N · bucket occupancy) instead of O(N²), scores of
@@ -137,11 +172,12 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_band_index — the production table the indexing pipeline writes)."""
     from purldb_spark.plans.fixture_cache import emb_band_index
 
+    bands, key = block_bands(spark, sf_dir)
     return embedding_blocked_pairs(
         unit_embeddings(spark, sf_dir),
-        _BLOCK_BANDS,
+        bands,
         0.4,
-        banded=emb_band_index(spark, sf_dir, "block8x8", _BLOCK_BANDS),
+        banded=emb_band_index(spark, sf_dir, key, bands),
     )
 
 
@@ -152,13 +188,13 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
     ),
     bands AS (
-      {_bands_cte(_RECALL_BANDS)}
+      {_bands_cte(_BLOCK_BANDS)}
     ),
     probes AS (
       SELECT vec_id, band_idx,
              CASE WHEN j = 0 THEN bucket
                   ELSE xor(bucket, (1 << (j - 1))) END AS bucket
-      FROM bands, unnest(generate_series(0, {len(_RECALL_BANDS[0])})) AS t(j)
+      FROM bands, unnest(generate_series(0, {len(_BLOCK_BANDS[0])})) AS t(j)
     ),
     cands AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -174,26 +210,33 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe over the labeled 4-bit recall fixture (_RECALL_BANDS):
-    the query side also probes every bucket one sign-flip away
-    (operators/knn.py::multiprobe_keys), the index side keeps single keys —
-    recall rises from 54% (500/920) to 96% (880/920) of the exact >= 0.4
-    pair set at sf0.1 with ZERO index growth. This is the recall knob that
-    composes with finding 1 of BENCH_scale.md (grow bucket bits with log N,
-    buy recall back with probes, not index copies).
+    """Multiprobe over the PRODUCTION corpus-scaled block index (since
+    round 10; formerly over the 4-bit _RECALL_BANDS fixture, which remains
+    the labeled recall-floor demonstration in tests/test_dedup_unit.py): the
+    query side also probes every bucket one sign-flip away
+    (operators/knn.py::multiprobe_expand), the index side keeps single
+    keys. This is the production combination BENCH_scale.md finding 1
+    calls for — bucket bits GROW with log N (block_bands) to keep
+    candidate volume linear, and the recall those narrower buckets cost is
+    bought back on the query side with probes, not index copies: on the
+    4-bit fixture the same mechanism measured 54% -> 96% recall of the
+    exact >= 0.4 pair set at sf0.1 with ZERO index growth.
 
     Both sides read the materialized band-key index (fixture_cache.
-    emb_band_index): the probe keys are the vector's OWN stored key plus
-    its 1-bit flips — a pure bit expression over the index table, so no
-    query-side hyperplane dot products (or their bands x planes x dim
-    literal codegen, the bulk of this query's former wall time) at all."""
+    emb_band_index, shared with dedup_embedding_blocked): the probe keys
+    are the vector's OWN stored key plus its 1-bit flips — a pure bit
+    expression over the index table, so no query-side hyperplane dot
+    products (or their bands x planes x dim literal codegen, the bulk of
+    this query's former wall time) at all. The probe fan-out is 1 + width
+    keys per band — it scales with log N, not with N."""
     from purldb_spark.operators.knn import multiprobe_expand
     from purldb_spark.plans.fixture_cache import emb_band_index
 
     e = unit_embeddings(spark, sf_dir)
     unit = e.select("vec_id", "u")
-    idx = emb_band_index(spark, sf_dir, "recall4", _RECALL_BANDS)
-    a = multiprobe_expand(idx, "vec_id", len(_RECALL_BANDS[0])).alias("a")
+    bands, key = block_bands(spark, sf_dir)
+    idx = emb_band_index(spark, sf_dir, key, bands)
+    a = multiprobe_expand(idx, "vec_id", len(bands[0])).alias("a")
     b = idx.alias("b")
     cands = (
         a.join(
@@ -260,6 +303,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", dot_expr("u_a", "u_b"))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_plan — the corpus-scaled width decision as a queryable dashboard
+# ---------------------------------------------------------------------------
+
+from purldb_spark.operators.scale_params import PLANES_SLACK  # noqa: E402
+
+# floor(log2 n) = bit_length - 1; bin() (unpadded binary string) exists in
+# BOTH engines, so the width formula is float-free and engine-identical
+_PLANES_EXPR = f"greatest({MIN_PLANES}, length(bin(n)) - 1 - {PLANES_SLACK})"
+
+
+@query(
+    "lsh_band_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT 'embeddings' AS table_name, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings
+      UNION ALL
+      SELECT 'documents' AS table_name, CAST(count(*) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT table_name, n,
+           CAST({_N_BANDS} AS BIGINT) AS n_bands,
+           CAST({_PLANES_EXPR} AS BIGINT) AS n_planes,
+           CAST((CAST(1 AS BIGINT) << ({_PLANES_EXPR})) AS BIGINT)
+             AS buckets_per_band,
+           CAST(n * 1000000 // (CAST(1 AS BIGINT) << ({_PLANES_EXPR}))
+             AS BIGINT) AS occupancy_e6,
+           CAST(n * n // (CAST(1 AS BIGINT) << ({_PLANES_EXPR}))
+             AS BIGINT) AS rand_collisions_per_band
+    FROM s
+    """,
+)
+def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-layout planning dashboard: for each blockable table, the
+    corpus-scaled LSH width the engine will use (operators/scale_params.
+    lsh_n_planes = max({MIN_PLANES}, floor(log2 N) - {PLANES_SLACK}),
+    computed here as the identical float-free bit-length expression IN the
+    plan, so the decision is auditable as data) plus its consequences:
+    buckets per band, expected bucket occupancy (N/2^planes, e6-scaled),
+    and the random-collision candidate volume per band (N^2/2^planes —
+    the quantity BENCH_scale.md finding 1 proves must stay linear in N).
+
+    This is the OPTIMIZE-decision companion to layout_zorder_skipping's
+    pruning dashboard: before (re)building a band index at a new corpus
+    size, one bounded-agg query shows whether the stored layout's width
+    still matches the formula (stale index detection). Scale shape: two
+    count(*) aggs, two result rows, zero data movement beyond partial
+    counts."""
+    from purldb_spark.catalog.tables import load
+
+    def one(t: str) -> DataFrame:
+        return (
+            load(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(t).alias("table_name"), "n")
+        )
+
+    s = one("embeddings").unionByName(one("documents"))
+    shl = f"shiftleft(cast(1 as bigint), {_PLANES_EXPR})"
+    return s.select(
+        "table_name",
+        "n",
+        F.lit(_N_BANDS).cast("long").alias("n_bands"),
+        F.expr(f"cast({_PLANES_EXPR} as bigint)").alias("n_planes"),
+        F.expr(f"cast({shl} as bigint)").alias("buckets_per_band"),
+        F.expr(f"cast(n * 1000000 div {shl} as bigint)").alias(
+            "occupancy_e6"
+        ),
+        F.expr(f"cast(n * n div {shl} as bigint)").alias(
+            "rand_collisions_per_band"
+        ),
     )
 
 

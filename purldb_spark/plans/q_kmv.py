@@ -72,9 +72,12 @@ _EL_SQL = (
 )
 _SALTS = 64  # phase-1 parallelism of the bottom-k (salt = hv % _SALTS)
 # exact double numerator: 1e6 * (k-1) * 2^60 (left-to-right product is
-# integer-exact in IEEE double — 31e6 has 19 significand bits, the 2^60
-# factor only shifts the exponent); e0 notation = DOUBLE in both engines
-_EST_NUM = "1000000e0 * 31e0 * 1152921504606846976e0"
+# integer-exact in IEEE double — (k-1)e6 needs well under 53 significand
+# bits for any plausible k, the 2^60 factor only shifts the exponent); e0
+# notation = DOUBLE in both engines.  Derived from _KMV_K so changing the
+# sketch size cannot silently skew the union estimator (r9 advice: the
+# literal 31e0 was only correct while _KMV_K == 32).
+_EST_NUM = f"1000000e0 * {_KMV_K - 1}e0 * 1152921504606846976e0"
 
 
 def kmv_sketch(ev: DataFrame, k: int = _KMV_K) -> DataFrame:
@@ -128,6 +131,7 @@ def _pairs_df(spark: SparkSession, types: list[str]) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT DISTINCT event_type, {_EL_SQL} AS hv FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, hv,
@@ -210,9 +214,14 @@ def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "user_id", "ts")
     # ONE distinct pass feeds the sketch, the exact baseline, and the type
     # list (materialized — the session-fixture convention; the oracle
-    # recomputes it relationally as the `d` CTE)
+    # recomputes it relationally as the `d` CTE).  NULL user_id/ts would
+    # hash to a NULL hv, which Spark's ascending window ranks FIRST and
+    # DuckDB's ORDER BY ranks LAST — filter identically in both engines
+    # BEFORE ranking (r9 advice) so a NULL can never become the "smallest"
+    # sketch value on one side only.
     d = (
-        ev.select("event_type", F.expr(_EL_SPARK).alias("hv"))
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", F.expr(_EL_SPARK).alias("hv"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -174,10 +174,10 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-dim min/max as driver scalars (4 BIGINTs — the documented
     # BNLJ-avoidance pattern; the oracle's CROSS JOIN stats is the same
     # 1-row frame on the DuckDB side)
-    x_min, x_max, y_min, y_max, ok_max = li.agg(
+    x_min, x_max, y_min, y_max, ok_min, ok_max = li.agg(
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
-        F.max("l_orderkey"),
+        F.min("l_orderkey"), F.max("l_orderkey"),
     ).first()
     fact = (
         li.select(
@@ -252,13 +252,28 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # prefixes: leading bits of each layout's sort key (monotone); group
     # counts stay bounded (<= ~hundreds) at any corpus size.  The
-    # insertion divisor derives from the OBSERVED key range (~64 groups at
-    # every sf) — a fixed literal divisor put all rows in one group below
-    # sf~10, silently re-creating the single-partition window this rank
-    # exists to avoid; xn and z are already range-normalized so their
-    # divisors are constants
+    # insertion divisor derives from the OBSERVED key RANGE (min AND max —
+    # ~64 groups at every sf): a fixed literal divisor put all rows in one
+    # group below sf~10, and an ok_max-only divisor collapses the same way
+    # on a range-concentrated key (r9 advice — e.g. orderkeys clustered
+    # near the max). When even the range is degenerate (< 64 distinct-key
+    # span), extend the prefix with the tie-break column l_linenumber —
+    # (l_orderkey, l_linenumber) is the sort order itself, so the composite
+    # stays monotone/contiguous and a constant orderkey still fans out
+    # across the linenumber values; xn and z are already range-normalized
+    # so their divisors are constants
+    ok_rng = int(ok_max) - int(ok_min) if ok_max is not None else 0
+    if ok_rng >= 64:
+        ins_prefix = (
+            f"(l_orderkey - {int(ok_min)}) div {max(ok_rng // 64, 1)}"
+        )
+    else:
+        ins_prefix = (
+            f"(l_orderkey - {int(ok_min) if ok_max is not None else 0})"
+            " * 8 + least(l_linenumber, 7)"
+        )
     b = dist_bucket(
-        fact, f"l_orderkey div {max(int(ok_max) // 64, 1)}",
+        fact, ins_prefix,
         ["l_orderkey", "l_linenumber"], "b_insert",
     )
     b = dist_bucket(

@@ -391,9 +391,14 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # driver scalars (documented BNLJ avoidance): n feeds the rank
     # formula, the observed cent range sizes the ~64 prefix groups of the
-    # distributed exact rank below
-    n, c_min, c_max = cents.agg(
-        F.count(F.lit(1)), F.min("c"), F.max("c")
+    # distributed exact rank below (event_id range feeds the degenerate-
+    # range fallback)
+    n, c_min, c_max, e_min, e_max = cents.agg(
+        F.count(F.lit(1)),
+        F.min("c"),
+        F.max("c"),
+        F.min("event_id"),
+        F.max("event_id"),
     ).first()
     ranks = {p: (p * n + 99) // 100 for p in _HQ_PCTS}
 
@@ -426,15 +431,32 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dist_bucket shape): prefix-group by leading value range (monotone
     # in the (c, event_id) order, so groups are contiguous rank ranges),
     # rank within each group in parallel, add broadcast cumulative
-    # offsets — bit-identical to the oracle's plain global row_number
-    div = max((int(c_max) - int(c_min)) // 64, 1) if n else 1
+    # offsets — bit-identical to the oracle's plain global row_number.
+    # Degenerate-range guard (r9 advice): a constant or range-concentrated
+    # value column makes the range-based key collapse to a handful of
+    # groups — i.e. the corpus-sized single-partition window this rewrite
+    # exists to avoid. When the cent range yields < 8 value groups, extend
+    # the prefix key with the TIE-BREAK column's own range: the sort order
+    # is (c, event_id), so (c, event_id-bucket) is still monotone in it and
+    # groups stay contiguous rank ranges, ~64-way parallel even when every
+    # row holds the same c. (An approx-quantile fallback would NOT cover
+    # the constant-column worst case — all its boundaries coincide.)
+    rng = (int(c_max) - int(c_min)) if n else 0
     base = int(c_min) if n else 0
+    if rng >= 64:
+        g_expr = f"(c - {base}) div {max(rng // 64, 1)}"
+    else:
+        e_div = max((int(e_max) - int(e_min) + 64) // 64, 1) if n else 1
+        e_base = int(e_min) if n else 0
+        g_expr = (
+            f"(c - {base}) * 64 + ((event_id - {e_base}) div {e_div})"
+        )
     from purldb_spark.conf import shuffle_partitions
 
     n_part = shuffle_partitions(spark)
-    with_g = cents.withColumn(
-        "_g", F.expr(f"(c - {base}) div {div}")
-    ).repartition(n_part, "_g")
+    with_g = cents.withColumn("_g", F.expr(g_expr)).repartition(
+        n_part, "_g"
+    )
     offs = (
         with_g.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -13,6 +13,11 @@ component label (fixture_cache.dup_clusters; singletons are their own
 cluster), and its leaked-pair count is ZERO for every split — an
 invariant the DuckDB oracle proves independently by recomputing the
 transitive closure with WITH RECURSIVE and re-deriving both assignments.
+(The multiply-referenced oracle CTEs — shingles/pairs/near/edges/tall —
+are AS MATERIALIZED per the repo's DuckDB convention: plain CTEs inline
+and re-expand the N² shingle self-join at every reference, which OOM'd
+the 2 GB probe in round 10 exactly like r8's knn_residual_ivfpq; with
+MATERIALIZED the probe runs in 0.1 s at a 1 GB cap.)
 
 Determinism contract: the split is the shared md5-percent convention
 (first 8 hex chars as integer % 100 -> <80 train, <90 val, else test) on
@@ -55,20 +60,20 @@ _SPLIT_CASE = (
 @query(
     "split_leakage_safe",
     oracle=f"""
-    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    WITH RECURSIVE shingles AS MATERIALIZED ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
       FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    near AS (
+    near AS MATERIALIZED (
       SELECT doc_a, doc_b FROM pairs
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM near
       UNION SELECT doc_b, doc_a FROM near
     ),
@@ -84,7 +89,7 @@ _SPLIT_CASE = (
              COALESCE(c.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
     ),
-    tall AS (
+    tall AS MATERIALIZED (
       SELECT 'by_cluster' AS method, doc_id,
              {_SPLIT_CASE.format(pct=_PCT_SQL.format(id="cluster_id"))}
                AS split

@@ -93,6 +93,7 @@ def load_inventory() -> None:
         q_split,
         q_layout,
         q_sample,
+        q_chunk,
         q_snippet,
         q_vcs,
         q_version_apis,

@@ -133,21 +133,25 @@ def test_contamination_overlap_counts(spark):
 
 def test_multiprobe_superset_of_single_probe(spark):
     """Multiprobe candidates strictly extend single-probe candidates AT THE
-    SAME band layout (the labeled 4-bit recall fixture): the base bucket is
-    always probed, so every single-probe pair survives, and 1-flip probes
-    add pairs split by exactly one plane. (The registry's
-    dedup_embedding_blocked itself runs the 8-bit production layout and is
-    not comparable pair-for-pair.)"""
+    SAME band layout: the base bucket is always probed, so every
+    single-probe pair survives, and 1-flip probes add pairs split by
+    exactly one plane. Checked at BOTH the production corpus-scaled layout
+    (the registry pair — since r10 dedup_embedding_multiprobe probes the
+    same block index dedup_embedding_blocked reads) and the labeled 4-bit
+    recall fixture (_RECALL_BANDS via the raw operators, which also
+    exercises operators/knn.multiprobe_keys end to end)."""
+    from pyspark.sql import functions as F
+
     from purldb_spark.catalog.tables import load
-    from purldb_spark.plans.q_embed import _RECALL_BANDS, embedding_blocked_pairs
+    from purldb_spark.operators.knn import banded_keys, multiprobe_keys
+    from purldb_spark.plans.q_embed import _RECALL_BANDS
     from purldb_spark.plans.registry import QUERIES, load_inventory
 
     load_inventory()
     sf = "/root/testdata/sf0.01"
-    e = load(spark, sf, "embeddings")
     single = {
         (r["id_a"], r["id_b"])
-        for r in embedding_blocked_pairs(e, _RECALL_BANDS, 0.4).collect()
+        for r in QUERIES["dedup_embedding_blocked"](spark, sf).collect()
     }
     multi = {
         (r["id_a"], r["id_b"])
@@ -155,6 +159,33 @@ def test_multiprobe_superset_of_single_probe(spark):
     }
     assert single <= multi
     assert len(multi) > len(single)
+
+    # the 4-bit recall fixture, via the raw key operators (candidate KEY
+    # pairs, before any cosine verify)
+    e = load(spark, sf, "embeddings")
+    base = banded_keys(e, "vec_id", "embedding", _RECALL_BANDS)
+
+    def key_pairs(q):
+        a, b = q.alias("a"), base.alias("b")
+        return {
+            (r["ia"], r["ib"])
+            for r in a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+            )
+            .distinct()
+            .collect()
+        }
+
+    s4 = key_pairs(base)
+    m4 = key_pairs(multiprobe_keys(e, "vec_id", "embedding", _RECALL_BANDS))
+    assert s4 <= m4
+    assert len(m4) > len(s4)
 
 
 def test_blocked_production_layout_bounds_candidates(spark):

@@ -13,7 +13,7 @@ def test_prebuild_covers_every_public_fixture():
     import purldb_spark.plans.fixture_cache as fc
     import purldb_spark.plans.fixture_warmup as fw
 
-    src = inspect.getsource(fw.prebuild_fixtures)
+    src = inspect.getsource(fw._prebuild_steps)
     public = [
         n
         for n, obj in vars(fc).items()

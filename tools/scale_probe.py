@@ -59,7 +59,6 @@ PROBES = [
     ("kmeans_fit_cold", "Lloyd trainer, no cache — scan + k*dim-row shuffle per iteration"),
     ("pq_encode_cold", "PQ index build (8x16 argmin encode), no cache — map-only linear"),
     ("semantic_tau055", "SemDeDup cell equi-join, tau=0.55 deep tail — largest-cell bound"),
-    ("knn_ivfpq", "FROZEN shipped-centroid IVFPQ (operators/ivf.py's 8 cells, an untrainable constant) — labeled fixed-k baseline, quadratic; the trained twins below are corpus-scaled since r9"),
     ("knn_trained_ivfpq_refine", "train+probe+refine, corpus-scaled k since r9 — linear probe, k-proportional training"),
     ("knn_trained_pq_kscaled", "cold-path probe of the k~N/250 law the registry now ships (no session cache)"),
     ("text_boilerplate_scrub", "percentile-DF boilerplate scrub — linear"),
@@ -96,11 +95,16 @@ PROBES = [
     ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
     ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a DISTRIBUTED full sort (prefix-group rank, r9) — linear (N log N baseline)"),
     ("knn_residual_ivfpq", "residual-coded IVFADC probe — same cell-equi-join cost model as knn_fully_trained_ivfpq, corpus-scaled k since r9"),
+    ("knn_recall_residual", "IVFADC recall eval — approx side cell-bound at corpus-scaled k, GT side anchors(N/50) x N by construction (recall VALUES per scale: finding 5)"),
     ("sketch_hll_merge_daily", "daily register shards (types x days x 64) MAX-merged vs direct — two bounded groupBys over one scan each — linear"),
     ("sample_weighted_per_group", "map-only ES keys + per-language top-k window — linear, one group shuffle"),
     ("layout_zorder_skipping", "distributed exact-rank bucketing (prefix groups + broadcast offsets, shuffle-wide sorts) + 3x64 envelope agg — N log N"),
     ("sketch_kmv_intersect", "two-phase salted bottom-k + k-row pair merges; labeled exact baselines pay the per-pair distinct shuffle — linear"),
     ("split_leakage_safe", "cluster-hash assignment join + doc-keyed pair accounting over materialized dedup state — linear"),
+    ("emb_blocked_kscaled", "the r10 registry layout COLD: q_embed.block_bands width (8 planes at sf0.1, 10 at sf1 — the formula ENGAGES here), cos>=0.55 deep tail — linear"),
+    ("lsh_band_plan", "two count(*) aggs + the width formula as data (reports n_planes 8 -> 10/11 at sf1) — constant output"),
+    ("text_chunk_windows", "map-only explode(sequence) chunking, zero shuffle — linear"),
+    ("chunk_shared_across_docs", "chunk fan-out + ONE md5 hash-groupBy (map-side combined) — linear"),
 ]
 
 
@@ -372,8 +376,24 @@ def _knn_trained_pq_kscaled(spark, sf_dir: str):
     return ref.withColumn("rank", F.row_number().over(w_ex)).filter("rank <= 3")
 
 
+def _emb_blocked_kscaled(spark, sf_dir: str):
+    """The REGISTRY layout, cold (no session band-index fixture): width
+    from q_embed.block_bands — max(8, floor(log2 N) - 4) planes per band,
+    so the sf1 run exercises 10-bit buckets through exactly the code the
+    registry queries ship (the LSH twin of knn_trained_pq_kscaled).
+    Threshold 0.55 keeps the TRUE output linear (finding 2); the registry
+    queries' 0.4 sits in the random tail where any algorithm's output is
+    quadratic."""
+    from purldb_spark.plans.q_embed import block_bands, embedding_blocked_pairs
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bands, _key = block_bands(spark, sf_dir)
+    return embedding_blocked_pairs(e, bands, 0.55)
+
+
 SPECIAL = {
     "emb_blocked_8x8": _emb_blocked_8x8,
+    "emb_blocked_kscaled": _emb_blocked_kscaled,
     "semantic_tau055": _semantic_tau055,
     "kmeans_fit_cold": _kmeans_fit_cold,
     "bpe_fit_cold": _bpe_fit_cold,
@@ -487,18 +507,35 @@ def main() -> None:
         "Excluded on purpose: `knn_bruteforce` and `dedup_embedding_cosine`",
         "— the labeled all-pairs ground-truth baselines, quadratic by",
         "construction; their blocked/bucketed twins above are the scale",
-        "path.",
+        "path. Also excluded since r10: `knn_ivfpq`, the FROZEN",
+        "shipped-centroid IVFPQ (operators/ivf.py's 8 cells, an untrainable",
+        "constant — measured 19-22x at 10x in r8/r9). Unlike the GT",
+        "baselines it is not ground truth for anything: it is the labeled",
+        "historical fixed-k config kept in the registry only as the",
+        "contrast documenting why cell count must track the corpus; its",
+        "shipped replacement is `knn_fully_trained_ivfpq` (trained",
+        "centroids, corpus-scaled coarse_k, 1.1-1.6x rows above), plus",
+        "`knn_residual_ivfpq` for the IVFADC variant.",
         "",
         "## Findings",
         "",
-        "1. **LSH bucket bits must grow with log(N).** The registry query",
-        "   `dedup_embedding_blocked` (4 bands x 4-bit buckets = 16",
-        "   buckets/band) went 2.4s -> 111s at 10x: random-pair bucket",
-        "   collisions scale as N²·bands/2^bits, so fixed-bit buckets turn",
-        "   a linear plan quadratic. The `emb_blocked_8x8` row (8-bit",
-        "   buckets, same operator via `embedding_blocked_pairs`) restores",
-        "   near-linear cost. At production N, size planes ~log2(N) and add",
-        "   bands to buy back recall.",
+        "1. **LSH bucket bits must grow with log(N).** The original",
+        "   registry layout (4 bands x 4-bit buckets = 16 buckets/band)",
+        "   went 2.4s -> 111s at 10x: random-pair bucket collisions scale",
+        "   as N²·bands/2^bits, so fixed-bit buckets turn a linear plan",
+        "   quadratic. The `emb_blocked_8x8` row (8-bit buckets, same",
+        "   operator) restores near-linear cost. SINCE ROUND 10 the",
+        "   registry queries size the width from the corpus themselves:",
+        "   `operators/scale_params.lsh_n_planes` = max(8, floor(log2 N)",
+        "   - 4) — the coarse_k recipe applied to LSH — wired through",
+        "   `q_embed.block_bands` into dedup_embedding_blocked AND",
+        "   dedup_embedding_multiprobe (recall lost to narrower buckets is",
+        "   bought back query-side by multiprobe, zero index growth). The",
+        "   formula floors at 8 planes for every oracle-verification",
+        "   corpus (<= 4095 vectors), so static oracle SQL stays",
+        "   bit-valid; the `emb_blocked_kscaled` row runs the 10-plane",
+        "   layout the formula picks at sf1 through the registry code",
+        "   path, and `lsh_band_plan` reports the decision as data.",
         "2. **Tail thresholds make the TRUE output quadratic.** On the",
         "   synthetic 64-dim vectors, cosine 0.4 is the random tail (920 of",
         "   2M sf0.1 pairs pass; median 0.419, only 1 pair >= 0.6), so ANY",
@@ -523,13 +560,12 @@ def main() -> None:
         "   unrolled-Lloyd oracles stay bit-identical to the engine, while",
         "   this table's sf1 runs exercise k=80. `knn_trained_pq_kscaled`",
         "   remains as the cold-path probe of the same law.",
-        "   MEASURED this round (two independent probe runs):",
+        "   MEASURED in round 9 (two independent probe runs):",
         "   knn_fully_trained_ivfpq 5.5x -> 1.6x/1.1x, knn_residual_ivfpq 5.5x ->",
         "   2.0x/1.6x, knn_trained_ivfpq_refine 6.6x -> 2.9x/2.8x,",
-        "   knn_hard_negatives 4.6x -> 1.5x/1.0x at 10x. The one still-quadratic",
-        "   row, knn_ivfpq (~19-22x), probes the FROZEN shipped 8-centroid",
-        "   artifact of operators/ivf.py — an untrainable constant kept as the",
-        "   labeled fixed-k baseline next to its trained, k-scaled twins.",
+        "   knn_hard_negatives 4.6x -> 1.5x/1.0x at 10x. The frozen fixed-k",
+        "   knn_ivfpq (19-22x in r8/r9) moved to the excluded-on-purpose",
+        "   list in r10 — see above the Findings.",
         "",
     ]
     with open(os.path.join(HERE, "BENCH_scale.md"), "w") as fh:
