@@ -91,6 +91,9 @@ AUDIT = [
     ("sketch_kmv_intersect", "two-phase bottom-k + broadcast pair frame; exact baseline"),
     ("split_leakage_safe", "cluster-hash split + pair accounting over materialized state"),
     ("knn_recall_residual", "IVFADC recall vs shared exact-L2 GT fixture + mark join"),
+    ("lsh_band_plan", "corpus-scaled width formula as data: 2 count aggs"),
+    ("text_chunk_windows", "map-only explode(sequence) char windows"),
+    ("chunk_shared_across_docs", "chunk fan-out + one md5 hash-groupBy"),
 ]
 
 LEDGER = [
