@@ -13,6 +13,18 @@ of whichever query happens to touch a fixture first aren't polluted by
 the build (a 30 MB bucketed-table write once masqueraded as shuffle in
 j1_fk_join_bucketed's plan-audit row).
 
+Since round 10 the prebuild submits INDEPENDENT artifact chains
+concurrently (ThreadPoolExecutor -> concurrent Spark job submission):
+sequential submission left local[32] underfilled by every individual
+sub-second stage and had crept 42 -> 51 -> 66 s over rounds 7-9 as trained
+artifacts accumulated. Dependency chains stay sequential WITHIN a thread
+(kmeans -> residual frame -> residual codebooks -> residual codes; shingle
+family after doc_shingles), so fixture_cache's lock-free memo dict is only
+ever asked to build DISTINCT keys concurrently; one cheap serial step runs
+first so the cache's stale-session eviction scan happens before any
+concurrency. This is also the honest cluster shape: each chain is an
+independent indexing-pipeline job.
+
 NOT imported by any plans/q_*.py module (queries build fixtures lazily on
 first touch), so this module is outside every query's hash closure.
 """
@@ -28,19 +40,19 @@ def prebuild_fixtures_timed(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, float]:
     """Per-artifact wall seconds for the prebuild (the trim audit's
-    instrument — PLANS.md ledger); ``prebuild_fixtures`` returns the sum."""
-    import time as _time
-
+    instrument — PLANS.md ledger). Artifact times are thread-local build
+    elapsed and OVERLAP since r10's concurrent submission, so their sum
+    exceeds TOTAL (the true wall time ``prebuild_fixtures`` returns)."""
     out: dict[str, float] = {}
-    t_all = _time.perf_counter()
+    t_all = time.perf_counter()
 
     def step(name: str, fn) -> None:
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         fn()
-        out[name] = round(_time.perf_counter() - t0, 2)
+        out[name] = round(time.perf_counter() - t0, 2)
 
     _prebuild_steps(spark, sf_dir, step)
-    out["TOTAL"] = round(_time.perf_counter() - t_all, 2)
+    out["TOTAL"] = round(time.perf_counter() - t_all, 2)
     return out
 
 
@@ -71,48 +83,86 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
         unit_embeddings,
     )
     from purldb_spark.plans.q_bpe import bpe_trained_words
+    from purldb_spark.plans.q_cluster import coarse_k
     from purldb_spark.plans.q_embed import block_bands
     from purldb_spark.plans.q_select import _tfidf_postings, _trigram_lm
 
-    step("doc_fingerprint_base", lambda: doc_fingerprint_base(spark, sf_dir).count())
-    step("dir_fp_content", lambda: dir_fingerprint_index(spark, sf_dir, "content").count())
-    step("dir_fp_structure", lambda: dir_fingerprint_index(spark, sf_dir, "structure").count())
-    step("near_dup_pairs", lambda: near_dup_pairs(spark, sf_dir).count())
-    step("doc_shingles", lambda: doc_shingles(spark, sf_dir).count())
-    step("minhash_band_index", lambda: minhash_band_index(spark, sf_dir).count())
-    step("simhash_fingerprints", lambda: simhash_fingerprints(spark, sf_dir).count())
-    step("capped_posting", lambda: capped_posting(spark, sf_dir, 16).count())
-    step("dup_clusters", lambda: dup_clusters(spark, sf_dir).count())
+    # SERIAL first step: cheap, and its cached_fixture call evicts any
+    # stale-session cache keys before threads run (the eviction scan is
+    # the one part of the lock-free memo that must not race).
     step("unit_embeddings", lambda: unit_embeddings(spark, sf_dir).count())
-    # band width is corpus-scaled since r10 (q_embed.block_bands — the
-    # coarse_k recipe applied to LSH); prebuild the SAME layout the
-    # registry queries will request.  The former "recall4" prebuild is
-    # gone: since multiprobe re-pointed at the block index, the 4-bit
-    # _RECALL_BANDS layout is a test-only fixture built by its tests.
-    _bb, _bb_key = block_bands(spark, sf_dir)
-    step("emb_band_index", lambda: emb_band_index(spark, sf_dir, _bb_key, _bb).count())
-    # coarse k is corpus-scaled (q_cluster.coarse_k — BENCH_scale finding
-    # 4's remedy); prebuild at the SAME k the registry queries will request
-    from purldb_spark.plans.q_cluster import coarse_k
-
+    # corpus-scaled parameters resolved up front (one count() each,
+    # memoized): coarse k (q_cluster.coarse_k, BENCH_scale finding 4) and
+    # the LSH band width (q_embed.block_bands, finding 1 — r10; the former
+    # "recall4" prebuild is gone: multiprobe re-pointed at the block
+    # index, so the 4-bit _RECALL_BANDS layout is test-only now).
     k_coarse = coarse_k(spark, sf_dir)
-    step("trained_centroids", lambda: trained_centroids(spark, sf_dir, k_coarse, 3))
-    step("kmeans_cell_index", lambda: kmeans_cell_index(spark, sf_dir, k_coarse, 3).count())
-    step("pq_code_index", lambda: pq_code_index(spark, sf_dir).count())
-    step("ivf_cell_index", lambda: ivf_cell_index(spark, sf_dir).count())
-    step("bucketed_orderkey_tables", lambda: bucketed_orderkey_tables(spark, sf_dir))
-    step("trigram_lm", lambda: _trigram_lm(spark, sf_dir)[0].count())
-    step("tfidf_postings", lambda: _tfidf_postings(spark, sf_dir).count())
-    # the trained-tokenizer artifact (12 greedy merge iterations = 12
-    # driver-argmax jobs) is the training pipeline's output, not per-query
-    # work — bpe_encode_stats/pack_bpe_budget measure the encode/pack path
-    step("bpe_trained_words", lambda: bpe_trained_words(spark, sf_dir).count())
-    # the trained PQ codebooks (8 independent sub-quantizer k-means fits)
-    # and the code table encoded under them are likewise training-pipeline
-    # artifacts
-    step("trained_pq_codebooks", lambda: trained_pq_codebooks(spark, sf_dir, 8, 16, 2))
-    step("trained_pq_code_index", lambda: trained_pq_code_index(spark, sf_dir, 8, 16, 2).count())
-    # the IVFADC artifacts (residual frame + residual-trained codebooks +
-    # residual codes) — builds residual_frame and trained_residual_codebooks
-    # transitively
-    step("residual_code_index", lambda: residual_code_index(spark, sf_dir, k_coarse, 3, 8, 16, 2).count())
+    _bb, _bb_key = block_bands(spark, sf_dir)
+
+    # Independent chains, submitted concurrently. Within a chain, later
+    # artifacts read earlier ones through the session cache; across
+    # chains, no key is shared.
+    chains: list[list[tuple[str, object]]] = [
+        [
+            ("doc_fingerprint_base", lambda: doc_fingerprint_base(spark, sf_dir).count()),
+            ("dir_fp_content", lambda: dir_fingerprint_index(spark, sf_dir, "content").count()),
+            ("dir_fp_structure", lambda: dir_fingerprint_index(spark, sf_dir, "structure").count()),
+        ],
+        [
+            ("doc_shingles", lambda: doc_shingles(spark, sf_dir).count()),
+            ("minhash_band_index", lambda: minhash_band_index(spark, sf_dir).count()),
+            ("simhash_fingerprints", lambda: simhash_fingerprints(spark, sf_dir).count()),
+            ("capped_posting", lambda: capped_posting(spark, sf_dir, 16).count()),
+        ],
+        [
+            ("near_dup_pairs", lambda: near_dup_pairs(spark, sf_dir).count()),
+            ("dup_clusters", lambda: dup_clusters(spark, sf_dir).count()),
+        ],
+        # the trained-IVF chain is the critical path: centroids -> cell
+        # index -> residual frame/codebooks/codes (residual_code_index
+        # builds residual_frame and trained_residual_codebooks
+        # transitively)
+        [
+            ("trained_centroids", lambda: trained_centroids(spark, sf_dir, k_coarse, 3)),
+            ("kmeans_cell_index", lambda: kmeans_cell_index(spark, sf_dir, k_coarse, 3).count()),
+            ("residual_code_index", lambda: residual_code_index(spark, sf_dir, k_coarse, 3, 8, 16, 2).count()),
+        ],
+        # trained PQ codebooks (8 sub-quantizer k-means fits) + the code
+        # table encoded under them — training-pipeline artifacts
+        [
+            ("trained_pq_codebooks", lambda: trained_pq_codebooks(spark, sf_dir, 8, 16, 2)),
+            ("trained_pq_code_index", lambda: trained_pq_code_index(spark, sf_dir, 8, 16, 2).count()),
+        ],
+        # the frozen-centroid baseline index pair
+        [
+            ("pq_code_index", lambda: pq_code_index(spark, sf_dir).count()),
+            ("ivf_cell_index", lambda: ivf_cell_index(spark, sf_dir).count()),
+        ],
+        [
+            ("emb_band_index", lambda: emb_band_index(spark, sf_dir, _bb_key, _bb).count()),
+        ],
+        [
+            ("bucketed_orderkey_tables", lambda: bucketed_orderkey_tables(spark, sf_dir)),
+        ],
+        [
+            ("trigram_lm", lambda: _trigram_lm(spark, sf_dir)[0].count()),
+            ("tfidf_postings", lambda: _tfidf_postings(spark, sf_dir).count()),
+        ],
+        # the trained-tokenizer artifact (12 greedy merge iterations = 12
+        # driver-argmax jobs) — bpe_encode_stats/pack_bpe_budget measure
+        # the encode/pack path, not this training cost
+        [
+            ("bpe_trained_words", lambda: bpe_trained_words(spark, sf_dir).count()),
+        ],
+    ]
+
+    import concurrent.futures as cf
+
+    def run_chain(chain: list[tuple[str, object]]) -> None:
+        for name, fn in chain:
+            step(name, fn)
+
+    with cf.ThreadPoolExecutor(max_workers=len(chains)) as ex:
+        futs = [ex.submit(run_chain, c) for c in chains]
+        for f in futs:
+            f.result()  # re-raise any build failure
