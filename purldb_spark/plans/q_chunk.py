@@ -9,7 +9,11 @@ existing family: documents -> text_chunk_windows -> (per-chunk embedding)
 -> q_embed's band index, and chunk_shared_across_docs is the chunk-grained
 twin of dedup_exact (boilerplate that survives document-level dedup because
 the CONTAINING documents differ — headers, licenses, navigation — is
-exactly what repeats at chunk grain).
+exactly what repeats at chunk grain). Complements q_llm4's
+text_chunk_overlap (token-budget windows for sequence assembly): these
+windows carry a CONTENT IDENTITY (chunk_md5) plus source coordinates
+(start_pos/chunk_len), the keys retrieval indexes, embedding caches, and
+chunk-level dedup operate on.
 
 Chunking is CHARACTER-windowed (size 128, stride 96) with both
 engines running the identical substring arithmetic, so chunk hashes are
