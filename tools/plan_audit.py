@@ -168,6 +168,15 @@ LEDGER = [
     "  step first for the stale-key eviction scan). One prebuild line was",
     "  also genuinely dropped: the recall4 band index (multiprobe",
     "  re-pointed at the block index).",
+    "- **r10 probe-table inverted-index ratios: contention, pinned (4th",
+    "  consecutive).** The fresh BENCH_scale table showed the family at",
+    "  6.1-8.4x vs r9's 2.9-4.3x, moving together across both scales'",
+    "  separately-contended passes. The ledger A/B protocol (idle host,",
+    "  min-of-3 solo, warm fixtures, both scales in one session):",
+    "  capped 2.3x, uncapped 4.0x (the labeled sum(df^2) baseline),",
+    "  tfidf 1.8x, histogram-quantiles 2.0x — at or better than r9.",
+    "  Recorded as BENCH_scale finding 6; trust A/B rows over",
+    "  cross-pass min-of-min ratios where they disagree.",
     "- bench_full.json restored to the committed-at-sf0.01 convention",
     "  (r9 hygiene note) and the convention stated in bench.py; this",
     "  round's sf0.01 run: 129.6 s / 199 queries.",

@@ -566,6 +566,29 @@ def main() -> None:
         "   knn_hard_negatives 4.6x -> 1.5x/1.0x at 10x. The frozen fixed-k",
         "   knn_ivfpq (19-22x in r8/r9) moved to the excluded-on-purpose",
         "   list in r10 — see above the Findings.",
+        "5. **Residual coding's recall win is occupancy/scale-dependent**",
+        "   (measured r10, recall@3 vs the exact-L2 GT on this synthetic",
+        "   random-tail corpus): sf0.01 (N=500, k=8, ~62/cell) residual",
+        "   0.400 vs fully-trained 0.300 (+10pt); sf0.1 (N=2000, k=8,",
+        "   ~250/cell) 0.150 vs 0.183 (-3.3pt — the r9 sf0.01 win does NOT",
+        "   generalize); sf1 (N=20000, corpus-scaled k=80, ~250/cell)",
+        "   0.0708 vs 0.0617 (+1.1pt). Below the coarse_k knee, recall",
+        "   tracks cell occupancy, not coding scheme; absolute values are",
+        "   low because single-probe recall against a random-tail GT is",
+        "   intrinsically capped (finding 2). Keep both configs and let",
+        "   the recall evals arbitrate per corpus.",
+        "6. **Min-of-min ratios across differently-contended passes skew",
+        "   high** — the r10 probe showed the inverted-index family at",
+        "   6.1-8.4x while the ledger A/B protocol (otherwise-idle host,",
+        "   min-of-3 solo, warm fixtures, both scales in one session)",
+        "   measured dedup_ngram_jaccard_capped 3.72->8.38s = 2.3x,",
+        "   dedup_ngram_jaccard 1.55->6.16s = 4.0x (the labeled sum(df^2)",
+        "   baseline), text_tfidf_neighbors 2.56->4.64s = 1.8x,",
+        "   sketch_histogram_quantiles 1.40->2.79s = 2.0x — all at or",
+        "   better than their r9 ratios. Fourth consecutive round a",
+        "   cross-pass 'regression' in this family resolved as host",
+        "   contention under the A/B protocol; trust the A/B rows over",
+        "   the table where they disagree.",
         "",
     ]
     with open(os.path.join(HERE, "BENCH_scale.md"), "w") as fh:
