@@ -63,7 +63,23 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# the ORACLE-width signature layout; the registry query sizes the width
+# from the corpus (below) and this constant — returned whenever the
+# formula floors at MIN_PLANES, i.e. at every verification scale — is
+# what the static oracle bakes
 _PLANES = hyperplanes(dim=64, n_planes=8, seed=42)
+
+
+def _scaled_planes(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Corpus-scaled signature width (operators/scale_params — r10, the
+    same recipe as q_embed.block_bands): fixed seed makes the narrower
+    layout a prefix of the wider one, so at every oracle scale this IS
+    _PLANES and the static SQL stays bit-valid; the sf1 probe runs 10
+    planes (1024 buckets) through this same code."""
+    from purldb_spark.operators.scale_params import lsh_planes_for
+
+    w = lsh_planes_for(spark, sf_dir)
+    return _PLANES if w == 8 else hyperplanes(dim=64, n_planes=w, seed=42)
 
 
 @query(
@@ -91,13 +107,18 @@ _PLANES = hyperplanes(dim=64, n_planes=8, seed=42)
     """,
 )
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: 8 deterministic hyperplanes -> 8-bit signature;
+    """ANN scale path: deterministic hyperplanes -> per-vector signature,
     neighbors searched only within the query's bucket (equi-join on the
-    bucket key instead of a crossJoin — ~256x less work at equal data).
+    bucket key instead of a crossJoin). Signature width is CORPUS-SCALED
+    since r10 (_scaled_planes — max(8, floor(log2 N) - 4) bits, so bucket
+    occupancy and with it per-query probe work stay flat in N; 8 bits at
+    every verification scale, where the static oracle is bit-valid).
     Recall < 1 by construction; raise it with multiple independent bands
-    exactly like the MinHash LSH. At 100 TB the bucket is the partition key."""
+    (dedup_embedding_blocked) or query-side multiprobe
+    (dedup_embedding_multiprobe) — neither grows this index. At 100 TB
+    the bucket is the partition key."""
     e = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_expr("embedding", _PLANES)
+        "bucket", bucket_expr("embedding", _scaled_planes(spark, sf_dir))
     )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),
