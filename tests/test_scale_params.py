@@ -49,6 +49,23 @@ def test_planes_for_yields_oracle_width_at_verification_scales(spark):
         assert lsh_planes_for(spark, sf) == MIN_PLANES
 
 
+def test_dashboard_reports_what_builders_use(spark):
+    """lsh_band_plan's n_planes row for embeddings must equal the width
+    block_bands actually builds with — the dashboard exists to detect
+    stale layouts, so it must not disagree with the engine."""
+    from purldb_spark.plans.q_embed import block_bands
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["table_name"]: r["n_planes"]
+        for r in QUERIES["lsh_band_plan"](spark, sf).collect()
+    }
+    bands, _ = block_bands(spark, sf)
+    assert rows["embeddings"] == len(bands[0])
+
+
 def test_block_bands_prefix_stability(spark):
     """Fixed per-band seeds mean the verification-scale layout is exactly
     the oracle-baked _BLOCK_BANDS (no re-roll), and a wider layout shares
