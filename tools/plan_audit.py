@@ -179,7 +179,7 @@ LEDGER = [
     "  cross-pass min-of-min ratios where they disagree.",
     "- bench_full.json restored to the committed-at-sf0.01 convention",
     "  (r9 hygiene note) and the convention stated in bench.py; this",
-    "  round's sf0.01 run: 129.6 s / 199 queries.",
+    "  round's sf0.01 runs: 129.6-136.0 s / 199 queries (prebuild 46.8 s sequential -> 31.8 s concurrent).",
     "- Advice fixes landed with the opening batch: q_kmv estimator",
     "  numerator derived from _KMV_K and NULL user_id/ts filtered",
     "  identically in both engines before bottom-k ranking (Spark ranks",
