@@ -307,6 +307,182 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embed_recall_blocked — banding recall of the production layout (r10)
+# ---------------------------------------------------------------------------
+
+_ER_PROBE_J = len(_BLOCK_BANDS[0])
+
+
+@query(
+    "embed_recall_blocked",
+    oracle=f"""
+    WITH unit AS MATERIALIZED (
+      SELECT vec_id, {normalize_sql_duckdb("embedding")} AS u FROM embeddings
+    ),
+    bands AS MATERIALIZED (
+      {_bands_cte(_BLOCK_BANDS)}
+    ),
+    gt AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+      WHERE {dot_sql_duckdb("a.u", "b.u")} >= 0.4
+    ),
+    scands AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    probes AS (
+      SELECT vec_id, band_idx,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, (1 << (j - 1))) END AS bucket
+      FROM bands, unnest(generate_series(0, {_ER_PROBE_J})) AS t(j)
+    ),
+    mcands AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM probes a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    spairs AS (
+      SELECT c.id_a, c.id_b FROM scands c
+      JOIN unit ua ON ua.vec_id = c.id_a
+      JOIN unit ub ON ub.vec_id = c.id_b
+      WHERE {dot_sql_duckdb("ua.u", "ub.u")} >= 0.4
+    ),
+    mpairs AS (
+      SELECT c.id_a, c.id_b FROM mcands c
+      JOIN unit ua ON ua.vec_id = c.id_a
+      JOIN unit ub ON ub.vec_id = c.id_b
+      WHERE {dot_sql_duckdb("ua.u", "ub.u")} >= 0.4
+    ),
+    marked AS (
+      SELECT 'blocked_single_probe' AS method,
+             CASE WHEN s.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM gt g LEFT JOIN spairs s ON s.id_a = g.id_a AND s.id_b = g.id_b
+      UNION ALL
+      SELECT 'blocked_multiprobe' AS method,
+             CASE WHEN m.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM gt g LEFT JOIN mpairs m ON m.id_a = g.id_a AND m.id_b = g.id_b
+    ),
+    cstats AS (
+      SELECT 'blocked_single_probe' AS method,
+             CAST(count(*) AS BIGINT) AS n_candidates FROM scands
+      UNION ALL
+      SELECT 'blocked_multiprobe' AS method,
+             CAST(count(*) AS BIGINT) FROM mcands
+    )
+    SELECT k.method, c.n_candidates,
+           CAST(COALESCE(sum(k.hit), 0) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS possible,
+           CAST(COALESCE(sum(k.hit), 0) * 1000000
+                // (SELECT greatest(count(*), 1) FROM gt) AS BIGINT)
+             AS recall_e6,
+           CAST(COALESCE(sum(k.hit), 0) * 1000000
+                // greatest(c.n_candidates, 1) AS BIGINT)
+             AS cand_precision_e6
+    FROM marked k JOIN cstats c ON c.method = k.method
+    GROUP BY k.method, c.n_candidates
+    """,
+)
+def embed_recall_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall of the PRODUCTION embedding layout — the hyperplane
+    twin of dedup_recall_eval, and the published number behind the
+    finding-1 trade: one row each for single-probe blocking and query-side
+    multiprobe (both over the corpus-scaled block index, widths per
+    block_bands), marked against the exact all-pairs cosine >= 0.4 ground
+    truth (dedup_embedding_cosine's semantics — verified pairs are a true
+    subset, so recall isolates pure bucket-split loss) plus candidate
+    efficiency (what fraction of candidates survive the exact verify —
+    what the verify stage costs per emitted pair).
+
+    This is the dashboard a production near-dup run reads when the width
+    formula (lsh_band_plan) picks a wider layout: how much recall the
+    narrower buckets cost and how much of it multiprobe buys back at zero
+    index growth.
+
+    Scale shape: approx sides are the production banded equi-joins off
+    the materialized band index; the GT side is the labeled all-pairs
+    baseline (quadratic by construction, sampled in production recall
+    monitoring). Counts and ratios on the e6 BIGINT grid; division
+    guards keep the empty corpus at zeros."""
+    from purldb_spark.operators.knn import multiprobe_expand
+    from purldb_spark.plans.fixture_cache import emb_band_index
+
+    bands, key = block_bands(spark, sf_dir)
+    idx = emb_band_index(spark, sf_dir, key, bands)
+    unit = unit_embeddings(spark, sf_dir).select("vec_id", "u")
+
+    def cand_pairs(a_keys: DataFrame) -> DataFrame:
+        a, b = a_keys.alias("a"), idx.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
+            .dropDuplicates()
+        )
+
+    def verified(cands: DataFrame) -> DataFrame:
+        ua = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+        ub = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+        return (
+            cands.join(ua, "id_a")
+            .join(ub, "id_b")
+            .filter(dot_expr("u_a", "u_b") >= 0.4)
+            .select("id_a", "id_b")
+        )
+
+    gt = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    n_gt = gt.count()  # driver scalar (documented BNLJ avoidance)
+    scands = cand_pairs(idx)
+    mcands = cand_pairs(multiprobe_expand(idx, "vec_id", len(bands[0])))
+
+    def row(method: str, cands: DataFrame) -> DataFrame:
+        n_c = cands.count()  # driver scalar
+        marked = gt.join(
+            verified(cands).withColumn("hit", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
+        ).select(F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+        return (
+            marked.agg(
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
+                F.count(F.lit(1)).cast("long").alias("possible"),
+            )
+            .withColumn("method", F.lit(method))
+            .withColumn("n_candidates", F.lit(n_c).cast("long"))
+            .withColumn(
+                "recall_e6",
+                F.expr(f"hits * 1000000L div {max(n_gt, 1)}L").cast("long"),
+            )
+            .withColumn(
+                "cand_precision_e6",
+                F.expr(f"hits * 1000000L div {max(n_c, 1)}L").cast("long"),
+            )
+            .select(
+                "method",
+                "n_candidates",
+                "hits",
+                "possible",
+                "recall_e6",
+                "cand_precision_e6",
+            )
+        )
+
+    return row("blocked_single_probe", scands).unionByName(
+        row("blocked_multiprobe", mcands)
+    )
+
+
+# ---------------------------------------------------------------------------
 # lsh_band_plan — the corpus-scaled width decision as a queryable dashboard
 # ---------------------------------------------------------------------------
 

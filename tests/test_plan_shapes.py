@@ -11,6 +11,9 @@ production shapes) are the scale path:
 - knn_recall_eval / knn_recall_fully_trained (recall@k harnesses —
   their ground-truth side IS the labeled anchors x corpus exact scan;
   the approximate sides under evaluation stay cell-bounded equi-joins)
+- embed_recall_blocked (the banding-recall harness: its ground-truth
+  side IS dedup_embedding_cosine's labeled all-pairs scan; both
+  approximate sides under evaluation are banded equi-joins)
 
 This is the regression fence for the DESIGN.md claim that every
 candidate generation is an equi-join: a constant-folded join key (the
@@ -37,6 +40,7 @@ ALLPAIRS_BASELINES = {
     "knn_recall_eval",
     "knn_recall_fully_trained",
     "knn_recall_residual",
+    "embed_recall_blocked",
 }
 
 

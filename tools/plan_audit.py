@@ -94,6 +94,8 @@ AUDIT = [
     ("lsh_band_plan", "corpus-scaled width formula as data: 2 count aggs"),
     ("text_chunk_windows", "map-only explode(sequence) char windows"),
     ("chunk_shared_across_docs", "chunk fan-out + one md5 hash-groupBy"),
+    ("embed_recall_blocked", "banding recall vs all-pairs GT + candidate efficiency"),
+    ("sketch_histogram_merge", "daily bin shards SUM-merge == direct (engine-checked)"),
 ]
 
 LEDGER = [

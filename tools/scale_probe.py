@@ -102,6 +102,7 @@ PROBES = [
     ("sketch_kmv_intersect", "two-phase salted bottom-k + k-row pair merges; labeled exact baselines pay the per-pair distinct shuffle — linear"),
     ("split_leakage_safe", "cluster-hash assignment join + doc-keyed pair accounting over materialized dedup state — linear"),
     ("emb_blocked_kscaled", "the r10 registry layout COLD: q_embed.block_bands width (8 planes at sf0.1, 10 at sf1 — the formula ENGAGES here), cos>=0.55 deep tail — linear"),
+    ("sketch_histogram_merge", "daily bin shards summed == direct histogram + per-pct merge proof — two bounded groupBys"),
     ("lsh_band_plan", "two count(*) aggs + the width formula as data (reports n_planes 8 -> 10/11 at sf1) — constant output"),
     ("text_chunk_windows", "map-only explode(sequence) chunking, zero shuffle — linear"),
     ("chunk_shared_across_docs", "chunk fan-out + ONE md5 hash-groupBy (map-side combined) — linear"),
