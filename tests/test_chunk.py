@@ -72,3 +72,48 @@ def test_chunk_queries_consistent(spark):
     for r in win:
         assert per_doc[r["doc_id"]] == r["n_chunks"]
         assert 0 <= r["chunk_idx"] < r["n_chunks"]
+
+
+def test_chunk_windows_property(spark):
+    """Property: for any text, windows tile the document — every char
+    position is inside >= 1 window, consecutive starts differ by exactly
+    _STRIDE, the final window reaches the last char, and n_chunks matches
+    the closed form. Driven through the streaming helper (the same
+    arithmetic the registry queries and the streaming face share)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from purldb_spark.streaming.chunk_stream import chunk_batch
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=3 * _CHUNK + 7),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        )
+    )
+    def run(lengths):
+        rows = [(i, "x" * n) for i, n in enumerate(lengths)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_batch(df).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, n in enumerate(lengths):
+            ws = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+            want_chunks = max((n - 1) // _STRIDE, 0) + 1
+            assert len(ws) == want_chunks
+            assert all(r["n_chunks"] == want_chunks for r in ws)
+            covered = set()
+            for j, r in enumerate(ws):
+                assert r["chunk_idx"] == j
+                assert r["start_pos"] == 1 + j * _STRIDE
+                assert r["chunk_len"] == min(_CHUNK, max(n - j * _STRIDE, 0))
+                covered.update(
+                    range(r["start_pos"], r["start_pos"] + r["chunk_len"])
+                )
+            assert covered == set(range(1, n + 1))
+
+    run()
