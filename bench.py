@@ -71,7 +71,14 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    with open(os.path.join(here, "bench_full.json"), "w") as fh:
+    # self-enforcing convention (r10): only sf0.01 runs may touch the
+    # COMMITTED bench_full.json; any other scale writes a scratch
+    # bench_full_sf{X}.json so an ad-hoc sf0.1 run can't silently
+    # overwrite the cross-round comparison artifact (it did, twice).
+    out_name = (
+        "bench_full.json" if sf_val == 0.01 else f"bench_full_sf{sf}.json"
+    )
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(
             {
                 "metric": "total_query_wall_sec",

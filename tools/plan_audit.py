@@ -179,7 +179,11 @@ LEDGER = [
     "  tfidf 1.8x, histogram-quantiles 2.0x — at or better than r9.",
     "  Recorded as BENCH_scale finding 6; trust A/B rows over",
     "  cross-pass min-of-min ratios where they disagree.",
-    "- bench_full.json restored to the committed-at-sf0.01 convention",
+    "- bench_full.json restored to the committed-at-sf0.01 convention,
+  and the convention is now SELF-ENFORCING: bench.py writes the
+  committed name only for sf0.01 runs and a gitignored
+  bench_full_sf{X}.json scratch otherwise (an ad-hoc sf0.1 run
+  overwrote the artifact twice before)",
     "  (r9 hygiene note) and the convention stated in bench.py; this",
     "  round's sf0.01 runs: 129.6-136.0 s / 199 queries (prebuild 46.8 s sequential -> 31.8 s concurrent).",
     "- Advice fixes landed with the opening batch: q_kmv estimator",
