@@ -185,7 +185,7 @@ LEDGER = [
   bench_full_sf{X}.json scratch otherwise (an ad-hoc sf0.1 run
   overwrote the artifact twice before)",
     "  (r9 hygiene note) and the convention stated in bench.py; this",
-    "  round's sf0.01 runs: 129.6-136.0 s / 199 queries (prebuild 46.8 s sequential -> 31.8 s concurrent).",
+    "  round's sf0.01 runs: 129.6-136.0 s / 199-201 queries; solo sf0.1 reference: 170.6 s / 201 queries vs r9's 201.9 s / 196 (prebuild 46.8 s sequential -> 31.8 s concurrent).",
     "- Advice fixes landed with the opening batch: q_kmv estimator",
     "  numerator derived from _KMV_K and NULL user_id/ts filtered",
     "  identically in both engines before bottom-k ranking (Spark ranks",
