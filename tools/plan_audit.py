@@ -183,13 +183,14 @@ LEDGER = [
     "  tfidf 1.8x, histogram-quantiles 2.0x — at or better than r9.",
     "  Recorded as BENCH_scale finding 6; trust A/B rows over",
     "  cross-pass min-of-min ratios where they disagree.",
-    "- bench_full.json restored to the committed-at-sf0.01 convention,
-  and the convention is now SELF-ENFORCING: bench.py writes the
-  committed name only for sf0.01 runs and a gitignored
-  bench_full_sf{X}.json scratch otherwise (an ad-hoc sf0.1 run
-  overwrote the artifact twice before)",
-    "  (r9 hygiene note) and the convention stated in bench.py; this",
-    "  round's sf0.01 runs: 129.6-136.0 s / 199-201 queries; solo sf0.1 reference: 170.6 s / 201 queries vs r9's 201.9 s / 196 (prebuild 46.8 s sequential -> 31.8 s concurrent).",
+    "- bench_full.json restored to the committed-at-sf0.01 convention",
+    "  (r9 hygiene note), and the convention is now SELF-ENFORCING:",
+    "  bench.py writes the committed name only for sf0.01 runs and a",
+    "  gitignored bench_full_sf{X}.json scratch otherwise (an ad-hoc",
+    "  sf0.1 run overwrote the artifact twice before). This round's",
+    "  sf0.01 runs: 129.6-136.0 s / 199-201 queries (prebuild 46.8 s",
+    "  sequential -> 31.8 s concurrent); solo sf0.1 reference: 170.6 s /",
+    "  201 queries vs r9's 201.9 s / 196.",
     "- Advice fixes landed with the opening batch: q_kmv estimator",
     "  numerator derived from _KMV_K and NULL user_id/ts filtered",
     "  identically in both engines before bottom-k ranking (Spark ranks",
@@ -392,11 +393,13 @@ def main() -> None:
         + [
             "",
             "The only intentional nested-loop plans in the registry are the",
-            "labeled kNN ground-truth baseline (`knn_bruteforce`) and the two",
-            "recall@k harnesses (`knn_recall_eval`, `knn_recall_fully_trained`),",
-            "whose ground-truth side IS that labeled anchors x corpus scan;",
-            "every other query is fenced to equi-join shapes by",
-            "`tests/test_plan_shapes.py`.",
+            "labeled ground-truth baselines (`knn_bruteforce`,",
+            "`dedup_embedding_cosine`) and the recall harnesses whose",
+            "ground-truth side IS such a labeled scan (`knn_recall_eval`,",
+            "`knn_recall_fully_trained`, `knn_recall_residual`,",
+            "`embed_recall_blocked` — the approximate sides under evaluation",
+            "stay banded/cell-bounded equi-joins); every other query is",
+            "fenced to equi-join shapes by `tests/test_plan_shapes.py`.",
             "",
         ]
         + LEDGER
