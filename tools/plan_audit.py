@@ -188,9 +188,10 @@ LEDGER = [
     "  bench.py writes the committed name only for sf0.01 runs and a",
     "  gitignored bench_full_sf{X}.json scratch otherwise (an ad-hoc",
     "  sf0.1 run overwrote the artifact twice before). This round's",
-    "  sf0.01 runs: 129.6-136.0 s / 199-201 queries (prebuild 46.8 s",
-    "  sequential -> 31.8 s concurrent); solo sf0.1 reference: 170.6 s /",
-    "  201 queries vs r9's 201.9 s / 196.",
+    "  sf0.01 runs: 129.6-136.0 s shared-host, 98.3 s idle-host closing",
+    "  run / 199-201 queries (prebuild 46.8 s sequential -> 14.8-31.8 s",
+    "  concurrent); solo sf0.1 reference: 170.6 s / 201 queries vs r9's",
+    "  201.9 s / 196.",
     "- Advice fixes landed with the opening batch: q_kmv estimator",
     "  numerator derived from _KMV_K and NULL user_id/ts filtered",
     "  identically in both engines before bottom-k ranking (Spark ranks",
