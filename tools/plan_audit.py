@@ -132,9 +132,9 @@ LEDGER = [
     "  commit, where their ~48-query restale fills that round's window",
     "  alone instead of overflowing this one — and that commit is ALREADY",
     "  BUILT AND TESTED on the local branch `r11-opening-batch` (pidfile",
-    "  idleness TTL + 120-bit SimHash rewiring, oracle-verified",
-    "  on-branch; merge it first, then run tools/query_hashes.py",
-    "  update) (r9 spilled 25 queries by",
+    "  idleness TTL + 120-bit SimHash rewiring; a FULL 200-query sweep",
+    "  ran on that branch: 200 MATCH / 0 MISMATCH; merge it first, then",
+    "  run tools/query_hashes.py update) (r9 spilled 25 queries by",
     "  editing shared modules mid-round; every r10 edit landed in the",
     "  first commits instead).",
     "- **knn_ivfpq resolved as an excluded labeled baseline.** The frozen",
