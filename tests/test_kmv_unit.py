@@ -85,3 +85,13 @@ def test_coarse_k_formula_and_memo(spark):
     assert q_cluster._K_BY_CORPUS[key] == 8
     # formula scales: 20k vectors -> 80 cells (the sf1 probe's regime)
     assert max(q_cluster._K, 20000 // q_cluster._CELL_TARGET) == 80
+
+
+def test_estimator_numerator_derives_from_k():
+    """r9 advice pin: the union estimator's exact-double numerator must be
+    built from _KMV_K (the literal 31e0 was only correct while k == 32),
+    and the (k-1)e6 factor must stay integer-exact in IEEE double."""
+    from purldb_spark.plans.q_kmv import _EST_NUM, _KMV_K
+
+    assert f"{_KMV_K - 1}e0" in _EST_NUM
+    assert float(1_000_000 * (_KMV_K - 1)) == 1_000_000 * (_KMV_K - 1)
