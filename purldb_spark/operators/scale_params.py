@@ -30,14 +30,14 @@ Parameters audit (round 10), one entry per banded/bucketed family:
   distribution (P ~ J^r per band), not by N^2/2^bits saturation. The
   scale knobs there are b (bands) and r (rows/band) setting the
   similarity threshold t ~ (1/b)^(1/r); no corpus-dependent width needed.
-* SimHash (q_dedup / operators/dedup.py): band width IS pinned by the
-  pigeonhole correctness constraint (hamming <= 3 over 4 bands needs
-  exactly 4 bands, so 60-bit fingerprints give 15-bit bands). Scaling
-  past N ~ 2^15 * sqrt(bands) therefore requires growing the FINGERPRINT
-  (e.g. 120-bit = two md5 halves -> 30-bit bands), not the band split —
-  deferred to the round-11 fixture_cache/operators-dedup batch (editing
-  operators/dedup.py re-stales 37 verified queries; see DESIGN.md
-  round-10 ledger for the window arithmetic).
+* SimHash (q_dedup): band width IS pinned by the pigeonhole
+  correctness constraint (hamming <= 3 over 4 bands needs exactly 4
+  bands), so the only scale knob is fingerprint LENGTH. LANDED in the
+  r11 opening batch: dedup_simhash runs 120-bit fingerprints (two md5
+  halves -> 30-bit bands, operators/simhash_wide.py), pushing
+  band-collision linearity from the 60-bit layout's N ~ 10^5-10^6
+  ceiling to N ~ 10^9-10^10; the 60-bit operator remains in
+  operators/dedup.py as the unit-test small-scale config.
 """
 
 from __future__ import annotations

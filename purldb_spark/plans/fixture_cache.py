@@ -205,21 +205,26 @@ def capped_posting(spark: SparkSession, sf_dir: str, df_cap: int) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 60-bit SimHash fingerprint table (doc_id, simhash) — stored
-    state in production exactly like the reference's halohash fingerprints
-    (matchcode/models.py:144-179 keeps them as indexed columns, computed
-    at ingest). Without this the banded self-join of dedup_simhash
-    recomputes the 60-vote aggregation once PER SIDE (measured 1.54s vs
-    0.38s off the materialized table at sf0.1); the oracle still derives
-    fingerprints relationally from raw documents, so the cache cannot
-    mask a vote-aggregation bug."""
-    from purldb_spark.operators.dedup import simhash
+    """The SimHash fingerprint table — stored state in production exactly
+    like the reference's halohash fingerprints (matchcode/models.py:144-179
+    keeps them as indexed columns, computed at ingest). 120-BIT since r11
+    (doc_id, sim_lo, sim_hi — operators/simhash_wide.py): the r10 width
+    audit showed the 60-bit layout's 15-bit pigeonhole bands saturate at
+    N ~ 10^5-10^6 documents, and fingerprint LENGTH is SimHash's only
+    scale knob; 30-bit bands push band-collision linearity to the
+    10^9-10^10 regime. Without this fixture the banded self-join of
+    dedup_simhash recomputes the 120-vote aggregation once PER SIDE
+    (the 60-bit version measured 1.54s vs 0.38s off the materialized
+    table at sf0.1); the oracle still derives fingerprints relationally
+    from raw documents, so the cache cannot mask a vote-aggregation
+    bug."""
+    from purldb_spark.operators.simhash_wide import simhash_wide
 
     def build() -> DataFrame:
         toks = doc_shingles(spark, sf_dir).withColumnRenamed("sh", "tok")
-        return simhash(toks, "doc_id").localCheckpoint(eager=True)
+        return simhash_wide(toks, "doc_id").localCheckpoint(eager=True)
 
-    return cached_fixture(spark, f"simhash_fingerprints:{sf_dir}", build)
+    return cached_fixture(spark, f"simhash_wide_fingerprints:{sf_dir}", build)
 
 
 def dir_fingerprint_index(
@@ -512,20 +517,26 @@ def _evict_dead_bucketed(root: str, app: str) -> None:
         path = os.path.join(root, d)
         pidfile = os.path.join(path, _OWNER_PIDFILE)
         try:
-            age = time.time() - os.path.getmtime(path)
-        except OSError:
-            continue
-        try:
             pid = int(open(pidfile).read().strip())
         except (OSError, ValueError):
-            # no/unreadable pidfile: age-based fallback only
+            # no/unreadable pidfile: dir-mtime age fallback only
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue
             if age > _NO_PIDFILE_TTL_SEC:
                 shutil.rmtree(path, ignore_errors=True)
             continue
-        # dead pid -> evict now; live-looking pid -> still evict once the
-        # directory is stale past the generous TTL (a recycled pid must
-        # not make a dead session's files immortal; no real session here
-        # lives anywhere near that long)
+        # TTL measures IDLENESS, not age since creation (r9 advice): the
+        # owning session touches its pidfile on every cache hit
+        # (bucketed_orderkey_tables fast path), so age derives from the
+        # PIDFILE's mtime — a long-running session stays protected as
+        # long as it keeps using its tables, while a recycled pid cannot
+        # make a dead session's files immortal (its pidfile goes stale).
+        try:
+            age = time.time() - os.path.getmtime(pidfile)
+        except OSError:
+            continue
         if not _pid_alive(pid) or age > _PIDFILE_TTL_SEC:
             shutil.rmtree(path, ignore_errors=True)
 
@@ -552,6 +563,23 @@ def bucketed_orderkey_tables(
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED:
+        # refresh liveness on every cache hit: eviction TTL is measured
+        # from the pidfile's mtime (idleness), so an active session never
+        # ages out of a concurrent session's sweep however long it runs
+        try:
+            _here = os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            os.utime(
+                os.path.join(
+                    _here,
+                    ".bucketed",
+                    spark.sparkContext.applicationId,
+                    _OWNER_PIDFILE,
+                )
+            )
+        except OSError:
+            pass
         return _BUCKETED[key]
     from purldb_spark.catalog.tables import load
 

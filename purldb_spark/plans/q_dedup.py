@@ -27,10 +27,11 @@ from purldb_spark.operators.dedup import (
     exact_dedup,
     incremental_lsh_dedup,
     lsh_candidate_pairs,
-    simhash,
-    simhash_near_pairs,
-    simhash_sql,
     verify_jaccard,
+)
+from purldb_spark.operators.simhash_wide import (
+    simhash_wide_sql,
+    wide_near_pairs,
 )
 from purldb_spark.plans.fixture_cache import (
     capped_posting,
@@ -273,45 +274,48 @@ _TOKENS_SQL = _SHINGLES_SQL.replace("AS sh", "AS tok")
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH sim AS ({simhash_sql("doc_id", _TOKENS_SQL)}),
+    WITH sim AS ({simhash_wide_sql("doc_id", _TOKENS_SQL)}),
     bands AS (
-      SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 15)) & 32767 AS band_key
+      SELECT doc_id, sim_lo, sim_hi, b AS band_idx,
+             CASE WHEN b < 2 THEN (sim_lo >> (b * 30)) & 1073741823
+                  ELSE (sim_hi >> ((b - 2) * 30)) & 1073741823
+             END AS band_key
       FROM sim, unnest([0, 1, 2, 3]) AS t(b)
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.simhash AS sim_a, b.simhash AS sim_b
+                      a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+                      b.sim_lo AS lo_b, b.sim_hi AS hi_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-    FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                AS BIGINT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection: 60-bit fingerprint from per-shingle bit
-    votes; pairs at hamming ≤ 3 found via 4-band pigeonhole join (hamming ≤ 3
-    over 4 bands forces ≥ 1 identical 15-bit band), then exact bit_count
-    verify. Features are 3-word shingles (see _TOKENS_SQL note). The 32-bit
-    original's 256-buckets-per-band measured ~quadratic at 10x corpus
-    (random band collisions ~ N^2/2^width); 15-bit bands restore linear —
-    see operators/dedup.simhash and BENCH_scale.md finding 1.
+    """SimHash near-dup detection, 120-BIT since r11 (operators/
+    simhash_wide.py — two md5-slice 60-bit halves): per-shingle bit votes,
+    pairs at hamming <= 3 via the 4-band pigeonhole join (hamming <= 3
+    over 4 bands forces >= 1 identical 30-bit band), exact two-term
+    bit_count verify. Features are 3-word shingles (see _TOKENS_SQL note).
 
-    Fixed-width audit (r10): unlike hyperplane LSH, SimHash's band width
-    CANNOT be corpus-scaled by re-splitting — the pigeonhole guarantee
-    (hamming <= 3 requires >= 1 of exactly max_hamming + 1 = 4 identical
-    bands) pins the split, so width only grows by growing the FINGERPRINT:
-    w-bit simhash -> w/4-bit bands, and staying linear needs w/4 ~
-    log2(N) + slack, i.e. 120-bit fingerprints (two md5 halves -> 30-bit
-    bands) around N ~ 10^7-10^9. At current scales 15-bit bands saturate
-    only past N ~ 2^15·sqrt(4)/occupancy ~ 10^5-10^6 (sf1 = 5·10^4 docs is
-    measured linear). The 120-bit upgrade lives in operators/dedup.py,
-    whose edit re-stales 37 verified queries — scheduled for the round-11
-    fixture_cache batch (DESIGN.md round-10 ledger) rather than spent
-    mid-round."""
+    Width history — BENCH_scale finding 1 applied twice: the 32-bit
+    original's 8-bit bands measured ~quadratic at 10x corpus (random band
+    collisions ~ N^2/2^width); the 60-bit/15-bit layout (operators/dedup.
+    simhash, retained as the small-scale config for unit tests) restored
+    linearity to N ~ 10^5-10^6; and since the pigeonhole guarantee PINS
+    the 4-way split (fingerprint length is SimHash's only scale knob —
+    the r10 audit), the 120-bit/30-bit layout here carries linearity to
+    N ~ 10^9-10^10, the 100 TB regime. Fingerprints read from the stored
+    fixture (fixture_cache.simhash_fingerprints); the oracle re-derives
+    all 120 votes relationally from raw documents."""
     sim = simhash_fingerprints(spark, sf_dir)
-    return simhash_near_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
+    return wide_near_pairs(sim, "doc_id", max_hamming=3)
 
 
 _W = 4  # winnowing window (fingerprints per ~w tokens)

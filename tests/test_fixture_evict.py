@@ -73,3 +73,30 @@ def test_missing_root_is_noop(tmp_path):
 def test_pid_alive_probe():
     assert _pid_alive(os.getpid())
     assert not _pid_alive(_dead_pid())
+
+
+def test_ttl_measures_pidfile_idleness_not_dir_age(tmp_path):
+    """r9 advice closure (landed r11): a LIVE session whose directory is
+    ancient but whose pidfile was touched recently (the cache-hit refresh)
+    must survive the sweep; the same live pid with an ancient PIDFILE is
+    treated as a recycled-pid ghost and evicted."""
+    import time
+
+    from purldb_spark.plans.fixture_cache import _PIDFILE_TTL_SEC
+
+    root = tmp_path / ".bucketed"
+    root.mkdir()
+    ancient = time.time() - _PIDFILE_TTL_SEC - 3600
+
+    # active long-runner: old dir, freshly-touched pidfile -> survives
+    live = _mkdir_with_pid(root, "longrunner", os.getpid())
+    os.utime(live, (ancient, ancient))  # dir mtime ancient
+    _evict_dead_bucketed(str(root), "me")
+    assert live.exists()
+
+    # recycled-pid ghost: live-looking pid, ancient pidfile -> evicted
+    ghost = _mkdir_with_pid(root, "ghost", os.getpid())
+    os.utime(ghost / _OWNER_PIDFILE, (ancient, ancient))
+    _evict_dead_bucketed(str(root), "me")
+    assert not ghost.exists()
+    assert live.exists()
