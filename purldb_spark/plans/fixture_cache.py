@@ -16,6 +16,7 @@ applications' entries are dropped on first touch from a new session.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,30 @@ from purldb_spark.conf import shuffle_partitions
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# prebuild_fixtures runs fixture chains in a ThreadPoolExecutor, so cache
+# get/evict/insert must be atomic: the old unguarded stale-key scan iterated
+# the live dict while concurrent chains inserted built keys (RuntimeError:
+# dictionary changed size during iteration). One lock serves both dicts —
+# only bookkeeping runs under it; Spark builds stay outside.
+_CACHE_LOCK = threading.Lock()
+
+
+def _cache_lookup(cache: dict, app: str, cache_key: tuple) -> object | None:
+    """Atomic get-or-evict-stale: returns the cached value, or None after
+    dropping other sessions' entries (snapshot iteration + pop, under lock)."""
+    with _CACHE_LOCK:
+        val = cache.get(cache_key)
+        if val is None:
+            for k in [k for k in list(cache) if k[0] != app]:
+                cache.pop(k, None)
+        return val
+
+
+def _cache_insert(cache: dict, cache_key: tuple, val):
+    """Atomic insert; first writer wins if two chains raced the same build."""
+    with _CACHE_LOCK:
+        return cache.setdefault(cache_key, val)
+
 
 def cached_fixture(
     spark: SparkSession, key: str, build: Callable[[], DataFrame]
@@ -33,12 +58,9 @@ def cached_fixture(
     ``build()`` (which should end in an eager localCheckpoint) on first use."""
     app = spark.sparkContext.applicationId
     cache_key = (app, key)
-    df = _CACHE.get(cache_key)
+    df = _cache_lookup(_CACHE, app, cache_key)
     if df is None:
-        for k in [k for k in _CACHE if k[0] != app]:
-            del _CACHE[k]
-        df = build()
-        _CACHE[cache_key] = df
+        df = _cache_insert(_CACHE, cache_key, build())
     return df
 
 
@@ -294,13 +316,14 @@ def trained_centroids(
 
     app = spark.sparkContext.applicationId
     cache_key = (app, f"kmeans:{sf_dir}:{k}:{iters}")
-    cents = _DRIVER_CACHE.get(cache_key)
+    cents = _cache_lookup(_DRIVER_CACHE, app, cache_key)
     if cents is None:
-        for stale in [s for s in _DRIVER_CACHE if s[0] != app]:
-            del _DRIVER_CACHE[stale]
         e = load(spark, sf_dir, "embeddings")
-        cents = kmeans_fit(e, "embedding", "vec_id", k, iters)
-        _DRIVER_CACHE[cache_key] = cents
+        cents = _cache_insert(
+            _DRIVER_CACHE,
+            cache_key,
+            kmeans_fit(e, "embedding", "vec_id", k, iters),
+        )
     return cents
 
 
@@ -322,10 +345,8 @@ def trained_pq_codebooks(
 
     app = spark.sparkContext.applicationId
     cache_key = (app, f"pqtrain:{sf_dir}:{m}:{ksub}:{iters}")
-    books = _DRIVER_CACHE.get(cache_key)
+    books = _cache_lookup(_DRIVER_CACHE, app, cache_key)
     if books is None:
-        for stale in [s for s in _DRIVER_CACHE if s[0] != app]:
-            del _DRIVER_CACHE[stale]
         e = load(spark, sf_dir, "embeddings")
         dim = len(e.select("embedding").first()["embedding"])
         sub = dim // m
@@ -338,7 +359,7 @@ def trained_pq_codebooks(
                 ),
             )
             books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, iters))
-        _DRIVER_CACHE[cache_key] = books
+        books = _cache_insert(_DRIVER_CACHE, cache_key, books)
     return books
 
 
@@ -683,10 +704,8 @@ def trained_residual_codebooks(
     cache_key = (
         app, f"respq:{sf_dir}:{k}:{iters}:{m}:{ksub}:{pq_iters}"
     )
-    books = _DRIVER_CACHE.get(cache_key)
+    books = _cache_lookup(_DRIVER_CACHE, app, cache_key)
     if books is None:
-        for stale in [s for s in _DRIVER_CACHE if s[0] != app]:
-            del _DRIVER_CACHE[stale]
         res = residual_frame(spark, sf_dir, k, iters)
         dim = len(res.select("resid").first()["resid"])
         sub = dim // m
@@ -697,7 +716,7 @@ def trained_residual_codebooks(
                 F.expr(f"slice(resid, {si * sub + 1}, {sub})").alias("subv"),
             )
             books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, pq_iters))
-        _DRIVER_CACHE[cache_key] = books
+        books = _cache_insert(_DRIVER_CACHE, cache_key, books)
     return books
 
 
