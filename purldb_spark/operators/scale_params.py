@@ -38,6 +38,16 @@ Parameters audit (round 10), one entry per banded/bucketed family:
   band-collision linearity from the 60-bit layout's N ~ 10^5-10^6
   ceiling to N ~ 10^9-10^10; the 60-bit operator remains in
   operators/dedup.py as the unit-test small-scale config.
+* IVF nprobe (q_cluster trained families): the r10 recall evals showed
+  recall@3 collapsing with cell OCCUPANCY as coarse_k grows (finding 5:
+  0.30/0.40 -> 0.15/0.18 at sf0.1) — growing k keeps probe COST linear
+  but shrinks each cell's share of true neighbors. The third application
+  of this recipe grows the probe count alongside: ``ivf_nprobe(k) =
+  max(MIN_NPROBE, isqrt(k))`` (the FAISS rule of thumb nprobe ~
+  sqrt(nlist)), so probed vectors per query ~ nprobe * N/k = N/sqrt(k)
+  stay sublinear while boundary losses are bought back. At every
+  verification scale coarse_k = 8 -> nprobe = 2, the constant the static
+  unrolled-Lloyd oracles bake.
 """
 
 from __future__ import annotations
@@ -77,6 +87,28 @@ def lsh_n_planes(n: int) -> int:
     if n <= 1:
         return MIN_PLANES
     return max(MIN_PLANES, (n.bit_length() - 1) - PLANES_SLACK)
+
+
+# minimum probed coarse cells: what ivf_nprobe yields at the oracle-baked
+# k = 8 of every verification corpus (isqrt(8) = 2)
+MIN_NPROBE = 2
+
+
+def ivf_nprobe(k: int) -> int:
+    """Probed coarse cells for a k-cell IVF index:
+    max(MIN_NPROBE, isqrt(k)) — nprobe ~ sqrt(nlist).
+
+    With the coarse_k law k ~ N/250, probed vectors per query are
+    nprobe * N/k ~ sqrt(250 * N): sublinear in N, while the probed
+    FRACTION sqrt(k)/k shrinks, so total probe work across a fixed
+    anchor set stays bounded and the occupancy-driven recall knee
+    (BENCH_scale finding 5) is pushed out by the extra cells. Same
+    oracle contract as coarse_k: every verification corpus trains
+    k = 8 cells, where this floors at MIN_NPROBE = 2 — the constant
+    the static unrolled-Lloyd oracle SQL bakes."""
+    import math
+
+    return max(MIN_NPROBE, math.isqrt(k))
 
 
 def lsh_planes_for(

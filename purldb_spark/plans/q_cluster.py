@@ -616,8 +616,19 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knn_fully_trained_ivfpq
 # ---------------------------------------------------------------------------
 
-_FT_KPRIME = 10  # ADC shortlist per query
 _FT_TOPK = 3
+# probed coarse cells, baked into the static oracles: ivf_nprobe(k) floors
+# at 2 for the k = _K = 8 every verification corpus trains (scale_params —
+# nprobe ~ sqrt(nlist)); larger corpora probe isqrt(coarse_k) cells through
+# the same builders without oracle comparison, exactly like coarse_k itself
+_FT_NPROBE = 2
+# ADC reorder depth scales WITH the probe count (10 per probed cell): a
+# fixed shortlist makes nprobe>1 self-defeating — twice the candidates
+# compete for the same reorder slots, so ADC misrank pushes true
+# neighbors out exactly when multiprobe should recover them (measured:
+# residual recall@3 at sf0.1 stayed ~0.18 under nprobe=2/kprime=10)
+_FT_KPRIME_PER_PROBE = 10
+_FT_KPRIME = _FT_KPRIME_PER_PROBE * _FT_NPROBE  # oracle-baked at nprobe=2
 
 
 def _ft_refined_ctes() -> str:
@@ -658,13 +669,23 @@ def _ft_refined_ctes() -> str:
     codes AS ({" UNION ALL ".join(code_sel)}),
     cells AS (SELECT vid AS vec_id, cluster AS cell FROM asgF),
     q AS (
-      SELECT e.vec_id AS q_vec_id, e.embedding AS q_emb, c.cell
-      FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
-      WHERE e.vec_id % 50 = 0
+      SELECT vec_id AS q_vec_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    qprobe AS (
+      SELECT q_vec_id, q_emb, cell FROM (
+        SELECT q.q_vec_id, q.q_emb, c.cluster AS cell,
+               row_number() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY {sqdist_cols_duckdb("q.q_emb", "c.cv")}, c.cluster
+               ) AS prank
+        FROM q, cent{_ITERS} c
+      ) WHERE prank <= {_FT_NPROBE}
     ),
     cand AS (
-      SELECT q.q_vec_id, q.q_emb, i.vec_id
-      FROM q JOIN cells i ON i.cell = q.cell AND i.vec_id <> q.q_vec_id
+      SELECT p.q_vec_id, p.q_emb, i.vec_id
+      FROM qprobe p
+      JOIN cells i ON i.cell = p.cell AND i.vec_id <> p.q_vec_id
     ),
     terms AS (
       SELECT c.q_vec_id, c.vec_id,
@@ -727,21 +748,34 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-nondeterministic across engines AND across Spark retries. The
     exact re-rank distance stays a fixed-fold double (bit-identical).
 
+    Probe width is corpus-scaled (r11, BENCH_scale finding 5): each query
+    ranks the k trained centroids with the exact assignment arithmetic and
+    probes its ivf_nprobe(k) = max(2, isqrt(k)) nearest cells — nprobe ~
+    sqrt(nlist), so probed vectors per query (~N/sqrt(k)) stay sublinear
+    while the occupancy-driven recall collapse of single-cell probing is
+    bought back. At every verification corpus k = 8 -> nprobe = 2, the
+    constant the static oracle bakes (same contract as coarse_k); prank=1
+    is the query's own cell, so the shortlist strictly contains the old
+    single-probe one.
+
     Scale shape: coarse train = k*dim-row shuffles; PQ train = m
     independent ksub*subdim-row shuffles; encode = one map-only scan; the
     search is a cell equi-join against 4-byte codes exploded x{_PQM}
     (tall form joins the 128-row broadcast codebook), then the refine
     touches |queries| x {_FT_KPRIME} raw vectors. Grow k with N (finding 4
     of BENCH_scale.md) to keep cells bounded."""
+    from purldb_spark.operators.scale_params import ivf_nprobe
     from purldb_spark.plans.fixture_cache import (
         kmeans_cell_index,
+        trained_centroids,
         trained_pq_code_index,
         trained_pq_codebooks,
     )
 
     sub = _DIM // _PQM
+    k = coarse_k(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
-    cells = kmeans_cell_index(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
+    cells = kmeans_cell_index(spark, sf_dir, k, _ITERS)
     codes = trained_pq_code_index(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
     books = trained_pq_codebooks(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
     cb = spark.createDataFrame(
@@ -752,16 +786,31 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "subspace long, cluster long, cv array<double>",
     )
-    q = (
-        e.filter(F.col("vec_id") % 50 == 0)
-        .join(cells, "vec_id")
-        .select(
-            F.col("vec_id").alias("q_vec_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("cell").alias("q_cell"),
-        )
+    cents = trained_centroids(spark, sf_dir, k, _ITERS)
+    cent_df = spark.createDataFrame(
+        [(ci + 1, [float(x) for x in cents[ci]]) for ci in range(k)],
+        "cell long, cv array<double>",
     )
-    cand = q.join(
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    # corpus-scaled multiprobe: rank ALL k trained centroids per query
+    # (broadcast k-row frame — the standard IVF probe-selection cost) with
+    # the exact assignment arithmetic (sqdist fold, lowest-cell tiebreak),
+    # probe the top isqrt(k) cells; prank=1 is the query's own cell, so
+    # the shortlist is a strict superset of the old single-cell probe
+    w_probe = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("pd"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("pd", F.expr(sqdist_cols_spark("q_emb", "cv")))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= ivf_nprobe(k))
+        .select("q_vec_id", "q_emb", F.col("cell").alias("q_cell"))
+    )
+    cand = probes.join(
         cells.select("vec_id", "cell"),
         (F.col("q_cell") == F.col("cell"))
         & (F.col("q_vec_id") != F.col("vec_id")),
@@ -783,8 +832,10 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("long").alias("adc")
     )
     w_adc = Window.partitionBy("q_vec_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # reorder depth rides the corpus-scaled probe count (10 per probed
+    # cell) — equals the oracle-baked _FT_KPRIME at every verification k
     short = adcs.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
-        F.col("adc_rank") <= _FT_KPRIME
+        F.col("adc_rank") <= _FT_KPRIME_PER_PROBE * ivf_nprobe(k)
     )
     raw = e.select("vec_id", F.col("embedding").alias("i_emb"))
     qe = q.select("q_vec_id", "q_emb")
@@ -854,7 +905,12 @@ def knn_recall_fully_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GT side is the labeled anchors x corpus exact scan (same sampled-
     anchor production note as knn_recall_eval — recall monitoring pins a
     few thousand anchors at 100 TB, making the GT scan linear). hits /
-    possible / recall ride the e6 BIGINT grid."""
+    possible / recall ride the e6 BIGINT grid.
+
+    Measured (r11, corpus-scaled nprobe + 10-per-probe reorder depth vs
+    the r10 single-cell/depth-10 config): recall@3 0.30 -> 0.47 at sf0.01
+    and 0.15 -> 0.26 at sf0.1 — the occupancy knee of BENCH_scale
+    finding 5 pushed out at both scales."""
     approx = knn_fully_trained_ivfpq(spark, sf_dir).select(
         "q_vec_id", "vec_id"
     )
@@ -1051,14 +1107,26 @@ def _res_refined_ctes() -> str:
     rcb AS ({" UNION ALL ".join(cb_sel)}),
     rcodes AS ({" UNION ALL ".join(code_sel)}),
     q AS (
-      SELECT r.vec_id AS q_vec_id, r.cell, r.resid AS q_res,
-             e.embedding AS q_emb
-      FROM residuals r JOIN embeddings e ON e.vec_id = r.vec_id
-      WHERE r.vec_id % 50 = 0
+      SELECT vec_id AS q_vec_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    qprobe AS (
+      SELECT q_vec_id, q_emb, cell,
+             list_transform(range(1, {_DIM + 1}), i ->
+               CAST(q_emb[i] AS DOUBLE) - cv[i]) AS q_res
+      FROM (
+        SELECT q.q_vec_id, q.q_emb, c.cluster AS cell, c.cv,
+               row_number() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY {sqdist_cols_duckdb("q.q_emb", "c.cv")}, c.cluster
+               ) AS prank
+        FROM q, g_cent{_ITERS} c
+      ) WHERE prank <= {_FT_NPROBE}
     ),
     cand AS (
-      SELECT q.q_vec_id, q.q_res, q.q_emb, i.vec_id
-      FROM q JOIN residuals i ON i.cell = q.cell AND i.vec_id <> q.q_vec_id
+      SELECT p.q_vec_id, p.q_res, p.q_emb, i.vec_id
+      FROM qprobe p
+      JOIN residuals i ON i.cell = p.cell AND i.vec_id <> p.q_vec_id
     ),
     terms AS (
       SELECT c.q_vec_id, c.vec_id,
@@ -1109,10 +1177,13 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     their 4 bits on the WITHIN-cell geometry the coarse quantizer cannot
     express (the accuracy gap between PQ-on-raw and IVFADC in the paper).
     knn_fully_trained_ivfpq trains everything but encodes raw sub-vectors;
-    this closes that last fidelity gap. Search: probe the query's cell,
-    ADC between the QUERY's residual and the residual codebooks (e6-grid
-    BIGINT terms, order-independent sum), shortlist top-{_FT_KPRIME},
-    exact re-rank on raw vectors.
+    this closes that last fidelity gap. Search: probe the query's
+    ivf_nprobe(k) nearest cells (corpus-scaled, r11 — nprobe ~ sqrt(k),
+    baked to 2 in the oracle at the verification k = 8), recomputing the
+    query residual against EACH probed centroid as §IV-A requires (codes
+    in cell i are relative to c_i), ADC between that residual and the
+    residual codebooks (e6-grid BIGINT terms, order-independent sum),
+    shortlist top-{_FT_KPRIME}, exact re-rank on raw vectors.
 
     Cross-engine exactness of the residual itself: centroid components
     come off the fixed-point-grid Lloyd means (bit-identical by the
@@ -1125,20 +1196,23 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is one map-side broadcast join pass (k centroid rows), training
     adds nothing over pq_train's cost model, search is the same cell
     equi-join over 4-byte codes. Grow k with N (BENCH_scale finding 4)."""
+    from purldb_spark.operators.scale_params import ivf_nprobe
     from purldb_spark.plans.fixture_cache import (
         residual_code_index,
         residual_frame,
+        trained_centroids,
         trained_residual_codebooks,
     )
 
     sub = _DIM // _PQM
+    k = coarse_k(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
-    res = residual_frame(spark, sf_dir, coarse_k(spark, sf_dir), _ITERS)
+    res = residual_frame(spark, sf_dir, k, _ITERS)
     books = trained_residual_codebooks(
-        spark, sf_dir, coarse_k(spark, sf_dir), _ITERS, _PQM, _PQK, _PQ_ITERS
+        spark, sf_dir, k, _ITERS, _PQM, _PQK, _PQ_ITERS
     )
     codes = residual_code_index(
-        spark, sf_dir, coarse_k(spark, sf_dir), _ITERS, _PQM, _PQK, _PQ_ITERS
+        spark, sf_dir, k, _ITERS, _PQM, _PQK, _PQ_ITERS
     )
     cb = spark.createDataFrame(
         [
@@ -1148,17 +1222,38 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "subspace long, cluster long, cv array<double>",
     )
-    q = (
-        res.filter(F.col("vec_id") % 50 == 0)
-        .join(e, "vec_id")
+    cents = trained_centroids(spark, sf_dir, k, _ITERS)
+    cent_df = spark.createDataFrame(
+        [(ci + 1, [float(x) for x in cents[ci]]) for ci in range(k)],
+        "cell long, cv array<double>",
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    # corpus-scaled multiprobe, IVFADC-faithful: the query residual is
+    # recomputed against EACH probed centroid (Jegou et al. 2011 §IV-A —
+    # ADC in cell i compares r(q) = q - c_i to codes stored relative to
+    # c_i), not carried over from the query's own cell; same zip_with
+    # subtraction as residual_frame so both engines stay bit-identical
+    w_probe = Window.partitionBy("q_vec_id").orderBy(
+        F.asc("pd"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("pd", F.expr(sqdist_cols_spark("q_emb", "cv")))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= ivf_nprobe(k))
         .select(
-            F.col("vec_id").alias("q_vec_id"),
+            "q_vec_id",
+            "q_emb",
             F.col("cell").alias("q_cell"),
-            F.col("resid").alias("q_res"),
-            F.col("embedding").alias("q_emb"),
+            F.expr(
+                "zip_with(q_emb, cv, (a, b) -> cast(a as double) - b)"
+            ).alias("q_res"),
         )
     )
-    cand = q.join(
+    cand = probes.join(
         res.select("vec_id", "cell"),
         (F.col("q_cell") == F.col("cell"))
         & (F.col("q_vec_id") != F.col("vec_id")),
@@ -1180,8 +1275,10 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("long").alias("adc")
     )
     w_adc = Window.partitionBy("q_vec_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # reorder depth rides the corpus-scaled probe count (10 per probed
+    # cell) — equals the oracle-baked _FT_KPRIME at every verification k
     short = adcs.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
-        F.col("adc_rank") <= _FT_KPRIME
+        F.col("adc_rank") <= _FT_KPRIME_PER_PROBE * ivf_nprobe(k)
     )
     raw = e.select("vec_id", F.col("embedding").alias("i_emb"))
     qe = q.select("q_vec_id", "q_emb")
@@ -1253,6 +1350,13 @@ def knn_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked-join algebra — only the approx frame differs. Scale shape:
     approx side is the production residual probe (corpus-scaled k), GT
     side the labeled anchors x corpus scan (sampled anchors in
-    production)."""
+    production).
+
+    Measured (r11, corpus-scaled nprobe + per-probe residuals + scaled
+    reorder depth vs the r10 single-cell config): recall@3 0.40 -> 0.57
+    at sf0.01 and 0.18 -> 0.225 at sf0.1 — nprobe=2 alone left residual
+    recall flat at sf0.1 (0.175: the fixed depth-10 shortlist was the
+    binding constraint); scaling the reorder depth with the probe count
+    is what moved it."""
     approx = knn_residual_ivfpq(spark, sf_dir).select("q_vec_id", "vec_id")
     return _recall_frame(spark, sf_dir, approx, "residual_ivfpq")

@@ -372,18 +372,26 @@ _ER_PROBE_J = len(_BLOCK_BANDS[0])
       UNION ALL
       SELECT 'blocked_multiprobe' AS method,
              CAST(count(*) AS BIGINT) FROM mcands
+    ),
+    magg AS (
+      SELECT method, CAST(COALESCE(sum(hit), 0) AS BIGINT) AS hits,
+             CAST(count(*) AS BIGINT) AS possible
+      FROM marked GROUP BY method
     )
-    SELECT k.method, c.n_candidates,
-           CAST(COALESCE(sum(k.hit), 0) AS BIGINT) AS hits,
-           CAST(count(*) AS BIGINT) AS possible,
-           CAST(COALESCE(sum(k.hit), 0) * 1000000
+    -- output cardinality is driven by cstats (always 2 rows), LEFT JOINed
+    -- to the marked aggregates: on a degenerate corpus with no GT pairs
+    -- `marked` is empty and a gt-driven GROUP BY would emit 0 rows while
+    -- the Spark side's global aggs always emit one row per method
+    SELECT c.method, c.n_candidates,
+           CAST(COALESCE(m.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(m.possible, 0) AS BIGINT) AS possible,
+           CAST(COALESCE(m.hits, 0) * 1000000
                 // (SELECT greatest(count(*), 1) FROM gt) AS BIGINT)
              AS recall_e6,
-           CAST(COALESCE(sum(k.hit), 0) * 1000000
+           CAST(COALESCE(m.hits, 0) * 1000000
                 // greatest(c.n_candidates, 1) AS BIGINT)
              AS cand_precision_e6
-    FROM marked k JOIN cstats c ON c.method = k.method
-    GROUP BY k.method, c.n_candidates
+    FROM cstats c LEFT JOIN magg m ON m.method = c.method
     """,
 )
 def embed_recall_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,10 @@ deterministic hashing, not the sink.
 At 100 TB the index is a parquet/Delta table partitioned by
 hash(band_key); each micro-batch costs O(batch x collision rate)
 regardless of corpus size — the property measured in BENCH_scale.md
-(dedup_incremental row).
+(dedup_incremental row). The index itself is kept O(retention window),
+not O(history), by the compaction/TTL maintenance face in
+compact_stream.py (generation-pointer swap; reads and appends here
+resolve through it).
 """
 
 from __future__ import annotations
@@ -45,11 +48,15 @@ def index_new_batch(
     stored band index, verify candidates exactly against the stored
     shingle postings, append decisions and the batch's keys (all appends
     idempotent via anti-joins on the natural keys)."""
+    from purldb_spark.streaming.compact_stream import index_paths
+
     sh_new = word_shingles(batch_docs, "doc_id", "text", n=3)
     bands_new = minhash_bands(sh_new, "doc_id")
 
-    bands_path = os.path.join(index_dir, "bands")
-    sh_path = os.path.join(index_dir, "shingles")
+    # resolve through the generation pointer (compact_stream): appends land
+    # in the live generation, so a post-compaction batch extends the
+    # compacted index, not the superseded flat layout
+    bands_path, sh_path = index_paths(index_dir)
     have_index = os.path.isdir(bands_path)
     if have_index:
         bands_idx = spark.read.parquet(bands_path)

@@ -444,9 +444,16 @@ def test_pq_train_books_differ_across_subspaces(spark):
 
 
 def test_fully_trained_output_ranked_by_exact_distance(spark):
-    """Final ranks follow exact_d (tie: vec_id), every returned pair shares
-    the query's TRAINED coarse cell, and adc is a valid e6-grid integer."""
-    from purldb_spark.plans.fixture_cache import kmeans_cell_index
+    """Final ranks follow exact_d (tie: vec_id), every returned pair lies
+    in one of the query's ivf_nprobe(k) nearest trained cells (r11: the
+    corpus-scaled multiprobe superset of the old own-cell invariant), and
+    adc is a valid e6-grid integer."""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.scale_params import ivf_nprobe
+    from purldb_spark.plans.fixture_cache import (
+        kmeans_cell_index,
+        trained_centroids,
+    )
     from purldb_spark.plans.q_cluster import _FT_TOPK, _ITERS, _K
     from purldb_spark.plans.registry import QUERIES, load_inventory
 
@@ -457,9 +464,24 @@ def test_fully_trained_output_ranked_by_exact_distance(spark):
         r["vec_id"]: r["cell"]
         for r in kmeans_cell_index(spark, SF_SMOKE, _K, _ITERS).collect()
     }
+    cents = trained_centroids(spark, SF_SMOKE, _K, _ITERS)
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_SMOKE, "embeddings")
+        .filter("vec_id % 50 = 0")
+        .collect()
+    }
+
+    def probe_cells(vec: list[float]) -> set[int]:
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vec, c)), ci + 1)
+            for ci, c in enumerate(cents)
+        )
+        return {cell for _, cell in dists[: ivf_nprobe(_K)]}
+
     by_q: dict[int, list] = {}
     for r in rows:
-        assert cells[r["q_vec_id"]] == cells[r["vec_id"]]
+        assert cells[r["vec_id"]] in probe_cells(emb[r["q_vec_id"]])
         assert r["adc"] >= 0
         by_q.setdefault(r["q_vec_id"], []).append(r)
     for q, rs in by_q.items():

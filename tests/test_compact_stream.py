@@ -1,0 +1,134 @@
+"""Band-index compaction/TTL face (streaming/compact_stream.py): pure
+compaction is a semantic no-op mid-stream, retention bounds the index to
+the window, the pointer swap is crash-safe, and replay is idempotent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from purldb_spark.streaming.compact_stream import (
+    compact_band_index,
+    current_generation,
+    index_paths,
+    prune_generations,
+)
+from purldb_spark.streaming.dedup_stream import index_new_batch
+
+SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+BATCH1 = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (3, "completely different words about spark query engines here now"),
+]
+BATCH2 = [
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+    (4, "yet another unrelated document of fresh vocabulary entirely"),
+]
+
+
+def _pairs(spark, pairs_dir):
+    if not os.path.isdir(pairs_dir):
+        return set()
+    return {
+        (r.new_id, r.index_id)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+
+
+def _bands_rows(spark, index_dir):
+    bands_path, _ = index_paths(index_dir)
+    return {
+        tuple(r)
+        for r in spark.read.parquet(bands_path)
+        .select("doc_id", "band_idx", "band_key")
+        .collect()
+    }
+
+
+def test_compaction_is_a_semantic_noop_mid_stream(spark, tmp_path):
+    """batch1 -> compact -> batch2 detects exactly the pairs of the
+    uncompacted run, and the compacted index holds the identical row SET."""
+    plain = str(tmp_path / "plain")
+    compacted = str(tmp_path / "compacted")
+    for index_dir in (plain, compacted):
+        pairs_dir = index_dir + "_pairs"
+        index_new_batch(
+            spark, spark.createDataFrame(BATCH1, SCHEMA), index_dir, pairs_dir
+        )
+        if index_dir == compacted:
+            gen = compact_band_index(spark, index_dir)
+            assert gen == 1 and current_generation(index_dir) == 1
+        index_new_batch(
+            spark, spark.createDataFrame(BATCH2, SCHEMA), index_dir, pairs_dir
+        )
+    assert _pairs(spark, compacted + "_pairs") == {(2, 1)}
+    assert _pairs(spark, compacted + "_pairs") == _pairs(spark, plain + "_pairs")
+    assert _bands_rows(spark, compacted) == _bands_rows(spark, plain)
+
+
+def test_retention_bounds_index_and_scopes_detection(spark, tmp_path):
+    """TTL-compacting doc 1 away: the index holds only retained docs' rows
+    and the near-dup of the evicted doc is no longer detected — the window,
+    not history, is the dedup universe."""
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    index_new_batch(
+        spark, spark.createDataFrame(BATCH1, SCHEMA), index_dir, pairs_dir
+    )
+    retained = spark.createDataFrame([(3,)], "doc_id long")
+    compact_band_index(spark, index_dir, retained_docs=retained)
+    assert {r[0] for r in _bands_rows(spark, index_dir)} == {3}
+    _, sh_path = index_paths(index_dir)
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(sh_path).select("doc_id").distinct().collect()
+    } == {3}
+    # doc 2 near-dups evicted doc 1 only: no decision under the window
+    index_new_batch(
+        spark, spark.createDataFrame(BATCH2, SCHEMA), index_dir, pairs_dir
+    )
+    assert _pairs(spark, pairs_dir) == set()
+    # and the new batch's keys landed in the live generation
+    assert {r[0] for r in _bands_rows(spark, index_dir)} == {2, 3, 4}
+
+
+def test_pointer_swap_is_crash_safe_and_replay_idempotent(spark, tmp_path):
+    """A gen directory without a pointer swap (crash before os.replace)
+    leaves readers on the old index; re-running the compaction (replay)
+    converges to the same row set; pruning removes only superseded dirs."""
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    index_new_batch(
+        spark, spark.createDataFrame(BATCH1, SCHEMA), index_dir, pairs_dir
+    )
+    before = _bands_rows(spark, index_dir)
+
+    # simulate the crash: materialize gen=1 data but no CURRENT pointer
+    bands_path, sh_path = index_paths(index_dir)
+    spark.read.parquet(bands_path).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "gen=1", "bands")
+    )
+    assert current_generation(index_dir) is None
+    assert index_paths(index_dir)[0] == bands_path  # readers: old index
+
+    # replayed compaction overwrites gen=1... no — it allocates the NEXT
+    # generation only off the POINTER, so the half-written gen=1 is simply
+    # rewritten by the real run (overwrite mode), then the pointer swaps
+    gen = compact_band_index(spark, index_dir)
+    assert gen == 1 and current_generation(index_dir) == 1
+    assert _bands_rows(spark, index_dir) == before
+
+    # replay the whole compaction again: deterministic content, next gen
+    gen2 = compact_band_index(spark, index_dir)
+    assert gen2 == 2 and _bands_rows(spark, index_dir) == before
+
+    prune_generations(index_dir)
+    # gen=1 and the legacy flat layout go; gen=2 (current) stays
+    assert os.path.isdir(os.path.join(index_dir, "gen=2", "bands"))
+    assert not os.path.isdir(os.path.join(index_dir, "gen=1"))
+    assert not os.path.isdir(os.path.join(index_dir, "bands"))
+    assert _bands_rows(spark, index_dir) == before

@@ -79,3 +79,53 @@ def test_block_bands_prefix_stability(spark):
     wide = [hyperplanes(dim=64, n_planes=10, seed=100 + b) for b in range(8)]
     for b in range(8):
         assert wide[b][:8] == _BLOCK_BANDS[b]
+
+
+def test_nprobe_formula_values():
+    from purldb_spark.operators.scale_params import MIN_NPROBE, ivf_nprobe
+
+    # floors at MIN_NPROBE for the oracle-baked verification k = 8
+    assert ivf_nprobe(1) == MIN_NPROBE
+    assert ivf_nprobe(8) == MIN_NPROBE
+    # sqrt(nlist) beyond: the sf1 probe trains k = 80 cells
+    assert ivf_nprobe(80) == 8
+    assert ivf_nprobe(10000) == 100
+    # probed-vector sublinearity: nprobe * N/k = N/sqrt(k) grows slower
+    # than N under the coarse_k law k ~ N/250
+    for n in (10**6, 10**8):
+        k = n // 250
+        assert ivf_nprobe(k) * (n // k) < n
+
+
+def test_verification_corpora_stay_below_scaling_floors(spark):
+    """ADVICE r10: the static oracles bake MIN_PLANES-wide LSH bands,
+    k = _K coarse cells, and nprobe = MIN_NPROBE, all valid only while
+    the verification corpora sit below the corpus-scaling thresholds.
+    A silently-grown test corpus would invalidate every static oracle
+    with nothing but a stderr warning as the clue — pin the invariant
+    here so it fails loudly instead."""
+    from purldb_spark.catalog.tables import load
+    from purldb_spark.operators.scale_params import (
+        MIN_NPROBE,
+        MIN_PLANES,
+        PLANES_SLACK,
+        ivf_nprobe,
+        lsh_n_planes,
+    )
+    from purldb_spark.plans.q_cluster import _CELL_TARGET, _K
+
+    planes_ceiling = (1 << (MIN_PLANES + PLANES_SLACK + 1)) - 1  # 8191
+    coarse_ceiling = _K * _CELL_TARGET  # 2000: coarse_k yields _K below it
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        n = load(spark, sf, "embeddings").count()
+        assert n <= planes_ceiling, (sf, n)
+        assert lsh_n_planes(n) == MIN_PLANES, (sf, n)
+        k = max(_K, n // _CELL_TARGET)
+        assert n <= coarse_ceiling and k == _K, (sf, n, k)
+        assert ivf_nprobe(k) == MIN_NPROBE, (sf, k)
+        n_docs = load(spark, sf, "documents").count()
+        assert lsh_n_planes(n_docs) == MIN_PLANES, (sf, n_docs)
