@@ -8,11 +8,21 @@ This is the maintenance loop of a retrieval / embedding-cache pipeline:
 the batch queries (text_chunk_windows, chunk_shared_across_docs) prove the
 chunk math against the DuckDB oracle; this module is how it RUNS. State
 taxonomy (the repo's streaming-state catalogue): the chunk index is a
-LEDGER — chunk identity (doc_id, chunk_idx) and content identity
-(chunk_md5) are deterministic functions of the document, so replay safety
-is one anti-join on doc_id (a replayed batch re-derives byte-identical
-rows and writes nothing), and the embed worklist is exactly-once because a
-chunk_md5 enters the seen set the first time it is appended.
+LEDGER of deterministic rows, and BOTH sinks use the epoch-partial recipe
+(hist_stream's) — each epoch OVERWRITES its own ``batch=<epoch_id>``
+partition of the chunk ledger and of the worklist. That, not appends, is
+what makes the exactly-once claim survive a crash between the two writes
+(ADVICE r10): two plain appends are not atomic together, so a crash
+between them either replayed duplicate worklist rows (worklist-first) or
+permanently dropped a doc's remaining chunks behind the doc-grain
+anti-join (ledger-first, partially committed). With per-epoch overwrite a
+replayed epoch recomputes the identical rows — the dedup guards read the
+ledger EXCLUDING the epoch's own (possibly partial) partition — and
+rewrites both partitions in place: duplicates impossible, partial writes
+self-healing, write order irrelevant. The epoch ids come from the
+streaming checkpoint, so the dirs are tied to one checkpoint lineage
+(resetting the checkpoint without clearing the dirs re-uses epoch keys —
+the same contract as every foreachBatch sink in this package).
 
 At 100 TB the index is a parquet/Delta table partitioned by
 hash(chunk_md5); per-batch cost is O(batch chunks) for the fan-out plus
@@ -59,15 +69,24 @@ def index_chunk_batch(
     batch_docs: DataFrame,
     index_dir: str,
     worklist_dir: str,
+    epoch_id: int = 0,
 ) -> None:
-    """One micro-batch body: chunk the new docs, drop docs already in the
-    ledger (replay no-op), emit the never-seen-md5 worklist, append the
-    chunk rows."""
+    """One micro-batch body: chunk the new docs, drop docs already in
+    OTHER epochs' ledger partitions (replay re-derives its own epoch's
+    rows instead of anti-joining them away), derive the never-seen-md5
+    worklist, and OVERWRITE this epoch's partition of both tables —
+    idempotent and crash-safe without transactional appends (module
+    docstring)."""
     chunks = chunk_batch(batch_docs)
 
     chunks_path = os.path.join(index_dir, "chunks")
     if os.path.isdir(chunks_path):
-        idx = spark.read.parquet(chunks_path)
+        # the ledger is read EXCLUDING this epoch's own partition: on a
+        # replay that partition may be partial, and dedup against it
+        # would drop rows the overwrite below is about to restore
+        idx = spark.read.parquet(chunks_path).filter(
+            F.col("batch") != int(epoch_id)
+        )
         indexed_docs = idx.select("doc_id").dropDuplicates()
         chunks = chunks.join(indexed_docs, "doc_id", "left_anti")
         seen_md5 = idx.select("chunk_md5").dropDuplicates()
@@ -95,14 +114,18 @@ def index_chunk_batch(
             "chunk_len",
         )
     )
-    worklist.write.mode("append").parquet(worklist_dir)
-    chunks.write.mode("append").parquet(chunks_path)
+    worklist.write.mode("overwrite").parquet(
+        os.path.join(worklist_dir, f"batch={int(epoch_id)}")
+    )
+    chunks.write.mode("overwrite").parquet(
+        os.path.join(chunks_path, f"batch={int(epoch_id)}")
+    )
 
 
 def chunk_sink(spark: SparkSession, index_dir: str, worklist_dir: str):
     """foreachBatch callable wiring index_chunk_batch into a stream."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        index_chunk_batch(spark, batch, index_dir, worklist_dir)
+        index_chunk_batch(spark, batch, index_dir, worklist_dir, epoch_id)
 
     return process

@@ -47,14 +47,17 @@ def test_streamed_equals_batch_and_worklist_exactly_once(spark, tmp_path):
     _drain(spark, src, ckpt, sink)
 
     # streamed chunk table == one-shot batch chunking of all docs
+    # (ledger reads drop the epoch partition column — physical layout)
     from purldb_spark.streaming.chunk_stream import chunk_batch
 
     all_docs = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+    cols = chunk_batch(all_docs).columns
     want = {
         tuple(r) for r in chunk_batch(all_docs).collect()
     }
     got = {
-        tuple(r) for r in spark.read.parquet(index_dir + "/chunks").collect()
+        tuple(r)
+        for r in spark.read.parquet(index_dir + "/chunks").select(cols).collect()
     }
     assert got == want
 
@@ -72,11 +75,64 @@ def test_streamed_equals_batch_and_worklist_exactly_once(spark, tmp_path):
     scheduled_from_3 = [r for r in wl if r.doc_id == 3]
     assert dup_doc_chunks and not scheduled_from_3  # doc 1 already covered all
 
-    # replay idempotence: re-processing batch 2's docs writes nothing
+    # replay idempotence: re-processing batch 2 under ITS OWN epoch id
+    # overwrites its partitions with identical rows — nothing changes
     n_chunks = spark.read.parquet(index_dir + "/chunks").count()
     n_wl = spark.read.parquet(worklist_dir).count()
+    chunks_before = {
+        tuple(r)
+        for r in spark.read.parquet(index_dir + "/chunks").select(cols).collect()
+    }
     index_chunk_batch(
-        spark, spark.createDataFrame(BATCH2, SCHEMA), index_dir, worklist_dir
+        spark,
+        spark.createDataFrame(BATCH2, SCHEMA),
+        index_dir,
+        worklist_dir,
+        epoch_id=1,
     )
     assert spark.read.parquet(index_dir + "/chunks").count() == n_chunks
     assert spark.read.parquet(worklist_dir).count() == n_wl
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(index_dir + "/chunks").select(cols).collect()
+    } == chunks_before
+
+
+def test_partial_epoch_partition_heals_on_replay(spark, tmp_path):
+    """The ADVICE r10 crash window: a partially committed chunk-ledger
+    partition must not make the doc-grain dedup permanently drop the
+    doc's remaining chunks — the replay overwrites the partial partition
+    with the full row set, and the worklist stays duplicate-free."""
+    import os
+
+    from purldb_spark.streaming.chunk_stream import chunk_batch
+
+    index_dir = str(tmp_path / "chunk_index")
+    worklist_dir = str(tmp_path / "embed_worklist")
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, SCHEMA)
+    index_chunk_batch(spark, b1, index_dir, worklist_dir, epoch_id=0)
+
+    # simulate the crash: epoch 1's ledger partition holds only ONE of
+    # doc 4's chunk rows (partial job commit), and no worklist partition
+    partial = chunk_batch(b2).filter("doc_id = 4").limit(1)
+    partial.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "chunks", "batch=1")
+    )
+
+    # replay of epoch 1: full rows restored, worklist exactly-once
+    index_chunk_batch(spark, b2, index_dir, worklist_dir, epoch_id=1)
+    cols = chunk_batch(b2).columns
+    want = {
+        tuple(r)
+        for r in chunk_batch(
+            spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(index_dir + "/chunks").select(cols).collect()
+    }
+    assert got == want
+    md5s = [r.chunk_md5 for r in spark.read.parquet(worklist_dir).collect()]
+    assert len(md5s) == len(set(md5s))
