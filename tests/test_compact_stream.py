@@ -50,21 +50,39 @@ def _bands_rows(spark, index_dir):
 
 
 def test_compaction_is_a_semantic_noop_mid_stream(spark, tmp_path):
-    """batch1 -> compact -> batch2 detects exactly the pairs of the
-    uncompacted run, and the compacted index holds the identical row SET."""
+    """batch1 (real stream drain) -> compact -> batch2 (drain) detects
+    exactly the pairs of the uncompacted run, and the compacted index
+    holds the identical row SET — the streamed == batch pin with a
+    maintenance compaction in the middle of the stream's life."""
+    from purldb_spark.streaming.dedup_stream import dedup_sink
+
     plain = str(tmp_path / "plain")
     compacted = str(tmp_path / "compacted")
     for index_dir in (plain, compacted):
         pairs_dir = index_dir + "_pairs"
-        index_new_batch(
-            spark, spark.createDataFrame(BATCH1, SCHEMA), index_dir, pairs_dir
-        )
+        src = index_dir + "_incoming"
+        ckpt = index_dir + "_ckpt"
+
+        def drain():
+            q = (
+                spark.readStream.schema(SCHEMA)
+                .parquet(src)
+                .writeStream.foreachBatch(
+                    dedup_sink(spark, index_dir, pairs_dir)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(BATCH1, SCHEMA).write.mode("append").parquet(src)
+        drain()
         if index_dir == compacted:
             gen = compact_band_index(spark, index_dir)
             assert gen == 1 and current_generation(index_dir) == 1
-        index_new_batch(
-            spark, spark.createDataFrame(BATCH2, SCHEMA), index_dir, pairs_dir
-        )
+        spark.createDataFrame(BATCH2, SCHEMA).write.mode("append").parquet(src)
+        drain()
     assert _pairs(spark, compacted + "_pairs") == {(2, 1)}
     assert _pairs(spark, compacted + "_pairs") == _pairs(spark, plain + "_pairs")
     assert _bands_rows(spark, compacted) == _bands_rows(spark, plain)
