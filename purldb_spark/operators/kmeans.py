@@ -89,6 +89,30 @@ def assign_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return F.expr(f"array_position({dists}, array_min({dists}))").cast("long")
 
 
+def probe_cells_expr(
+    vec_col: str, centroids: list[list[float]], nprobe: int
+) -> F.Column:
+    """Array of the ``nprobe`` nearest 1-based cluster ids over literal
+    centroids — the multiprobe generalization of assign_expr (nprobe=1
+    yields exactly the assignment, same arithmetic, same lowest-id ties).
+
+    Map-only: the centroids are plan literals like every assignment in
+    this module, the struct array_sort orders lexicographically by
+    (distance, cell) — identical to the oracle's ``ORDER BY dist,
+    cluster`` row_number — and the whole selection runs inside
+    whole-stage codegen with no join at all (a broadcast cross join here
+    would be a BroadcastNestedLoopJoin, the plan shape the registry
+    fences off)."""
+    structs = ", ".join(
+        f"struct({sqdist_spark(vec_col, c)} as d, {ci + 1}L as cell)"
+        for ci, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}),"
+        " s -> s.cell)"
+    )
+
+
 def init_centroids(
     df: DataFrame, vec_col: str, id_col: str, k: int
 ) -> list[list[float]]:

@@ -308,6 +308,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from purldb_spark.operators.kmeans import (  # noqa: E402
     kmeans_cells_ctes,
+    probe_cells_expr,
     sqdist_cols_duckdb,
     sqdist_cols_spark,
 )
@@ -787,28 +788,22 @@ def knn_fully_trained_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subspace long, cluster long, cv array<double>",
     )
     cents = trained_centroids(spark, sf_dir, k, _ITERS)
-    cent_df = spark.createDataFrame(
-        [(ci + 1, [float(x) for x in cents[ci]]) for ci in range(k)],
-        "cell long, cv array<double>",
-    )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_emb"),
     )
-    # corpus-scaled multiprobe: rank ALL k trained centroids per query
-    # (broadcast k-row frame — the standard IVF probe-selection cost) with
-    # the exact assignment arithmetic (sqdist fold, lowest-cell tiebreak),
-    # probe the top isqrt(k) cells; prank=1 is the query's own cell, so
-    # the shortlist is a strict superset of the old single-cell probe
-    w_probe = Window.partitionBy("q_vec_id").orderBy(
-        F.asc("pd"), F.asc("cell")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("pd", F.expr(sqdist_cols_spark("q_emb", "cv")))
-        .withColumn("prank", F.row_number().over(w_probe))
-        .filter(F.col("prank") <= ivf_nprobe(k))
-        .select("q_vec_id", "q_emb", F.col("cell").alias("q_cell"))
+    # corpus-scaled multiprobe, MAP-ONLY: the k trained centroids are plan
+    # literals (the kmeans assignment pattern) and probe_cells_expr ranks
+    # them with the exact assignment arithmetic (sqdist fold, lowest-cell
+    # ties) inside codegen — no join for probe selection; slot 1 is the
+    # query's own cell, so the shortlist strictly contains the old
+    # single-cell probe's
+    probes = q.select(
+        "q_vec_id",
+        "q_emb",
+        F.explode(
+            probe_cells_expr("q_emb", cents, ivf_nprobe(k))
+        ).alias("q_cell"),
     )
     cand = probes.join(
         cells.select("vec_id", "cell"),
@@ -1225,29 +1220,32 @@ def knn_residual_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = trained_centroids(spark, sf_dir, k, _ITERS)
     cent_df = spark.createDataFrame(
         [(ci + 1, [float(x) for x in cents[ci]]) for ci in range(k)],
-        "cell long, cv array<double>",
+        "q_cell long, cv array<double>",
     )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_emb"),
     )
-    # corpus-scaled multiprobe, IVFADC-faithful: the query residual is
-    # recomputed against EACH probed centroid (Jegou et al. 2011 §IV-A —
-    # ADC in cell i compares r(q) = q - c_i to codes stored relative to
-    # c_i), not carried over from the query's own cell; same zip_with
+    # corpus-scaled multiprobe, IVFADC-faithful: probe selection is the
+    # same MAP-ONLY literal-centroid ranking as the fully-trained path,
+    # then ONE broadcast equi-join on the probed cell id brings in the
+    # centroid vector so the query residual is recomputed against EACH
+    # probed centroid (Jegou et al. 2011 §IV-A — ADC in cell i compares
+    # r(q) = q - c_i to codes stored relative to c_i); same zip_with
     # subtraction as residual_frame so both engines stay bit-identical
-    w_probe = Window.partitionBy("q_vec_id").orderBy(
-        F.asc("pd"), F.asc("cell")
-    )
     probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("pd", F.expr(sqdist_cols_spark("q_emb", "cv")))
-        .withColumn("prank", F.row_number().over(w_probe))
-        .filter(F.col("prank") <= ivf_nprobe(k))
+        q.select(
+            "q_vec_id",
+            "q_emb",
+            F.explode(
+                probe_cells_expr("q_emb", cents, ivf_nprobe(k))
+            ).alias("q_cell"),
+        )
+        .join(F.broadcast(cent_df), "q_cell")
         .select(
             "q_vec_id",
             "q_emb",
-            F.col("cell").alias("q_cell"),
+            "q_cell",
             F.expr(
                 "zip_with(q_emb, cv, (a, b) -> cast(a as double) - b)"
             ).alias("q_res"),
