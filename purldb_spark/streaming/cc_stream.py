@@ -1,0 +1,137 @@
+"""Incremental connected-components maintenance — the streaming face of
+dedup clustering (operators/dedup.py::connected_components, whose batch
+query dedup_cluster_cc proves the closure math against a WITH RECURSIVE
+oracle; this module is how the cluster table is MAINTAINED as near-dup
+pairs stream in from the incremental dedup face).
+
+Per micro-batch of new (doc_a, doc_b) pairs, only the AFFECTED subgraph
+relabels:
+
+  1. touched labels = labels of the batch's endpoints already in state;
+  2. the affected subgraph = the batch's edges UNION one (node, label)
+     edge per state row in a touched component — the label node is the
+     component's minimum, so these star edges are a connectivity-exact
+     contraction of each old component (same components, fewer edges);
+  3. pointer-jumping CC over that subgraph (the batch operator, O(log
+     diameter) waves over O(batch + touched-state) rows);
+  4. write relabeled + untouched-carried-forward labels as THIS EPOCH's
+     full snapshot.
+
+Per-batch cost is O(batch x affected-component size), independent of the
+number of stored components — the equivalent of dedup_stream's
+O(batch x collision rate) contract, one level up the pipeline.
+
+State taxonomy (fourth pattern in the catalogue after ledger, idempotent
+monoid, epoch partials): CONVERGENT MONOTONE state — a component's label
+is the min doc id over its members, merges only ever DECREASE labels, and
+the result is independent of pair arrival order (min is commutative/
+associative/idempotent), which is what makes streamed == batch provable.
+Snapshots use the epoch-partition recipe: each epoch OVERWRITES
+``labels/batch=<epoch_id>`` with the full (small — only docs that appear
+in near-dup pairs, a thin slice of the corpus) label table; the batch body
+reads the latest partition STRICTLY BELOW its own epoch, so a replay
+recomputes from the same prior state and rewrites the same snapshot
+(idempotent), and a half-written crash partition is invisible to the
+replay that heals it. At 100 TB the snapshot-per-epoch becomes a Delta /
+Iceberg MERGE of only the relabeled rows; the subgraph algebra is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.dedup import connected_components
+
+
+def latest_epoch(labels_dir: str, below: int | None = None) -> int | None:
+    """Highest committed epoch id under ``labels_dir`` (optionally only
+    epochs strictly below ``below`` — what a replaying batch body reads)."""
+    if not os.path.isdir(labels_dir):
+        return None
+    epochs = [
+        int(m.group(1))
+        for d in os.listdir(labels_dir)
+        if (m := re.fullmatch(r"batch=(\d+)", d))
+    ]
+    if below is not None:
+        epochs = [e for e in epochs if e < below]
+    return max(epochs, default=None)
+
+
+def current_labels(
+    spark: SparkSession, labels_dir: str, below: int | None = None
+) -> DataFrame | None:
+    """The (node, label) snapshot of the latest committed epoch, or None."""
+    ep = latest_epoch(labels_dir, below)
+    if ep is None:
+        return None
+    return spark.read.parquet(os.path.join(labels_dir, f"batch={ep}")).select(
+        "node", "label"
+    )
+
+
+def merge_pairs_batch(
+    spark: SparkSession,
+    batch_pairs: DataFrame,
+    labels_dir: str,
+    epoch_id: int = 0,
+) -> None:
+    """One micro-batch body: relabel only the components the batch's
+    pairs touch, carry every other component forward, write this epoch's
+    snapshot (partition overwrite — replay-idempotent)."""
+    pairs = (
+        batch_pairs.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+        )
+        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+        .dropDuplicates()
+    )
+    prior = current_labels(spark, labels_dir, below=int(epoch_id))
+
+    if prior is None:
+        labels = connected_components(pairs, "doc_a", "doc_b")
+    else:
+        prior = prior.localCheckpoint(eager=True)  # one read, three uses
+        ends = (
+            pairs.select(F.col("doc_a").alias("node"))
+            .unionByName(pairs.select(F.col("doc_b").alias("node")))
+            .dropDuplicates()
+        )
+        touched = (
+            prior.join(ends, "node", "left_semi")
+            .select("label")
+            .dropDuplicates()
+        )
+        # star contraction of each touched component: node—label edges are
+        # connectivity-exact (label IS a member, the component minimum)
+        star = prior.join(
+            F.broadcast(touched), "label", "left_semi"
+        ).filter(F.col("node") != F.col("label"))
+        sub_edges = pairs.unionByName(
+            star.select(
+                F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
+            )
+        )
+        relabeled = connected_components(sub_edges, "doc_a", "doc_b")
+        untouched = prior.join(F.broadcast(touched), "label", "left_anti")
+        labels = untouched.unionByName(relabeled).dropDuplicates()
+
+    labels.select("node", "label").write.mode("overwrite").parquet(
+        os.path.join(labels_dir, f"batch={int(epoch_id)}")
+    )
+
+
+def cc_sink(spark: SparkSession, labels_dir: str):
+    """foreachBatch callable wiring merge_pairs_batch into a pair stream
+    (e.g. the decisions table dedup_stream appends)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        merge_pairs_batch(spark, batch, labels_dir, epoch_id)
+
+    return process

@@ -1,0 +1,106 @@
+"""Incremental connected-components maintenance (streaming/cc_stream.py):
+streamed labels == one-shot batch CC regardless of pair arrival order,
+cross-batch merges converge to the global component minimum, untouched
+components are carried forward unrecomputed, replay is idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from purldb_spark.operators.dedup import connected_components
+from purldb_spark.streaming.cc_stream import (
+    cc_sink,
+    current_labels,
+    merge_pairs_batch,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("doc_a", T.LongType()), T.StructField("doc_b", T.LongType())]
+)
+
+# batch 1 creates components {5,7} and {10,12}; batch 2 bridges them via
+# 7-10 (merged min = 5) and opens a new one {20,21}; batch 3 attaches 1
+# to the merged component, dropping its min to 1 — a 3-hop cross-batch
+# label cascade — and leaves {20,21} untouched
+BATCH1 = [(5, 7), (10, 12)]
+BATCH2 = [(7, 10), (20, 21)]
+BATCH3 = [(1, 12)]
+
+
+def _labels(spark, labels_dir):
+    df = current_labels(spark, labels_dir)
+    return {(r.node, r.label) for r in df.collect()} if df is not None else set()
+
+
+def _batch_cc(spark, pairs):
+    df = spark.createDataFrame(pairs, SCHEMA)
+    return {
+        (r.node, r.label)
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+
+
+def test_streamed_equals_batch_cc_with_cross_batch_merges(spark, tmp_path):
+    labels_dir = str(tmp_path / "labels")
+    for epoch, batch in enumerate([BATCH1, BATCH2, BATCH3]):
+        merge_pairs_batch(
+            spark, spark.createDataFrame(batch, SCHEMA), labels_dir, epoch
+        )
+        assert _labels(spark, labels_dir) == _batch_cc(
+            spark, [p for b in [BATCH1, BATCH2, BATCH3][: epoch + 1] for p in b]
+        )
+    # the merged component's label is the global min across three batches
+    final = dict(_labels(spark, labels_dir))
+    assert final[12] == 1 and final[5] == 1 and final[7] == 1
+    assert final[20] == 20 and final[21] == 20
+
+
+def test_replay_is_idempotent_and_heals_partial_snapshot(spark, tmp_path):
+    import os
+
+    labels_dir = str(tmp_path / "labels")
+    merge_pairs_batch(
+        spark, spark.createDataFrame(BATCH1, SCHEMA), labels_dir, 0
+    )
+    merge_pairs_batch(
+        spark, spark.createDataFrame(BATCH2, SCHEMA), labels_dir, 1
+    )
+    want = _labels(spark, labels_dir)
+
+    # simulate a crash mid-write of epoch 1's snapshot: clobber it with a
+    # partial row set, then replay epoch 1 — the body reads strictly
+    # below its own epoch, so it recomputes from epoch 0 and heals
+    partial = spark.createDataFrame([(5, 5)], "node long, label long")
+    partial.write.mode("overwrite").parquet(
+        os.path.join(labels_dir, "batch=1")
+    )
+    merge_pairs_batch(
+        spark, spark.createDataFrame(BATCH2, SCHEMA), labels_dir, 1
+    )
+    assert _labels(spark, labels_dir) == want
+
+
+def test_untouched_components_carry_forward_via_stream(spark, tmp_path):
+    """Drain through a real availableNow stream; the {20,21} component is
+    untouched by batch 3 and must survive relabeling byte-identical."""
+    src = str(tmp_path / "incoming")
+    labels_dir = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(cc_sink(spark, labels_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for batch in (BATCH1, BATCH2, BATCH3):
+        spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(src)
+        drain()
+    assert _labels(spark, labels_dir) == _batch_cc(
+        spark, BATCH1 + BATCH2 + BATCH3
+    )
