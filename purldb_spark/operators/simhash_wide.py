@@ -9,10 +9,11 @@ around N ~ 10^5-10^6 documents; this module doubles it to 120 bits
 (two 60-bit halves = two md5 slices, 30-bit bands = ~10^9 buckets),
 pushing band-collision linearity to N ~ 10^9-10^10 — the 100 TB regime.
 
-Not yet wired into the registry: rewiring dedup_simhash re-stales the
-operators/dedup.py closure (37 verified queries), so the switch lands in
-the round-11 opening batch (DESIGN.md round-10 ledger). Built and tested
-ahead so that batch only rewires.
+Wired into the registry since the round-11 opening batch: dedup_simhash
+runs this fingerprint (fixture_cache.simhash_fingerprints stores it), and
+BENCH_scale's dedup_simhash row measures this code path at 1.0x @10x; the
+60-bit operator stays in operators/dedup.py as the unit-test small-scale
+config.
 
 Layout: every value stays inside positive signed-64 territory on BOTH
 engines (the 60-bit convention — no arithmetic-vs-logical shift or
