@@ -157,6 +157,21 @@ LEDGER = [
     "  streaming face: streamed == batch with a compaction mid-stream,",
     "  retention bounds index to the window, half-written generations",
     "  invisible to readers, replay idempotent.",
+    "- **r12 opening batch pre-built on the local branch",
+    "  `r12-opening-batch` (commit 0446ef3 — recoverable from the",
+    "  dangling object via `git fsck` if the ref is lost to a driver",
+    "  reset, as r11's was): `minhash_band_plan`, the MinHash (b, r)",
+    "  threshold dashboard (lsh_band_plan's twin — the one MinHash scale",
+    "  decision the r10 audit left unpublished-as-data), verified MATCH",
+    "  vs its oracle at sf0.01 + unit-tested. Kept OFF main so r11's",
+    "  over-subscribed window spends every slot on re-greens; a new",
+    "  never-checked query registers at the rotation front and would",
+    "  displace one.",
+    "- **Closing evidence**: three full 200-query sweeps 200/200 MATCH,",
+    "  pytest 777/777 (600 s), solo sf0.1 bench 158.7 s / 201 queries",
+    "  (r10 solo: 170.6 s; dedup_simhash 0.55 -> 0.32 s off the wide",
+    "  fingerprint fixture), bench_full.json refreshed at the sf0.01",
+    "  convention (104.2 s / 201).",
     "- **All four r10 ADVICE items fixed:** (1) fixture_cache get/evict/",
     "  insert under one module lock (prebuild's concurrent chains raced",
     "  the stale-key scan — snapshot iteration + pop; builds stay",
