@@ -100,3 +100,54 @@ def test_ttl_measures_pidfile_idleness_not_dir_age(tmp_path):
     _evict_dead_bucketed(str(root), "me")
     assert not ghost.exists()
     assert live.exists()
+
+
+def test_cache_bookkeeping_survives_concurrent_chains():
+    """ADVICE r10 (fixed r11): prebuild runs fixture chains in a
+    ThreadPoolExecutor, and the old unguarded stale-key scan iterated the
+    live cache dict while other chains inserted built keys — RuntimeError
+    'dictionary changed size during iteration'. Hammer cached_fixture
+    from many threads across alternating fake sessions (so the evict
+    branch runs constantly against concurrent inserts) and assert no
+    exception and one-build-per-key semantics within a session."""
+    import threading
+    from collections import Counter
+    from concurrent.futures import ThreadPoolExecutor
+
+    from purldb_spark.plans import fixture_cache as fc
+
+    class FakeCtx:
+        def __init__(self, app):
+            self.applicationId = app
+
+    class FakeSpark:
+        def __init__(self, app):
+            self.sparkContext = FakeCtx(app)
+
+    fc._CACHE.clear()
+    builds: Counter = Counter()
+    lock = threading.Lock()
+    barrier = threading.Barrier(16)
+
+    def chain(i: int):
+        barrier.wait()  # maximize interleaving
+        app = f"app{i % 2}"  # two sessions -> constant cross-evictions
+        spark = FakeSpark(app)
+        for j in range(200):
+            key = f"fx{j % 10}"
+
+            def build(app=app, key=key):
+                with lock:
+                    builds[(app, key)] += 1
+                return object()
+
+            assert fc.cached_fixture(spark, key, build) is not None
+        return True
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        assert all(ex.map(chain, range(16)))
+    # every (session, key) was built at least once; duplicate builds are
+    # allowed by the contract (first insert wins) but unbounded rebuilds
+    # would mean the cache never retains — bound them loosely
+    assert builds and max(builds.values()) < 16 * 200
+    fc._CACHE.clear()
