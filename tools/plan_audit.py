@@ -158,7 +158,7 @@ LEDGER = [
     "  retention bounds index to the window, half-written generations",
     "  invisible to readers, replay idempotent.",
     "- **r12 opening batch pre-built on the local branch",
-    "  `r12-opening-batch` (tip 5e97728: minhash_band_plan + dedup_cost_plan, both oracle-MATCH-verified at sf0.01 — recoverable from the",
+    "  `r12-opening-batch` (tip 418695f: minhash_band_plan + dedup_cost_plan, both oracle-MATCH-verified at sf0.01 + unit-tested — recoverable from the",
     "  dangling object via `git fsck` if the ref is lost to a driver",
     "  reset, as r11's was): `minhash_band_plan`, the MinHash (b, r)",
     "  threshold dashboard (lsh_band_plan's twin — the one MinHash scale",
