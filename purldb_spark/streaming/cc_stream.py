@@ -80,14 +80,18 @@ def merge_pairs_batch(
     batch_pairs: DataFrame,
     labels_dir: str,
     epoch_id: int = 0,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> None:
     """One micro-batch body: relabel only the components the batch's
     pairs touch, carry every other component forward, write this epoch's
-    snapshot (partition overwrite — replay-idempotent)."""
+    snapshot (partition overwrite — replay-idempotent). ``a_col``/
+    ``b_col`` name the pair endpoints — dedup_stream's decisions table
+    uses (new_id, index_id)."""
     pairs = (
         batch_pairs.select(
-            F.col("doc_a").cast("long").alias("doc_a"),
-            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col(a_col).cast("long").alias("doc_a"),
+            F.col(b_col).cast("long").alias("doc_b"),
         )
         .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
         .dropDuplicates()
@@ -127,11 +131,17 @@ def merge_pairs_batch(
     )
 
 
-def cc_sink(spark: SparkSession, labels_dir: str):
+def cc_sink(
+    spark: SparkSession,
+    labels_dir: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+):
     """foreachBatch callable wiring merge_pairs_batch into a pair stream
-    (e.g. the decisions table dedup_stream appends)."""
+    (e.g. ``cc_sink(spark, d, "new_id", "index_id")`` over the decisions
+    table dedup_stream appends)."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        merge_pairs_batch(spark, batch, labels_dir, epoch_id)
+        merge_pairs_batch(spark, batch, labels_dir, epoch_id, a_col, b_col)
 
     return process
