@@ -17,9 +17,12 @@ relabels:
   4. write relabeled + untouched-carried-forward labels as THIS EPOCH's
      full snapshot.
 
-Per-batch cost is O(batch x affected-component size), independent of the
-number of stored components — the equivalent of dedup_stream's
-O(batch x collision rate) contract, one level up the pipeline.
+Per-batch RELABELING work is O(batch x affected-component size),
+independent of the number of stored components; the touched-label probe
+is one equi-join against the stored label table (read like any index —
+partitioned by node at scale, so the batch's endpoints hit their slices,
+not a full scan) — the equivalent of dedup_stream's O(batch x collision
+rate) contract, one level up the pipeline.
 
 State taxonomy (fourth pattern in the catalogue after ledger, idempotent
 monoid, epoch partials): CONVERGENT MONOTONE state — a component's label
