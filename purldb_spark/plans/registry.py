@@ -94,6 +94,8 @@ def load_inventory() -> None:
         q_layout,
         q_sample,
         q_chunk,
+        q_dedup_plan,
+        q_minhash_plan,
         q_snippet,
         q_vcs,
         q_version_apis,
