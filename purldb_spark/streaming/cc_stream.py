@@ -17,12 +17,23 @@ relabels:
   4. write relabeled + untouched-carried-forward labels as THIS EPOCH's
      full snapshot.
 
-Per-batch RELABELING work is O(batch x affected-component size),
-independent of the number of stored components; the touched-label probe
-is one equi-join against the stored label table (read like any index —
-partitioned by node at scale, so the batch's endpoints hit their slices,
-not a full scan) — the equivalent of dedup_stream's O(batch x collision
-rate) contract, one level up the pipeline.
+Step 0 (before any of that): batch edges whose two endpoints ALREADY
+share a stored label are dropped — by the convergent-monotone invariant
+they cannot change any label, so they are no-ops. This is what keeps a
+mega-component cheap: near-dup graphs grow giant boilerplate clusters,
+and without the filter one internal edge would re-run pointer-jumping
+over the whole component every batch. With it, per-batch RELABELING work
+is O(batch x NEWLY-MERGED component size) — only components a batch
+actually extends or bridges are contracted and relabeled — independent
+of the number (and the size) of stored components the batch merely
+touches internally. The touched-label probe is one equi-join against the
+stored label table (read like any index — partitioned by node at scale,
+so the batch's endpoints hit their slices, not a full scan) — the
+equivalent of dedup_stream's O(batch x collision rate) contract, one
+level up the pipeline. Corpora where even the NEWLY-merged slice of a
+mega-component is too hot (adversarial boilerplate floods) should route
+merges above a size cap to the periodic batch CC (dedup_cluster_cc);
+the snapshot format is shared, so the two maintenance modes compose.
 
 State taxonomy (fourth pattern in the catalogue after ledger, idempotent
 monoid, epoch partials): CONVERGENT MONOTONE state — a component's label
@@ -38,12 +49,19 @@ recomputes from the same prior state and rewrites the same snapshot
 replay that heals it. At 100 TB the snapshot-per-epoch becomes a Delta /
 Iceberg MERGE of only the relabeled rows; the subgraph algebra is
 unchanged.
+
+Retention: superseded ``batch=<epoch>`` snapshots are NOT pruned
+implicitly (a reader that resolved the latest epoch pre-write keeps its
+files, mirroring compact_stream's generation contract). A long-running
+stream must call :func:`prune_epochs` periodically — keep >= 2 so the
+below-own-epoch replay read always has a committed predecessor.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +96,29 @@ def current_labels(
     )
 
 
+def novel_pairs(pairs: DataFrame, prior: DataFrame) -> DataFrame:
+    """Batch edges that can actually change a label: at least one endpoint
+    is unlabeled, or the endpoints carry DIFFERENT stored labels. Edges
+    internal to an existing component are provable no-ops (labels are the
+    component min and merges only decrease them — convergent monotone), so
+    dropping them BEFORE the affected subgraph is built is what bounds
+    relabel work by the newly-merged component, not the largest touched
+    one (one internal edge into a giant boilerplate cluster relabels
+    nothing)."""
+    la = prior.select(F.col("node").alias("doc_a"), F.col("label").alias("_la"))
+    lb = prior.select(F.col("node").alias("doc_b"), F.col("label").alias("_lb"))
+    return (
+        pairs.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .filter(
+            F.col("_la").isNull()
+            | F.col("_lb").isNull()
+            | (F.col("_la") != F.col("_lb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def merge_pairs_batch(
     spark: SparkSession,
     batch_pairs: DataFrame,
@@ -104,7 +145,10 @@ def merge_pairs_batch(
     if prior is None:
         labels = connected_components(pairs, "doc_a", "doc_b")
     else:
-        prior = prior.localCheckpoint(eager=True)  # one read, three uses
+        prior = prior.localCheckpoint(eager=True)  # one read, four uses
+        # no-op edges (both endpoints already co-labeled) out FIRST:
+        # relabel cost is bounded by the newly-merged components only
+        pairs = novel_pairs(pairs, prior)
         ends = (
             pairs.select(F.col("doc_a").alias("node"))
             .unionByName(pairs.select(F.col("doc_b").alias("node")))
@@ -132,6 +176,31 @@ def merge_pairs_batch(
     labels.select("node", "label").write.mode("overwrite").parquet(
         os.path.join(labels_dir, f"batch={int(epoch_id)}")
     )
+
+
+def prune_epochs(labels_dir: str, keep: int = 2) -> list[str]:
+    """Best-effort removal of superseded ``batch=<epoch>`` snapshots,
+    keeping the ``keep`` highest epoch ids — the labels-dir twin of
+    compact_stream.prune_generations. Called explicitly by the stream
+    owner (never from inside a batch body), so in-flight readers keep
+    their files; ``keep >= 2`` leaves the replay read a committed
+    predecessor below any epoch that might still re-run."""
+    if keep < 1 or not os.path.isdir(labels_dir):
+        return []
+    epochs = sorted(
+        (
+            int(m.group(1))
+            for d in os.listdir(labels_dir)
+            if (m := re.fullmatch(r"batch=(\d+)", d))
+        ),
+        reverse=True,
+    )
+    removed: list[str] = []
+    for ep in epochs[keep:]:
+        path = os.path.join(labels_dir, f"batch={ep}")
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
 
 
 def cc_sink(

@@ -104,3 +104,61 @@ def test_untouched_components_carry_forward_via_stream(spark, tmp_path):
     assert _labels(spark, labels_dir) == _batch_cc(
         spark, BATCH1 + BATCH2 + BATCH3
     )
+
+
+def test_internal_edge_into_giant_component_relabels_nothing(spark, tmp_path):
+    """The mega-component hazard: one batch edge INTERNAL to a large
+    pre-existing component must be dropped before the affected subgraph is
+    built (novel_pairs -> empty), so relabel work is zero — not O(giant
+    component) — and the snapshot is carried forward unchanged."""
+    from purldb_spark.streaming.cc_stream import novel_pairs
+
+    labels_dir = str(tmp_path / "labels")
+    # a 500-node chain: one big component labeled 0
+    chain = [(i, i + 1) for i in range(500)]
+    merge_pairs_batch(spark, spark.createDataFrame(chain, SCHEMA), labels_dir, 0)
+    before = _labels(spark, labels_dir)
+    assert {lab for _, lab in before} == {0}
+
+    internal = spark.createDataFrame([(17, 433)], SCHEMA)
+    prior = current_labels(spark, labels_dir)
+    # the relabel subgraph's seed edge set is EMPTY for internal edges
+    assert novel_pairs(internal, prior).count() == 0
+
+    merge_pairs_batch(spark, internal, labels_dir, 1)
+    assert _labels(spark, labels_dir) == before
+
+
+def test_novel_pairs_keeps_merging_and_unlabeled_edges(spark):
+    prior = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)], "node long, label long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 10), (10, 99)], SCHEMA
+    )  # internal / cross-component / half-unlabeled
+    from purldb_spark.streaming.cc_stream import novel_pairs
+
+    got = {(r.doc_a, r.doc_b) for r in novel_pairs(pairs, prior).collect()}
+    assert got == {(2, 10), (10, 99)}
+
+
+def test_prune_epochs_keeps_latest_committed(spark, tmp_path):
+    import os
+
+    from purldb_spark.streaming.cc_stream import latest_epoch, prune_epochs
+
+    labels_dir = str(tmp_path / "labels")
+    for epoch, batch in enumerate([BATCH1, BATCH2, BATCH3]):
+        merge_pairs_batch(
+            spark, spark.createDataFrame(batch, SCHEMA), labels_dir, epoch
+        )
+    want = _labels(spark, labels_dir)
+    removed = prune_epochs(labels_dir, keep=2)
+    assert removed == [os.path.join(labels_dir, "batch=0")]
+    assert latest_epoch(labels_dir) == 2
+    assert _labels(spark, labels_dir) == want
+    # replay of the latest epoch still finds its predecessor (keep >= 2)
+    merge_pairs_batch(
+        spark, spark.createDataFrame(BATCH3, SCHEMA), labels_dir, 2
+    )
+    assert _labels(spark, labels_dir) == want
