@@ -96,6 +96,7 @@ def load_inventory() -> None:
         q_chunk,
         q_dedup_plan,
         q_minhash_plan,
+        q_simhash_plan,
         q_snippet,
         q_vcs,
         q_version_apis,

@@ -36,6 +36,7 @@ cache already holds.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,13 +81,25 @@ def index_chunk_batch(
     chunks = chunk_batch(batch_docs)
 
     chunks_path = os.path.join(index_dir, "chunks")
-    if os.path.isdir(chunks_path):
-        # the ledger is read EXCLUDING this epoch's own partition: on a
-        # replay that partition may be partial, and dedup against it
-        # would drop rows the overwrite below is about to restore
-        idx = spark.read.parquet(chunks_path).filter(
-            F.col("batch") != int(epoch_id)
-        )
+    # the ledger is read EXCLUDING this epoch's own partition AT PATH
+    # LEVEL: on a replay that partition may be a crash-truncated parquet
+    # file, and a whole-tree read would fail in schema inference / footer
+    # reads BEFORE a `batch != epoch` filter could prune it (and dedup
+    # against its rows would drop rows the overwrite below is about to
+    # restore). Listing batch=* dirs and reading only the others never
+    # touches the suspect files; basePath keeps the partition column.
+    other_parts = (
+        [
+            os.path.join(chunks_path, d)
+            for d in os.listdir(chunks_path)
+            if (m := re.fullmatch(r"batch=(\d+)", d))
+            and int(m.group(1)) != int(epoch_id)
+        ]
+        if os.path.isdir(chunks_path)
+        else []
+    )
+    if other_parts:
+        idx = spark.read.option("basePath", chunks_path).parquet(*other_parts)
         indexed_docs = idx.select("doc_id").dropDuplicates()
         chunks = chunks.join(indexed_docs, "doc_id", "left_anti")
         seen_md5 = idx.select("chunk_md5").dropDuplicates()

@@ -28,6 +28,22 @@ swap, readers resolve the new one. Superseded generations are pruned by an
 explicit call, never implicitly, so a reader that resolved its paths
 pre-swap keeps its files.
 
+Concurrent READERS are therefore always safe; concurrent WRITERS are not
+left to luck: compaction reads the old generation at a point in time, so
+a dedup_stream micro-batch appending to it after that snapshot (or
+straddling the pointer swap) would be silently absent from the new
+generation and deleted by pruning. Both writers — ``index_new_batch``'s
+append phase and ``compact_band_index``'s whole read->write->swap — now
+serialize on :func:`writer_lock`, a single-host lease file keyed by
+(pid, /proc start-ticks) so a dead or pid-recycled holder is broken, a
+live one is waited on. Micro-batch appends are short, so compaction's
+hold time is the only pause a stream sees. At 100 TB both writers become
+transactions on a table format (Delta/Iceberg optimistic commit +
+RewriteFiles validation) and the lease disappears; the invariant it
+enforces here — no append may land in a generation after compaction has
+snapshotted it — is exactly what those formats' conflict detection
+checks.
+
 Streamed == batch invariant (tests/test_compact_stream.py, the twelfth
 pytest-pinned streaming face): pairs detected across batches with a
 compaction in the middle == pairs from the same batches without it ==
@@ -36,13 +52,76 @@ the batch dedup math.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CURRENT = "CURRENT"
+_WRITER_LOCK = "WRITER.lock"
+
+
+def _proc_ident(pid: int) -> str | None:
+    """``pid:starttime`` for a live process, None for a dead one — the
+    start-ticks component (field 22 of /proc/pid/stat) defeats pid
+    recycling: a recycled pid has a different start time, so its lease
+    reads as stale rather than live."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # fields after the last ')' survive spaces in the comm field;
+        # starttime is overall field 22 -> index 19 post-comm
+        fields = data[data.rindex(b")") + 2 :].split()
+        return f"{pid}:{fields[19].decode()}"
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+@contextlib.contextmanager
+def writer_lock(index_dir: str, timeout: float = 60.0, poll: float = 0.05):
+    """Single-writer lease over the band index (appenders + compaction).
+
+    O_CREAT|O_EXCL file create is the atomic acquire; the body records the
+    holder's (pid, start-ticks) identity. A contender that finds the file
+    breaks it when the recorded identity no longer names a live process
+    (crash or pid recycling), else waits up to ``timeout`` and raises
+    TimeoutError. Single-host by construction — the 100 TB deployment
+    replaces this with the table format's transactional commit (module
+    docstring)."""
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, _WRITER_LOCK)
+    me = _proc_ident(os.getpid()) or str(os.getpid())
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, me.encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    holder = fh.read().strip()
+            except OSError:
+                continue  # holder released between our create and read
+            pid = holder.split(":", 1)[0]
+            if not pid.isdigit() or _proc_ident(int(pid)) != holder:
+                with contextlib.suppress(OSError):
+                    os.remove(path)  # dead or recycled holder: break it
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"band-index writer lock held by pid {holder}: {path}"
+                )
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(path)
 
 
 def current_generation(index_dir: str) -> int | None:
@@ -69,6 +148,7 @@ def compact_band_index(
     index_dir: str,
     retained_docs: DataFrame | None = None,
     n_partitions: int | None = None,
+    lock_timeout: float = 60.0,
 ) -> int | None:
     """Compact (and optionally retain) the band index into a fresh
     generation, then atomically swap the CURRENT pointer to it.
@@ -76,38 +156,46 @@ def compact_band_index(
     ``retained_docs`` — a (doc_id) frame of documents to KEEP (the TTL
     window, derived by the caller from its document ledger); None keeps
     everything (pure compaction). Returns the new generation id, or None
-    when there is no index yet."""
-    bands_path, sh_path = index_paths(index_dir)
-    if not os.path.isdir(bands_path):
-        return None
-    bands = spark.read.parquet(bands_path).dropDuplicates()
-    shingles = spark.read.parquet(sh_path).dropDuplicates()
-    if retained_docs is not None:
-        keep = F.broadcast(retained_docs.select("doc_id").dropDuplicates())
-        bands = bands.join(keep, "doc_id", "left_semi")
-        shingles = shingles.join(keep, "doc_id", "left_semi")
-    if n_partitions is None:
-        from purldb_spark.conf import shuffle_partitions
+    when there is no index yet.
 
-        n_partitions = shuffle_partitions(spark)
-    gen = (current_generation(index_dir) or 0) + 1
-    gen_root = os.path.join(index_dir, f"gen={gen}")
-    # cluster each table by its probe key: the per-batch candidate join
-    # probes bands on (band_idx, band_key), the verify join probes
-    # postings on sh — at 100 TB these ARE the table layouts
-    bands.repartition(n_partitions, "band_idx", "band_key").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(gen_root, "bands"))
-    shingles.repartition(n_partitions, "sh").write.mode("overwrite").parquet(
-        os.path.join(gen_root, "shingles")
-    )
-    # atomic pointer swap: tmp write + os.replace — a crash anywhere above
-    # leaves CURRENT naming the old, complete generation
-    tmp = os.path.join(index_dir, _CURRENT + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(gen))
-    os.replace(tmp, os.path.join(index_dir, _CURRENT))
-    return gen
+    Holds :func:`writer_lock` across the whole read->write->swap so no
+    concurrent ``index_new_batch`` append can land in the old generation
+    after this function has snapshotted it (such rows would be silently
+    dropped from the new generation and deleted by pruning). The writes
+    execute the reads, so every file-listing of the old generation
+    happens inside the critical section."""
+    with writer_lock(index_dir, timeout=lock_timeout):
+        bands_path, sh_path = index_paths(index_dir)
+        if not os.path.isdir(bands_path):
+            return None
+        bands = spark.read.parquet(bands_path).dropDuplicates()
+        shingles = spark.read.parquet(sh_path).dropDuplicates()
+        if retained_docs is not None:
+            keep = F.broadcast(retained_docs.select("doc_id").dropDuplicates())
+            bands = bands.join(keep, "doc_id", "left_semi")
+            shingles = shingles.join(keep, "doc_id", "left_semi")
+        if n_partitions is None:
+            from purldb_spark.conf import shuffle_partitions
+
+            n_partitions = shuffle_partitions(spark)
+        gen = (current_generation(index_dir) or 0) + 1
+        gen_root = os.path.join(index_dir, f"gen={gen}")
+        # cluster each table by its probe key: the per-batch candidate join
+        # probes bands on (band_idx, band_key), the verify join probes
+        # postings on sh — at 100 TB these ARE the table layouts
+        bands.repartition(n_partitions, "band_idx", "band_key").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_root, "bands"))
+        shingles.repartition(n_partitions, "sh").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_root, "shingles"))
+        # atomic pointer swap: tmp write + os.replace — a crash anywhere
+        # above leaves CURRENT naming the old, complete generation
+        tmp = os.path.join(index_dir, _CURRENT + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(gen))
+        os.replace(tmp, os.path.join(index_dir, _CURRENT))
+        return gen
 
 
 def prune_generations(index_dir: str) -> list[str]:

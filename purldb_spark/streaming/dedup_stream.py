@@ -43,50 +43,65 @@ def index_new_batch(
     index_dir: str,
     pairs_dir: str,
     threshold: float = 0.5,
+    lock_timeout: float = 60.0,
 ) -> None:
     """One micro-batch body: shingle + band the new docs, join against the
     stored band index, verify candidates exactly against the stored
     shingle postings, append decisions and the batch's keys (all appends
-    idempotent via anti-joins on the natural keys)."""
-    from purldb_spark.streaming.compact_stream import index_paths
+    idempotent via anti-joins on the natural keys).
+
+    The whole resolve->read->append section holds compact_stream's
+    :func:`writer_lock`: the generation pointer cannot swap between this
+    batch resolving its paths and landing its appends, and a concurrent
+    compaction cannot snapshot the old generation with this batch's
+    appends still in flight (they would be silently dropped from the new
+    generation). Appends are short, so the lock adds no steady-state
+    stall; see compact_stream's module docstring for the 100 TB
+    (table-format transaction) shape."""
+    from purldb_spark.streaming.compact_stream import index_paths, writer_lock
 
     sh_new = word_shingles(batch_docs, "doc_id", "text", n=3)
     bands_new = minhash_bands(sh_new, "doc_id")
 
-    # resolve through the generation pointer (compact_stream): appends land
-    # in the live generation, so a post-compaction batch extends the
-    # compacted index, not the superseded flat layout
-    bands_path, sh_path = index_paths(index_dir)
-    have_index = os.path.isdir(bands_path)
-    if have_index:
-        bands_idx = spark.read.parquet(bands_path)
-        sh_idx = spark.read.parquet(sh_path)
-        # replay safety: drop docs already indexed before matching/appending
-        indexed_docs = bands_idx.select("doc_id").dropDuplicates()
-        bands_new = bands_new.join(indexed_docs, "doc_id", "left_anti")
-        sh_new = sh_new.join(indexed_docs, "doc_id", "left_anti")
+    with writer_lock(index_dir, timeout=lock_timeout):
+        # resolve through the generation pointer (compact_stream): appends
+        # land in the live generation, so a post-compaction batch extends
+        # the compacted index, not the superseded flat layout
+        bands_path, sh_path = index_paths(index_dir)
+        have_index = os.path.isdir(bands_path)
+        if have_index:
+            bands_idx = spark.read.parquet(bands_path)
+            sh_idx = spark.read.parquet(sh_path)
+            # replay safety: drop docs already indexed before matching/
+            # appending
+            indexed_docs = bands_idx.select("doc_id").dropDuplicates()
+            bands_new = bands_new.join(indexed_docs, "doc_id", "left_anti")
+            sh_new = sh_new.join(indexed_docs, "doc_id", "left_anti")
 
-        cands = incremental_lsh_dedup(bands_new, bands_idx, "doc_id")
-        sh_all = sh_new.unionByName(sh_idx).dropDuplicates()
-        pairs = verify_jaccard(
-            cands.select(
-                F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")
-            ),
-            sh_all,
-            "doc_id",
-            threshold,
-        ).select(
-            F.col("id_a").alias("new_id"),
-            F.col("id_b").alias("index_id"),
-            "jaccard",
-        )
-        if os.path.isdir(pairs_dir):
-            seen = spark.read.parquet(pairs_dir).select("new_id", "index_id")
-            pairs = pairs.join(seen, ["new_id", "index_id"], "left_anti")
-        pairs.write.mode("append").parquet(pairs_dir)
+            cands = incremental_lsh_dedup(bands_new, bands_idx, "doc_id")
+            sh_all = sh_new.unionByName(sh_idx).dropDuplicates()
+            pairs = verify_jaccard(
+                cands.select(
+                    F.col("new_id").alias("id_a"),
+                    F.col("index_id").alias("id_b"),
+                ),
+                sh_all,
+                "doc_id",
+                threshold,
+            ).select(
+                F.col("id_a").alias("new_id"),
+                F.col("id_b").alias("index_id"),
+                "jaccard",
+            )
+            if os.path.isdir(pairs_dir):
+                seen = spark.read.parquet(pairs_dir).select(
+                    "new_id", "index_id"
+                )
+                pairs = pairs.join(seen, ["new_id", "index_id"], "left_anti")
+            pairs.write.mode("append").parquet(pairs_dir)
 
-    bands_new.write.mode("append").parquet(bands_path)
-    sh_new.write.mode("append").parquet(sh_path)
+        bands_new.write.mode("append").parquet(bands_path)
+        sh_new.write.mode("append").parquet(sh_path)
 
 
 def dedup_sink(spark: SparkSession, index_dir: str, pairs_dir: str):

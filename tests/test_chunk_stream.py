@@ -136,3 +136,40 @@ def test_partial_epoch_partition_heals_on_replay(spark, tmp_path):
     assert got == want
     md5s = [r.chunk_md5 for r in spark.read.parquet(worklist_dir).collect()]
     assert len(md5s) == len(set(md5s))
+
+
+def test_truncated_epoch_file_is_invisible_to_replay(spark, tmp_path):
+    """A REAL crash leaves a torn parquet file (no valid footer), not a
+    valid-but-smaller one; a whole-tree read would die in footer reads
+    before any batch != epoch filter pruned it. The replay must exclude
+    its own epoch's partition at PATH level and heal it by overwrite."""
+    import os
+
+    from purldb_spark.streaming.chunk_stream import chunk_batch
+
+    index_dir = str(tmp_path / "chunk_index")
+    worklist_dir = str(tmp_path / "embed_worklist")
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, SCHEMA)
+    index_chunk_batch(spark, b1, index_dir, worklist_dir, epoch_id=0)
+
+    torn = os.path.join(index_dir, "chunks", "batch=1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.snappy.parquet"), "wb") as fh:
+        fh.write(b"PAR1\x00\x07garbage-with-no-footer")
+
+    index_chunk_batch(spark, b2, index_dir, worklist_dir, epoch_id=1)
+    cols = chunk_batch(b2).columns
+    want = {
+        tuple(r)
+        for r in chunk_batch(
+            spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(index_dir + "/chunks").select(cols).collect()
+    }
+    assert got == want
+    md5s = [r.chunk_md5 for r in spark.read.parquet(worklist_dir).collect()]
+    assert len(md5s) == len(set(md5s))

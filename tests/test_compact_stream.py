@@ -150,3 +150,65 @@ def test_pointer_swap_is_crash_safe_and_replay_idempotent(spark, tmp_path):
     assert not os.path.isdir(os.path.join(index_dir, "gen=1"))
     assert not os.path.isdir(os.path.join(index_dir, "bands"))
     assert _bands_rows(spark, index_dir) == before
+
+
+def test_writer_lock_serializes_appends_and_compaction(spark, tmp_path):
+    """The concurrent-writer hazard: an append landing in the old
+    generation after compaction's snapshot would be silently dropped.
+    Both writers take the same lease — while one holds it, the other
+    times out instead of racing."""
+    import pytest
+
+    from purldb_spark.streaming.compact_stream import writer_lock
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    index_new_batch(spark, spark.createDataFrame(BATCH1, SCHEMA), index_dir, pairs_dir)
+
+    with writer_lock(index_dir):
+        with pytest.raises(TimeoutError):
+            index_new_batch(
+                spark,
+                spark.createDataFrame(BATCH2, SCHEMA),
+                index_dir,
+                pairs_dir,
+                lock_timeout=0.15,
+            )
+        with pytest.raises(TimeoutError):
+            compact_band_index(spark, index_dir, lock_timeout=0.15)
+
+    # released: both writers proceed, and the post-compaction append
+    # extends the new generation (pointer resolved under the lock)
+    assert compact_band_index(spark, index_dir) == 1
+    index_new_batch(spark, spark.createDataFrame(BATCH2, SCHEMA), index_dir, pairs_dir)
+    assert {d for d, _, _ in _bands_rows(spark, index_dir)} == {1, 2, 3, 4}
+    assert (2, 1) in _pairs(spark, pairs_dir)
+
+
+def test_writer_lock_breaks_dead_and_recycled_holders(tmp_path):
+    import os
+    import time
+
+    from purldb_spark.streaming.compact_stream import (
+        _proc_ident,
+        writer_lock,
+    )
+
+    index_dir = str(tmp_path / "index")
+    os.makedirs(index_dir)
+    lock = os.path.join(index_dir, "WRITER.lock")
+
+    # dead holder: a pid that cannot exist
+    with open(lock, "w") as fh:
+        fh.write("999999999:12345")
+    t0 = time.monotonic()
+    with writer_lock(index_dir, timeout=5.0):
+        assert time.monotonic() - t0 < 1.0  # broken, not waited out
+
+    # recycled holder: live pid but wrong start-ticks -> identity mismatch
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getpid()}:0")
+    assert _proc_ident(os.getpid()) != f"{os.getpid()}:0"
+    with writer_lock(index_dir, timeout=5.0):
+        pass
+    assert not os.path.exists(lock)
