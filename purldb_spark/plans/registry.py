@@ -96,6 +96,7 @@ def load_inventory() -> None:
         q_chunk,
         q_compact_plan,
         q_dedup_plan,
+        q_ivf_plan,
         q_minhash_plan,
         q_simhash_plan,
         q_snippet,
