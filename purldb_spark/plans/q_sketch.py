@@ -276,9 +276,18 @@ def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring ships. The exact top-k groupBy is the labeled ground-truth
     baseline (full token shuffle), present for the same reason
     knn_bruteforce is."""
+    docs = load(spark, sf_dir, "documents")
+    # one parquet file -> one input partition: the d x N md5 fan-out is
+    # this query's whole cost, and it would run on a single task (23x at
+    # 10x data in the r11 driver bench — parallelism frozen at 1 while
+    # the token count grew). Spread the DOCS (cheaper to shuffle than
+    # tokens) before the explode, the word_shingles guard: at 100 TB the
+    # scan already has thousands of splits and the condition is false.
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     toks = (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("wd"))
+        docs.select(F.explode(F.split("text", " ")).alias("wd"))
         .filter(F.col("wd") != "")
     )
     fan = toks.select(
