@@ -98,7 +98,7 @@ PROBES = [
     ("knn_recall_residual", "IVFADC recall eval — approx side cell-bound at corpus-scaled k, GT side anchors(N/50) x N by construction (recall VALUES per scale: finding 5)"),
     ("sketch_hll_merge_daily", "daily register shards (types x days x 64) MAX-merged vs direct — two bounded groupBys over one scan each — linear"),
     ("sample_weighted_per_group", "map-only ES keys + per-language top-k window — linear, one group shuffle"),
-    ("layout_zorder_skipping", "distributed exact-rank bucketing (prefix groups + broadcast offsets, shuffle-wide sorts) + 3x64 envelope agg — N log N"),
+    ("layout_zorder_skipping", "distributed exact-rank bucketing (prefix groups + broadcast offsets, shuffle-wide sorts) + 3x64 envelope agg — N log N; single-run numbers here are cold-start noisy for this 3-sort query — the r12 A/B (min-of-3, one session) measured 5.65 s sf0.1 / 7.61 s sf1 = 1.3x at 10x after the independent-pipelines fix (old chained code: 10.73 s sf1)"),
     ("sketch_kmv_intersect", "two-phase salted bottom-k + k-row pair merges; labeled exact baselines pay the per-pair distinct shuffle — linear"),
     ("split_leakage_safe", "cluster-hash assignment join + doc-keyed pair accounting over materialized dedup state — linear"),
     ("emb_blocked_kscaled", "the r10 registry layout COLD: q_embed.block_bands width (8 planes at sf0.1, 10 at sf1 — the formula ENGAGES here), cos>=0.55 deep tail — linear"),
@@ -616,6 +616,21 @@ def main() -> None:
         "   cross-pass 'regression' in this family resolved as host",
         "   contention under the A/B protocol; trust the A/B rows over",
         "   the table where they disagree.",
+        "7. **A single-row-group parquet scan freezes parallelism at one",
+        "   task** — and a heavy per-row map on top of it turns a linear",
+        "   operator superlinear IN WALL CLOCK even though its work is",
+        "   linear: sketch_cms_topk measured 23x at 10x (r11 bench)",
+        "   because its d x N salted-md5 fan-out ran entirely on the",
+        "   documents file's single input split (maxPartitionBytes cannot",
+        "   split below a row group). The fix is the word_shingles guard",
+        "   — repartition to default parallelism before the expensive",
+        "   map when the scan arrives narrower — applied in r12 (16.7 ->",
+        "   1.5 s solo at sf0.1). The guard is inert at production split",
+        "   counts; the audit point is that EVERY operator whose cost is",
+        "   a per-row map over a table that may arrive in few splits",
+        "   (local fixtures, small dimension tables, freshly-compacted",
+        "   single-file outputs) needs it, and the cheap column-expr",
+        "   text battery does not (fixed job overhead dominates there).",
         "",
     ]
     with open(os.path.join(HERE, "BENCH_scale.md"), "w") as fh:
