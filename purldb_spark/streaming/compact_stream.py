@@ -143,6 +143,16 @@ def index_paths(index_dir: str) -> tuple[str, str]:
     return os.path.join(root, "bands"), os.path.join(root, "shingles")
 
 
+def exact_index_path(index_dir: str) -> str:
+    """The (md5, rep_id) exact-duplicate table of the live generation —
+    the pre-collapse index dedup_stream consults before shingling
+    (identical texts never reach the band index twice); compaction
+    rewrites it alongside bands/shingles."""
+    gen = current_generation(index_dir)
+    root = index_dir if gen is None else os.path.join(index_dir, f"gen={gen}")
+    return os.path.join(root, "exact")
+
+
 def compact_band_index(
     spark: SparkSession,
     index_dir: str,
@@ -166,14 +176,31 @@ def compact_band_index(
     happens inside the critical section."""
     with writer_lock(index_dir, timeout=lock_timeout):
         bands_path, sh_path = index_paths(index_dir)
+        ex_path = exact_index_path(index_dir)
         if not os.path.isdir(bands_path):
             return None
         bands = spark.read.parquet(bands_path).dropDuplicates()
         shingles = spark.read.parquet(sh_path).dropDuplicates()
+        exact = (
+            spark.read.parquet(ex_path).dropDuplicates()
+            if os.path.isdir(ex_path)
+            else None
+        )
         if retained_docs is not None:
             keep = F.broadcast(retained_docs.select("doc_id").dropDuplicates())
             bands = bands.join(keep, "doc_id", "left_semi")
             shingles = shingles.join(keep, "doc_id", "left_semi")
+            if exact is not None:
+                # an md5 row whose REPRESENTATIVE is evicted is dropped:
+                # a future exact dup of that text re-enters as a fresh
+                # representative (the same forget-the-window semantics
+                # the band rows get)
+                keep_rep = F.broadcast(
+                    retained_docs.select(
+                        F.col("doc_id").alias("rep_id")
+                    ).dropDuplicates()
+                )
+                exact = exact.join(keep_rep, "rep_id", "left_semi")
         if n_partitions is None:
             from purldb_spark.conf import shuffle_partitions
 
@@ -189,6 +216,12 @@ def compact_band_index(
         shingles.repartition(n_partitions, "sh").write.mode(
             "overwrite"
         ).parquet(os.path.join(gen_root, "shingles"))
+        if exact is not None:
+            # clustered by its probe key: per-batch exact lookups are an
+            # equi-join on md5
+            exact.repartition(n_partitions, "md5").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(gen_root, "exact"))
         # atomic pointer swap: tmp write + os.replace — a crash anywhere
         # above leaves CURRENT naming the old, complete generation
         tmp = os.path.join(index_dir, _CURRENT + ".tmp")
@@ -213,7 +246,7 @@ def prune_generations(index_dir: str) -> list[str]:
             and d[4:].isdigit()
             and int(d[4:]) < cur
         )
-        legacy = d in ("bands", "shingles")
+        legacy = d in ("bands", "shingles", "exact")
         if (stale_gen or legacy) and os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)

@@ -102,10 +102,18 @@ def test_full_streaming_stack_with_midstream_compaction(spark, tmp_path):
     ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
 
     base2 = "pack my box with five dozen liquor jugs before noon strikes"
+    # doc 4 is a byte-exact dup of doc 1 (cross-batch) and doc 7 of doc 5
+    # (same batch as 5's near-dup): the exact-dup pre-collapse keeps them
+    # out of the band index, yet streamed clustering must still equal the
+    # batch math over ALL documents including the copies
     batches = [
         [(1, BASE), (9, "completely unrelated words about spark engines here")],
-        [(2, BASE.replace("dog", "cat")), (5, base2)],
-        [(3, BASE.replace("today", "sunday")), (6, base2.replace("noon", "dusk"))],
+        [(2, BASE.replace("dog", "cat")), (5, base2), (4, BASE)],
+        [
+            (3, BASE.replace("today", "sunday")),
+            (6, base2.replace("noon", "dusk")),
+            (7, base2),
+        ],
     ]
     for i, batch in enumerate(batches):
         spark.createDataFrame(batch, DOC_SCHEMA).write.mode("append").parquet(
@@ -155,7 +163,9 @@ def test_full_streaming_stack_with_midstream_compaction(spark, tmp_path):
         (r.node, r.label) for r in current_labels(spark, labels_dir).collect()
     }
     assert streamed_labels == batch_labels
-    assert streamed_labels == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    assert streamed_labels == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 5),
+    }
 
     # keep-best decision off a label table (the dedup_cluster_keep_best
     # selection: singletons cluster as themselves, argmax quality per
