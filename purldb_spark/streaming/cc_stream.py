@@ -31,9 +31,17 @@ stored label table (read like any index — partitioned by node at scale,
 so the batch's endpoints hit their slices, not a full scan) — the
 equivalent of dedup_stream's O(batch x collision rate) contract, one
 level up the pipeline. Corpora where even the NEWLY-merged slice of a
-mega-component is too hot (adversarial boilerplate floods) should route
-merges above a size cap to the periodic batch CC (dedup_cluster_cc);
-the snapshot format is shared, so the two maintenance modes compose.
+mega-component is too hot (adversarial boilerplate floods) pass
+``max_component``: edges that would relabel a component larger than the
+cap are DEFERRED to a side table instead of relabeled inline (the
+per-batch bound becomes O(batch x min(cap, newly-merged component))),
+and :func:`flush_deferred` folds them in with one batch-CC pass at a
+cadence the operator chooses — the same work the inline path would have
+done, amortized off the latency-critical loop. Deferral only ever
+DELAYS label convergence (min-labels are order-independent), so
+streamed-after-flush == batch stays provable; labels read between a
+deferral and its flush are conservative (two clusters not yet merged),
+never wrong about membership already applied.
 
 State taxonomy (fourth pattern in the catalogue after ledger, idempotent
 monoid, epoch partials): CONVERGENT MONOTONE state — a component's label
@@ -119,6 +127,44 @@ def novel_pairs(pairs: DataFrame, prior: DataFrame) -> DataFrame:
     )
 
 
+def split_by_component_size(
+    pairs: DataFrame, prior: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(inline_pairs, deferred_pairs): an edge is deferred when either
+    endpoint's stored component holds more than ``cap`` members
+    (unlabeled endpoints count as singletons, so fresh-doc edges are
+    never deferred). Called AFTER novel_pairs, so only edges that would
+    actually relabel are sized."""
+    sizes = prior.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    la = prior.select(F.col("node").alias("doc_a"), F.col("label").alias("_la"))
+    lb = prior.select(F.col("node").alias("doc_b"), F.col("label").alias("_lb"))
+    p = (
+        pairs.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .join(
+            sizes.select(F.col("label").alias("_la"), F.col("_n").alias("_na")),
+            "_la",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("label").alias("_lb"), F.col("_n").alias("_nb")),
+            "_lb",
+            "left",
+        )
+    )
+    big = (
+        F.greatest(
+            F.coalesce(F.col("_na"), F.lit(1)),
+            F.coalesce(F.col("_nb"), F.lit(1)),
+        )
+        > cap
+    )
+    return (
+        p.filter(~big).select("doc_a", "doc_b"),
+        p.filter(big).select("doc_a", "doc_b"),
+    )
+
+
 def merge_pairs_batch(
     spark: SparkSession,
     batch_pairs: DataFrame,
@@ -126,12 +172,21 @@ def merge_pairs_batch(
     epoch_id: int = 0,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    max_component: int | None = None,
+    deferred_dir: str | None = None,
 ) -> None:
     """One micro-batch body: relabel only the components the batch's
     pairs touch, carry every other component forward, write this epoch's
     snapshot (partition overwrite — replay-idempotent). ``a_col``/
     ``b_col`` name the pair endpoints — dedup_stream's decisions table
-    uses (new_id, index_id)."""
+    uses (new_id, index_id).
+
+    With ``max_component`` (requires ``deferred_dir``), edges that would
+    relabel a component larger than the cap are written to
+    ``deferred_dir/batch=<epoch>`` (overwrite — replay-idempotent)
+    instead of relabeled inline; :func:`flush_deferred` folds them in
+    later. Module docstring: deferral only delays min-label convergence,
+    never corrupts it."""
     pairs = (
         batch_pairs.select(
             F.col(a_col).cast("long").alias("doc_a"),
@@ -149,6 +204,15 @@ def merge_pairs_batch(
         # no-op edges (both endpoints already co-labeled) out FIRST:
         # relabel cost is bounded by the newly-merged components only
         pairs = novel_pairs(pairs, prior)
+        if max_component is not None:
+            if deferred_dir is None:
+                raise ValueError("max_component requires deferred_dir")
+            pairs, deferred = split_by_component_size(
+                pairs, prior, int(max_component)
+            )
+            deferred.write.mode("overwrite").parquet(
+                os.path.join(deferred_dir, f"batch={int(epoch_id)}")
+            )
         ends = (
             pairs.select(F.col("doc_a").alias("node"))
             .unionByName(pairs.select(F.col("doc_b").alias("node")))
@@ -176,6 +240,41 @@ def merge_pairs_batch(
     labels.select("node", "label").write.mode("overwrite").parquet(
         os.path.join(labels_dir, f"batch={int(epoch_id)}")
     )
+
+
+def flush_deferred(
+    spark: SparkSession,
+    labels_dir: str,
+    deferred_dir: str,
+    epoch_id: int,
+) -> int:
+    """Fold every deferred edge into the label table with ONE uncapped
+    relabel pass at ``epoch_id`` (a fresh epoch above all stream
+    epochs), then clear the deferral ledger. Crash-idempotent: a
+    re-flush re-reads edges whose merges already landed, novel_pairs
+    drops them as co-labeled, the snapshot rewrites identically, and
+    the ledger is cleared again. Returns the number of edges folded."""
+    if not os.path.isdir(deferred_dir):
+        return 0
+    parts = [
+        os.path.join(deferred_dir, d)
+        for d in os.listdir(deferred_dir)
+        if re.fullmatch(r"batch=(\d+)", d)
+    ]
+    if not parts:
+        return 0
+    edges = (
+        spark.read.option("basePath", deferred_dir)
+        .parquet(*parts)
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    n = edges.count()
+    if n:
+        merge_pairs_batch(spark, edges, labels_dir, epoch_id)
+    for d in parts:
+        shutil.rmtree(d, ignore_errors=True)
+    return n
 
 
 def prune_epochs(labels_dir: str, keep: int = 2) -> list[str]:

@@ -162,3 +162,61 @@ def test_prune_epochs_keeps_latest_committed(spark, tmp_path):
         spark, spark.createDataFrame(BATCH3, SCHEMA), labels_dir, 2
     )
     assert _labels(spark, labels_dir) == want
+
+
+def test_mega_component_merge_defers_and_flushes(spark, tmp_path):
+    """max_component routing: an edge that would relabel a component
+    bigger than the cap is deferred (labels untouched, per-batch bound
+    O(batch x cap)); flush_deferred folds it in with one uncapped pass
+    and the result equals batch CC over everything. Small merges stay
+    inline; a replayed capped batch overwrites its deferral partition."""
+    from purldb_spark.streaming.cc_stream import flush_deferred
+
+    labels_dir = str(tmp_path / "labels")
+    deferred_dir = str(tmp_path / "deferred")
+    chain = [(i, i + 1) for i in range(500)]  # giant component, label 0
+    merge_pairs_batch(spark, spark.createDataFrame(chain, SCHEMA), labels_dir, 0)
+    merge_pairs_batch(
+        spark, spark.createDataFrame([(900, 901)], SCHEMA), labels_dir, 1
+    )
+    before = _labels(spark, labels_dir)
+
+    # batch 2: (17, 900) bridges giant+small -> DEFERRED under cap=100;
+    # (950, 951) is a fresh singleton edge -> merged inline
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(17, 900), (950, 951)], SCHEMA),
+        labels_dir,
+        2,
+        max_component=100,
+        deferred_dir=deferred_dir,
+    )
+    after = dict(_labels(spark, labels_dir))
+    assert after[900] == 900 and after[901] == 900  # NOT yet merged
+    assert after[950] == 950 and after[951] == 950  # inline merge landed
+    assert after[17] == 0
+    import os
+
+    assert os.path.isdir(os.path.join(deferred_dir, "batch=2"))
+
+    # replay of the capped batch: deferral partition overwritten, labels
+    # unchanged (novel_pairs drops the already-merged inline edge)
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(17, 900), (950, 951)], SCHEMA),
+        labels_dir,
+        2,
+        max_component=100,
+        deferred_dir=deferred_dir,
+    )
+    assert dict(_labels(spark, labels_dir)) == after
+
+    # flush folds the deferred bridge in; result == batch CC over all
+    assert flush_deferred(spark, labels_dir, deferred_dir, 100) == 1
+    want = _batch_cc(
+        spark, chain + [(900, 901), (17, 900), (950, 951)]
+    )
+    assert _labels(spark, labels_dir) == want
+    # crash-idempotence: a second flush is a no-op with nothing pending
+    assert flush_deferred(spark, labels_dir, deferred_dir, 101) == 0
+    assert _labels(spark, labels_dir) == want
