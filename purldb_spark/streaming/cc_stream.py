@@ -249,8 +249,11 @@ def flush_deferred(
     epoch_id: int,
 ) -> int:
     """Fold every deferred edge into the label table with ONE uncapped
-    relabel pass at ``epoch_id`` (a fresh epoch above all stream
-    epochs), then clear the deferral ledger. Crash-idempotent: a
+    relabel pass at ``epoch_id`` — a fresh epoch above every previously
+    WRITTEN one, stream or flush: the batch body reads strictly below
+    its own epoch, so a reused epoch would read past its own previous
+    snapshot and discard it — then clear the deferral ledger.
+    Crash-idempotent: a
     re-flush re-reads edges whose merges already landed, novel_pairs
     drops them as co-labeled, the snapshot rewrites identically, and
     the ledger is cleared again. Returns the number of edges folded."""

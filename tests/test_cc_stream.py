@@ -220,3 +220,46 @@ def test_mega_component_merge_defers_and_flushes(spark, tmp_path):
     # crash-idempotence: a second flush is a no-op with nothing pending
     assert flush_deferred(spark, labels_dir, deferred_dir, 101) == 0
     assert _labels(spark, labels_dir) == want
+
+
+def test_randomized_arrival_orders_converge_to_batch_cc(spark, tmp_path):
+    """Deterministic-seed randomized pin: random edge sets, random batch
+    splits, random caps — after every batch (and a final flush when a
+    cap deferred anything) the labels equal batch CC over the edges
+    applied so far. This is the convergent-monotone claim exercised
+    beyond hand-picked topologies."""
+    import random
+
+    from purldb_spark.streaming.cc_stream import flush_deferred
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        nodes = list(range(30))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        rng.shuffle(edges)
+        cut1, cut2 = sorted(rng.sample(range(1, len(edges)), 2))
+        batches = [edges[:cut1], edges[cut1:cut2], edges[cut2:]]
+        cap = rng.choice([None, 5])
+
+        labels_dir = str(tmp_path / f"labels{seed}")
+        deferred_dir = str(tmp_path / f"deferred{seed}")
+        for epoch, batch in enumerate(batches):
+            merge_pairs_batch(
+                spark,
+                spark.createDataFrame(batch, SCHEMA),
+                labels_dir,
+                epoch,
+                max_component=cap,
+                deferred_dir=deferred_dir if cap else None,
+            )
+        if cap:
+            # each flush needs a FRESH epoch above every prior one (a
+            # reused epoch would read strictly below itself and discard
+            # the previous flush's snapshot)
+            ep = 100
+            while flush_deferred(spark, labels_dir, deferred_dir, ep):
+                ep += 1
+        assert _labels(spark, labels_dir) == _batch_cc(spark, edges)
