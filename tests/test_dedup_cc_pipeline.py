@@ -198,3 +198,93 @@ def test_full_streaming_stack_with_midstream_compaction(spark, tmp_path):
         }
 
     assert keep_best(streamed_labels) == keep_best(batch_labels)
+
+
+def test_four_face_composition_ledger_driven_compaction(spark, tmp_path):
+    """Capstone: ledger + dedup + compaction + incremental CC in ONE
+    run, with the mid-stream compaction's retention window derived FROM
+    the ledger (keep_epochs covering everything ingested so far) — the
+    production wiring of all four maintenance faces. Final labels equal
+    the batch math; the ledger window fed to compaction is exactly the
+    ingested doc set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_bands,
+        verify_jaccard,
+        word_shingles,
+    )
+    from purldb_spark.streaming.compact_stream import (
+        compact_band_index,
+        prune_generations,
+    )
+    from purldb_spark.streaming.dedup_stream import index_new_batch
+    from purldb_spark.streaming.ledger_stream import (
+        record_batch,
+        retained_docs,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
+    ledger_dir = str(tmp_path / "ledger")
+
+    batches = [
+        [(1, BASE), (9, "completely unrelated words about spark engines here")],
+        [(2, BASE.replace("dog", "cat")), (4, BASE)],  # near-dup + exact dup
+        [(3, BASE.replace("today", "sunday"))],
+    ]
+    for epoch, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, DOC_SCHEMA)
+        record_batch(spark, df, ledger_dir, epoch)
+        index_new_batch(spark, df, index_dir, pairs_dir)
+        if epoch == 1:
+            # ledger-driven mid-stream maintenance: the retention window
+            # covers every epoch ingested so far -> compaction rewrites,
+            # evicts nothing, and batch 3 still matches through it
+            window = retained_docs(spark, ledger_dir, keep_epochs=epoch + 1)
+            assert {r.doc_id for r in window.collect()} == {1, 9, 2, 4}
+            assert compact_band_index(
+                spark, index_dir, retained_docs=window
+            ) == 1
+            assert prune_generations(index_dir)
+        if os.path.isdir(pairs_dir):
+            from purldb_spark.streaming.cc_stream import merge_pairs_batch
+
+            merge_pairs_batch(
+                spark,
+                spark.read.parquet(pairs_dir),
+                labels_dir,
+                epoch,
+                "new_id",
+                "index_id",
+            )
+
+    all_docs = spark.createDataFrame(
+        [d for b in batches for d in b], DOC_SCHEMA
+    )
+    sh = word_shingles(all_docs, "doc_id", "text", n=3)
+    pairs = verify_jaccard(
+        lsh_candidate_pairs(minhash_bands(sh, "doc_id"), "doc_id"),
+        sh,
+        "doc_id",
+        0.5,
+    )
+    batch_labels = {
+        (r.node, r.label)
+        for r in connected_components(
+            pairs.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            ),
+            "doc_a",
+            "doc_b",
+        ).collect()
+    }
+    streamed = {
+        (r.node, r.label) for r in current_labels(spark, labels_dir).collect()
+    }
+    assert streamed == batch_labels == {(1, 1), (2, 1), (3, 1), (4, 1)}
