@@ -87,8 +87,13 @@ def index_new_batch(
         ex_path = exact_index_path(index_dir)
 
         # ---- exact-dup pre-collapse (module docstring) ----
+        # null-text docs are dropped up front: md5(NULL) is NULL, and a
+        # null group key would collapse every null-text doc in the batch
+        # into one bogus "duplicate" cluster (they carried no shingles
+        # and were silently inert before the collapse existed)
         docs = (
             batch_docs.select("doc_id", "text")
+            .filter(F.col("text").isNotNull())
             .withColumn("md5", F.md5("text"))
             .localCheckpoint(eager=True)  # one scan, three uses
         )

@@ -101,6 +101,24 @@ def retained_docs(
     )
 
 
+def prune_ledger(ledger_dir: str, keep_epochs: int) -> list[str]:
+    """Best-effort removal of ledger partitions below the ``keep_epochs``
+    highest — the ledger-dir twin of cc_stream.prune_epochs. The caller
+    must keep at least its largest retention window (a pruned epoch can
+    no longer contribute docs to ``retained_docs``); called explicitly
+    by the stream owner, never from a batch body."""
+    import shutil
+
+    if keep_epochs < 1:
+        raise ValueError("keep_epochs must be >= 1")
+    dirs = _epoch_dirs(ledger_dir)
+    removed: list[str] = []
+    for ep in sorted(dirs, reverse=True)[keep_epochs:]:
+        shutil.rmtree(dirs[ep], ignore_errors=True)
+        removed.append(dirs[ep])
+    return removed
+
+
 def ledger_sink(spark: SparkSession, ledger_dir: str, id_col: str = "doc_id"):
     """foreachBatch callable wiring record_batch into a document stream
     (run alongside dedup_sink over the same source so the ledger and the

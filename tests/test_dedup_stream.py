@@ -163,3 +163,26 @@ def test_exact_table_survives_compaction_and_respects_retention(spark, tmp_path)
     )
     ex = spark.read.parquet(exact_index_path(index_dir))
     assert {r.rep_id for r in ex.collect()} == {3, 9}
+
+
+def test_null_text_docs_are_inert_not_bogus_dups(spark, tmp_path):
+    """md5(NULL) is NULL: without the up-front filter, every null-text
+    doc in a batch would share the null group key and be declared an
+    exact-dup cluster. They must stay inert (no pairs, no index rows)."""
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    b = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text with several words here")],
+        SCHEMA,
+    )
+    index_new_batch(spark, b, index_dir, pairs_dir)
+    import os
+
+    from purldb_spark.streaming.compact_stream import exact_index_path
+
+    if os.path.isdir(pairs_dir):
+        assert spark.read.parquet(pairs_dir).count() == 0
+    assert {
+        r.rep_id
+        for r in spark.read.parquet(exact_index_path(index_dir)).collect()
+    } == {3}
