@@ -1,0 +1,121 @@
+"""Streaming face of incremental SimHash dedup — the hamming-verified
+sibling of dedup_stream (which is MinHash + exact-jaccard verified).
+
+With this module every registry dedup method has a production streaming
+face: exact (dedup_stream's md5 pre-collapse), MinHash+LSH
+(dedup_stream), SimHash (here), Bloom gate (bloom_stream), embedding
+LSH (ann_stream). The batch query dedup_simhash proves the 120-bit
+fingerprint math against the DuckDB oracle (plans/q_dedup.py); this is
+how it RUNS incrementally: per micro-batch, fingerprint the new docs
+(operators/simhash_wide — 4 x 30-bit pigeonhole bands over two 60-bit
+halves), equi-join their band keys against the PERSISTENT banded
+fingerprint index, verify candidates with the exact two-term
+bit_count(xor) hamming, append decisions and the batch's rows.
+
+The stored table is the BANDED layout (doc_id, band_idx, band_key,
+sim_lo, sim_hi — 4 rows per doc, fingerprint inlined): the per-batch
+probe is then ONE equi-join on (band_idx, band_key) with the hamming
+verify reading both fingerprints off the joined row, no second lookup.
+At 100 TB the table is hash-partitioned by band_key and a batch costs
+O(batch x band collision rate) — same contract as dedup_stream, with
+the 30-bit bands keeping random collisions linear to N ~ 10^9-10^10
+(the r11 width upgrade this face inherits).
+
+Idempotence is the dedup_stream recipe verbatim: appends anti-join the
+docs already indexed, decisions anti-join (new_id, index_id) already
+seen — a replayed batch re-derives identical fingerprints and writes
+nothing. Writes serialize on the same per-directory writer lease
+(compact_stream.writer_lock), so a future compaction face for this
+index slots in without a new protocol.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purldb_spark.operators.dedup import word_shingles
+from purldb_spark.operators.simhash_wide import band_exprs, simhash_wide
+
+
+def batch_fingerprints(batch_docs: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi) for one micro-batch, from the SAME
+    features the batch query uses (3-word shingles as tokens)."""
+    toks = word_shingles(
+        batch_docs.filter(F.col("text").isNotNull()), "doc_id", "text", n=3
+    ).withColumnRenamed("sh", "tok")
+    return simhash_wide(toks, "doc_id")
+
+
+def _banded(sim: DataFrame) -> DataFrame:
+    return sim.select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.explode(F.array(*band_exprs())).alias("band"),
+    ).select("doc_id", "sim_lo", "sim_hi", "band.band_idx", "band.band_key")
+
+
+def index_simhash_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    max_hamming: int = 3,
+    lock_timeout: float = 60.0,
+) -> None:
+    """One micro-batch body (module docstring). Decisions carry
+    (new_id, index_id, hamming)."""
+    from purldb_spark.streaming.compact_stream import writer_lock
+
+    bands_new = _banded(batch_fingerprints(batch_docs)).localCheckpoint(
+        eager=True  # one fingerprint aggregation; probe + append uses
+    )
+    with writer_lock(index_dir, timeout=lock_timeout):
+        bands_path = os.path.join(index_dir, "simbands")
+        if os.path.isdir(bands_path):
+            idx = spark.read.parquet(bands_path)
+            indexed = idx.select("doc_id").dropDuplicates()
+            bands_new = bands_new.join(indexed, "doc_id", "left_anti")
+
+            a = bands_new.alias("a")
+            b = idx.alias("b")
+            hamming = (
+                F.expr("bit_count(a.sim_lo ^ b.sim_lo)")
+                + F.expr("bit_count(a.sim_hi ^ b.sim_hi)")
+            ).cast("long")
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                    "inner",
+                )
+                .select(
+                    F.col("a.doc_id").alias("new_id"),
+                    F.col("b.doc_id").alias("index_id"),
+                    hamming.alias("hamming"),
+                )
+                .filter(F.col("hamming") <= max_hamming)
+                .dropDuplicates(["new_id", "index_id"])
+            )
+            if os.path.isdir(pairs_dir):
+                seen = spark.read.parquet(pairs_dir).select(
+                    "new_id", "index_id"
+                )
+                pairs = pairs.join(seen, ["new_id", "index_id"], "left_anti")
+            pairs.write.mode("append").parquet(pairs_dir)
+
+        bands_new.write.mode("append").parquet(bands_path)
+
+
+def simhash_sink(spark: SparkSession, index_dir: str, pairs_dir: str):
+    """foreachBatch callable wiring index_simhash_batch into a stream."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        index_simhash_batch(spark, batch, index_dir, pairs_dir)
+
+    return process
