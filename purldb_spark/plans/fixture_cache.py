@@ -51,17 +51,41 @@ def _cache_insert(cache: dict, cache_key: tuple, val):
         return cache.setdefault(cache_key, val)
 
 
+# per-cache-key build locks: two prebuild chains asking for the SAME key
+# must not both run the expensive Spark build — the loser's eagerly
+# localCheckpoint'ed frame would be discarded by setdefault without an
+# unpersist, leaking its checkpoint blocks for the session lifetime (r11
+# advice). One lock per key keeps DIFFERENT keys building in parallel
+# (the prebuild concurrency the ThreadPoolExecutor exists for) while the
+# same key builds exactly once and latecomers wait for the cached value.
+_BUILD_LOCKS: dict[tuple, threading.Lock] = {}
+
+
+def _get_or_build(cache: dict, app: str, cache_key: tuple, build):
+    """Lookup with single-builder semantics: evict other sessions' keys,
+    return a hit, else build under the key's lock (double-checked, so a
+    waiter that blocked behind the builder returns the builder's value
+    instead of re-running the build)."""
+    val = _cache_lookup(cache, app, cache_key)
+    if val is not None:
+        return val
+    with _CACHE_LOCK:
+        lock = _BUILD_LOCKS.setdefault(cache_key, threading.Lock())
+    with lock:
+        val = _cache_lookup(cache, app, cache_key)
+        if val is None:
+            val = _cache_insert(cache, cache_key, build())
+    return val
+
+
 def cached_fixture(
     spark: SparkSession, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return the cached frame for ``key`` in this session, building it via
-    ``build()`` (which should end in an eager localCheckpoint) on first use."""
+    ``build()`` (which should end in an eager localCheckpoint) on first use.
+    Concurrent requests for the same key block behind one build."""
     app = spark.sparkContext.applicationId
-    cache_key = (app, key)
-    df = _cache_lookup(_CACHE, app, cache_key)
-    if df is None:
-        df = _cache_insert(_CACHE, cache_key, build())
-    return df
+    return _get_or_build(_CACHE, app, (app, key), build)
 
 
 def doc_fingerprint_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,15 +340,12 @@ def trained_centroids(
 
     app = spark.sparkContext.applicationId
     cache_key = (app, f"kmeans:{sf_dir}:{k}:{iters}")
-    cents = _cache_lookup(_DRIVER_CACHE, app, cache_key)
-    if cents is None:
+
+    def build():
         e = load(spark, sf_dir, "embeddings")
-        cents = _cache_insert(
-            _DRIVER_CACHE,
-            cache_key,
-            kmeans_fit(e, "embedding", "vec_id", k, iters),
-        )
-    return cents
+        return kmeans_fit(e, "embedding", "vec_id", k, iters)
+
+    return _get_or_build(_DRIVER_CACHE, app, cache_key, build)
 
 
 def trained_pq_codebooks(
@@ -345,8 +366,8 @@ def trained_pq_codebooks(
 
     app = spark.sparkContext.applicationId
     cache_key = (app, f"pqtrain:{sf_dir}:{m}:{ksub}:{iters}")
-    books = _cache_lookup(_DRIVER_CACHE, app, cache_key)
-    if books is None:
+
+    def build():
         e = load(spark, sf_dir, "embeddings")
         dim = len(e.select("embedding").first()["embedding"])
         sub = dim // m
@@ -359,8 +380,9 @@ def trained_pq_codebooks(
                 ),
             )
             books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, iters))
-        books = _cache_insert(_DRIVER_CACHE, cache_key, books)
-    return books
+        return books
+
+    return _get_or_build(_DRIVER_CACHE, app, cache_key, build)
 
 
 def trained_pq_code_index(
@@ -489,11 +511,31 @@ _OWNER_PIDFILE = ".owner_pid"
 # a directory with NO pidfile (pre-pidfile layout, or one racing between
 # mkdir and pidfile write) is evicted only once it is unambiguously stale
 _NO_PIDFILE_TTL_SEC = 3600.0
-# pidfile'd directories ALSO age out, on a much more generous clock: a
-# recycled pid (or a bogus one) would otherwise make a dead session's
-# directory immortal — the liveness probe is an optimization over the
-# TTL, never a substitute for it
+# LEGACY pid-only pidfiles (pre-r12 format) still age out on a generous
+# idleness clock: with only a bare pid, a recycled pid would otherwise
+# make a dead session's directory immortal. The current format records
+# (pid, /proc start-ticks), which detects recycling directly — an
+# identity-matched owner is provably alive and is NEVER evicted, however
+# long it idles (r11 advice: a live session busy elsewhere for a day
+# must not lose its bucketed tables to a concurrent session's sweep).
 _PIDFILE_TTL_SEC = 86400.0
+
+
+def _proc_ident(pid: int) -> str | None:
+    """``pid:starttime`` for a live process, None for a dead one — the
+    start-ticks component (field 22 of /proc/pid/stat) defeats pid
+    recycling: a recycled pid has a different start time, so a dead
+    owner's pidfile reads as stale even if its pid number is live again.
+    Falls back to ``pid:`` (empty ticks) where /proc is unreadable but
+    the signal-0 probe says alive — degrades to the legacy pid-only
+    liveness rather than evicting a live owner."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        fields = data[data.rindex(b")") + 2 :].split()
+        return f"{pid}:{fields[19].decode()}"
+    except (OSError, ValueError, IndexError):
+        return f"{pid}:" if _pid_alive(pid) else None
 
 
 def _pid_alive(pid: int) -> bool:
@@ -538,7 +580,8 @@ def _evict_dead_bucketed(root: str, app: str) -> None:
         path = os.path.join(root, d)
         pidfile = os.path.join(path, _OWNER_PIDFILE)
         try:
-            pid = int(open(pidfile).read().strip())
+            holder = open(pidfile).read().strip()
+            pid = int(holder.split(":", 1)[0])
         except (OSError, ValueError):
             # no/unreadable pidfile: dir-mtime age fallback only
             try:
@@ -548,12 +591,24 @@ def _evict_dead_bucketed(root: str, app: str) -> None:
             if age > _NO_PIDFILE_TTL_SEC:
                 shutil.rmtree(path, ignore_errors=True)
             continue
-        # TTL measures IDLENESS, not age since creation (r9 advice): the
-        # owning session touches its pidfile on every cache hit
-        # (bucketed_orderkey_tables fast path), so age derives from the
-        # PIDFILE's mtime — a long-running session stays protected as
-        # long as it keeps using its tables, while a recycled pid cannot
-        # make a dead session's files immortal (its pidfile goes stale).
+        if ":" in holder:
+            # current (pid, start-ticks) format: identity match means the
+            # recorded process is STILL RUNNING — never evict it, however
+            # idle (r11 advice: eviction by idleness yanked a provably
+            # live session's tables). Dead or recycled (ticks mismatch):
+            # evict immediately, no TTL grace needed. Alive but ticks
+            # unreadable (non-/proc host): fall through to the legacy
+            # TTL rule rather than guess either way.
+            ident = _proc_ident(pid)
+            if ident == holder:
+                continue
+            if ident is None or not ident.endswith(":"):
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+        # legacy pid-only pidfile: recycling is undetectable, so keep the
+        # old belt-and-suspenders — evict when the pid is dead OR the
+        # pidfile has idled past the generous TTL (its owner touches it
+        # on every cache hit, bucketed_orderkey_tables fast path).
         try:
             age = time.time() - os.path.getmtime(pidfile)
         except OSError:
@@ -615,7 +670,10 @@ def bucketed_orderkey_tables(
     appdir = os.path.join(root, app)
     os.makedirs(appdir, exist_ok=True)
     with open(os.path.join(appdir, _OWNER_PIDFILE), "w") as fh:
-        fh.write(str(os.getpid()))
+        # (pid, start-ticks) identity: a concurrent session's sweep can
+        # prove this process alive (never evict) or dead/recycled (evict
+        # at once) without any idleness heuristic
+        fh.write(_proc_ident(os.getpid()) or str(os.getpid()))
     _evict_dead_bucketed(root, app)
     names: list[str] = []
     for base, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):

@@ -151,3 +151,92 @@ def test_cache_bookkeeping_survives_concurrent_chains():
     # would mean the cache never retains — bound them loosely
     assert builds and max(builds.values()) < 16 * 200
     fc._CACHE.clear()
+
+
+def test_identity_pidfile_live_owner_never_idles_out(tmp_path):
+    """ADVICE r11 closure: the current pidfile format records (pid,
+    /proc start-ticks). An identity-MATCHED owner is provably the same
+    still-running process, so its directory survives ANY idleness — the
+    old idleness TTL evicted a live session busy elsewhere for a day."""
+    import time
+
+    from purldb_spark.plans.fixture_cache import (
+        _PIDFILE_TTL_SEC,
+        _proc_ident,
+    )
+
+    root = tmp_path / ".bucketed"
+    root.mkdir()
+    ancient = time.time() - _PIDFILE_TTL_SEC - 3600
+
+    d = root / "live-idle"
+    d.mkdir()
+    (d / _OWNER_PIDFILE).write_text(_proc_ident(os.getpid()))
+    os.utime(d / _OWNER_PIDFILE, (ancient, ancient))  # idle way past TTL
+    os.utime(d, (ancient, ancient))
+    _evict_dead_bucketed(str(root), "me")
+    assert d.exists(), "identity-matched live owner evicted on idleness"
+
+
+def test_identity_pidfile_recycled_or_dead_evicts_at_once(tmp_path):
+    """Ticks mismatch (pid recycled) or dead pid with the current format:
+    evicted immediately, no TTL grace — identity is proof either way."""
+    root = tmp_path / ".bucketed"
+    root.mkdir()
+
+    recycled = root / "recycled"
+    recycled.mkdir()
+    # live pid, wrong start-ticks -> a different (dead) process wrote it
+    (recycled / _OWNER_PIDFILE).write_text(f"{os.getpid()}:0")
+
+    dead = root / "dead"
+    dead.mkdir()
+    (dead / _OWNER_PIDFILE).write_text(f"{_dead_pid()}:12345")
+
+    _evict_dead_bucketed(str(root), "me")
+    assert not recycled.exists(), "recycled-pid ghost kept"
+    assert not dead.exists(), "dead identity-format owner kept"
+
+
+def test_same_key_concurrent_requests_build_exactly_once():
+    """ADVICE r11 closure: two prebuild chains racing the same key used
+    to BOTH run the Spark build, the loser's checkpointed frame leaking
+    un-unpersisted. The per-key build lock makes the same (session, key)
+    build exactly once; different keys still build concurrently."""
+    import threading
+    from collections import Counter
+    from concurrent.futures import ThreadPoolExecutor
+
+    from purldb_spark.plans import fixture_cache as fc
+
+    class FakeCtx:
+        def __init__(self, app):
+            self.applicationId = app
+
+    class FakeSpark:
+        def __init__(self, app):
+            self.sparkContext = FakeCtx(app)
+
+    fc._CACHE.clear()
+    builds: Counter = Counter()
+    lock = threading.Lock()
+    barrier = threading.Barrier(16)
+    spark = FakeSpark("one-app")
+
+    def chain(i: int):
+        barrier.wait()
+        key = f"samekey{i % 4}"  # 16 threads pile onto 4 keys
+
+        def build(key=key):
+            with lock:
+                builds[key] += 1
+            return object()
+
+        return fc.cached_fixture(spark, key, build)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        results = list(ex.map(chain, range(16)))
+    assert all(r is not None for r in results)
+    assert builds == Counter({f"samekey{k}": 1 for k in range(4)})
+    # all threads asking one key got the SAME object (the single build)
+    fc._CACHE.clear()
