@@ -16,76 +16,20 @@ applications' entries are dropped on first touch from a new session.
 
 from __future__ import annotations
 
-import threading
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.conf import shuffle_partitions
 
-_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-# prebuild_fixtures runs fixture chains in a ThreadPoolExecutor, so cache
-# get/evict/insert must be atomic: the old unguarded stale-key scan iterated
-# the live dict while concurrent chains inserted built keys (RuntimeError:
-# dictionary changed size during iteration). One lock serves both dicts —
-# only bookkeeping runs under it; Spark builds stay outside.
-_CACHE_LOCK = threading.Lock()
-
-
-def _cache_lookup(cache: dict, app: str, cache_key: tuple) -> object | None:
-    """Atomic get-or-evict-stale: returns the cached value, or None after
-    dropping other sessions' entries (snapshot iteration + pop, under lock)."""
-    with _CACHE_LOCK:
-        val = cache.get(cache_key)
-        if val is None:
-            for k in [k for k in list(cache) if k[0] != app]:
-                cache.pop(k, None)
-        return val
-
-
-def _cache_insert(cache: dict, cache_key: tuple, val):
-    """Atomic insert; first writer wins if two chains raced the same build."""
-    with _CACHE_LOCK:
-        return cache.setdefault(cache_key, val)
-
-
-# per-cache-key build locks: two prebuild chains asking for the SAME key
-# must not both run the expensive Spark build — the loser's eagerly
-# localCheckpoint'ed frame would be discarded by setdefault without an
-# unpersist, leaking its checkpoint blocks for the session lifetime (r11
-# advice). One lock per key keeps DIFFERENT keys building in parallel
-# (the prebuild concurrency the ThreadPoolExecutor exists for) while the
-# same key builds exactly once and latecomers wait for the cached value.
-_BUILD_LOCKS: dict[tuple, threading.Lock] = {}
-
-
-def _get_or_build(cache: dict, app: str, cache_key: tuple, build):
-    """Lookup with single-builder semantics: evict other sessions' keys,
-    return a hit, else build under the key's lock (double-checked, so a
-    waiter that blocked behind the builder returns the builder's value
-    instead of re-running the build)."""
-    val = _cache_lookup(cache, app, cache_key)
-    if val is not None:
-        return val
-    with _CACHE_LOCK:
-        lock = _BUILD_LOCKS.setdefault(cache_key, threading.Lock())
-    with lock:
-        val = _cache_lookup(cache, app, cache_key)
-        if val is None:
-            val = _cache_insert(cache, cache_key, build())
-    return val
-
-
-def cached_fixture(
-    spark: SparkSession, key: str, build: Callable[[], DataFrame]
-) -> DataFrame:
-    """Return the cached frame for ``key`` in this session, building it via
-    ``build()`` (which should end in an eager localCheckpoint) on first use.
-    Concurrent requests for the same key block behind one build."""
-    app = spark.sparkContext.applicationId
-    return _get_or_build(_CACHE, app, (app, key), build)
+# Lock / pidfile / eviction plumbing lives in fixture_runtime (hash-excluded:
+# it shapes no query result — see that module's docstring for the invariant).
+from purldb_spark.plans.fixture_runtime import (  # noqa: F401
+    _BUCKETED,
+    cached_fixture,
+    cached_model,
+    claim_bucketed_dir,
+    touch_owner,
+)
 
 
 def doc_fingerprint_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,9 +265,6 @@ def emb_band_index(
     return cached_fixture(spark, f"emb_band_index:{key}:{sf_dir}", build)
 
 
-_DRIVER_CACHE: dict[tuple[str, str], object] = {}
-
-
 def trained_centroids(
     spark: SparkSession, sf_dir: str, k: int, iters: int
 ) -> list[list[float]]:
@@ -338,14 +279,11 @@ def trained_centroids(
     from purldb_spark.catalog.tables import load
     from purldb_spark.operators.kmeans import kmeans_fit
 
-    app = spark.sparkContext.applicationId
-    cache_key = (app, f"kmeans:{sf_dir}:{k}:{iters}")
-
     def build():
         e = load(spark, sf_dir, "embeddings")
         return kmeans_fit(e, "embedding", "vec_id", k, iters)
 
-    return _get_or_build(_DRIVER_CACHE, app, cache_key, build)
+    return cached_model(spark, f"kmeans:{sf_dir}:{k}:{iters}", build)
 
 
 def trained_pq_codebooks(
@@ -364,9 +302,6 @@ def trained_pq_codebooks(
     from purldb_spark.catalog.tables import load
     from purldb_spark.operators.kmeans import kmeans_fit
 
-    app = spark.sparkContext.applicationId
-    cache_key = (app, f"pqtrain:{sf_dir}:{m}:{ksub}:{iters}")
-
     def build():
         e = load(spark, sf_dir, "embeddings")
         dim = len(e.select("embedding").first()["embedding"])
@@ -382,7 +317,7 @@ def trained_pq_codebooks(
             books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, iters))
         return books
 
-    return _get_or_build(_DRIVER_CACHE, app, cache_key, build)
+    return cached_model(spark, f"pqtrain:{sf_dir}:{m}:{ksub}:{iters}", build)
 
 
 def trained_pq_code_index(
@@ -505,118 +440,6 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_fixture(spark, f"dup_clusters:{sf_dir}", build)
 
 
-_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
-
-_OWNER_PIDFILE = ".owner_pid"
-# a directory with NO pidfile (pre-pidfile layout, or one racing between
-# mkdir and pidfile write) is evicted only once it is unambiguously stale
-_NO_PIDFILE_TTL_SEC = 3600.0
-# LEGACY pid-only pidfiles (pre-r12 format) still age out on a generous
-# idleness clock: with only a bare pid, a recycled pid would otherwise
-# make a dead session's directory immortal. The current format records
-# (pid, /proc start-ticks), which detects recycling directly — an
-# identity-matched owner is provably alive and is NEVER evicted, however
-# long it idles (r11 advice: a live session busy elsewhere for a day
-# must not lose its bucketed tables to a concurrent session's sweep).
-_PIDFILE_TTL_SEC = 86400.0
-
-
-def _proc_ident(pid: int) -> str | None:
-    """``pid:starttime`` for a live process, None for a dead one — the
-    start-ticks component (field 22 of /proc/pid/stat) defeats pid
-    recycling: a recycled pid has a different start time, so a dead
-    owner's pidfile reads as stale even if its pid number is live again.
-    Falls back to ``pid:`` (empty ticks) where /proc is unreadable but
-    the signal-0 probe says alive — degrades to the legacy pid-only
-    liveness rather than evicting a live owner."""
-    try:
-        with open(f"/proc/{pid}/stat", "rb") as fh:
-            data = fh.read()
-        fields = data[data.rindex(b")") + 2 :].split()
-        return f"{pid}:{fields[19].decode()}"
-    except (OSError, ValueError, IndexError):
-        return f"{pid}:" if _pid_alive(pid) else None
-
-
-def _pid_alive(pid: int) -> bool:
-    """True iff ``pid`` is a plausible live process on this host
-    (signal-0 probe).
-
-    ``pid <= 0`` is never a specific process — 0 signals the caller's own
-    process group and negative values signal whole groups, so os.kill
-    would "succeed" and a corrupt pidfile would pin the directory forever;
-    treat those as dead.  PermissionError means the pid exists under
-    another uid — alive."""
-    import os
-
-    if pid <= 0:
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
-
-
-def _evict_dead_bucketed(root: str, app: str) -> None:
-    """Remove other sessions' ``.bucketed/<appId>`` directories ONLY when
-    their owning driver process is provably dead (pidfile probe), or —
-    for directories without a pidfile — older than _NO_PIDFILE_TTL_SEC.
-
-    A live concurrent session (parallel bench, test run, CI worker) keeps
-    its directory: blind rmtree of everything-not-me would yank its
-    bucketed table files mid-query (missing-file task failures)."""
-    import os
-    import shutil
-    import time
-
-    if not os.path.isdir(root):
-        return
-    for d in os.listdir(root):
-        if d == app:
-            continue
-        path = os.path.join(root, d)
-        pidfile = os.path.join(path, _OWNER_PIDFILE)
-        try:
-            holder = open(pidfile).read().strip()
-            pid = int(holder.split(":", 1)[0])
-        except (OSError, ValueError):
-            # no/unreadable pidfile: dir-mtime age fallback only
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
-                continue
-            if age > _NO_PIDFILE_TTL_SEC:
-                shutil.rmtree(path, ignore_errors=True)
-            continue
-        if ":" in holder:
-            # current (pid, start-ticks) format: identity match means the
-            # recorded process is STILL RUNNING — never evict it, however
-            # idle (r11 advice: eviction by idleness yanked a provably
-            # live session's tables). Dead or recycled (ticks mismatch):
-            # evict immediately, no TTL grace needed. Alive but ticks
-            # unreadable (non-/proc host): fall through to the legacy
-            # TTL rule rather than guess either way.
-            ident = _proc_ident(pid)
-            if ident == holder:
-                continue
-            if ident is None or not ident.endswith(":"):
-                shutil.rmtree(path, ignore_errors=True)
-                continue
-        # legacy pid-only pidfile: recycling is undetectable, so keep the
-        # old belt-and-suspenders — evict when the pid is dead OR the
-        # pidfile has idled past the generous TTL (its owner touches it
-        # on every cache hit, bucketed_orderkey_tables fast path).
-        try:
-            age = time.time() - os.path.getmtime(pidfile)
-        except OSError:
-            continue
-        if not _pid_alive(pid) or age > _PIDFILE_TTL_SEC:
-            shutil.rmtree(path, ignore_errors=True)
-
-
 def bucketed_orderkey_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 16
 ) -> tuple[str, str]:
@@ -638,43 +461,22 @@ def bucketed_orderkey_tables(
     import os
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(here, ".bucketed")
     if key in _BUCKETED:
-        # refresh liveness on every cache hit: eviction TTL is measured
-        # from the pidfile's mtime (idleness), so an active session never
-        # ages out of a concurrent session's sweep however long it runs
-        try:
-            _here = os.path.dirname(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            )
-            os.utime(
-                os.path.join(
-                    _here,
-                    ".bucketed",
-                    spark.sparkContext.applicationId,
-                    _OWNER_PIDFILE,
-                )
-            )
-        except OSError:
-            pass
+        # refresh the legacy idleness clock on every cache hit (runtime
+        # sweep semantics live in fixture_runtime)
+        touch_owner(root, app)
         return _BUCKETED[key]
     from purldb_spark.catalog.tables import load
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    app = spark.sparkContext.applicationId
-    root = os.path.join(here, ".bucketed")
     # claim this session's directory (pidfile first, before any table file
     # lands in it) and evict only PROVABLY DEAD sessions' directories — a
     # concurrent session (parallel bench / test run / CI worker) must never
     # lose its live table files mid-query
-    appdir = os.path.join(root, app)
-    os.makedirs(appdir, exist_ok=True)
-    with open(os.path.join(appdir, _OWNER_PIDFILE), "w") as fh:
-        # (pid, start-ticks) identity: a concurrent session's sweep can
-        # prove this process alive (never evict) or dead/recycled (evict
-        # at once) without any idleness heuristic
-        fh.write(_proc_ident(os.getpid()) or str(os.getpid()))
-    _evict_dead_bucketed(root, app)
+    claim_bucketed_dir(root, app)
     names: list[str] = []
     for base, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         name = f"bk_{base}_{sfx}"
@@ -758,12 +560,7 @@ def trained_residual_codebooks(
     trained_pq_codebooks."""
     from purldb_spark.operators.kmeans import kmeans_fit
 
-    app = spark.sparkContext.applicationId
-    cache_key = (
-        app, f"respq:{sf_dir}:{k}:{iters}:{m}:{ksub}:{pq_iters}"
-    )
-    books = _cache_lookup(_DRIVER_CACHE, app, cache_key)
-    if books is None:
+    def build():
         res = residual_frame(spark, sf_dir, k, iters)
         dim = len(res.select("resid").first()["resid"])
         sub = dim // m
@@ -774,8 +571,11 @@ def trained_residual_codebooks(
                 F.expr(f"slice(resid, {si * sub + 1}, {sub})").alias("subv"),
             )
             books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, pq_iters))
-        books = _cache_insert(_DRIVER_CACHE, cache_key, books)
-    return books
+        return books
+
+    return cached_model(
+        spark, f"respq:{sf_dir}:{k}:{iters}:{m}:{ksub}:{pq_iters}", build
+    )
 
 
 def residual_code_index(

@@ -48,9 +48,6 @@ from purldb_spark.plans.q_dedup import (
 )
 from purldb_spark.plans.registry import query
 
-_C2 = "CAST(sum(n * (n - 1) // 2) AS BIGINT)"  # sum-of-C(n,2), DuckDB
-
-
 def _key_cost_sql(name: str, keyed: str) -> str:
     """One method row: group ``keyed`` (vid, k) by key, report stored rows
     and pairwise fan-in."""

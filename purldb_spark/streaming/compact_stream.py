@@ -84,44 +84,49 @@ def _proc_ident(pid: int) -> str | None:
 def writer_lock(index_dir: str, timeout: float = 60.0, poll: float = 0.05):
     """Single-writer lease over the band index (appenders + compaction).
 
-    O_CREAT|O_EXCL file create is the atomic acquire; the body records the
-    holder's (pid, start-ticks) identity. A contender that finds the file
-    breaks it when the recorded identity no longer names a live process
-    (crash or pid recycling), else waits up to ``timeout`` and raises
-    TimeoutError. Single-host by construction — the 100 TB deployment
-    replaces this with the table format's transactional commit (module
-    docstring)."""
+    flock(LOCK_EX) on a PERSISTENT lock file is the lease: the kernel
+    releases it automatically when the holder's fd closes — including
+    crash and SIGKILL — so there is no stale-holder state to detect and
+    no break path to race (the r12 create/remove protocol had a TOCTOU:
+    two contenders could both read the same stale holder, the second's
+    remove then deleting the first's freshly-acquired lock — two writers
+    live, the exact silent-row-loss the lease exists to prevent). The
+    file body records the holder's (pid, start-ticks) identity for
+    DIAGNOSTICS only — it never participates in acquisition. Contenders
+    poll LOCK_NB up to ``timeout`` then raise TimeoutError. Two fds in
+    one process conflict too (flock is per open-file-description), so
+    in-process append vs compaction serialize the same way. Single-host
+    by construction — the 100 TB deployment replaces this with the table
+    format's transactional commit (module docstring)."""
+    import fcntl
+
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, _WRITER_LOCK)
-    me = _proc_ident(os.getpid()) or str(os.getpid())
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, me.encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                with open(path) as fh:
-                    holder = fh.read().strip()
-            except OSError:
-                continue  # holder released between our create and read
-            pid = holder.split(":", 1)[0]
-            if not pid.isdigit() or _proc_ident(int(pid)) != holder:
-                with contextlib.suppress(OSError):
-                    os.remove(path)  # dead or recycled holder: break it
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"band-index writer lock held by pid {holder}: {path}"
-                )
-            time.sleep(poll)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except (BlockingIOError, PermissionError):
+                if time.monotonic() > deadline:
+                    try:
+                        with open(path) as fh:
+                            holder = fh.read().strip()
+                    except OSError:
+                        holder = "?"
+                    raise TimeoutError(
+                        f"band-index writer lock held by pid {holder}: {path}"
+                    )
+                time.sleep(poll)
+        # holder identity, for operators reading the file on a timeout
+        me = _proc_ident(os.getpid()) or str(os.getpid())
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, me.encode(), 0)
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(path)
+        os.close(fd)  # closing the fd releases the flock
 
 
 def current_generation(index_dir: str) -> int | None:

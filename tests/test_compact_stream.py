@@ -185,30 +185,62 @@ def test_writer_lock_serializes_appends_and_compaction(spark, tmp_path):
     assert (2, 1) in _pairs(spark, pairs_dir)
 
 
-def test_writer_lock_breaks_dead_and_recycled_holders(tmp_path):
+def test_writer_lock_crashed_holder_releases_automatically(tmp_path):
+    """The lease is the kernel flock, not the file: a SIGKILLed holder's
+    lock releases the instant its process dies — no stale-holder
+    detection, so no break-the-lock TOCTOU (r12 ADVICE: two contenders
+    could both read one stale holder and the loser's remove deleted the
+    winner's fresh lock, admitting two writers)."""
     import os
+    import signal
+    import subprocess
+    import sys
     import time
 
-    from purldb_spark.streaming.compact_stream import (
-        _proc_ident,
-        writer_lock,
-    )
+    import pytest
+
+    from purldb_spark.streaming.compact_stream import writer_lock
 
     index_dir = str(tmp_path / "index")
     os.makedirs(index_dir)
     lock = os.path.join(index_dir, "WRITER.lock")
 
-    # dead holder: a pid that cannot exist
+    # stale CONTENT (dead identity in the body) is irrelevant: nobody
+    # holds the kernel lock, so acquisition is immediate
     with open(lock, "w") as fh:
         fh.write("999999999:12345")
     t0 = time.monotonic()
     with writer_lock(index_dir, timeout=5.0):
-        assert time.monotonic() - t0 < 1.0  # broken, not waited out
+        assert time.monotonic() - t0 < 1.0
 
-    # recycled holder: live pid but wrong start-ticks -> identity mismatch
-    with open(lock, "w") as fh:
-        fh.write(f"{os.getpid()}:0")
-    assert _proc_ident(os.getpid()) != f"{os.getpid()}:0"
-    with writer_lock(index_dir, timeout=5.0):
-        pass
-    assert not os.path.exists(lock)
+    # a subprocess takes the flock and is SIGKILLed mid-hold: the kernel
+    # releases on process death, so a contender acquires promptly
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time;"
+            f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR);"
+            "fcntl.flock(fd, fcntl.LOCK_EX);"
+            "print('held', flush=True);"
+            "time.sleep(60)",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "held"
+        with pytest.raises(TimeoutError):
+            with writer_lock(index_dir, timeout=0.15):
+                pass
+        child.send_signal(signal.SIGKILL)
+        child.wait()
+        t0 = time.monotonic()
+        with writer_lock(index_dir, timeout=5.0):
+            assert time.monotonic() - t0 < 1.0
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait()
+    # the lock FILE persists (it is the flock anchor, never removed)
+    assert os.path.exists(lock)

@@ -1,5 +1,5 @@
 """Liveness-aware eviction of the on-disk bucketed-table directories
-(plans/fixture_cache._evict_dead_bucketed): a CONCURRENT live session's
+(plans/fixture_runtime._evict_dead_bucketed): a CONCURRENT live session's
 directory must survive, only provably-dead sessions' directories (owner
 pid gone, or pidfile-less and stale past the TTL) are removed.
 """
@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from purldb_spark.plans.fixture_cache import (
+from purldb_spark.plans.fixture_runtime import (
     _NO_PIDFILE_TTL_SEC,
     _OWNER_PIDFILE,
     _evict_dead_bucketed,
@@ -82,7 +82,7 @@ def test_ttl_measures_pidfile_idleness_not_dir_age(tmp_path):
     treated as a recycled-pid ghost and evicted."""
     import time
 
-    from purldb_spark.plans.fixture_cache import _PIDFILE_TTL_SEC
+    from purldb_spark.plans.fixture_runtime import _PIDFILE_TTL_SEC
 
     root = tmp_path / ".bucketed"
     root.mkdir()
@@ -114,7 +114,7 @@ def test_cache_bookkeeping_survives_concurrent_chains():
     from collections import Counter
     from concurrent.futures import ThreadPoolExecutor
 
-    from purldb_spark.plans import fixture_cache as fc
+    from purldb_spark.plans import fixture_runtime as fc
 
     class FakeCtx:
         def __init__(self, app):
@@ -160,7 +160,7 @@ def test_identity_pidfile_live_owner_never_idles_out(tmp_path):
     old idleness TTL evicted a live session busy elsewhere for a day."""
     import time
 
-    from purldb_spark.plans.fixture_cache import (
+    from purldb_spark.plans.fixture_runtime import (
         _PIDFILE_TTL_SEC,
         _proc_ident,
     )
@@ -207,7 +207,7 @@ def test_same_key_concurrent_requests_build_exactly_once():
     from collections import Counter
     from concurrent.futures import ThreadPoolExecutor
 
-    from purldb_spark.plans import fixture_cache as fc
+    from purldb_spark.plans import fixture_runtime as fc
 
     class FakeCtx:
         def __init__(self, app):

@@ -51,7 +51,20 @@ def _module_file(root: str, dotted: str) -> str | None:
 # the whole package and any one edit would invalidate all hashes (the
 # round-3 rotation pathology).  The registration decorator itself carries no
 # query semantics, so its source is not hashed either.
-_EXCLUDED = {"purldb_spark.plans.registry"}
+#
+# fixture_runtime.py holds ONLY lock/pidfile/eviction plumbing (per-key
+# build locks, session cache dicts, the bucketed-dir lease).  Invariant
+# (pinned by tests/test_fixture_runtime_isolation.py): nothing in it shapes
+# a query result, and it imports no purldb_spark module — a bug there
+# causes loud failures (missing files, lock timeouts, double builds),
+# never a silently different answer, which is the only class this hash
+# rotation exists to catch.  Excluding it stops lock/eviction edits from
+# re-staling the ~50 oracle queries whose closure reaches the fixture
+# cache (the r11–r13 restale cycle).
+_EXCLUDED = {
+    "purldb_spark.plans.registry",
+    "purldb_spark.plans.fixture_runtime",
+}
 
 
 def _closure_files(root: str, start_dotted: str) -> list[str]:
