@@ -34,14 +34,21 @@ level up the pipeline. Corpora where even the NEWLY-merged slice of a
 mega-component is too hot (adversarial boilerplate floods) pass
 ``max_component``: edges that would relabel a component larger than the
 cap are DEFERRED to a side table instead of relabeled inline (the
-per-batch bound becomes O(batch x min(cap, newly-merged component))),
-and :func:`flush_deferred` folds them in with one batch-CC pass at a
-cadence the operator chooses — the same work the inline path would have
-done, amortized off the latency-critical loop. Deferral only ever
-DELAYS label convergence (min-labels are order-independent), so
+per-batch bound becomes O(batch x min(cap, newly-merged component))).
+Folding them back in is epoch-sensitive: on a LIVE stream the fold must
+ride the stream lineage itself — ``flush_in_band=True`` on every Nth
+batch (``cc_sink(..., flush_every=N)``) unions the pending ledger into
+that batch's own epoch uncapped, because a side-epoch flush either
+collides with a stream epoch (partition overwrite clobbers a snapshot)
+or sits above the stream's below-own-epoch reads and is never seen.
+:func:`flush_deferred` remains the STOPPED-stream flush (one uncapped
+pass at an epoch above all written ones). Either way, deferral only
+ever DELAYS label convergence (min-labels are order-independent), so
 streamed-after-flush == batch stays provable; labels read between a
 deferral and its flush are conservative (two clusters not yet merged),
-never wrong about membership already applied.
+never wrong about membership already applied. :func:`deferred_stats`
+reports pending-edge count / partition span / components touched — the
+numbers that justify a flush cadence.
 
 State taxonomy (fourth pattern in the catalogue after ledger, idempotent
 monoid, epoch partials): CONVERGENT MONOTONE state — a component's label
@@ -165,6 +172,59 @@ def split_by_component_size(
     )
 
 
+_FLUSHED_THRU = "_flushed_thru"
+
+
+def _read_flushed_thru(deferred_dir: str) -> int | None:
+    """Epoch through which deferred partitions have been folded into a
+    COMMITTED snapshot (the in-band flush marker), or None."""
+    try:
+        with open(os.path.join(deferred_dir, _FLUSHED_THRU)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _deferred_parts(deferred_dir: str, below: int | None = None) -> list[tuple[int, str]]:
+    """(epoch, path) of committed deferral partitions, optionally only
+    epochs strictly below ``below``."""
+    if not os.path.isdir(deferred_dir):
+        return []
+    out = []
+    for d in os.listdir(deferred_dir):
+        m = re.fullmatch(r"batch=(\d+)", d)
+        if m and (below is None or int(m.group(1)) < below):
+            out.append((int(m.group(1)), os.path.join(deferred_dir, d)))
+    return sorted(out)
+
+
+def _pending_deferred(
+    spark: SparkSession, deferred_dir: str, below: int
+) -> DataFrame | None:
+    """Deferred edges not yet folded, for an in-band flush at epoch
+    ``below``: first GC partitions already folded into a committed
+    PREDECESSOR snapshot (epoch < marker, where marker < ``below`` — the
+    marker snapshot is then <= this batch's prior read, so those folds
+    are already in ``prior`` and a replay of this epoch no longer needs
+    the files), then read the remaining partitions with epoch < ``below``.
+    Partitions in [marker, below) are NOT deleted here — this batch's own
+    replay must be able to re-read them (its prior read sits below its
+    own epoch, i.e. below the snapshot their fold lands in)."""
+    marker = _read_flushed_thru(deferred_dir)
+    if marker is not None and marker < below:
+        for _, path in _deferred_parts(deferred_dir, below=marker):
+            shutil.rmtree(path, ignore_errors=True)
+    parts = [p for _, p in _deferred_parts(deferred_dir, below=below)]
+    if not parts:
+        return None
+    return (
+        spark.read.option("basePath", deferred_dir)
+        .parquet(*parts)
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
 def merge_pairs_batch(
     spark: SparkSession,
     batch_pairs: DataFrame,
@@ -174,6 +234,7 @@ def merge_pairs_batch(
     b_col: str = "doc_b",
     max_component: int | None = None,
     deferred_dir: str | None = None,
+    flush_in_band: bool = False,
 ) -> None:
     """One micro-batch body: relabel only the components the batch's
     pairs touch, carry every other component forward, write this epoch's
@@ -184,9 +245,20 @@ def merge_pairs_batch(
     With ``max_component`` (requires ``deferred_dir``), edges that would
     relabel a component larger than the cap are written to
     ``deferred_dir/batch=<epoch>`` (overwrite — replay-idempotent)
-    instead of relabeled inline; :func:`flush_deferred` folds them in
-    later. Module docstring: deferral only delays min-label convergence,
-    never corrupts it."""
+    instead of relabeled inline. Module docstring: deferral only delays
+    min-label convergence, never corrupts it.
+
+    ``flush_in_band=True`` folds the pending deferral ledger into THIS
+    batch's own epoch, uncapped — the only flush shape that is safe
+    while the stream is live: a flush at a side epoch either collides
+    with a stream epoch (partition overwrite clobbers one of the two
+    snapshots) or lands above the stream's below-own-epoch reads and is
+    never seen (r12 ADVICE). In-band, the folded merges ride the normal
+    epoch lineage, replay re-reads the same ledger partitions (they are
+    GC'd only after a LATER flush proves their folds live in a committed
+    predecessor snapshot — see _pending_deferred), and the snapshot
+    rewrites identically. Wire a cadence with ``cc_sink(...,
+    flush_every=N)``."""
     pairs = (
         batch_pairs.select(
             F.col(a_col).cast("long").alias("doc_a"),
@@ -195,9 +267,16 @@ def merge_pairs_batch(
         .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
         .dropDuplicates()
     )
+    flush_edges: DataFrame | None = None
+    if flush_in_band:
+        if deferred_dir is None:
+            raise ValueError("flush_in_band requires deferred_dir")
+        flush_edges = _pending_deferred(spark, deferred_dir, below=int(epoch_id))
     prior = current_labels(spark, labels_dir, below=int(epoch_id))
 
     if prior is None:
+        if flush_edges is not None:
+            pairs = pairs.unionByName(flush_edges).dropDuplicates()
         labels = connected_components(pairs, "doc_a", "doc_b")
     else:
         prior = prior.localCheckpoint(eager=True)  # one read, four uses
@@ -213,6 +292,13 @@ def merge_pairs_batch(
             deferred.write.mode("overwrite").parquet(
                 os.path.join(deferred_dir, f"batch={int(epoch_id)}")
             )
+        if flush_edges is not None:
+            # deferred edges bypass the cap by construction (they were
+            # deferred BECAUSE their components are big); novel_pairs
+            # still drops any whose merge already landed
+            pairs = pairs.unionByName(
+                novel_pairs(flush_edges, prior)
+            ).dropDuplicates()
         ends = (
             pairs.select(F.col("doc_a").alias("node"))
             .unionByName(pairs.select(F.col("doc_b").alias("node")))
@@ -240,6 +326,60 @@ def merge_pairs_batch(
     labels.select("node", "label").write.mode("overwrite").parquet(
         os.path.join(labels_dir, f"batch={int(epoch_id)}")
     )
+    if flush_in_band and flush_edges is not None:
+        # marker AFTER the snapshot commit: a crash in between replays
+        # the epoch with the old marker, so the ledger partitions it
+        # needs are still ungarbage-collected
+        with open(os.path.join(deferred_dir, _FLUSHED_THRU), "w") as fh:
+            fh.write(str(int(epoch_id)))
+
+
+def deferred_stats(
+    spark: SparkSession, deferred_dir: str, labels_dir: str | None = None
+) -> dict:
+    """Telemetry for choosing a flush cadence (r12 verdict #3): pending
+    deferred-edge count, ledger partition span, the flushed-thru marker,
+    and — with ``labels_dir`` — how many distinct stored components the
+    pending edges touch. 'Pending' = partitions not yet covered by the
+    marker; edges the marker covers are already folded and awaiting GC."""
+    marker = _read_flushed_thru(deferred_dir)
+    parts = [
+        (ep, p)
+        for ep, p in _deferred_parts(deferred_dir)
+        if marker is None or ep >= marker
+    ]
+    out = {
+        "pending_edges": 0,
+        "pending_partitions": len(parts),
+        "oldest_epoch": parts[0][0] if parts else None,
+        "newest_epoch": parts[-1][0] if parts else None,
+        "flushed_thru": marker,
+        "components_touched": 0,
+    }
+    if not parts:
+        return out
+    edges = (
+        spark.read.option("basePath", deferred_dir)
+        .parquet(*[p for _, p in parts])
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    out["pending_edges"] = edges.count()
+    if labels_dir is not None:
+        prior = current_labels(spark, labels_dir)
+        if prior is not None:
+            ends = (
+                edges.select(F.col("doc_a").alias("node"))
+                .unionByName(edges.select(F.col("doc_b").alias("node")))
+                .dropDuplicates()
+            )
+            out["components_touched"] = (
+                prior.join(ends, "node", "left_semi")
+                .select("label")
+                .dropDuplicates()
+                .count()
+            )
+    return out
 
 
 def flush_deferred(
@@ -248,22 +388,21 @@ def flush_deferred(
     deferred_dir: str,
     epoch_id: int,
 ) -> int:
-    """Fold every deferred edge into the label table with ONE uncapped
-    relabel pass at ``epoch_id`` — a fresh epoch above every previously
-    WRITTEN one, stream or flush: the batch body reads strictly below
-    its own epoch, so a reused epoch would read past its own previous
-    snapshot and discard it — then clear the deferral ledger.
-    Crash-idempotent: a
-    re-flush re-reads edges whose merges already landed, novel_pairs
-    drops them as co-labeled, the snapshot rewrites identically, and
-    the ledger is cleared again. Returns the number of edges folded."""
-    if not os.path.isdir(deferred_dir):
-        return 0
-    parts = [
-        os.path.join(deferred_dir, d)
-        for d in os.listdir(deferred_dir)
-        if re.fullmatch(r"batch=(\d+)", d)
-    ]
+    """STOPPED-STREAM flush: fold every deferred edge into the label
+    table with ONE uncapped relabel pass at ``epoch_id``, then clear the
+    deferral ledger (partitions + marker). ``epoch_id`` must exceed every
+    previously WRITTEN epoch, and NO stream may be writing ``labels_dir``
+    concurrently: a live stream's epochs advance sequentially, so a side
+    flush epoch either collides with a stream epoch (partition overwrite
+    clobbers one snapshot) or sits above the stream's below-own-epoch
+    reads and shadows later batches (r12 ADVICE). For a live stream use
+    ``merge_pairs_batch(..., flush_in_band=True)`` / ``cc_sink(...,
+    flush_every=N)``, which folds through the stream lineage itself.
+    Crash-idempotent: a re-flush re-reads edges whose merges already
+    landed, novel_pairs drops them as co-labeled, the snapshot rewrites
+    identically, and the ledger is cleared again. Returns the number of
+    edges folded."""
+    parts = [p for _, p in _deferred_parts(deferred_dir)]
     if not parts:
         return 0
     edges = (
@@ -277,6 +416,8 @@ def flush_deferred(
         merge_pairs_batch(spark, edges, labels_dir, epoch_id)
     for d in parts:
         shutil.rmtree(d, ignore_errors=True)
+    with open(os.path.join(deferred_dir, _FLUSHED_THRU), "w") as fh:
+        fh.write(str(int(epoch_id)))
     return n
 
 
@@ -310,12 +451,34 @@ def cc_sink(
     labels_dir: str,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    max_component: int | None = None,
+    deferred_dir: str | None = None,
+    flush_every: int | None = None,
 ):
     """foreachBatch callable wiring merge_pairs_batch into a pair stream
     (e.g. ``cc_sink(spark, d, "new_id", "index_id")`` over the decisions
-    table dedup_stream appends)."""
+    table dedup_stream appends). With ``max_component``/``deferred_dir``,
+    ``flush_every=N`` folds the deferral ledger back in through every
+    Nth epoch's own lineage (in-band — the only live-stream-safe flush;
+    see merge_pairs_batch). Epoch 0 never flushes (nothing deferred
+    yet)."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        merge_pairs_batch(spark, batch, labels_dir, epoch_id, a_col, b_col)
+        flush = (
+            flush_every is not None
+            and epoch_id > 0
+            and int(epoch_id) % int(flush_every) == 0
+        )
+        merge_pairs_batch(
+            spark,
+            batch,
+            labels_dir,
+            epoch_id,
+            a_col,
+            b_col,
+            max_component=max_component,
+            deferred_dir=deferred_dir,
+            flush_in_band=flush,
+        )
 
     return process

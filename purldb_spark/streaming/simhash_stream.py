@@ -21,6 +21,11 @@ O(batch x band collision rate) — same contract as dedup_stream, with
 the 30-bit bands keeping random collisions linear to N ~ 10^9-10^10
 (the r11 width upgrade this face inherits).
 
+Within-batch near-dups pair too: each batch's bands self-join
+(new_id > index_id, as if the smaller id were indexed first) before the
+cross-index probe, so co-arriving duplicates are not permanently missed
+by the replay/seen anti-joins (r12 ADVICE).
+
 Idempotence is the dedup_stream recipe verbatim: appends anti-join the
 docs already indexed, decisions anti-join (new_id, index_id) already
 seen — a replayed batch re-derives identical fingerprints and writes
@@ -78,15 +83,42 @@ def index_simhash_batch(
         if os.path.isdir(bands_path):
             idx = spark.read.parquet(bands_path)
             indexed = idx.select("doc_id").dropDuplicates()
+            # replay guard BEFORE any pair probe: already-indexed docs
+            # contribute no new pairs (their pairs landed last time)
             bands_new = bands_new.join(indexed, "doc_id", "left_anti")
+        else:
+            idx = None
 
-            a = bands_new.alias("a")
+        a = bands_new.alias("a")
+        hamming = (
+            F.expr("bit_count(a.sim_lo ^ b.sim_lo)")
+            + F.expr("bit_count(a.sim_hi ^ b.sim_hi)")
+        ).cast("long")
+        # WITHIN-batch near-dups (r12 ADVICE): two docs arriving in the
+        # same micro-batch would otherwise never pair — both get indexed
+        # this epoch, and the replay/seen anti-joins make the miss
+        # permanent. Self-join the batch's own bands; orient as
+        # (new_id=max, index_id=min), as if the smaller id were indexed
+        # first, matching the cross-batch decision shape.
+        w = bands_new.alias("b")
+        within = (
+            a.join(
+                w,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+                "inner",
+            )
+            .select(
+                F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("index_id"),
+                hamming.alias("hamming"),
+            )
+        )
+        pairs = within
+        if idx is not None:
             b = idx.alias("b")
-            hamming = (
-                F.expr("bit_count(a.sim_lo ^ b.sim_lo)")
-                + F.expr("bit_count(a.sim_hi ^ b.sim_hi)")
-            ).cast("long")
-            pairs = (
+            cross = (
                 a.join(
                     b,
                     (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -99,15 +131,16 @@ def index_simhash_batch(
                     F.col("b.doc_id").alias("index_id"),
                     hamming.alias("hamming"),
                 )
-                .filter(F.col("hamming") <= max_hamming)
-                .dropDuplicates(["new_id", "index_id"])
             )
-            if os.path.isdir(pairs_dir):
-                seen = spark.read.parquet(pairs_dir).select(
-                    "new_id", "index_id"
-                )
-                pairs = pairs.join(seen, ["new_id", "index_id"], "left_anti")
-            pairs.write.mode("append").parquet(pairs_dir)
+            pairs = pairs.unionByName(cross)
+        pairs = (
+            pairs.filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["new_id", "index_id"])
+        )
+        if os.path.isdir(pairs_dir):
+            seen = spark.read.parquet(pairs_dir).select("new_id", "index_id")
+            pairs = pairs.join(seen, ["new_id", "index_id"], "left_anti")
+        pairs.write.mode("append").parquet(pairs_dir)
 
         bands_new.write.mode("append").parquet(bands_path)
 

@@ -263,3 +263,152 @@ def test_randomized_arrival_orders_converge_to_batch_cc(spark, tmp_path):
             while flush_deferred(spark, labels_dir, deferred_dir, ep):
                 ep += 1
         assert _labels(spark, labels_dir) == _batch_cc(spark, edges)
+
+
+def test_in_band_flush_folds_through_live_stream_lineage(spark, tmp_path):
+    """r12 ADVICE (high): a side-epoch flush on a LIVE stream either
+    clobbers a stream snapshot or is never read. In-band flush folds the
+    deferral ledger into a normal stream epoch — sequential epochs keep
+    advancing afterwards and every later batch sees the folded merges."""
+    labels_dir = str(tmp_path / "labels")
+    deferred_dir = str(tmp_path / "deferred")
+
+    # epoch 0: two 4-node chains (components of 4 > cap 3 once merged)
+    chain_a = [(1, 2), (2, 3), (3, 4)]
+    chain_b = [(10, 11), (11, 12), (12, 13)]
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame(chain_a + chain_b, SCHEMA),
+        labels_dir,
+        0,
+    )
+    # epoch 1: the bridge 4-10 would relabel a >3 component -> deferred
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(4, 10)], SCHEMA),
+        labels_dir,
+        1,
+        max_component=3,
+        deferred_dir=deferred_dir,
+    )
+    labels = dict(_labels(spark, labels_dir))
+    assert labels[10] == 10 and labels[1] == 1  # not yet merged
+
+    # epoch 2: ordinary batch pairs PLUS the in-band flush of the ledger
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(20, 21)], SCHEMA),
+        labels_dir,
+        2,
+        max_component=3,
+        deferred_dir=deferred_dir,
+        flush_in_band=True,
+    )
+    labels = dict(_labels(spark, labels_dir))
+    assert labels[10] == 1 and labels[13] == 1  # deferred merge applied
+    assert labels[20] == 20  # the batch's own pairs landed too
+
+    # epoch 3: the stream keeps advancing and still sees the fold (a
+    # fresh small pair — an edge INTO the merged mega-component would
+    # itself be deferred by the cap, which is the intended semantics)
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(40, 41)], SCHEMA),
+        labels_dir,
+        3,
+        max_component=3,
+        deferred_dir=deferred_dir,
+    )
+    labels = dict(_labels(spark, labels_dir))
+    assert labels[40] == 40 and labels[13] == 1
+    assert _labels(spark, labels_dir) == _batch_cc(
+        spark, chain_a + chain_b + [(4, 10), (20, 21), (40, 41)]
+    )
+
+
+def test_in_band_flush_replay_rereads_ledger(spark, tmp_path):
+    """Replay safety: ledger partitions a flush folds are GC'd only
+    after a LATER flush proves their merges live in a committed
+    predecessor snapshot, so replaying the flush epoch re-reads them
+    and rewrites the identical snapshot (no lost merges)."""
+    import os
+
+    labels_dir = str(tmp_path / "labels")
+    deferred_dir = str(tmp_path / "deferred")
+
+    chain = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 13)]
+    merge_pairs_batch(spark, spark.createDataFrame(chain, SCHEMA), labels_dir, 0)
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(4, 10)], SCHEMA),
+        labels_dir,
+        1,
+        max_component=3,
+        deferred_dir=deferred_dir,
+    )
+    assert os.path.isdir(os.path.join(deferred_dir, "batch=1"))
+
+    flush_args = dict(max_component=3, deferred_dir=deferred_dir, flush_in_band=True)
+    merge_pairs_batch(
+        spark, spark.createDataFrame([], SCHEMA), labels_dir, 2, **flush_args
+    )
+    after_first = _labels(spark, labels_dir)
+    assert dict(after_first)[13] == 1
+    # ledger partition SURVIVES its own flush (replay must re-read it)
+    assert os.path.isdir(os.path.join(deferred_dir, "batch=1"))
+
+    # replay of epoch 2 (stream failure before checkpoint commit):
+    # identical snapshot, fold preserved
+    merge_pairs_batch(
+        spark, spark.createDataFrame([], SCHEMA), labels_dir, 2, **flush_args
+    )
+    assert _labels(spark, labels_dir) == after_first
+
+    # a LATER flush epoch GCs the folded partition (its merges are now
+    # in a committed predecessor of any replay's prior read)
+    merge_pairs_batch(
+        spark, spark.createDataFrame([], SCHEMA), labels_dir, 3, **flush_args
+    )
+    assert not os.path.isdir(os.path.join(deferred_dir, "batch=1"))
+    assert dict(_labels(spark, labels_dir))[13] == 1
+
+
+def test_deferred_stats_reports_and_drains(spark, tmp_path):
+    """r12 verdict #3: the deferral ledger publishes the numbers an
+    operator needs to pick a flush cadence — pending edges, partition
+    span, components touched — and drains to zero after a flush."""
+    from purldb_spark.streaming.cc_stream import deferred_stats
+
+    labels_dir = str(tmp_path / "labels")
+    deferred_dir = str(tmp_path / "deferred")
+
+    chain = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 13)]
+    merge_pairs_batch(spark, spark.createDataFrame(chain, SCHEMA), labels_dir, 0)
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([(4, 10), (1, 13)], SCHEMA),
+        labels_dir,
+        1,
+        max_component=3,
+        deferred_dir=deferred_dir,
+    )
+    st = deferred_stats(spark, deferred_dir, labels_dir)
+    assert st["pending_edges"] == 2
+    assert st["pending_partitions"] == 1
+    assert st["oldest_epoch"] == 1 and st["newest_epoch"] == 1
+    assert st["components_touched"] == 2  # both chains' stored labels
+    assert st["flushed_thru"] is None
+
+    merge_pairs_batch(
+        spark,
+        spark.createDataFrame([], SCHEMA),
+        labels_dir,
+        2,
+        max_component=3,
+        deferred_dir=deferred_dir,
+        flush_in_band=True,
+    )
+    st = deferred_stats(spark, deferred_dir, labels_dir)
+    assert st["pending_edges"] == 0
+    assert st["flushed_thru"] == 2
+    assert dict(_labels(spark, labels_dir))[13] == 1

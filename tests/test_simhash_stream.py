@@ -104,3 +104,43 @@ def test_sink_drains_through_a_real_stream(spark, tmp_path):
         spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(src)
         drain()
     assert {(a, b) for a, b, _ in _pairs(spark, pairs_dir)} == {(2, 1)}
+
+
+def test_within_batch_near_dups_pair_in_same_epoch(spark, tmp_path):
+    """r12 ADVICE: docs arriving in the SAME micro-batch must still pair
+    — before the in-batch self-join, both got indexed and the
+    replay/seen anti-joins made the miss permanent. Orientation matches
+    the cross-batch shape: new_id = larger doc id (as if the smaller had
+    been indexed first)."""
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    # near-dup pair AND an unrelated doc, all in one batch
+    index_simhash_batch(
+        spark,
+        spark.createDataFrame([(1, WORDS), (2, NEAR), (9, FAR)], SCHEMA),
+        index_dir,
+        pairs_dir,
+    )
+    got = _pairs(spark, pairs_dir)
+    assert any(a == 2 and b == 1 for a, b, _ in got), got
+    assert not any(9 in (a, b) for a, b, _ in got)
+
+    # replay of the same batch appends nothing (docs already indexed)
+    index_simhash_batch(
+        spark,
+        spark.createDataFrame([(1, WORDS), (2, NEAR), (9, FAR)], SCHEMA),
+        index_dir,
+        pairs_dir,
+    )
+    assert _pairs(spark, pairs_dir) == got
+
+    # and a later cross-batch arrival still pairs against the index
+    index_simhash_batch(
+        spark,
+        spark.createDataFrame([(3, NEAR)], SCHEMA),
+        index_dir,
+        pairs_dir,
+    )
+    got2 = _pairs(spark, pairs_dir)
+    assert any(a == 3 and b in (1, 2) for a, b, _ in got2)
