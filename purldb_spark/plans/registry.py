@@ -94,6 +94,7 @@ def load_inventory() -> None:
         q_layout,
         q_sample,
         q_chunk,
+        q_cc_plan,
         q_compact_plan,
         q_dedup_plan,
         q_ivf_plan,
