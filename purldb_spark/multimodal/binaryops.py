@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque BINARY columns with typed
 metadata, processed via Arrow-batched Pandas UDFs (mapInPandas).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind `decode_media` (NotImplementedError for real codecs, a deterministic
-fake for 'fake/*' media types). Everything around it — schema, batch
-iteration, UDF signatures, partition sizing — is the real Spark plumbing a
-codec drop-in would inherit unchanged.
+Decode is REAL for the uncompressed formats, which need no codec
+library: BMP (header + padded BGR rows, decode_bmp) and RIFF/PCM WAV
+(chunk walk + frames, decode_wav), surfaced as the image_stats /
+audio_stats mapInPandas faces. The container has no image/audio codec
+libs, so genuinely-COMPRESSED formats (png/jpeg/mp3/mp4) stay behind
+NotImplementedError in `decode_media` — a PIL/ffmpeg drop-in inherits
+the schema, batch iteration, UDF signatures, and partition sizing
+unchanged.
 
 Scale notes: binary payloads ride Arrow buffers between JVM and Python, so
 `spark.sql.execution.arrow.maxRecordsPerBatch` (and for 100 MB+ blobs,
@@ -44,16 +47,163 @@ META_SCHEMA = T.StructType(
 )
 
 
+def decode_bmp(content: bytes) -> dict:
+    """REAL pure-Python BMP decode (uncompressed BITMAPINFOHEADER layouts
+    — the format needs no codec library, just the spec): returns width,
+    height, channels, n_pixels, and per-channel mean in milli-units
+    (mean_*_e3, BMP stores BGR; 8-bit grayscale reports one channel in
+    mean_b_e3). Rows are 4-byte padded and bottom-up (negative height =
+    top-down) — neither affects per-channel means, but padding bytes must
+    be excluded, which is the part a naive byte-mean gets wrong."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pix_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    _planes, bits = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if hdr_size < 40 or compression != 0:
+        raise NotImplementedError(
+            "compressed or pre-BITMAPINFOHEADER BMP — codec boundary"
+        )
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP — codec boundary")
+    channels = bits // 8
+    h = abs(height)
+    row_bytes = width * channels
+    stride = (row_bytes + 3) & ~3  # each row padded to 4 bytes
+    import numpy as np
+
+    px = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = px.reshape(h, stride)[:, :row_bytes]  # drop padding columns
+    chan = rows.reshape(h * width, channels).astype(np.int64)
+    sums = chan.sum(axis=0)
+    n_px = h * width
+    means = [int(round(s * 1000 / n_px)) if n_px else 0 for s in sums]
+    means += [0] * (3 - min(len(means), 3))
+    return {
+        "width": int(width),
+        "height": int(h),
+        "channels": int(channels),
+        "n_pixels": int(n_px),
+        "mean_b_e3": means[0],
+        "mean_g_e3": means[1],
+        "mean_r_e3": means[2],
+    }
+
+
+def decode_wav(content: bytes) -> dict:
+    """REAL pure-Python WAV decode (RIFF chunk walk + PCM frames): sample
+    rate, channels, bits, frame count, duration in ms, and RMS amplitude
+    in milli-units of full scale (rms_e3). 16-bit signed and 8-bit
+    unsigned PCM — the uncompressed layouts; anything with an audio codec
+    (format tag != 1) stays behind NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, block_align, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(f"WAV format tag {tag} — codec boundary")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM — codec boundary")
+    n_frames = len(data) // block_align if block_align else 0
+    if bits == 16:
+        s = np.frombuffer(
+            data, dtype="<i2", count=n_frames * channels
+        ).astype(np.int64)
+        full = 32768.0
+    else:
+        s = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * channels
+        ).astype(np.int64) - 128
+        full = 128.0
+    rms = float(np.sqrt((s * s).mean())) if len(s) else 0.0
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "n_frames": int(n_frames),
+        "duration_ms": int(round(n_frames * 1000 / rate)) if rate else 0,
+        "rms_e3": int(round(rms / full * 1000)),
+    }
+
+
+def encode_bmp(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (solid ``bgr`` color) —
+    fixture generator for the decode path; real spec layout: 14-byte file
+    header + 40-byte BITMAPINFOHEADER + bottom-up 4-byte-padded rows."""
+    import struct
+
+    row = bytes(bgr) * width
+    pad = (-len(row)) % 4
+    pixels = (row + b"\x00" * pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def encode_wav(
+    rate: int, channels: int, bits: int, samples: list[int]
+) -> bytes:
+    """Minimal PCM WAV writer (16-bit signed / 8-bit unsigned) — fixture
+    generator for the decode path; ``samples`` are interleaved frames."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    elif bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        raise ValueError("encode_wav writes 8- or 16-bit PCM only")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
-    """STUB decoder. Real codecs (PIL/ffmpeg) are not in this container;
-    'fake/*' types decode deterministically from the byte length so the
-    pipeline is testable end-to-end."""
+    """(width, height) decode dispatch. REAL for 'image/bmp' (pure-Python
+    header parse, no codec library needed); deterministic fake for
+    'fake/*' so the pipeline stays oracle-checkable; NotImplementedError
+    only for genuinely-COMPRESSED codecs (png/jpeg/mp4 need PIL/ffmpeg,
+    absent in this container — a drop-in here inherits the plumbing
+    unchanged)."""
+    if media_type == "image/bmp":
+        d = decode_bmp(content)
+        return (d["width"], d["height"])
     if media_type.startswith("fake/"):
         n = len(content)
         return (n % 640 + 1, n % 480 + 1)
     raise NotImplementedError(
-        f"no codec for {media_type!r} in this environment — plug PIL/ffmpeg "
-        "into decode_media; the Spark plumbing is codec-agnostic"
+        f"no codec for {media_type!r} in this environment (compressed "
+        "formats need PIL/ffmpeg) — plug one into decode_media; the Spark "
+        "plumbing is codec-agnostic"
     )
 
 
@@ -85,6 +235,90 @@ def extract_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=META_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_b_e3", T.LongType()),
+        T.StructField("mean_g_e3", T.LongType()),
+        T.StructField("mean_r_e3", T.LongType()),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode through the Arrow plumbing: (media_id, content)
+    of BMP blobs -> per-image dimensions + per-channel means (decode_bmp,
+    pure Python — the uncompressed format needs no codec). Undecodable
+    rows (wrong magic, compressed variant) surface as width = -1 rather
+    than failing the batch — at 100 TB a poison blob must not kill the
+    stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = decode_bmp(bytes(c))
+                except (ValueError, NotImplementedError):
+                    d = {
+                        "width": -1,
+                        "height": -1,
+                        "channels": -1,
+                        "n_pixels": 0,
+                        "mean_b_e3": 0,
+                        "mean_g_e3": 0,
+                        "mean_r_e3": 0,
+                    }
+                rows.append({"media_id": mid, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_e3", T.LongType()),
+    ]
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode through the Arrow plumbing: (media_id, content)
+    of WAV blobs -> rate/channels/bits/frames/duration/RMS (decode_wav,
+    pure-Python RIFF walk + PCM frames). Same poison-blob contract as
+    image_stats (sample_rate = -1)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = decode_wav(bytes(c))
+                except (ValueError, NotImplementedError):
+                    d = {
+                        "sample_rate": -1,
+                        "channels": -1,
+                        "bits": -1,
+                        "n_frames": 0,
+                        "duration_ms": 0,
+                        "rms_e3": 0,
+                    }
+                rows.append({"media_id": mid, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

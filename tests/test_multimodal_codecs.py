@@ -1,0 +1,161 @@
+"""REAL BMP/WAV decode (multimodal/binaryops): literal-byte goldens
+(independent of the encoder, so a complementary encode/decode bug cannot
+hide), format-variant coverage (8/24/32-bit BMP, top-down rows, 8-bit and
+stereo PCM, extra RIFF chunks), the poison-blob contract of the Spark
+faces, and the narrowed NotImplementedError boundary."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from purldb_spark.multimodal.binaryops import (
+    audio_stats,
+    decode_bmp,
+    decode_media,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    image_stats,
+)
+
+
+def _bmp(width, height, bits, pixel_bytes, compression=0):
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, bits, compression, len(pixel_bytes), 0, 0, 0, 0,
+    )
+    return hdr + pixel_bytes
+
+
+def test_bmp_literal_bytes_golden():
+    # 2x2 24-bit, bottom-up, rows padded 6 -> 8 bytes; distinct pixels so
+    # a stride or padding bug shifts the means
+    rows = bytes([1, 2, 3, 4, 5, 6, 0xEE, 0xEE]) + bytes(
+        [7, 8, 9, 10, 11, 12, 0xEE, 0xEE]
+    )
+    d = decode_bmp(_bmp(2, 2, 24, rows))
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (2, 2, 3, 4)
+    # means over the 4 real pixels only — 0xEE padding must be excluded
+    assert d["mean_b_e3"] == round((1 + 4 + 7 + 10) / 4 * 1000)
+    assert d["mean_g_e3"] == round((2 + 5 + 8 + 11) / 4 * 1000)
+    assert d["mean_r_e3"] == round((3 + 6 + 9 + 12) / 4 * 1000)
+
+
+def test_bmp_top_down_and_widths():
+    # negative height = top-down; means identical either way
+    row = bytes([10, 20, 30]) + b"\x00"  # width 1, padded to 4
+    up = decode_bmp(_bmp(1, 3, 24, row * 3))
+    down = decode_bmp(_bmp(1, -3, 24, row * 3))
+    assert up == down and up["height"] == 3
+    # widths 1..9 exercise every padding remainder
+    for w in range(1, 10):
+        d = decode_bmp(encode_bmp(w, 2, (9, 8, 7)))
+        assert (d["width"], d["n_pixels"]) == (w, 2 * w)
+        assert (d["mean_b_e3"], d["mean_g_e3"], d["mean_r_e3"]) == (
+            9000, 8000, 7000,
+        )
+
+
+def test_bmp_8bit_and_32bit_variants():
+    g = decode_bmp(_bmp(3, 1, 8, bytes([100, 100, 100]) + b"\x00"))
+    assert (g["channels"], g["mean_b_e3"], g["mean_g_e3"]) == (1, 100000, 0)
+    px = bytes([1, 2, 3, 4] * 2)  # 2 BGRA pixels, stride already aligned
+    a = decode_bmp(_bmp(2, 1, 32, px))
+    assert (a["channels"], a["n_pixels"], a["mean_b_e3"]) == (4, 2, 1000)
+
+
+def test_bmp_rejections():
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG nonsense that is long enough to pass the length gate" * 2)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(_bmp(2, 2, 24, bytes(16), compression=1))  # RLE
+    with pytest.raises(NotImplementedError):
+        decode_bmp(_bmp(2, 2, 16, bytes(16)))  # 16-bit masks
+
+
+def test_wav_literal_bytes_golden():
+    # 4 frames mono 16-bit @ 1000 Hz: [100, -100, 200, -200]
+    data = struct.pack("<4h", 100, -100, 200, -200)
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    d = decode_wav(wav)
+    assert (d["sample_rate"], d["channels"], d["bits"], d["n_frames"]) == (
+        1000, 1, 16, 4,
+    )
+    assert d["duration_ms"] == 4
+    rms = ((100**2 + 100**2 + 200**2 + 200**2) / 4) ** 0.5
+    assert d["rms_e3"] == round(rms / 32768 * 1000)
+
+
+def test_wav_extra_chunk_and_odd_size_alignment():
+    # a LIST chunk with an ODD size before data: the walker must apply
+    # word alignment or it desyncs and misses the data chunk
+    data = struct.pack("<2h", 4096, -4096)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 0, b"WAVE")
+        + struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad byte
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    d = decode_wav(wav)
+    assert (d["n_frames"], d["rms_e3"]) == (2, 125)
+
+
+def test_wav_8bit_stereo():
+    # stereo 8-bit: 3 frames of (+50, -50) around the 128 bias
+    d = decode_wav(encode_wav(4000, 2, 8, [50, -50] * 3))
+    assert (d["channels"], d["bits"], d["n_frames"]) == (2, 8, 3)
+    assert d["rms_e3"] == round(50 / 128 * 1000)
+
+
+def test_wav_rejections():
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS definitely not riff")
+    # format tag 85 = MP3-in-WAV: a genuine codec boundary
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 0, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", 2) + b"\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
+
+
+def test_decode_media_dispatch_narrowed():
+    bmp = encode_bmp(5, 4, (1, 2, 3))
+    assert decode_media("image/bmp", bmp) == (5, 4)
+    with pytest.raises(NotImplementedError):
+        decode_media("image/png", b"\x89PNG....")
+    assert decode_media("fake/image", b"x" * 10) == (11, 11)
+
+
+def test_spark_faces_decode_and_poison_contract(spark):
+    rows = [
+        (1, bytearray(encode_bmp(4, 3, (10, 20, 30)))),
+        (2, bytearray(b"not an image at all, long enough to check magic")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in image_stats(df).collect()}
+    assert (got[1].width, got[1].height, got[1].mean_r_e3) == (4, 3, 30000)
+    assert got[2].width == -1  # poison blob survives the batch
+
+    arows = [
+        (1, bytearray(encode_wav(8000, 1, 16, [8192, -8192] * 4))),
+        (2, bytearray(b"junk bytes")),
+    ]
+    adf = spark.createDataFrame(arows, "media_id long, content binary")
+    agot = {r.media_id: r for r in audio_stats(adf).collect()}
+    assert (agot[1].sample_rate, agot[1].n_frames, agot[1].rms_e3) == (
+        8000, 8, 250,
+    )
+    assert agot[2].sample_rate == -1
