@@ -51,23 +51,23 @@ from purldb_spark.plans.registry import query
 _CAPS = [1, 2, 4]
 
 _ORACLE = f"""
-WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
-sizes0 AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-allpairs AS (
+WITH RECURSIVE shingles AS MATERIALIZED ({_SHINGLES_SQL}),
+sizes0 AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+allpairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-near AS (
+near AS MATERIALIZED (
   SELECT doc_a, doc_b FROM allpairs
   JOIN sizes0 sa ON sa.doc_id = doc_a
   JOIN sizes0 sb ON sb.doc_id = doc_b
   WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= 0.5
 ),
-prior_pairs AS (
+prior_pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM near WHERE doc_a % 5 != 0 AND doc_b % 5 != 0
 ),
-batch_pairs AS (
+batch_pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM near WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
 ),
 edges AS (
@@ -80,9 +80,9 @@ reach(node, r) AS (
   UNION
   SELECT e.b, reach.r FROM edges e JOIN reach ON reach.node = e.a
 ),
-labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
-csize AS (SELECT label, count(*) AS n FROM labels GROUP BY label),
-novel AS (
+labels AS MATERIALIZED (SELECT node, min(r) AS label FROM reach GROUP BY node),
+csize AS MATERIALIZED (SELECT label, count(*) AS n FROM labels GROUP BY label),
+novel AS MATERIALIZED (
   SELECT p.doc_a, p.doc_b, la.label AS la, lb.label AS lb,
          greatest(COALESCE(na.n, 1), COALESCE(nb.n, 1)) AS comp_max
   FROM batch_pairs p
@@ -93,7 +93,7 @@ novel AS (
   WHERE la.label IS NULL OR lb.label IS NULL OR la.label != lb.label
 ),
 caps AS (SELECT * FROM (VALUES {", ".join(f"({c})" for c in _CAPS)}) AS t(cap)),
-flagged AS (
+flagged AS MATERIALIZED (
   SELECT c.cap, n.*, (n.comp_max > c.cap) AS deferred FROM caps c, novel n
 ),
 counts AS (
