@@ -106,6 +106,9 @@ PROBES = [
     ("lsh_band_plan", "two count(*) aggs + the width formula as data (reports n_planes 8 -> 10/11 at sf1) — constant output"),
     ("text_chunk_windows", "map-only explode(sequence) chunking, zero shuffle — linear"),
     ("chunk_shared_across_docs", "chunk fan-out + ONE md5 hash-groupBy (map-side combined) — linear"),
+    ("cc_deferral_plan", "label/size equi-joins on the batch slice + 3-cap literal explode — O(batch); prior labels read from the session fixture like the stream reads its snapshot"),
+    ("mm_bmp_roundtrip", "mapInPandas BMP encode+decode, map-only Arrow batches, zero shuffle — linear"),
+    ("mm_wav_roundtrip", "mapInPandas WAV encode+decode, map-only Arrow batches, zero shuffle — linear"),
 ]
 
 
@@ -403,12 +406,14 @@ SPECIAL = {
 }
 
 
-def run_probe(spark, sf_dir: str) -> dict[str, dict]:
+def run_probe(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, dict]:
     from purldb_spark.plans.registry import QUERIES, load_inventory
 
     load_inventory()
     out: dict[str, dict] = {}
     for name, note in PROBES:
+        if only is not None and name not in only:
+            continue
         fn = SPECIAL.get(name) or QUERIES[name]
         # three runs, keep the fastest: a single long session accumulates
         # localCheckpoint blocks and GC pauses pollute one-shot timings;
@@ -467,16 +472,27 @@ def main() -> None:
 
     load_inventory()
 
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+
     spark = get_spark("scale_probe_sf01", extra_conf={"spark.ui.enabled": "true"})
     QUERIES["dedup_exact"](spark, SF01).count()  # warm
     print("probing sf0.1 ...", flush=True)
-    small = run_probe(spark, SF01)
+    small = run_probe(spark, SF01, only)
     spark.stop()
 
     spark = get_spark("scale_probe_sf1", extra_conf={"spark.ui.enabled": "true"})
     QUERIES["dedup_exact"](spark, SF1).count()  # warm
     print("probing sf1 (10x) ...", flush=True)
-    big = run_probe(spark, SF1)
+    big = run_probe(spark, SF1, only)
+    if only is not None:
+        # ad-hoc subset: print rows, leave BENCH_scale.md for a full regen
+        import json as _json
+
+        print(_json.dumps({"small": small, "big": big}))
+        return
 
     lines = [
         "# BENCH_scale — sf0.1 vs sf1 (10x documents/embeddings)",
