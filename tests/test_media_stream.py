@@ -1,0 +1,109 @@
+"""Multimodal ingest stream (streaming/media_stream.py): REAL BMP/WAV
+decode per micro-batch, unified stats rows, replay idempotence (ledger
+anti-join), the poison-blob quarantine, and a real AvailableNow drain."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from purldb_spark.multimodal.binaryops import encode_bmp, encode_wav
+from purldb_spark.streaming.media_stream import (
+    index_media_batch,
+    media_sink,
+    quarantine,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _rows(spark, stats_dir):
+    if not os.path.isdir(stats_dir):
+        return {}
+    return {r.media_id: r for r in spark.read.parquet(stats_dir).collect()}
+
+
+def _blob(mid):
+    if mid % 3 == 0:
+        return (mid, "image/bmp", bytearray(encode_bmp(4, 2, (mid % 256, 1, 2))))
+    if mid % 3 == 1:
+        return (
+            mid,
+            "audio/wav",
+            bytearray(encode_wav(8000, 1, 16, [1024, -1024] * 4)),
+        )
+    return (mid, "video/mp4", bytearray(b"no codec for this"))
+
+
+def test_batch_decodes_both_modalities_and_quarantines(spark, tmp_path):
+    stats_dir = str(tmp_path / "stats")
+    batch = spark.createDataFrame([_blob(i) for i in range(3, 9)], SCHEMA)
+    index_media_batch(spark, batch, stats_dir)
+
+    got = _rows(spark, stats_dir)
+    assert len(got) == 6
+    img = got[3]
+    assert (img.decoded, img.width, img.height, img.channels) == (True, 4, 2, 3)
+    aud = got[4]
+    assert (aud.decoded, aud.sample_rate, aud.n_frames, aud.duration_ms) == (
+        True, 8000, 8, 1,
+    )
+    assert aud.width is None and img.sample_rate is None
+    bad = got[5]
+    assert not bad.decoded
+    q = {(r.media_id, r.media_type) for r in quarantine(spark, stats_dir).collect()}
+    assert q == {(5, "video/mp4"), (8, "video/mp4")}
+
+
+def test_replay_appends_nothing(spark, tmp_path):
+    stats_dir = str(tmp_path / "stats")
+    batch = spark.createDataFrame([_blob(i) for i in range(3, 7)], SCHEMA)
+    index_media_batch(spark, batch, stats_dir)
+    first = {(m, r.decoded) for m, r in _rows(spark, stats_dir).items()}
+    index_media_batch(spark, batch, stats_dir)  # replayed epoch
+    assert {(m, r.decoded) for m, r in _rows(spark, stats_dir).items()} == first
+    assert spark.read.parquet(stats_dir).count() == 4  # no duplicate rows
+
+
+def test_poison_blob_does_not_block_the_batch(spark, tmp_path):
+    stats_dir = str(tmp_path / "stats")
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(2, 2, (7, 8, 9)))),
+        (2, "image/bmp", bytearray(b"BM torn upload, way too short")),
+        (3, "audio/wav", bytearray(b"RIFFjunk")),
+    ]
+    index_media_batch(spark, spark.createDataFrame(rows, SCHEMA), stats_dir)
+    got = _rows(spark, stats_dir)
+    assert got[1].decoded and got[1].width == 2
+    assert not got[2].decoded and not got[3].decoded
+
+
+def test_sink_drains_through_a_real_stream(spark, tmp_path):
+    src = str(tmp_path / "in")
+    stats_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(media_sink(spark, stats_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for batch in ([_blob(3), _blob(5)], [_blob(4)]):
+        spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(src)
+        drain()
+    got = _rows(spark, stats_dir)
+    assert len(got) == 3
+    assert got[3].decoded and got[4].decoded and not got[5].decoded
