@@ -139,13 +139,21 @@ def current_generation(index_dir: str) -> int | None:
         return None
 
 
+def table_path(index_dir: str, table: str) -> str:
+    """Path of one index table in the live generation — the generation
+    pointer machinery is table-agnostic, so every face's reads AND
+    appends resolve through here (minhash bands/shingles/exact,
+    simhash simbands)."""
+    gen = current_generation(index_dir)
+    root = index_dir if gen is None else os.path.join(index_dir, f"gen={gen}")
+    return os.path.join(root, table)
+
+
 def index_paths(index_dir: str) -> tuple[str, str]:
     """(bands_path, shingles_path) of the live index generation — the one
     resolution point dedup_stream's reads AND appends go through, so a
     post-compaction batch lands its keys in the compacted generation."""
-    gen = current_generation(index_dir)
-    root = index_dir if gen is None else os.path.join(index_dir, f"gen={gen}")
-    return os.path.join(root, "bands"), os.path.join(root, "shingles")
+    return table_path(index_dir, "bands"), table_path(index_dir, "shingles")
 
 
 def exact_index_path(index_dir: str) -> str:
@@ -153,9 +161,7 @@ def exact_index_path(index_dir: str) -> str:
     the pre-collapse index dedup_stream consults before shingling
     (identical texts never reach the band index twice); compaction
     rewrites it alongside bands/shingles."""
-    gen = current_generation(index_dir)
-    root = index_dir if gen is None else os.path.join(index_dir, f"gen={gen}")
-    return os.path.join(root, "exact")
+    return table_path(index_dir, "exact")
 
 
 def compact_band_index(
@@ -236,6 +242,46 @@ def compact_band_index(
         return gen
 
 
+def compact_simhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    retained_docs: DataFrame | None = None,
+    n_partitions: int | None = None,
+    lock_timeout: float = 60.0,
+) -> int | None:
+    """The simhash twin of :func:`compact_band_index` — the compaction
+    face simhash_stream's docstring promised would slot in without a new
+    protocol, and does: same writer lock, same generation write + atomic
+    CURRENT swap, same ledger-owned retention semi-join; only the table
+    differs (simbands: doc_id, sim_lo, sim_hi, band_idx, band_key —
+    fingerprints inlined, so retention is one semi-join on doc_id with
+    no second table to keep consistent). Clustered by the probe key
+    (band_idx, band_key), the per-batch candidate equi-join's layout.
+    Returns the new generation id, or None when there is no index."""
+    with writer_lock(index_dir, timeout=lock_timeout):
+        bands_path = table_path(index_dir, "simbands")
+        if not os.path.isdir(bands_path):
+            return None
+        bands = spark.read.parquet(bands_path).dropDuplicates()
+        if retained_docs is not None:
+            keep = F.broadcast(retained_docs.select("doc_id").dropDuplicates())
+            bands = bands.join(keep, "doc_id", "left_semi")
+        if n_partitions is None:
+            from purldb_spark.conf import shuffle_partitions
+
+            n_partitions = shuffle_partitions(spark)
+        gen = (current_generation(index_dir) or 0) + 1
+        gen_root = os.path.join(index_dir, f"gen={gen}")
+        bands.repartition(n_partitions, "band_idx", "band_key").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_root, "simbands"))
+        tmp = os.path.join(index_dir, _CURRENT + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(gen))
+        os.replace(tmp, os.path.join(index_dir, _CURRENT))
+        return gen
+
+
 def prune_generations(index_dir: str) -> list[str]:
     """Best-effort removal of superseded ``gen=<g>`` directories (and the
     legacy flat layout) — called explicitly AFTER a swap is known safe,
@@ -251,7 +297,7 @@ def prune_generations(index_dir: str) -> list[str]:
             and d[4:].isdigit()
             and int(d[4:]) < cur
         )
-        legacy = d in ("bands", "shingles", "exact")
+        legacy = d in ("bands", "shingles", "exact", "simbands")
         if (stale_gen or legacy) and os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)

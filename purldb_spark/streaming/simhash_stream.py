@@ -30,8 +30,11 @@ Idempotence is the dedup_stream recipe verbatim: appends anti-join the
 docs already indexed, decisions anti-join (new_id, index_id) already
 seen — a replayed batch re-derives identical fingerprints and writes
 nothing. Writes serialize on the same per-directory writer lease
-(compact_stream.writer_lock), so a future compaction face for this
-index slots in without a new protocol.
+(compact_stream.writer_lock), and reads/appends resolve through the
+generation pointer (compact_stream.table_path), so compaction +
+ledger-owned retention ARE the same protocol:
+compact_stream.compact_simhash_index rewrites simbands as a fresh
+band-key-clustered generation and swaps CURRENT atomically (r13).
 """
 
 from __future__ import annotations
@@ -73,13 +76,15 @@ def index_simhash_batch(
 ) -> None:
     """One micro-batch body (module docstring). Decisions carry
     (new_id, index_id, hamming)."""
-    from purldb_spark.streaming.compact_stream import writer_lock
+    from purldb_spark.streaming.compact_stream import table_path, writer_lock
 
     bands_new = _banded(batch_fingerprints(batch_docs)).localCheckpoint(
         eager=True  # one fingerprint aggregation; probe + append uses
     )
     with writer_lock(index_dir, timeout=lock_timeout):
-        bands_path = os.path.join(index_dir, "simbands")
+        # resolve through the generation pointer so a post-compaction
+        # batch reads AND appends the compacted generation
+        bands_path = table_path(index_dir, "simbands")
         if os.path.isdir(bands_path):
             idx = spark.read.parquet(bands_path)
             indexed = idx.select("doc_id").dropDuplicates()

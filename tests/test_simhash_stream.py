@@ -144,3 +144,66 @@ def test_within_batch_near_dups_pair_in_same_epoch(spark, tmp_path):
     )
     got2 = _pairs(spark, pairs_dir)
     assert any(a == 3 and b in (1, 2) for a, b, _ in got2)
+
+
+def test_compaction_mid_stream_preserves_pairs_and_prunes(spark, tmp_path):
+    """The compaction face the module docstring promised (r13,
+    compact_stream.compact_simhash_index): batch -> compact -> batch
+    detects the same pairs as the uncompacted stream; reads/appends
+    resolve through the generation pointer; pruning removes the legacy
+    layout without touching the live generation."""
+    import os
+
+    from purldb_spark.streaming.compact_stream import (
+        compact_simhash_index,
+        prune_generations,
+        table_path,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    index_simhash_batch(
+        spark,
+        spark.createDataFrame([(1, WORDS), (9, FAR)], SCHEMA),
+        index_dir,
+        pairs_dir,
+    )
+    gen = compact_simhash_index(spark, index_dir)
+    assert gen == 1
+    assert table_path(index_dir, "simbands").endswith("gen=1/simbands")
+    removed = prune_generations(index_dir)
+    assert any(p.endswith("simbands") for p in removed)  # legacy flat dir
+
+    # post-compaction batch probes (and appends to) the new generation
+    index_simhash_batch(
+        spark, spark.createDataFrame([(2, NEAR)], SCHEMA), index_dir, pairs_dir
+    )
+    assert {(a, b) for a, b, _ in _pairs(spark, pairs_dir)} == {(2, 1)}
+    rows = spark.read.parquet(table_path(index_dir, "simbands"))
+    assert rows.select("doc_id").distinct().count() == 3
+
+
+def test_compaction_retention_forgets_evicted_docs(spark, tmp_path):
+    """TTL semi-join: an evicted doc's fingerprints leave the index, so
+    a later near-dup of it pairs against nothing (the forget-the-window
+    contract), while retained docs keep pairing."""
+    from purldb_spark.streaming.compact_stream import compact_simhash_index
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    index_simhash_batch(
+        spark,
+        spark.createDataFrame([(1, WORDS), (9, FAR)], SCHEMA),
+        index_dir,
+        pairs_dir,
+    )
+    retained = spark.createDataFrame([(9,)], "doc_id long")
+    compact_simhash_index(spark, index_dir, retained_docs=retained)
+
+    index_simhash_batch(
+        spark, spark.createDataFrame([(2, NEAR)], SCHEMA), index_dir, pairs_dir
+    )
+    # doc 1 was evicted: its near-dup 2 finds no partner
+    assert _pairs(spark, pairs_dir) == set()
