@@ -15,6 +15,12 @@ same vector in a batch rebuild; the equivalence test pins that.
 Replay idempotence: both appends anti-join on vec_id — a crashed and
 re-run micro-batch recomputes identical assignments and writes nothing
 twice (same contract as dedup_stream / bloom_stream / funnel_stream).
+Appends take the per-directory writer lease and resolve through the
+generation pointer (compact_stream.table_path), so the index gets the
+same compaction + ledger-owned retention as the dedup band indexes:
+compact_stream.compact_ann_index rewrites it CELL-CLUSTERED — the
+probe's equi-join key, so a compacted index co-locates each cell's
+shortlist (r13).
 
 At 100 TB: assignment + encoding are map-only over the batch (k x dim
 and m x ksub x subdim literals in codegen), the anti-joins key on
@@ -29,6 +35,30 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def codes_path(index_dir: str) -> str:
+    """The live (vec_id, cell, codes) table — resolves through the
+    generation pointer (compact_stream.table_path) so post-compaction
+    batches probe and append the compacted generation. Pre-r13 flat
+    layouts (parquet files directly under index_dir, no CURRENT) keep
+    working: they read as the legacy root until first compaction."""
+    from purldb_spark.streaming.compact_stream import (
+        current_generation,
+        table_path,
+    )
+
+    if current_generation(index_dir) is None and (
+        os.path.isfile(os.path.join(index_dir, "_SUCCESS"))
+        or any(
+            f.endswith(".parquet")
+            for f in (
+                os.listdir(index_dir) if os.path.isdir(index_dir) else ()
+            )
+        )
+    ):
+        return index_dir  # legacy flat layout
+    return table_path(index_dir, "codes")
 
 
 def index_batch(
@@ -59,10 +89,14 @@ def index_batch(
             for si in range(m)
         ],
     )
-    if os.path.isdir(index_dir):
-        seen = spark.read.parquet(index_dir).select("vec_id")
-        rows = rows.join(seen, "vec_id", "left_anti")
-    rows.write.mode("append").parquet(index_dir)
+    from purldb_spark.streaming.compact_stream import writer_lock
+
+    with writer_lock(index_dir):
+        path = codes_path(index_dir)
+        if os.path.isdir(path):
+            seen = spark.read.parquet(path).select("vec_id")
+            rows = rows.join(seen, "vec_id", "left_anti")
+        rows.write.mode("append").parquet(path)
 
 
 def ann_index_sink(
@@ -97,7 +131,7 @@ def probe_index(
 
     from purldb_spark.operators.kmeans import assign_expr, sqdist_cols_spark
 
-    idx = spark.read.parquet(index_dir).select("vec_id", "cell")
+    idx = spark.read.parquet(codes_path(index_dir)).select("vec_id", "cell")
     q = queries.select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_emb"),

@@ -282,6 +282,47 @@ def compact_simhash_index(
         return gen
 
 
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    retained_vecs: DataFrame | None = None,
+    n_partitions: int | None = None,
+    lock_timeout: float = 60.0,
+) -> int | None:
+    """The ANN-codes twin of :func:`compact_band_index`: rewrite the
+    streamed (vec_id, cell, codes) table as one fresh generation
+    CLUSTERED BY CELL — the probe path's equi-join key, so a compacted
+    index co-locates each cell's shortlist — with the ledger-owned
+    retention semi-join on vec_id (a dropped vector leaves the index;
+    FAISS remove_ids, as maintenance instead of tombstones). Same lock,
+    generation write, atomic CURRENT swap. Returns the new generation
+    id, or None when there is no index."""
+    from purldb_spark.streaming.ann_stream import codes_path
+
+    with writer_lock(index_dir, timeout=lock_timeout):
+        path = codes_path(index_dir)
+        if not os.path.isdir(path):
+            return None
+        rows = spark.read.parquet(path).dropDuplicates()
+        if retained_vecs is not None:
+            keep = F.broadcast(retained_vecs.select("vec_id").dropDuplicates())
+            rows = rows.join(keep, "vec_id", "left_semi")
+        if n_partitions is None:
+            from purldb_spark.conf import shuffle_partitions
+
+            n_partitions = shuffle_partitions(spark)
+        gen = (current_generation(index_dir) or 0) + 1
+        gen_root = os.path.join(index_dir, f"gen={gen}")
+        rows.repartition(n_partitions, "cell").write.mode("overwrite").parquet(
+            os.path.join(gen_root, "codes")
+        )
+        tmp = os.path.join(index_dir, _CURRENT + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(gen))
+        os.replace(tmp, os.path.join(index_dir, _CURRENT))
+        return gen
+
+
 def prune_generations(index_dir: str) -> list[str]:
     """Best-effort removal of superseded ``gen=<g>`` directories (and the
     legacy flat layout) — called explicitly AFTER a swap is known safe,
@@ -297,8 +338,16 @@ def prune_generations(index_dir: str) -> list[str]:
             and d[4:].isdigit()
             and int(d[4:]) < cur
         )
-        legacy = d in ("bands", "shingles", "exact", "simbands")
+        legacy = d in ("bands", "shingles", "exact", "simbands", "codes")
         if (stale_gen or legacy) and os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
+        elif d == "_SUCCESS" or (
+            d.startswith("part-") and d.endswith(".parquet")
+        ):
+            # pre-generation ANN flat layout: loose parquet at the index
+            # root, shadowed by the live generation once CURRENT exists
+            with contextlib.suppress(OSError):
+                os.remove(path)
+                removed.append(path)
     return removed

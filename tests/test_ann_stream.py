@@ -12,6 +12,7 @@ from purldb_spark.plans.fixture_cache import (
 )
 from purldb_spark.streaming.ann_stream import (
     ann_index_sink,
+    codes_path,
     index_batch,
     probe_index,
 )
@@ -60,7 +61,7 @@ def test_streamed_index_equals_batch_rebuild(spark, tmp_path):
 
     streamed = {
         r["vec_id"]: (r["cell"], tuple(r[f"c{i}"] for i in range(_M)))
-        for r in spark.read.parquet(idx_dir).collect()
+        for r in spark.read.parquet(codes_path(idx_dir)).collect()
     }
     cells = {
         r["vec_id"]: r["cell"]
@@ -86,9 +87,9 @@ def test_index_batch_replay_is_idempotent(spark, tmp_path):
         .limit(20)
     )
     index_batch(spark, vecs, cents, books, idx_dir)
-    snap = sorted(map(tuple, spark.read.parquet(idx_dir).collect()))
+    snap = sorted(map(tuple, spark.read.parquet(codes_path(idx_dir)).collect()))
     index_batch(spark, vecs, cents, books, idx_dir)  # crash-and-replay
-    assert sorted(map(tuple, spark.read.parquet(idx_dir).collect())) == snap
+    assert sorted(map(tuple, spark.read.parquet(codes_path(idx_dir)).collect())) == snap
 
 
 def test_probe_over_streamed_index_matches_cell_semantics(spark, tmp_path):
@@ -107,7 +108,7 @@ def test_probe_over_streamed_index_matches_cell_semantics(spark, tmp_path):
     assert out
     cells = {
         r["vec_id"]: r["cell"]
-        for r in spark.read.parquet(idx_dir).collect()
+        for r in spark.read.parquet(codes_path(idx_dir)).collect()
     }
     emb = {r["vec_id"]: list(r["embedding"]) for r in vecs.collect()}
     by_q: dict[int, list] = {}
@@ -133,3 +134,51 @@ def test_probe_over_streamed_index_matches_cell_semantics(spark, tmp_path):
             ),
         )
         assert rs[0]["vec_id"] == best[1], qid
+
+
+def test_ann_compaction_preserves_probe_and_retention_drops(spark, tmp_path):
+    """r13: the ANN codes table gets the generation protocol — a
+    mid-stream compaction (cell-clustered rewrite + pointer swap)
+    changes no probe result; retention drops a vector from the index
+    (FAISS remove_ids as maintenance); post-compaction appends land in
+    the live generation."""
+    from purldb_spark.streaming.compact_stream import (
+        compact_ann_index,
+        prune_generations,
+    )
+
+    cents, books = _model(spark)
+    vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    half1 = vecs.filter("vec_id % 2 = 0")
+    half2 = vecs.filter("vec_id % 2 = 1")
+    idx_dir = str(tmp_path / "annidx")
+
+    index_batch(spark, half1, cents, books, idx_dir)
+    queries = vecs.limit(5)
+    before = sorted(
+        map(tuple, probe_index(spark, idx_dir, queries, vecs, cents).collect())
+    )
+    gen = compact_ann_index(spark, idx_dir)
+    assert gen == 1
+    prune_generations(idx_dir)
+    after = sorted(
+        map(tuple, probe_index(spark, idx_dir, queries, vecs, cents).collect())
+    )
+    assert after == before
+
+    # post-compaction append lands in the generation and is probed
+    index_batch(spark, half2, cents, books, idx_dir)
+    n_all = spark.read.parquet(codes_path(idx_dir)).count()
+    assert n_all == vecs.count()
+
+    # retention: drop the odd vectors again; probe shortlist loses them
+    compact_ann_index(spark, idx_dir, retained_vecs=half1.select("vec_id"))
+    kept = {
+        r.vec_id
+        for r in spark.read.parquet(codes_path(idx_dir))
+        .select("vec_id")
+        .collect()
+    }
+    assert kept == {r.vec_id for r in half1.select("vec_id").collect()}
