@@ -366,17 +366,126 @@ EMBED_SCHEMA = T.StructType(
 )
 
 
+def bmp_features(content: bytes) -> list[float]:
+    """REAL 16-dim image feature vector off the decoded pixels — per
+    channel (BGR): mean/255, std/255, min/255, max/255, plus log-scaled
+    dims and aspect — a classical color-statistics descriptor (the kind
+    of global feature a pre-CNN image index used); a learned encoder is
+    a drop-in returning the same (media_id, embedding) shape."""
+    import math
+    import struct
+
+    import numpy as np
+
+    pix_off = struct.unpack_from("<I", content, 10)[0]
+    _, width, height = struct.unpack_from("<Iii", content, 14)
+    bits = struct.unpack_from("<H", content, 28)[0]
+    channels = bits // 8
+    h = abs(height)
+    row_bytes = width * channels
+    stride = (row_bytes + 3) & ~3
+    px = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=pix_off)
+    chan = (
+        px.reshape(h, stride)[:, :row_bytes]
+        .reshape(h * width, channels)
+        .astype(np.float64)
+    )
+    feats: list[float] = []
+    for ci in range(3):
+        col = chan[:, ci] if ci < channels else chan[:, 0]
+        feats += [
+            float(col.mean() / 255.0),
+            float(col.std() / 255.0),
+            float(col.min() / 255.0),
+            float(col.max() / 255.0),
+        ]
+    feats += [
+        math.log1p(width) / 10.0,
+        math.log1p(h) / 10.0,
+        width / max(h, 1) / 10.0,
+        channels / 4.0,
+    ]
+    return feats
+
+
+def wav_features(content: bytes) -> list[float]:
+    """REAL 16-dim audio feature vector off the decoded PCM frames:
+    rms, zero-crossing rate, peak, mean |amplitude|, 4-band energy
+    profile (coarse spectral shape via strided differencing), energy
+    quartiles over 8 equal time windows — classical audio descriptor
+    statistics, no codec or FFT library required."""
+    import math
+
+    import numpy as np
+
+    d = decode_wav(content)
+    # re-walk to the samples (decode_wav returns stats only)
+    import struct
+
+    pos, data = 12, b""
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"data":
+            data = content[pos + 8 : pos + 8 + sz]
+            break
+        pos += 8 + sz + (sz & 1)
+    if d["bits"] == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    if len(s) == 0:
+        s = np.zeros(1)
+    zc = float(np.mean(np.abs(np.diff(np.sign(s))) > 0)) if len(s) > 1 else 0.0
+    feats = [
+        float(np.sqrt((s * s).mean())),
+        zc,
+        float(np.abs(s).max()),
+        float(np.abs(s).mean()),
+    ]
+    # coarse spectral profile: energy of k-strided first differences
+    for k in (1, 2, 4, 8):
+        dk = s[k:] - s[:-k] if len(s) > k else np.zeros(1)
+        feats.append(float(np.sqrt((dk * dk).mean())))
+    # temporal energy profile over 8 equal windows
+    win = np.array_split(s, 8)
+    feats += [float(np.sqrt((w * w).mean())) if len(w) else 0.0 for w in win]
+    feats.append(math.log1p(d["sample_rate"]) / 12.0)
+    return feats[:EMBED_DIM] + [0.0] * max(0, EMBED_DIM - len(feats))
+
+
 def embed_media(df: DataFrame) -> DataFrame:
-    """Feature-extraction plumbing: binary -> fixed-dim float vector
-    (deterministic hash-derived fake; a real encoder is a drop-in). Output
-    feeds the knn operators directly."""
+    """Feature-extraction plumbing: (media_id, media_type, content) ->
+    fixed-dim float vector feeding the knn operators directly. REAL
+    features for the decodable formats (bmp_features / wav_features —
+    pixel color statistics, PCM energy/zero-crossing/spectral-profile
+    stats); the deterministic md5-derived vector remains the fallback
+    for fake/* and undecodable rows, so the pipeline never drops a row
+    (the embedding-space twin of the poison-blob sentinel contract).
+    Accepts frames without a media_type column (legacy callers) — those
+    take the hash path."""
+
+    def _vec(mt: str | None, b: bytes) -> list[float]:
+        import struct
+
+        try:
+            if mt == "image/bmp":
+                return bmp_features(b)
+            if mt == "audio/wav":
+                return wav_features(b)
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
+        d = hashlib.md5(b).digest()
+        return [x / 255.0 for x in d[:EMBED_DIM]]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = []
-            for c in pdf["content"]:
-                d = hashlib.md5(bytes(c)).digest()
-                vecs.append([b / 255.0 for b in d[:EMBED_DIM]])
+            mts = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else [None] * len(pdf)
+            )
+            vecs = [_vec(mt, bytes(c)) for mt, c in zip(mts, pdf["content"])]
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
     return df.mapInPandas(run, schema=EMBED_SCHEMA)

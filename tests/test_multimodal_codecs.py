@@ -159,3 +159,46 @@ def test_spark_faces_decode_and_poison_contract(spark):
         8000, 8, 250,
     )
     assert agot[2].sample_rate == -1
+
+
+def test_real_feature_vectors_from_decoded_bytes(spark):
+    """r13: embed_media computes REAL features for decodable formats —
+    BMP color statistics and WAV energy/zero-crossing/spectral stats —
+    while fake/* and poison rows keep the deterministic md5 fallback
+    (the embedding-space twin of the sentinel contract)."""
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import (
+        bmp_features,
+        embed_media,
+        wav_features,
+    )
+
+    bmp = encode_bmp(8, 4, (255, 0, 128))
+    wav = encode_wav(8000, 1, 16, [16384, -16384] * 50)
+    rows = [
+        (1, "image/bmp", bytearray(bmp)),
+        (2, "audio/wav", bytearray(wav)),
+        (3, "fake/image", bytearray(b"hello")),
+        (4, "image/bmp", bytearray(b"torn")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+    got = {r.media_id: list(r.embedding) for r in embed_media(df).collect()}
+    assert all(len(v) == 16 for v in got.values())
+
+    # image: spark vector equals the pure-python features; solid color
+    # means per-channel std 0 and mean == channel/255
+    exp = bmp_features(bmp)
+    assert np.allclose(got[1], np.array(exp, dtype=np.float32), atol=1e-6)
+    assert abs(exp[0] - 1.0) < 1e-9 and exp[1] == 0.0  # B: mean 1, std 0
+    assert exp[4] == 0.0  # G mean 0
+
+    # audio: rms of a +/-0.5 square wave is 0.5; zero-crossing rate ~1
+    expw = wav_features(wav)
+    assert np.allclose(got[2], np.array(expw, dtype=np.float32), atol=1e-6)
+    assert abs(expw[0] - 0.5) < 1e-6
+    assert expw[1] > 0.9
+
+    # fallback paths: md5-derived, bounded [0,1]
+    assert all(0.0 <= v <= 1.0 for v in got[3])
+    assert got[3] != got[4]
