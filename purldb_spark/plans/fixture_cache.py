@@ -74,12 +74,11 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) with an eager localCheckpoint; every DuckDB oracle
     still recomputes the pairs relationally from raw documents, so the
     cache can never mask a correctness bug."""
-    from purldb_spark.catalog.tables import load
-    from purldb_spark.operators.dedup import word_shingles
 
     def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        sh = word_shingles(docs, "doc_id", "text", n=3)
+        # read the shared shingle fixture instead of re-tokenizing the
+        # corpus: one explode+distinct per session, not one per fixture
+        sh = doc_shingles(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         a, b = sh.alias("a"), sh.alias("b")
         pairs = (
@@ -303,19 +302,27 @@ def trained_pq_codebooks(
     from purldb_spark.operators.kmeans import kmeans_fit
 
     def build():
+        import concurrent.futures as cf
+
         e = load(spark, sf_dir, "embeddings")
         dim = len(e.select("embedding").first()["embedding"])
         sub = dim // m
-        books = []
-        for si in range(m):
+
+        def fit(si: int):
             sliced = e.select(
                 "vec_id",
                 F.expr(f"slice(embedding, {si * sub + 1}, {sub})").alias(
                     "subv"
                 ),
             )
-            books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, iters))
-        return books
+            return kmeans_fit(sliced, "subv", "vec_id", ksub, iters)
+
+        # the m sub-quantizers are INDEPENDENT Lloyd fits (Jegou III:
+        # one k-means per sub-vector block) — submit them concurrently;
+        # each fit's per-iteration jobs are small shuffles that leave
+        # local[32] (and a real cluster) underfilled when run serially
+        with cf.ThreadPoolExecutor(max_workers=m) as ex:
+            return list(ex.map(fit, range(m)))
 
     return cached_model(spark, f"pqtrain:{sf_dir}:{m}:{ksub}:{iters}", build)
 
@@ -561,17 +568,23 @@ def trained_residual_codebooks(
     from purldb_spark.operators.kmeans import kmeans_fit
 
     def build():
+        import concurrent.futures as cf
+
         res = residual_frame(spark, sf_dir, k, iters)
         dim = len(res.select("resid").first()["resid"])
         sub = dim // m
-        books = []
-        for si in range(m):
+
+        def fit(si: int):
             sliced = res.select(
                 "vec_id",
                 F.expr(f"slice(resid, {si * sub + 1}, {sub})").alias("subv"),
             )
-            books.append(kmeans_fit(sliced, "subv", "vec_id", ksub, pq_iters))
-        return books
+            return kmeans_fit(sliced, "subv", "vec_id", ksub, pq_iters)
+
+        # independent per-subspace fits, submitted concurrently (same
+        # rationale as trained_pq_codebooks)
+        with cf.ThreadPoolExecutor(max_workers=m) as ex:
+            return list(ex.map(fit, range(m)))
 
     return cached_model(
         spark, f"respq:{sf_dir}:{k}:{iters}:{m}:{ksub}:{pq_iters}", build

@@ -19,10 +19,11 @@ sequential submission left local[32] underfilled by every individual
 sub-second stage and had crept 42 -> 51 -> 66 s over rounds 7-9 as trained
 artifacts accumulated. Dependency chains stay sequential WITHIN a thread
 (kmeans -> residual frame -> residual codebooks -> residual codes; shingle
-family after doc_shingles), so fixture_cache's lock-free memo dict is only
-ever asked to build DISTINCT keys concurrently; one cheap serial step runs
-first so the cache's stale-session eviction scan happens before any
-concurrency. This is also the honest cluster shape: each chain is an
+family after doc_shingles); cross-chain shared keys (unit_embeddings)
+are safe since the per-key single-builder locks
+(fixture_runtime._get_or_build) — a second chain touching a key under
+construction waits for the one build instead of racing it, and the
+stale-session eviction scan is atomic under the cache lock. This is also the honest cluster shape: each chain is an
 independent indexing-pipeline job.
 
 NOT imported by any plans/q_*.py module (queries build fixtures lazily on
@@ -87,10 +88,6 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
     from purldb_spark.plans.q_embed import block_bands
     from purldb_spark.plans.q_select import _tfidf_postings, _trigram_lm
 
-    # SERIAL first step: cheap, and its cached_fixture call evicts any
-    # stale-session cache keys before threads run (the eviction scan is
-    # the one part of the lock-free memo that must not race).
-    step("unit_embeddings", lambda: unit_embeddings(spark, sf_dir).count())
     # corpus-scaled parameters resolved up front (one count() each,
     # memoized): coarse k (q_cluster.coarse_k, BENCH_scale finding 4) and
     # the LSH band width (q_embed.block_bands, finding 1 — r10; the former
@@ -138,7 +135,14 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
             ("pq_code_index", lambda: pq_code_index(spark, sf_dir).count()),
             ("ivf_cell_index", lambda: ivf_cell_index(spark, sf_dir).count()),
         ],
+        # unit_embeddings heads the band chain (r13): since the per-key
+        # build locks (fixture_runtime._get_or_build) made concurrent
+        # same-key requests single-builder and the eviction scan atomic,
+        # the old serial-first step only serialized ~6 s of wall that the
+        # document-side chains can hide; other embedding chains block on
+        # its key lock exactly as long as they must.
         [
+            ("unit_embeddings", lambda: unit_embeddings(spark, sf_dir).count()),
             ("emb_band_index", lambda: emb_band_index(spark, sf_dir, _bb_key, _bb).count()),
         ],
         [
