@@ -412,3 +412,58 @@ def test_deferred_stats_reports_and_drains(spark, tmp_path):
     assert st["pending_edges"] == 0
     assert st["flushed_thru"] == 2
     assert dict(_labels(spark, labels_dir))[13] == 1
+
+
+def test_in_band_flush_through_real_stream_with_cap(spark, tmp_path):
+    """The full r12-ADVICE scenario end-to-end: a REAL availableNow
+    stream with max_component capping and flush_every wiring — deferred
+    mega-component merges fold back through the stream's own epochs and
+    the final labels equal batch CC over every pair, with the ledger
+    drained (pending 0) after the last flush epoch."""
+    from purldb_spark.streaming.cc_stream import deferred_stats
+
+    src = str(tmp_path / "incoming")
+    labels_dir = str(tmp_path / "labels")
+    deferred_dir = str(tmp_path / "deferred")
+    ckpt = str(tmp_path / "ckpt")
+
+    sink = cc_sink(
+        spark,
+        labels_dir,
+        max_component=3,
+        deferred_dir=deferred_dir,
+        flush_every=2,  # every 2nd epoch folds the ledger in-band
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    chain_a = [(1, 2), (2, 3), (3, 4)]      # 4-node component (> cap)
+    chain_b = [(10, 11), (11, 12), (12, 13)]
+    bridge = [(4, 10)]                       # deferred: both sides > cap
+    fresh = [(20, 21)]
+    late = [(30, 31)]                        # epoch 2 = flush epoch
+    more = [(40, 41)]                        # epoch 3
+    tail = [(50, 51)]                        # epoch 4 = flush epoch
+
+    batches = [chain_a + chain_b, bridge, fresh + late, more, tail]
+    for batch in batches:
+        spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(src)
+        drain()
+
+    all_pairs = [p for b in batches for p in b]
+    assert _labels(spark, labels_dir) == _batch_cc(spark, all_pairs)
+    labels = dict(_labels(spark, labels_dir))
+    assert labels[13] == 1  # the deferred bridge merge landed
+
+    st = deferred_stats(spark, deferred_dir, labels_dir)
+    assert st["pending_edges"] == 0
+    assert st["flushed_thru"] == 4

@@ -202,3 +202,58 @@ def test_real_feature_vectors_from_decoded_bytes(spark):
     # fallback paths: md5-derived, bounded [0,1]
     assert all(0.0 <= v <= 1.0 for v in got[3])
     assert got[3] != got[4]
+
+
+# ---------------------------------------------------------------- property --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 20),
+    bgr=st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    ),
+)
+def test_bmp_roundtrip_property(w, h, bgr):
+    """encode->decode is exact for every (width, height, color): dims,
+    pixel count, and per-channel means (solid color -> mean = c*1000
+    exactly) — every 4-byte padding remainder and both dims covered."""
+    d = decode_bmp(encode_bmp(w, h, bgr))
+    assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+    assert (d["mean_b_e3"], d["mean_g_e3"], d["mean_r_e3"]) == tuple(
+        c * 1000 for c in bgr
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.sampled_from([1000, 8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+    bits=st.sampled_from([8, 16]),
+    samples=st.lists(st.integers(-120, 120), min_size=2, max_size=200),
+)
+def test_wav_roundtrip_property(rate, channels, bits, samples):
+    """encode->decode preserves rate/channels/bits/frame count and the
+    RMS matches a direct numpy computation over the same samples (8-bit
+    values stay in the signed-byte range by construction)."""
+    import numpy as np
+
+    # frames must divide evenly into channels
+    if len(samples) % channels:
+        samples = samples[: len(samples) - (len(samples) % channels)]
+    if not samples:
+        samples = [0] * channels
+    d = decode_wav(encode_wav(rate, channels, bits, samples))
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (
+        rate, channels, bits,
+    )
+    assert d["n_frames"] == len(samples) // channels
+    arr = np.array(samples, dtype=np.int64)
+    full = 32768.0 if bits == 16 else 128.0
+    rms = float(np.sqrt((arr * arr).mean()))
+    assert d["rms_e3"] == round(rms / full * 1000)
+    assert d["duration_ms"] == round(d["n_frames"] * 1000 / rate)
