@@ -109,6 +109,7 @@ PROBES = [
     ("cc_deferral_plan", "label/size equi-joins on the batch slice + 3-cap literal explode — O(batch); prior labels read from the session fixture like the stream reads its snapshot"),
     ("mm_bmp_roundtrip", "mapInPandas BMP encode+decode, map-only Arrow batches, zero shuffle — linear"),
     ("mm_wav_roundtrip", "mapInPandas WAV encode+decode, map-only Arrow batches, zero shuffle — linear"),
+    ("classifier_train", "perceptron epochs over the materialized integer feature table — one map-side-combined agg per epoch, 10 ints to driver"),
 ]
 
 
