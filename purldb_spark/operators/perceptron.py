@@ -93,3 +93,20 @@ def perceptron_fit(
         w = [w[i] + int(row[f"g{i}"]) for i in range(len(dims))]
         out.append({"epoch": t + 1, "w": list(w), "n_mis": int(row["n_mis"])})
     return out
+
+
+def score_expr(text_col: str, weights: list[int], n_buckets: int) -> str:
+    """Spark SQL expression scoring one document under TRAINED weights
+    (w0..w{n-1} + bias, classifier_train's artifact): the map-only gate
+    a curation pipeline fuses into its corpus scan — the trained twin of
+    the frozen _QC gate in plans/q_select.py. One aggregate over the
+    token array; weight lookup is a literal element_at, so the model
+    rides into codegen exactly like the frozen one."""
+    b = bucket_expr_spark("w", n_buckets)
+    warr = ", ".join(f"{int(w)}L" for w in weights[:n_buckets])
+    bias = int(weights[n_buckets])
+    return (
+        f"aggregate(split({text_col}, ' '), 0L,"
+        f" (acc, w) -> acc + element_at(array({warr}), cast({b} as int) + 1))"
+        f" + {bias}L"
+    )

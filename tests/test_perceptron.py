@@ -51,3 +51,36 @@ def test_features_are_integer_bucket_counts(spark):
     assert sum(got[1][f"x{i}"] for i in range(4)) == 3  # 3 tokens bucketed
     # empty text splits to one empty token; it lands in exactly one bucket
     assert sum(got[2][f"x{i}"] for i in range(4)) == 1
+
+
+def test_trained_gate_scores_match_training_margins(spark):
+    """Artifact consumption: score_expr under the trained weights must
+    reproduce the exact integer dot products training computed — the
+    map-only gate IS the model. Pinned by recomputing every document's
+    margin from the feature frame and comparing."""
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.perceptron import score_expr
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha alpha alpha"),
+        (3, "zeta eta theta iota kappa"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = features(docs, "doc_id", "text", 4).join(
+        docs.select("doc_id", F.lit(1).alias("y")), "doc_id"
+    )
+    hist = perceptron_fit(feats.withColumn("y", F.lit(1)), "y", 4, 2)
+    w = hist[-1]["w"]
+
+    scored = docs.select(
+        "doc_id", F.expr(score_expr("text", w, 4)).alias("s")
+    )
+    got = {r.doc_id: r.s for r in scored.collect()}
+    # recompute expected scores from the feature frame directly
+    fr = {r.doc_id: r for r in features(docs, "doc_id", "text", 4).collect()}
+    for did, f in fr.items():
+        exp = sum(w[i] * f[f"x{i}"] for i in range(4)) + w[4]
+        assert got[did] == exp, (did, got[did], exp)
