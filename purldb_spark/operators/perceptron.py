@@ -74,9 +74,15 @@ def perceptron_fit(
 ) -> list[dict]:
     """Run ``epochs`` batch-perceptron epochs over a feature frame with a
     ``label_col`` in {-1, +1}; returns one dict per epoch:
-    {"epoch", "w" (post-update weights, n_buckets+1 ints), "n_mis"}."""
+    {"epoch", "w" (post-update weights, n_buckets+1 ints), "n_mis",
+    "w_sum" (cumulative sum of post-update weights through this epoch —
+    the integer numerator of the AVERAGED perceptron, Freund & Schapire
+    1999: on non-separable data raw weights cycle, the running average
+    converges; divide by epoch to apply, or use the sum directly since
+    sign(w_sum . x) == sign(mean . x))}."""
     dims = [f"x{i}" for i in range(n_buckets)] + ["xb"]
     w = [0] * (n_buckets + 1)
+    w_sum = [0] * (n_buckets + 1)
     out: list[dict] = []
     for t in range(epochs):
         dot = " + ".join(f"{w[i]}L * {d}" for i, d in enumerate(dims))
@@ -91,7 +97,15 @@ def perceptron_fit(
         ] + [F.sum(F.when(mis, 1).otherwise(0)).cast("long").alias("n_mis")]
         row = feats.agg(*aggs).first()
         w = [w[i] + int(row[f"g{i}"]) for i in range(len(dims))]
-        out.append({"epoch": t + 1, "w": list(w), "n_mis": int(row["n_mis"])})
+        w_sum = [w_sum[i] + w[i] for i in range(len(dims))]
+        out.append(
+            {
+                "epoch": t + 1,
+                "w": list(w),
+                "n_mis": int(row["n_mis"]),
+                "w_sum": list(w_sum),
+            }
+        )
     return out
 
 

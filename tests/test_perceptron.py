@@ -84,3 +84,33 @@ def test_trained_gate_scores_match_training_margins(spark):
     for did, f in fr.items():
         exp = sum(w[i] * f[f"x{i}"] for i in range(4)) + w[4]
         assert got[did] == exp, (did, got[did], exp)
+
+
+def test_averaged_weights_stabilize_on_nonseparable_data(spark):
+    """On non-separable data the raw batch perceptron cycles (the
+    classifier_train curve shows it); the AVERAGED weights' decision
+    must stabilize: the sign of w_sum . x for a probe point stops
+    flipping once cycling sets in, while raw w keeps oscillating."""
+    # XOR-ish: not linearly separable in (x0, x1)
+    rows = [
+        (1, 0, 0, 1, -1),
+        (2, 1, 0, 1, 1),
+        (3, 0, 1, 1, 1),
+        (4, 1, 1, 1, -1),
+    ] * 3
+    df = spark.createDataFrame(
+        [(i,) + r[1:] for i, r in enumerate(rows)],
+        "id long, x0 long, x1 long, xb long, y long",
+    )
+    hist = perceptron_fit(df, "y", 2, 10)
+    assert all(h["n_mis"] > 0 for h in hist)  # genuinely non-separable
+    # raw weights cycle: some epoch repeats an earlier weight vector
+    raw = [tuple(h["w"]) for h in hist]
+    assert len(set(raw)) < len(raw)
+    # averaged decision on a probe point (1, 0) stabilizes over the
+    # last epochs even while raw w keeps moving
+    def decide(wv):
+        return 1 if wv[0] * 1 + wv[1] * 0 + wv[2] >= 0 else -1
+
+    tail = [decide(h["w_sum"]) for h in hist[5:]]
+    assert len(set(tail)) == 1
