@@ -20,6 +20,7 @@ re-attach content) so blobs never shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,16 +48,13 @@ META_SCHEMA = T.StructType(
 )
 
 
-def decode_bmp(content: bytes) -> dict:
-    """REAL pure-Python BMP decode (uncompressed BITMAPINFOHEADER layouts
-    — the format needs no codec library, just the spec): returns width,
-    height, channels, n_pixels, and per-channel mean in milli-units
-    (mean_*_e3, BMP stores BGR; 8-bit grayscale reports one channel in
-    mean_b_e3). Rows are 4-byte padded and bottom-up (negative height =
-    top-down) — neither affects per-channel means, but padding bytes must
-    be excluded, which is the part a naive byte-mean gets wrong."""
-    import struct
-
+def _bmp_header(content: bytes) -> tuple[int, int, int, int]:
+    """Validated BMP header parse shared by decode_bmp and bmp_features:
+    (pix_off, width, height, bits). Raises ValueError on bad magic,
+    NotImplementedError for compressed / unsupported bit depths — both
+    consumers enforce the SAME format boundary (a feature extractor that
+    skipped validation produced silent garbage vectors for blobs the
+    stats face correctly rejected)."""
     if len(content) < 54 or content[:2] != b"BM":
         raise ValueError("not a BMP file")
     pix_off = struct.unpack_from("<I", content, 10)[0]
@@ -69,6 +67,18 @@ def decode_bmp(content: bytes) -> dict:
         )
     if bits not in (8, 24, 32):
         raise NotImplementedError(f"{bits}-bit BMP — codec boundary")
+    return pix_off, width, height, bits
+
+
+def decode_bmp(content: bytes) -> dict:
+    """REAL pure-Python BMP decode (uncompressed BITMAPINFOHEADER layouts
+    — the format needs no codec library, just the spec): returns width,
+    height, channels, n_pixels, and per-channel mean in milli-units
+    (mean_*_e3, BMP stores BGR; 8-bit grayscale reports one channel in
+    mean_b_e3). Rows are 4-byte padded and bottom-up (negative height =
+    top-down) — neither affects per-channel means, but padding bytes must
+    be excluded, which is the part a naive byte-mean gets wrong."""
+    pix_off, width, height, bits = _bmp_header(content)
     channels = bits // 8
     h = abs(height)
     row_bytes = width * channels
@@ -217,7 +227,9 @@ def extract_meta(df: DataFrame) -> DataFrame:
             for mt, c in zip(pdf["media_type"], pdf["content"]):
                 try:
                     dims = decode_media(mt, bytes(c))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    # poison/unknown blob -> sentinel; decode_bmp raises
+                    # ValueError on bad magic, struct.error on truncation
                     dims = (-1, -1)
                 w.append(dims[0])
                 h.append(dims[1])
@@ -265,7 +277,7 @@ def image_stats(df: DataFrame) -> DataFrame:
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 try:
                     d = decode_bmp(bytes(c))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, IndexError, struct.error):
                     d = {
                         "width": -1,
                         "height": -1,
@@ -306,7 +318,7 @@ def audio_stats(df: DataFrame) -> DataFrame:
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 try:
                     d = decode_wav(bytes(c))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, IndexError, struct.error):
                     d = {
                         "sample_rate": -1,
                         "channels": -1,
@@ -373,13 +385,10 @@ def bmp_features(content: bytes) -> list[float]:
     of global feature a pre-CNN image index used); a learned encoder is
     a drop-in returning the same (media_id, embedding) shape."""
     import math
-    import struct
 
     import numpy as np
 
-    pix_off = struct.unpack_from("<I", content, 10)[0]
-    _, width, height = struct.unpack_from("<Iii", content, 14)
-    bits = struct.unpack_from("<H", content, 28)[0]
+    pix_off, width, height, bits = _bmp_header(content)
     channels = bits // 8
     h = abs(height)
     row_bytes = width * channels
@@ -412,8 +421,9 @@ def wav_features(content: bytes) -> list[float]:
     """REAL 16-dim audio feature vector off the decoded PCM frames:
     rms, zero-crossing rate, peak, mean |amplitude|, 4-band energy
     profile (coarse spectral shape via strided differencing), energy
-    quartiles over 8 equal time windows — classical audio descriptor
-    statistics, no codec or FFT library required."""
+    over 7 equal time windows, and log sample rate — exactly EMBED_DIM
+    dims; classical audio descriptor statistics, no codec or FFT
+    library required."""
     import math
 
     import numpy as np
@@ -447,11 +457,13 @@ def wav_features(content: bytes) -> list[float]:
     for k in (1, 2, 4, 8):
         dk = s[k:] - s[:-k] if len(s) > k else np.zeros(1)
         feats.append(float(np.sqrt((dk * dk).mean())))
-    # temporal energy profile over 8 equal windows
-    win = np.array_split(s, 8)
+    # temporal energy profile over 7 equal windows (4+4+7+1 = EMBED_DIM
+    # — with 8 windows the sample-rate dim was silently truncated off)
+    win = np.array_split(s, 7)
     feats += [float(np.sqrt((w * w).mean())) if len(w) else 0.0 for w in win]
     feats.append(math.log1p(d["sample_rate"]) / 12.0)
-    return feats[:EMBED_DIM] + [0.0] * max(0, EMBED_DIM - len(feats))
+    assert len(feats) == EMBED_DIM
+    return feats
 
 
 def embed_media(df: DataFrame) -> DataFrame:

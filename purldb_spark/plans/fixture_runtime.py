@@ -45,12 +45,22 @@ _CACHE_LOCK = threading.Lock()
 
 def _cache_lookup(cache: dict, app: str, cache_key: tuple) -> object | None:
     """Atomic get-or-evict-stale: returns the cached value, or None after
-    dropping other sessions' entries (snapshot iteration + pop, under lock)."""
+    dropping other sessions' entries (snapshot iteration + pop, under
+    lock). Stale sessions' BUILD LOCKS are pruned in the same sweep —
+    without it a long-lived process cycling many Spark sessions leaked
+    one Lock per (dead session, key) forever; a lock currently held is
+    kept (its builder thread will release it)."""
     with _CACHE_LOCK:
         val = cache.get(cache_key)
         if val is None:
             for k in [k for k in list(cache) if k[0] != app]:
                 cache.pop(k, None)
+            for k in [
+                k
+                for k, lk in list(_BUILD_LOCKS.items())
+                if k[0] != app and not lk.locked()
+            ]:
+                _BUILD_LOCKS.pop(k, None)
         return val
 
 

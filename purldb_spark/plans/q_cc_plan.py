@@ -114,8 +114,11 @@ touched AS (
     SELECT cap, lb FROM flagged WHERE deferred AND lb IS NOT NULL
   ) GROUP BY cap
 )
-SELECT CAST(c.cap AS BIGINT) AS cap, counts.deferred_edges,
-       counts.inline_edges, counts.max_deferred_component,
+SELECT CAST(c.cap AS BIGINT) AS cap,
+       CAST(COALESCE(counts.deferred_edges, 0) AS BIGINT) AS deferred_edges,
+       CAST(COALESCE(counts.inline_edges, 0) AS BIGINT) AS inline_edges,
+       CAST(COALESCE(counts.max_deferred_component, 0) AS BIGINT)
+         AS max_deferred_component,
        CAST(COALESCE(t.components_touched, 0) AS BIGINT)
          AS components_touched
 FROM caps c

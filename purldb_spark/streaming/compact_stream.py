@@ -61,7 +61,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CURRENT = "CURRENT"
-_WRITER_LOCK = "WRITER.lock"
+# underscore prefix: Spark's parquet reader skips _-prefixed files, so the
+# lock anchor can live in a directory that IS a parquet root (the legacy
+# flat ANN layout reads index_dir itself — a bare 'WRITER.lock' there got
+# scanned as a data file and failed the read)
+_WRITER_LOCK = "_WRITER.lock"
 
 
 def _proc_ident(pid: int) -> str | None:
@@ -235,7 +239,7 @@ def compact_band_index(
             ).parquet(os.path.join(gen_root, "exact"))
         # atomic pointer swap: tmp write + os.replace — a crash anywhere
         # above leaves CURRENT naming the old, complete generation
-        tmp = os.path.join(index_dir, _CURRENT + ".tmp")
+        tmp = os.path.join(index_dir, "." + _CURRENT + ".tmp")
         with open(tmp, "w") as fh:
             fh.write(str(gen))
         os.replace(tmp, os.path.join(index_dir, _CURRENT))
@@ -275,7 +279,7 @@ def compact_simhash_index(
         bands.repartition(n_partitions, "band_idx", "band_key").write.mode(
             "overwrite"
         ).parquet(os.path.join(gen_root, "simbands"))
-        tmp = os.path.join(index_dir, _CURRENT + ".tmp")
+        tmp = os.path.join(index_dir, "." + _CURRENT + ".tmp")
         with open(tmp, "w") as fh:
             fh.write(str(gen))
         os.replace(tmp, os.path.join(index_dir, _CURRENT))
@@ -316,7 +320,7 @@ def compact_ann_index(
         rows.repartition(n_partitions, "cell").write.mode("overwrite").parquet(
             os.path.join(gen_root, "codes")
         )
-        tmp = os.path.join(index_dir, _CURRENT + ".tmp")
+        tmp = os.path.join(index_dir, "." + _CURRENT + ".tmp")
         with open(tmp, "w") as fh:
             fh.write(str(gen))
         os.replace(tmp, os.path.join(index_dir, _CURRENT))

@@ -203,7 +203,7 @@ def test_writer_lock_crashed_holder_releases_automatically(tmp_path):
 
     index_dir = str(tmp_path / "index")
     os.makedirs(index_dir)
-    lock = os.path.join(index_dir, "WRITER.lock")
+    lock = os.path.join(index_dir, "_WRITER.lock")
 
     # stale CONTENT (dead identity in the body) is irrelevant: nobody
     # holds the kernel lock, so acquisition is immediate

@@ -257,3 +257,62 @@ def test_wav_roundtrip_property(rate, channels, bits, samples):
     rms = float(np.sqrt((arr * arr).mean()))
     assert d["rms_e3"] == round(rms / full * 1000)
     assert d["duration_ms"] == round(d["n_frames"] * 1000 / rate)
+
+
+def test_poison_blobs_hit_sentinels_not_stage_failures(spark):
+    """r13 review findings: decode paths raise ValueError (bad magic) and
+    struct.error (truncated fmt chunk) — every Spark face must map ALL of
+    them to sentinels, and feature extraction must enforce the same
+    format boundary as the stats face (a 16-bit BMP used to embed as
+    silent garbage while image_stats correctly rejected it)."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from purldb_spark.multimodal.binaryops import bmp_features, embed_media, extract_meta
+
+    # truncated fmt chunk: struct.error inside decode_wav
+    torn_wav = (
+        _struct.pack("<4sI4s", b"RIFF", 20, b"WAVE")
+        + _struct.pack("<4sI", b"fmt ", 4) + b"\x01\x00\x01\x00"
+    )
+    # 16-bit BMP: decode_bmp raises NotImplementedError
+    bmp16 = _bmp(2, 2, 16, bytes(16))
+    rows = [
+        (1, "audio/wav", bytearray(torn_wav)),
+        (2, "image/bmp", bytearray(b"BM torn upload")),
+        (3, "image/bmp", bytearray(bmp16)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+
+    a = {r.media_id: r for r in audio_stats(df.filter("media_id = 1").select("media_id", "content")).collect()}
+    assert a[1].sample_rate == -1
+
+    # extract_meta (the mm_decode_meta face) must survive ValueError BMPs
+    m = {r.media_id: r for r in extract_meta(df).collect()}
+    assert m[2].width == -1 and m[3].width == -1
+
+    # the feature extractor takes the md5 fallback for BOTH rejects
+    got = {r.media_id: list(r.embedding) for r in embed_media(df).collect()}
+    import hashlib as _h
+
+    for mid in (2, 3):
+        blob = bytes(rows[mid - 1][2])
+        exp = [x / 255.0 for x in _h.md5(blob).digest()[:16]]
+        assert got[mid] == [float(f"{v:.7g}") if False else v for v in [round(x, 10) for x in exp]] or all(
+            abs(g - e) < 1e-6 for g, e in zip(got[mid], exp)
+        )
+    with pytest.raises(NotImplementedError):
+        bmp_features(bmp16)  # same boundary as decode_bmp
+
+
+def test_wav_features_are_exactly_embed_dim_with_rate(spark):
+    """The sample-rate dim must survive (it was silently truncated when
+    the window profile used 8 windows): two WAVs differing only in rate
+    embed differently, and the vector is exactly EMBED_DIM long."""
+    from purldb_spark.multimodal.binaryops import EMBED_DIM, wav_features
+
+    a = wav_features(encode_wav(8000, 1, 16, [1000, -1000] * 10))
+    b = wav_features(encode_wav(16000, 1, 16, [1000, -1000] * 10))
+    assert len(a) == len(b) == EMBED_DIM
+    assert a[:-1] == b[:-1] and a[-1] != b[-1]
