@@ -126,6 +126,10 @@ def main() -> None:
         "bpe_train",
         "text_winnow_fingerprint",
         "mm_decode_meta",
+        "mm_bmp_roundtrip",
+        "mm_wav_roundtrip",
+        "cc_deferral_plan",
+        "classifier_train",
         "t_tumbling_rollup_daily",
         "j14_asof_join",
         "j15_interval_bin_join",
