@@ -52,21 +52,41 @@ def main() -> None:
     # metric: in production these are precomputed tables maintained by the
     # indexing/training pipelines (reference matchcode/models.py:247-265),
     # not per-query work — the timings below measure the read path
+    from purldb_spark.plans.fixture_runtime import build_seconds_total
     from purldb_spark.plans.fixture_warmup import prebuild_fixtures
 
     fixture_build_sec = prebuild_fixtures(spark, sf_dir)
 
+    # Lazy-build attribution (r13 verdict): if a query touches a fixture
+    # the prebuild missed (new fixture not yet listed, or a parameter
+    # variant with a different cache key), its build runs INSIDE the timed
+    # loop. Charge that wall time to fixture accounting, not to the first
+    # query that happened to trigger it — per-query numbers must measure
+    # the read path. The ledger lives in fixture_runtime (_get_or_build
+    # times every build), so the charge is exact, not inferred.
+    lazy_fixture_build_sec = 0.0
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
+        built0 = build_seconds_total()
         try:
             QUERIES[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            elapsed = time.perf_counter() - t0
+            lazy = build_seconds_total() - built0
+            if lazy > 0.0:
+                lazy_fixture_build_sec += lazy
+                elapsed = max(elapsed - lazy, 0.0)
+                print(
+                    f"bench: {name} triggered {lazy:.2f}s of lazy fixture "
+                    "build (charged to fixture_build, not the query)",
+                    file=sys.stderr,
+                )
+            timings[name] = round(elapsed, 4)
         except Exception as exc:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 4)
+    total = round(time.perf_counter() - t_all - lazy_fixture_build_sec, 4)
 
     here = os.path.dirname(os.path.abspath(__file__))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -86,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "fixture_build_sec": fixture_build_sec,
+                "lazy_fixture_build_sec": round(lazy_fixture_build_sec, 4),
                 "queries": timings,
                 "sf": sf_val,
             },
@@ -183,6 +204,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "fixture_build_sec": fixture_build_sec,
+                "lazy_fixture_build_sec": round(lazy_fixture_build_sec, 2),
                 "other_sec": other,
                 "families": families,
                 "queries": headline,

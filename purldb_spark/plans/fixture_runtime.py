@@ -70,6 +70,28 @@ def _cache_insert(cache: dict, cache_key: tuple, val):
         return cache.setdefault(cache_key, val)
 
 
+# Build-cost ledger: wall seconds spent inside each fixture build() call,
+# keyed by the fixture's cache-key string. Pure accounting (shapes no
+# result — within this module's hash-exclusion invariant). bench.py
+# snapshots it around the timed query loop so a fixture built LAZILY by
+# the first query that touches it is charged to fixture_build_sec, not to
+# that query's time (r13 verdict: the dedup-family attribution question).
+_BUILD_SECONDS: dict[str, float] = {}
+
+
+def build_seconds_total() -> float:
+    """Total wall seconds spent in fixture/model builds so far this
+    process (monotone; snapshot-and-diff to window it)."""
+    with _CACHE_LOCK:
+        return sum(_BUILD_SECONDS.values())
+
+
+def build_seconds_by_key() -> dict[str, float]:
+    """Copy of the per-key build ledger."""
+    with _CACHE_LOCK:
+        return dict(_BUILD_SECONDS)
+
+
 # per-cache-key build locks: two prebuild chains asking for the SAME key
 # must not both run the expensive Spark build — the loser's eagerly
 # localCheckpoint'ed frame would be discarded by setdefault without an
@@ -93,7 +115,15 @@ def _get_or_build(cache: dict, app: str, cache_key: tuple, build):
     with lock:
         val = _cache_lookup(cache, app, cache_key)
         if val is None:
-            val = _cache_insert(cache, cache_key, build())
+            t0 = time.perf_counter()
+            built = build()
+            elapsed = time.perf_counter() - t0
+            val = _cache_insert(cache, cache_key, built)
+            with _CACHE_LOCK:
+                key_str = str(cache_key[1]) if len(cache_key) > 1 else str(cache_key)
+                _BUILD_SECONDS[key_str] = (
+                    _BUILD_SECONDS.get(key_str, 0.0) + elapsed
+                )
     return val
 
 

@@ -84,8 +84,10 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
         unit_embeddings,
     )
     from purldb_spark.plans.q_bpe import bpe_trained_words
-    from purldb_spark.plans.q_cluster import coarse_k
+    from purldb_spark.plans.q_cc_plan import _prior_labels
+    from purldb_spark.plans.q_cluster import _exact_l2_gt, coarse_k
     from purldb_spark.plans.q_embed import block_bands
+    from purldb_spark.plans.q_match import _query_df
     from purldb_spark.plans.q_select import _tfidf_postings, _trigram_lm
 
     # corpus-scaled parameters resolved up front (one count() each,
@@ -104,6 +106,10 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
             ("doc_fingerprint_base", lambda: doc_fingerprint_base(spark, sf_dir).count()),
             ("dir_fp_content", lambda: dir_fingerprint_index(spark, sf_dir, "content").count()),
             ("dir_fp_structure", lambda: dir_fingerprint_index(spark, sf_dir, "structure").count()),
+            # match-cascade query frame (depends on the fingerprint base;
+            # surfaced by the r14 lazy-build ledger: 0.11 s was landing on
+            # match_cascade's bench row)
+            ("match_query", lambda: _query_df(spark, sf_dir).count()),
         ],
         [
             ("doc_shingles", lambda: doc_shingles(spark, sf_dir).count()),
@@ -114,6 +120,9 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
         [
             ("near_dup_pairs", lambda: near_dup_pairs(spark, sf_dir).count()),
             ("dup_clusters", lambda: dup_clusters(spark, sf_dir).count()),
+            # CC-stream prior-label snapshot (depends on near_dup_pairs;
+            # r14 ledger: 1.85 s was landing on cc_deferral_plan's row)
+            ("cc_plan_prior_labels", lambda: _prior_labels(spark, sf_dir).count()),
         ],
         # the trained-IVF chain is the critical path: centroids -> cell
         # index -> residual frame/codebooks/codes (residual_code_index
@@ -134,6 +143,9 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
         [
             ("pq_code_index", lambda: pq_code_index(spark, sf_dir).count()),
             ("ivf_cell_index", lambda: ivf_cell_index(spark, sf_dir).count()),
+            # exact-L2 ground truth shared by the recall harnesses (r14
+            # ledger: 0.40 s was landing on knn_recall_fully_trained)
+            ("exact_l2_gt", lambda: _exact_l2_gt(spark, sf_dir).count()),
         ],
         # unit_embeddings heads the band chain (r13): since the per-key
         # build locks (fixture_runtime._get_or_build) made concurrent

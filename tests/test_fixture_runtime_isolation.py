@@ -65,8 +65,40 @@ def test_runtime_functions_are_semantics_free_surface():
         and getattr(obj, "__module__", "") == rt.__name__
     )
     assert public == [
+        "build_seconds_by_key",
+        "build_seconds_total",
         "cached_fixture",
         "cached_model",
         "claim_bucketed_dir",
         "touch_owner",
     ], f"unexpected public runtime surface: {public}"
+
+
+def test_build_ledger_charges_builds_not_hits():
+    """The build-cost ledger (r14: bench.py lazy-fixture attribution)
+    records wall seconds per build exactly once: a cache hit adds
+    nothing, a second distinct key accumulates separately. Pure-Python
+    check — no Spark session needed."""
+    import time as _time
+
+    from purldb_spark.plans import fixture_runtime as rt
+
+    cache: dict = {}
+    before = rt.build_seconds_total()
+
+    def build_slow():
+        _time.sleep(0.02)
+        return "artifact"
+
+    key = ("test-app", "ledger-probe-key")
+    assert rt._get_or_build(cache, "test-app", key, build_slow) == "artifact"
+    mid = rt.build_seconds_total()
+    assert mid - before >= 0.02
+    # hit: no build, no charge
+    assert rt._get_or_build(cache, "test-app", key, build_slow) == "artifact"
+    assert rt.build_seconds_total() == mid
+    assert rt.build_seconds_by_key().get("ledger-probe-key", 0.0) >= 0.02
+    # cleanup so repeated in-process runs don't accumulate test keys
+    with rt._CACHE_LOCK:
+        rt._BUILD_SECONDS.pop("ledger-probe-key", None)
+        rt._BUILD_LOCKS.pop(key, None)
