@@ -149,6 +149,8 @@ def main() -> None:
         "mm_decode_meta",
         "mm_bmp_roundtrip",
         "mm_wav_roundtrip",
+        "mm_png_roundtrip",
+        "mm_embed_ann_search",
         "cc_deferral_plan",
         "classifier_train",
         "t_tumbling_rollup_daily",

@@ -171,6 +171,7 @@ def bpe_fit(
         merges.append((row["l"], row["r"]))
         out.append((row["l"], row["r"], int(row["c"])))
         body = merge_fold_expr("s", row["l"], row["r"])
+        prev = cur
         cur = cur.select(
             "w",
             "cnt",
@@ -178,6 +179,13 @@ def bpe_fit(
                 f"element_at(transform(array(syms), s -> {body}), 1)"
             ).alias("syms"),
         ).localCheckpoint(eager=True)
+        # release the PREVIOUS generation's checkpoint blocks once the new
+        # one is materialized (eager=True above) — without this, `iters`
+        # full vocab copies pile up in block storage until the driver GC
+        # happens to reclaim them (the checkpoint-leak class fixed in r12;
+        # r13 advice). The caller's input vocab is not ours to unpersist.
+        if prev is not vocab:
+            prev.unpersist()
     return out
 
 

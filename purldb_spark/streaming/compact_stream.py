@@ -101,11 +101,22 @@ def writer_lock(index_dir: str, timeout: float = 60.0, poll: float = 0.05):
     one process conflict too (flock is per open-file-description), so
     in-process append vs compaction serialize the same way. Single-host
     by construction — the 100 TB deployment replaces this with the table
-    format's transactional commit (module docstring)."""
+    format's transactional commit (module docstring).
+
+    Single-writer UPGRADE caveat: this flock lease does not interoperate
+    with the pre-r13 O_CREAT|O_EXCL protocol on the bare 'WRITER.lock'
+    name — a mixed-version fleet (one old writer, one new) would admit
+    two writers; upgrade all writers of an index together. A leftover
+    bare 'WRITER.lock' from a CRASHED old-version holder is removed
+    best-effort on first acquire: it no longer guards anything, and in
+    legacy flat ANN roots it sits where spark.read.parquet(index_dir)
+    scans it as a stray data file (r13 advice)."""
     import fcntl
 
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, _WRITER_LOCK)
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(index_dir, "WRITER.lock"))
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     deadline = time.monotonic() + timeout
     try:

@@ -22,7 +22,10 @@ carries no binary.
 
 At 100 TB: blobs arrive partitioned by ingest path; decode is map-only
 (zero shuffle — the anti-join ships only the thin id column), so the
-stream scales with executor count alone. The 16th face in the
+stream scales with executor count alone. The one exception is
+within-batch id-dedup, which repartitions the MICRO-BATCH by media_id
+(bounded by contract — the same cost dropDuplicates already paid, now
+with a deterministic winner). The 16th face in the
 streaming catalogue (DESIGN.md).
 """
 
@@ -111,9 +114,24 @@ def index_media_batch(
     """One micro-batch body: decode stats for blobs not yet in the stats
     table, append them. Replay-idempotent via the id anti-join (ledger
     pattern); the anti-join runs BEFORE decode so a replay pays no
-    Python time for rows that already landed."""
-    fresh = batch.select("media_id", "media_type", "content").dropDuplicates(
-        ["media_id"]
+    Python time for rows that already landed.
+
+    Within-batch duplicates of one media_id pick a DETERMINISTIC
+    representative — min by (content md5, media_type) — not
+    dropDuplicates' arbitrary row: with conflicting payloads under one
+    id, the stats row that lands must be the same one on every replay,
+    or the anti-join silently pins whichever survivor a recomputation
+    happened to produce first (r13 advice)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy(
+        F.md5(F.col("content")), F.col("media_type")
+    )
+    fresh = (
+        batch.select("media_id", "media_type", "content")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     if os.path.isdir(stats_dir):
         seen = (

@@ -244,3 +244,20 @@ def test_writer_lock_crashed_holder_releases_automatically(tmp_path):
             child.wait()
     # the lock FILE persists (it is the flock anchor, never removed)
     assert os.path.exists(lock)
+
+
+def test_legacy_bare_writer_lock_removed_on_acquire(tmp_path):
+    """r13 advice: a crashed pre-flock holder's bare 'WRITER.lock' must
+    not survive in the index root — legacy flat ANN layouts read
+    index_dir itself as parquet, where the stray file breaks the scan."""
+    import os
+
+    from purldb_spark.streaming.compact_stream import writer_lock
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+    legacy = os.path.join(index_dir, "WRITER.lock")
+    open(legacy, "w").write("12345")
+    with writer_lock(index_dir):
+        assert not os.path.exists(legacy)
+        assert os.path.exists(os.path.join(index_dir, "_WRITER.lock"))

@@ -107,3 +107,31 @@ def test_sink_drains_through_a_real_stream(spark, tmp_path):
     got = _rows(spark, stats_dir)
     assert len(got) == 3
     assert got[3].decoded and got[4].decoded and not got[5].decoded
+
+
+def test_within_batch_duplicate_id_picks_deterministic_representative(
+    spark, tmp_path
+):
+    """r13 advice: one media_id carrying DIFFERENT payloads in a single
+    micro-batch must land a deterministic stats row — min by (content
+    md5, media_type) — not whichever row dropDuplicates happened to
+    keep, or a replay recomputing from a different survivor silently
+    diverges behind the anti-join."""
+    import hashlib
+
+    a = bytearray(encode_bmp(4, 2, (10, 20, 30)))
+    b = bytearray(encode_bmp(6, 3, (40, 50, 60)))
+    winner = min(
+        [(hashlib.md5(bytes(a)).hexdigest(), "image/bmp", a),
+         (hashlib.md5(bytes(b)).hexdigest(), "image/bmp", b)]
+    )
+    exp_w = 4 if bytes(winner[2]) == bytes(a) else 6
+
+    for order in ([a, b], [b, a]):  # arrival order must not matter
+        stats_dir = str(tmp_path / f"stats_{exp_w}_{order[0][20]}")
+        batch = spark.createDataFrame(
+            [(7, "image/bmp", order[0]), (7, "image/bmp", order[1])], SCHEMA
+        ).repartition(2)
+        index_media_batch(spark, batch, stats_dir)
+        rows = _rows(spark, stats_dir)
+        assert len(rows) == 1 and rows[7].width == exp_w

@@ -60,12 +60,47 @@ def test_bmp_top_down_and_widths():
         )
 
 
+def _bmp8(width, height, idxs, pal_bgr):
+    """8-bit paletted BMP: palette entries are (B, G, R, 0) quads between
+    the header and the pixel rows; pix_off points past them."""
+    pal = b"".join(bytes(e) + b"\x00" for e in pal_bgr)
+    pix_off = 54 + len(pal)
+    stride = (width + 3) & ~3
+    rows = b"".join(
+        bytes(idxs[y * width : (y + 1) * width]) + b"\x00" * (stride - width)
+        for y in range(height)
+    )
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(rows), 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, 0, len(rows), 0, 0, len(pal_bgr), 0,
+    )
+    return hdr + pal + rows
+
+
 def test_bmp_8bit_and_32bit_variants():
-    g = decode_bmp(_bmp(3, 1, 8, bytes([100, 100, 100]) + b"\x00"))
-    assert (g["channels"], g["mean_b_e3"], g["mean_g_e3"]) == (1, 100000, 0)
+    # 8-bit pixels are palette INDICES (r13 advice): a color palette must
+    # decode to its BGR entries, not report the raw index bytes
+    c = decode_bmp(_bmp8(2, 1, [0, 1], [(10, 20, 30), (50, 60, 70)]))
+    assert (c["channels"], c["mean_b_e3"], c["mean_g_e3"], c["mean_r_e3"]) == (
+        3, 30000, 40000, 50000,
+    )
+    # grayscale-identity palette: all three channels read the gray level
+    g = decode_bmp(_bmp8(3, 1, [100, 100, 100], [(i, i, i) for i in range(256)]))
+    assert (g["channels"], g["mean_b_e3"], g["mean_g_e3"]) == (3, 100000, 100000)
     px = bytes([1, 2, 3, 4] * 2)  # 2 BGRA pixels, stride already aligned
     a = decode_bmp(_bmp(2, 1, 32, px))
     assert (a["channels"], a["n_pixels"], a["mean_b_e3"]) == (4, 2, 1000)
+
+
+def test_bmp_8bit_palette_rejections():
+    # no palette between header and pixels -> poison, not silent garbage
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp(3, 1, 8, bytes([100, 100, 100]) + b"\x00"))
+    # pixel index beyond the declared palette -> poison
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp8(2, 1, [0, 3], [(1, 1, 1), (2, 2, 2)]))
 
 
 def test_bmp_rejections():
@@ -134,8 +169,12 @@ def test_wav_rejections():
 def test_decode_media_dispatch_narrowed():
     bmp = encode_bmp(5, 4, (1, 2, 3))
     assert decode_media("image/bmp", bmp) == (5, 4)
+    # r14: PNG decodes for real (stdlib zlib); jpeg stays the boundary
+    from purldb_spark.multimodal.binaryops import encode_png
+
+    assert decode_media("image/png", encode_png(6, 2, 2, (9, 9, 9))) == (6, 2)
     with pytest.raises(NotImplementedError):
-        decode_media("image/png", b"\x89PNG....")
+        decode_media("image/jpeg", b"\xff\xd8\xff\xe0 jfif-ish bytes")
     assert decode_media("fake/image", b"x" * 10) == (11, 11)
 
 
@@ -316,3 +355,151 @@ def test_wav_features_are_exactly_embed_dim_with_rate(spark):
     b = wav_features(encode_wav(16000, 1, 16, [1000, -1000] * 10))
     assert len(a) == len(b) == EMBED_DIM
     assert a[:-1] == b[:-1] and a[-1] != b[-1]
+
+
+# -------------------------------------------------------------------- png --
+
+
+def _png_chunks_raw(ihdr_fields, idat_raw, plte=None):
+    """Hand-build PNG bytes straight from zlib — independent of
+    encode_png, so a complementary encode/decode bug cannot hide."""
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d)
+        )
+
+    out = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_png_literal_bytes_golden_with_up_filter():
+    """2x2 RGB, row 0 filter None, row 1 filter Up: the reconstructed
+    second row is row0 + deltas — a filter bug shifts every mean."""
+    from purldb_spark.multimodal.binaryops import decode_png
+
+    row0 = bytes([0]) + bytes([10, 20, 30, 40, 50, 60])
+    row1 = bytes([2]) + bytes([5, 5, 5, 5, 5, 5])  # Up -> 15..65
+    d = decode_png(_png_chunks_raw((2, 2, 8, 2, 0, 0, 0), row0 + row1))
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (2, 2, 3, 4)
+    assert d["mean_r_e3"] == round((10 + 40 + 15 + 45) / 4 * 1000)
+    assert d["mean_g_e3"] == round((20 + 50 + 25 + 55) / 4 * 1000)
+    assert d["mean_b_e3"] == round((30 + 60 + 35 + 65) / 4 * 1000)
+
+
+def test_png_sub_and_paeth_filters_golden():
+    """Sub (left-predictor) and Paeth rows hand-computed: filt bytes are
+    raw - predictor mod 256, so decode must invert them exactly."""
+    from purldb_spark.multimodal.binaryops import decode_png
+
+    # 3px-wide grayscale. raw row0 = [100, 110, 130], Sub filt = [100, 10, 20]
+    row0 = bytes([1]) + bytes([100, 10, 20])
+    # row1 raw = [90, 120, 125]; Paeth predictors: a=0,b=100,c=0 -> 100;
+    # then a=90,b=110,c=100 -> p=100,pa=10,pb=10,pc=0 -> c=100;
+    # then a=120,b=130,c=110 -> p=140,pa=20,pb=10,pc=30 -> b=130
+    row1 = bytes([4]) + bytes([(90 - 100) & 0xFF, (120 - 100) & 0xFF, (125 - 130) & 0xFF])
+    d = decode_png(_png_chunks_raw((3, 2, 8, 0, 0, 0, 0), row0 + row1))
+    mean = (100 + 110 + 130 + 90 + 120 + 125) / 6
+    assert d["channels"] == 1
+    assert d["mean_r_e3"] == d["mean_g_e3"] == d["mean_b_e3"] == round(mean * 1000)
+
+
+def test_png_paletted():
+    from purldb_spark.multimodal.binaryops import decode_png
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 128])
+    row = bytes([0]) + bytes([0, 1, 2, 1])
+    d = decode_png(_png_chunks_raw((4, 1, 8, 3, 0, 0, 0), row, plte=pal))
+    assert d["channels"] == 3
+    assert d["mean_r_e3"] == round(255 / 4 * 1000)
+    assert d["mean_g_e3"] == round(510 / 4 * 1000)
+    assert d["mean_b_e3"] == round(128 / 4 * 1000)
+    # index past the palette end -> poison
+    with pytest.raises(ValueError):
+        decode_png(
+            _png_chunks_raw((1, 1, 8, 3, 0, 0, 0), bytes([0, 7]), plte=pal)
+        )
+
+
+def test_png_rejections_and_boundaries():
+    from purldb_spark.multimodal.binaryops import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"BM this is a bmp not a png, padded to length......")
+    # 16-bit depth and interlace are documented codec boundaries
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_chunks_raw((1, 1, 16, 2, 0, 0, 0), bytes(7)))
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_chunks_raw((1, 1, 8, 2, 0, 0, 1), bytes(4)))
+    # truncated scanline stream (fewer rows than height) -> poison
+    with pytest.raises(ValueError):
+        decode_png(_png_chunks_raw((2, 3, 8, 2, 0, 0, 0), bytes([0]) + bytes(6)))
+
+
+from hypothesis import given as _given  # noqa: E402
+from hypothesis import settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(
+    w=_st.integers(1, 24),
+    h=_st.integers(1, 12),
+    ct=_st.sampled_from([0, 2, 6]),
+    rgb=_st.tuples(
+        _st.integers(0, 255), _st.integers(0, 255), _st.integers(0, 255)
+    ),
+)
+def test_png_roundtrip_property(w, h, ct, rgb):
+    """encode->decode is exact for every (dims, color type, color); the
+    encoder cycles the row filter through all five types, so any
+    unfilter branch that mis-reconstructs (incl. Paeth) breaks the
+    solid-color means."""
+    from purldb_spark.multimodal.binaryops import decode_png, encode_png
+
+    d = decode_png(encode_png(w, h, ct, rgb))
+    assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+    if ct == 0:
+        assert d["mean_r_e3"] == d["mean_g_e3"] == d["mean_b_e3"] == rgb[0] * 1000
+    else:
+        assert (d["mean_r_e3"], d["mean_g_e3"], d["mean_b_e3"]) == tuple(
+            c * 1000 for c in rgb
+        )
+    assert d["channels"] == {0: 1, 2: 3, 6: 4}[ct]
+
+
+def test_png_features_and_image_stats_dispatch(spark):
+    """png_features matches the bmp feature layout so PNG media land in
+    the same embedding space; image_stats sniffs PNG magic and decodes
+    both formats in one face."""
+    from purldb_spark.multimodal.binaryops import (
+        encode_png,
+        image_stats,
+        png_features,
+    )
+
+    png = encode_png(4, 3, 2, (51, 102, 204))
+    f = png_features(png)
+    assert len(f) == 16
+    assert abs(f[0] - 51 / 255) < 1e-12 and f[1] == 0.0  # R mean/std
+    assert abs(f[4] - 102 / 255) < 1e-12  # G mean
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(encode_bmp(4, 3, (51, 102, 204)))),
+        (3, bytearray(b"neither format, long enough to pass length gates")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in image_stats(df).collect()}
+    # PNG is RGB, BMP arg order is BGR: same stats when colors mirror
+    assert (got[1].mean_r_e3, got[1].mean_g_e3, got[1].mean_b_e3) == (
+        51000, 102000, 204000,
+    )
+    assert (got[2].mean_b_e3, got[2].mean_g_e3, got[2].mean_r_e3) == (
+        51000, 102000, 204000,
+    )
+    assert got[3].width == -1
