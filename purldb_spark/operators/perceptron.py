@@ -51,18 +51,44 @@ def features(
     docs: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
     """(id, x0..x{n-1}, xb) integer feature frame: per-bucket token
-    counts + the constant bias column. One map-only pass."""
+    counts + the constant bias column.
+
+    ONE tokenize pass regardless of bucket count (r13 advice): the
+    original shape emitted one ``size(filter(split(text), ...))`` column
+    per bucket — every token split and md5-hashed B times per row, fine
+    at the demo B=8 but O(B x tokens)/row, intractable at a realistic
+    student size (the frozen fastText teacher uses 4096 buckets). Now:
+    explode -> hash each token ONCE -> count by (id, bucket) on thin
+    (id, int) rows with map-side combine -> fold to a per-doc count map
+    -> left-join back so no doc drops -> O(1) element_at per bucket
+    column. Work is O(tokens) + O(B)/row; the two shuffles move only
+    id+int rows, never text, and Spark reuses their shuffle files across
+    perceptron_fit's epochs (same DataFrame lineage -> skipped stages),
+    so epochs pay the final aggregate only. A doc whose text tokenizes
+    to nothing (null text) gets zero counts."""
     b = bucket_expr_spark("w", n_buckets)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    counts = (
+        toks.select(F.col(id_col), F.expr(b).cast("int").alias("bkt"))
+        .groupBy(id_col, "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    maps = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bkt", "c"))).alias("m")
+    )
     cols = [
-        F.expr(
-            f"size(filter(split({text_col}, ' '), w -> {b} = {i}))"
-        )
+        F.coalesce(F.expr(f"element_at(m, {i})"), F.lit(0))
         .cast("long")
         .alias(f"x{i}")
         for i in range(n_buckets)
     ]
-    return docs.select(
-        F.col(id_col), *cols, F.lit(1).cast("long").alias("xb")
+    return (
+        docs.select(F.col(id_col))
+        .join(maps, id_col, "left")
+        .select(F.col(id_col), *cols, F.lit(1).cast("long").alias("xb"))
     )
 
 

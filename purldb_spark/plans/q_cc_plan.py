@@ -84,7 +84,9 @@ labels AS MATERIALIZED (SELECT node, min(r) AS label FROM reach GROUP BY node),
 csize AS MATERIALIZED (SELECT label, count(*) AS n FROM labels GROUP BY label),
 novel AS MATERIALIZED (
   SELECT p.doc_a, p.doc_b, la.label AS la, lb.label AS lb,
-         greatest(COALESCE(na.n, 1), COALESCE(nb.n, 1)) AS comp_max
+         greatest(COALESCE(na.n, 1), COALESCE(nb.n, 1)) AS comp_max,
+         CASE WHEN p.doc_a % 5 = 0 AND p.doc_b % 5 = 0 THEN 2 ELSE 1 END
+           AS edge_epoch
   FROM batch_pairs p
   LEFT JOIN labels la ON la.node = p.doc_a
   LEFT JOIN labels lb ON lb.node = p.doc_b
@@ -103,7 +105,9 @@ counts AS (
          CAST(sum(CASE WHEN deferred THEN 0 ELSE 1 END) AS BIGINT)
            AS inline_edges,
          CAST(COALESCE(max(CASE WHEN deferred THEN comp_max END), 0)
-           AS BIGINT) AS max_deferred_component
+           AS BIGINT) AS max_deferred_component,
+         CAST(COALESCE(min(CASE WHEN deferred THEN edge_epoch END), 0)
+           AS BIGINT) AS oldest_deferred_epoch
   FROM flagged GROUP BY cap
 ),
 touched AS (
@@ -119,6 +123,8 @@ SELECT CAST(c.cap AS BIGINT) AS cap,
        CAST(COALESCE(counts.inline_edges, 0) AS BIGINT) AS inline_edges,
        CAST(COALESCE(counts.max_deferred_component, 0) AS BIGINT)
          AS max_deferred_component,
+       CAST(COALESCE(counts.oldest_deferred_epoch, 0) AS BIGINT)
+         AS oldest_deferred_epoch,
        CAST(COALESCE(t.components_touched, 0) AS BIGINT)
          AS components_touched
 FROM caps c
@@ -184,12 +190,24 @@ def cc_deferral_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("na"), F.lit(1)),
                 F.coalesce(F.col("nb"), F.lit(1)),
             ).alias("comp_max"),
+            # the batch carries two waves of novel docs: edges with ONE
+            # epoch-1 endpoint arrived first (wave 1), both-epoch-1
+            # edges second — min over deferred edges is the backlog AGE
+            # the flush cadence must bound (deferred_stats.oldest_epoch
+            # is the live equivalent)
+            F.when(
+                (F.col("doc_a") % 5 == 0) & (F.col("doc_b") % 5 == 0),
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+            .alias("edge_epoch"),
         )
     )
     flagged = novel.select(
         "la",
         "lb",
         "comp_max",
+        "edge_epoch",
         F.explode(
             F.array(*[F.lit(c) for c in _CAPS])
         ).alias("cap"),
@@ -206,6 +224,11 @@ def cc_deferral_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("max_deferred_component"),
+        F.coalesce(
+            F.min(F.when(F.col("deferred"), F.col("edge_epoch"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("oldest_deferred_epoch"),
     )
     touched = (
         flagged.filter("deferred")
@@ -231,6 +254,9 @@ def cc_deferral_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("max_deferred_component", F.lit(0)).cast("long").alias(
                 "max_deferred_component"
+            ),
+            F.coalesce("oldest_deferred_epoch", F.lit(0)).cast("long").alias(
+                "oldest_deferred_epoch"
             ),
             F.coalesce("components_touched", F.lit(0)).cast("long").alias(
                 "components_touched"

@@ -341,7 +341,14 @@ def deferred_stats(
     deferred-edge count, ledger partition span, the flushed-thru marker,
     and — with ``labels_dir`` — how many distinct stored components the
     pending edges touch. 'Pending' = partitions not yet covered by the
-    marker; edges the marker covers are already folded and awaiting GC."""
+    marker; edges the marker covers are already folded and awaiting GC.
+
+    ``oldest_epoch``/``newest_epoch`` span the partitions that actually
+    HOLD pending edges: every capped epoch writes its (possibly empty)
+    ledger partition, and an empty one carries no backlog — the age the
+    flush cadence must bound is that of the oldest undrained EDGE, so a
+    drained ledger reports None even while empty partition directories
+    await GC (r13 verdict item 6)."""
     marker = _read_flushed_thru(deferred_dir)
     parts = [
         (ep, p)
@@ -351,20 +358,26 @@ def deferred_stats(
     out = {
         "pending_edges": 0,
         "pending_partitions": len(parts),
-        "oldest_epoch": parts[0][0] if parts else None,
-        "newest_epoch": parts[-1][0] if parts else None,
+        "oldest_epoch": None,
+        "newest_epoch": None,
         "flushed_thru": marker,
         "components_touched": 0,
     }
     if not parts:
         return out
-    edges = (
-        spark.read.option("basePath", deferred_dir)
-        .parquet(*[p for _, p in parts])
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
+    raw = spark.read.option("basePath", deferred_dir).parquet(
+        *[p for _, p in parts]
     )
-    out["pending_edges"] = edges.count()
+    span = raw.agg(
+        F.countDistinct("doc_a", "doc_b").alias("n"),
+        F.min("batch").alias("lo"),
+        F.max("batch").alias("hi"),
+    ).first()
+    out["pending_edges"] = int(span["n"])
+    if span["n"]:
+        out["oldest_epoch"] = int(span["lo"])
+        out["newest_epoch"] = int(span["hi"])
+    edges = raw.select("doc_a", "doc_b").dropDuplicates()
     if labels_dir is not None:
         prior = current_labels(spark, labels_dir)
         if prior is not None:

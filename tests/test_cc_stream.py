@@ -455,9 +455,17 @@ def test_in_band_flush_through_real_stream_with_cap(spark, tmp_path):
     tail = [(50, 51)]                        # epoch 4 = flush epoch
 
     batches = [chain_a + chain_b, bridge, fresh + late, more, tail]
-    for batch in batches:
+    for i, batch in enumerate(batches):
         spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(src)
         drain()
+        if i == 1:
+            # the bridge just deferred at epoch 1 (not a flush epoch):
+            # the backlog-age telemetry must point at it (r13 verdict
+            # item 6 — oldest-deferred-epoch is the number the cadence
+            # decision bounds)
+            mid = deferred_stats(spark, deferred_dir, labels_dir)
+            assert mid["pending_edges"] == 1
+            assert mid["oldest_epoch"] == 1
 
     all_pairs = [p for b in batches for p in b]
     assert _labels(spark, labels_dir) == _batch_cc(spark, all_pairs)
@@ -466,4 +474,5 @@ def test_in_band_flush_through_real_stream_with_cap(spark, tmp_path):
 
     st = deferred_stats(spark, deferred_dir, labels_dir)
     assert st["pending_edges"] == 0
+    assert st["oldest_epoch"] is None  # ledger age resets after the drain
     assert st["flushed_thru"] == 4
