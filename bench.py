@@ -153,6 +153,8 @@ def main() -> None:
         "mm_embed_ann_search",
         "cc_deferral_plan",
         "classifier_train",
+        "nb_train",
+        "mm_resize_roundtrip",
         "t_tumbling_rollup_daily",
         "j14_asof_join",
         "j15_interval_bin_join",
@@ -172,7 +174,7 @@ def main() -> None:
             return "assembly"
         if name.startswith(
             ("dedup_", "decontam", "knn_", "text_", "mm_", "kmeans",
-             "select_")
+             "select_", "nb_")
         ):
             return "llm_ops"
         if name.startswith(("match_", "f5_", "snippet", "x_bah128")):

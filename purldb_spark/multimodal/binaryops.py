@@ -432,6 +432,51 @@ def encode_wav(
     )
 
 
+def encode_bmp_pixels(arr) -> bytes:
+    """24-bit uncompressed BMP from an (h, w, 3) uint8 BGR array, rows
+    written in array order — the general-grid twin of encode_bmp (solid
+    color). Consumers in this module read means orientation-agnostically;
+    resize_image works in storage-row space throughout."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    rows = b"".join(arr[y].tobytes() + pad for y in range(h))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + rows
+
+
+def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resample (r14: the decoders made it
+    possible): decode BMP/PNG via the shared pixel extractors, NN-index
+    with integer arithmetic (src = floor(dst * src_dim / dst_dim) — two
+    vectorized numpy gathers, no interpolation kernel needed), and
+    re-encode as canonical 24-bit BMP. Grayscale replicates to 3
+    channels, alpha is dropped, PNG's RGB flips to BMP's BGR. Operates
+    in storage-row space (a bottom-up BMP resamples bottom-up; NN row
+    duplication is orientation-dependent at the margin, which is the
+    standard NN artifact). Raises the decoders' ValueError /
+    NotImplementedError for undecodable input — resize_media maps those
+    to its deterministic fallback."""
+    import numpy as np
+
+    is_png = content[:8] == _PNG_SIG
+    pix, w, h = (_png_pixels if is_png else _bmp_pixels)(content)
+    arr = pix.reshape(h, w, pix.shape[1])
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    else:
+        arr = arr[:, :, :3]  # drop alpha
+    if is_png:
+        arr = arr[:, :, ::-1]  # RGB -> BGR
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return encode_bmp_pixels(np.ascontiguousarray(arr[np.ix_(ys, xs)]))
+
+
 def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
     """(width, height) decode dispatch. REAL for 'image/bmp' (pure-Python
     header parse, no codec library needed); deterministic fake for
@@ -777,12 +822,14 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: binary in -> fixed-(width, height) binary out.
-    The pixel resample itself is the codec boundary (no image libs in this
-    container — a real `PIL.Image.resize` is a drop-in inside the loop);
-    the deterministic stand-in cycles the source bytes to exactly
-    width*height bytes so downstream schema/batch behavior is real and
-    testable. Blobs stay inside their Arrow batch — no shuffle, no JVM
+    """Resize face: binary in -> fixed-(width, height) binary out. REAL
+    nearest-neighbor resample for decodable images (resize_image: BMP/PNG
+    in, canonical 24-bit BMP out — r14, upgraded from the byte-cycling
+    stub once the decoders landed); undecodable blobs keep the
+    deterministic byte-cycle fallback emitting exactly width*height bytes
+    (the resize-shaped twin of the poison-blob sentinel — a torn upload
+    must not kill the stage, and downstream schema behavior stays
+    testable). Blobs stay inside their Arrow batch — no shuffle, no JVM
     copy of the payload beyond the mapInPandas exchange."""
     target = width * height
 
@@ -791,18 +838,28 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             outs = []
             for c in pdf["content"]:
                 b = bytes(c)
-                if not b:
-                    outs.append(bytes(target))
-                else:
-                    reps = (target // len(b)) + 1
-                    outs.append((b * reps)[:target])
+                try:
+                    outs.append(resize_image(b, width, height))
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    IndexError,
+                    struct.error,
+                ):
+                    if not b:
+                        outs.append(bytes(target))
+                    else:
+                        reps = (target // len(b)) + 1
+                        outs.append((b * reps)[:target])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": pd.array([width] * len(pdf), dtype="int32"),
                     "height": pd.array([height] * len(pdf), dtype="int32"),
                     "content": outs,
-                    "n_bytes": pd.array([target] * len(pdf), dtype="int64"),
+                    "n_bytes": pd.array(
+                        [len(o) for o in outs], dtype="int64"
+                    ),
                 }
             )
 

@@ -375,3 +375,69 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "cand_id", "rnk", "dist_e3")
     )
+
+
+@query(
+    "mm_resize_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(3 AS INTEGER) AS width,
+           CAST(3 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(9 AS BIGINT) AS n_pixels,
+           CAST(round((4 * (doc_id % 256) + 2 * ((doc_id + 7) % 256)
+                       + 2 * ((doc_id + 13) % 256) + (doc_id + 20) % 256)
+                      * 1000.0 / 9) AS BIGINT) AS mean_b_e3,
+           CAST(round((4 * ((doc_id + 29) % 256) + 2 * ((doc_id + 36) % 256)
+                       + 2 * ((doc_id + 42) % 256) + (doc_id + 49) % 256)
+                      * 1000.0 / 9) AS BIGINT) AS mean_g_e3,
+           CAST(round((4 * ((doc_id + 58) % 256) + 2 * ((doc_id + 65) % 256)
+                       + 2 * ((doc_id + 71) % 256) + (doc_id + 78) % 256)
+                      * 1000.0 / 9) AS BIGINT) AS mean_r_e3
+    FROM documents
+    """,
+)
+def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resample through the full Arrow pipeline (r14: resize_media
+    upgraded from byte-cycling stub to nearest-neighbor): per document a
+    2x2 24-bit BMP with four DISTINCT pixels (channel value
+    (doc_id + 7x + 13y + 29ci) % 256) is NN-resized to 3x3 — source
+    column/row 0 duplicates, so the output means are the exact weighted
+    sums 4:2:2:1 over the four source pixels — then decoded back
+    (image_stats). The oracle restates the weighting arithmetically from
+    doc_id: an off-by-one in the NN index map, a channel-order flip, or
+    a stride bug in the grid encoder each shifts a mean and breaks the
+    match. (round() never lands on .5 here: 9 | weighted-sum would force
+    an even quotient against 2000's parity — both engines round the
+    same.)"""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from purldb_spark.multimodal.binaryops import (
+        encode_bmp_pixels,
+        image_stats,
+        resize_media,
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                arr = np.zeros((2, 2, 3), dtype=np.uint8)
+                for y in range(2):
+                    for x in range(2):
+                        for ci in range(3):
+                            arr[y, x, ci] = (i + 7 * x + 13 * y + 29 * ci) % 256
+                outs.append(encode_bmp_pixels(arr))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    resized = resize_media(media, 3, 3).select("media_id", "content")
+    return image_stats(resized)

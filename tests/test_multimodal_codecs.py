@@ -503,3 +503,70 @@ def test_png_features_and_image_stats_dispatch(spark):
         51000, 102000, 204000,
     )
     assert got[3].width == -1
+
+
+# ------------------------------------------------------------------ resize --
+
+
+def test_resize_image_nearest_neighbor_exact():
+    """NN index map is floor(dst*src/dst_dim): 2x2 -> 3x3 duplicates
+    source col/row 0 with weights 4:2:2:1 — checked pixel-exact, not
+    just via means."""
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import (
+        _bmp_pixels,
+        encode_bmp_pixels,
+        resize_image,
+    )
+
+    src = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    out = resize_image(encode_bmp_pixels(src), 3, 3)
+    pix, w, h = _bmp_pixels(out)
+    assert (w, h) == (3, 3)
+    grid = pix.reshape(3, 3, 3)
+    exp = src[np.ix_([0, 0, 1], [0, 0, 1])]
+    assert (grid == exp).all()
+    # downscale 2x2 -> 1x1 keeps pixel (0,0)
+    one = _bmp_pixels(resize_image(encode_bmp_pixels(src), 1, 1))[0]
+    assert list(one[0]) == [1, 2, 3]
+
+
+def test_resize_image_png_input_flips_to_bgr_and_gray_replicates():
+    from purldb_spark.multimodal.binaryops import (
+        _bmp_pixels,
+        encode_png,
+        resize_image,
+    )
+
+    # PNG stores RGB; the BMP output must store BGR of the same color
+    out = resize_image(encode_png(2, 2, 2, (10, 20, 30)), 2, 2)
+    pix, _, _ = _bmp_pixels(out)
+    assert list(pix[0]) == [30, 20, 10]
+    # grayscale PNG replicates its channel
+    g = resize_image(encode_png(2, 2, 0, (77, 0, 0)), 4, 4)
+    gp, w, h = _bmp_pixels(g)
+    assert (w, h) == (4, 4) and list(gp[0]) == [77, 77, 77]
+
+
+def test_resize_media_real_path_and_fallback(spark):
+    """Decodable blobs take the REAL NN path (output is a BMP whose
+    stats decode to the resample); undecodable blobs keep the
+    byte-cycle fallback with n_bytes == width*height."""
+    from purldb_spark.multimodal.binaryops import decode_bmp, resize_media
+
+    rows = [
+        (1, bytearray(encode_bmp(8, 8, (5, 6, 7)))),
+        (2, bytearray(b"not an image, just bytes")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in resize_media(df, 4, 2).collect()}
+    d = decode_bmp(bytes(got[1].content))
+    assert (d["width"], d["height"]) == (4, 2)
+    assert (d["mean_b_e3"], d["mean_g_e3"], d["mean_r_e3"]) == (
+        5000, 6000, 7000,
+    )
+    assert got[1].n_bytes == len(bytes(got[1].content))
+    assert got[2].n_bytes == 8 and len(bytes(got[2].content)) == 8

@@ -179,8 +179,12 @@ def test_multimodal_decode_stub_and_embed(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # r14: PNG decodes for real — a torn PNG is a poison ValueError and
+    # jpeg remains the NotImplementedError codec boundary
+    with _pytest.raises(ValueError):
         decode_media("image/png", b"\x89PNG")
+    with _pytest.raises(NotImplementedError):
+        decode_media("image/jpeg", b"\xff\xd8\xff\xe0")
     assert decode_media("fake/image", b"abcd") == (4 % 640 + 1, 4 % 480 + 1)
 
     media = spark.createDataFrame(
