@@ -94,6 +94,10 @@ PROBES = [
     ("sketch_hll_distinct", "register state fixed at types x 64 (map-side combined MAX); exact baseline pays the distinct shuffle — linear"),
     ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
     ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a DISTRIBUTED full sort (prefix-group rank, r9) — linear (N log N baseline)"),
+    ("mm_png_roundtrip", "PNG encode/decode inside Arrow batches — map-only, linear"),
+    ("mm_resize_roundtrip", "NN resample roundtrip — map-only, linear"),
+    ("mm_embed_ann_search", "decode->features->grid-cell probe->L1 re-rank — cell-bounded"),
+    ("nb_train", "one (class x bucket) counting agg — linear scan, bounded shuffle"),
     ("knn_residual_ivfpq", "residual-coded IVFADC probe, per-probe query residuals — same cell-equi-join cost model as knn_fully_trained_ivfpq (anchors ∝ N in the probe; per query 28 -> 39.8 ms at 10x corpus = 1.4x), corpus-scaled k since r9 + nprobe=isqrt(k) since r11"),
     ("knn_recall_residual", "IVFADC recall eval — approx side cell-bound at corpus-scaled k, GT side anchors(N/50) x N by construction (recall VALUES per scale: finding 5)"),
     ("sketch_hll_merge_daily", "daily register shards (types x days x 64) MAX-merged vs direct — two bounded groupBys over one scan each — linear"),
