@@ -81,3 +81,101 @@ def nb_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return nb_train(spark, docs, "y", "text", _B)
+
+
+@query(
+    "nb_merge_shards",
+    oracle=f"""
+WITH docs2 AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN CAST(list_sum(list_transform(string_split(text, ' '),
+                     w -> {_QC_W_SQL})) AS BIGINT) >= 0
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id % 4 AS shard, label, {bucket_expr_sql("w", _B)} AS bucket
+  FROM (SELECT doc_id, label, unnest(string_split(text, ' ')) AS w
+        FROM docs2)
+),
+shard_cnt AS (
+  SELECT shard, label, bucket, count(*) AS c FROM toks GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT label, bucket, sum(c) AS merged_cnt FROM shard_cnt GROUP BY 1, 2
+),
+direct AS (
+  SELECT label, bucket, count(*) AS direct_cnt FROM toks GROUP BY 1, 2
+),
+grid AS (
+  SELECT c.label, b.bucket
+  FROM (VALUES (0), (1)) c(label),
+       (VALUES {", ".join(f"({i})" for i in range(_B))}) b(bucket)
+)
+SELECT CAST(g.label AS BIGINT) AS label,
+       CAST(g.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(m.merged_cnt, 0) AS BIGINT) AS merged_cnt,
+       CAST(COALESCE(d.direct_cnt, 0) AS BIGINT) AS direct_cnt,
+       COALESCE(m.merged_cnt, 0) = COALESCE(d.direct_cnt, 0) AS merge_exact
+FROM grid g
+LEFT JOIN merged m ON m.label = g.label AND m.bucket = g.bucket
+LEFT JOIN direct d ON d.label = g.label AND d.bucket = g.bucket
+""",
+)
+def nb_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB merge proof as a first-class query — the sharded/streaming
+    trainer path: per-SHARD sufficient statistics (what a daily ingest
+    or a micro-batch face persists, streaming/nb_stream.py) SUM-merged
+    into one table that must equal the single-pass train. Counts form a
+    commutative monoid under +, so shards merge without re-reading raw
+    text — the same lossless-merge property the HLL/CMS/histogram
+    sketches prove engine-checked (sketch_hll_merge_daily), extended to
+    the trainer family. merge_exact is TRUE for every row by the monoid
+    algebra; the oracle re-derives both sides relationally."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"case when aggregate(split(text, ' '), 0L,"
+            f" (acc, w) -> acc + ({_QC_W_SPARK})) >= 0 then 1 else 0 end"
+        ).alias("y"),
+    )
+    from purldb_spark.operators.perceptron import bucket_expr_spark
+
+    b = bucket_expr_spark("w", _B)
+    toks = docs.select(
+        (F.col("doc_id") % 4).alias("shard"),
+        F.col("y").alias("label"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).select("shard", "label", F.expr(b).cast("long").alias("bucket"))
+    shard_cnt = toks.groupBy("shard", "label", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = shard_cnt.groupBy("label", "bucket").agg(
+        F.sum("c").cast("long").alias("merged_cnt")
+    )
+    direct = toks.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("direct_cnt")
+    )
+    grid = spark.createDataFrame(
+        [(c, b_) for c in range(2) for b_ in range(_B)],
+        "label long, bucket long",
+    )
+    return (
+        grid.join(merged, ["label", "bucket"], "left")
+        .join(direct, ["label", "bucket"], "left")
+        .select(
+            "label",
+            "bucket",
+            F.coalesce("merged_cnt", F.lit(0))
+            .cast("long")
+            .alias("merged_cnt"),
+            F.coalesce("direct_cnt", F.lit(0))
+            .cast("long")
+            .alias("direct_cnt"),
+            (
+                F.coalesce("merged_cnt", F.lit(0))
+                == F.coalesce("direct_cnt", F.lit(0))
+            ).alias("merge_exact"),
+        )
+    )
