@@ -282,33 +282,26 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
-    color_type: int,
-    rgb: tuple[int, int, int],
-    cycle_filters: bool = True,
-) -> bytes:
-    """Minimal spec-correct PNG writer (8-bit gray/RGB/RGBA solid color)
-    — fixture generator for the decode path. ``cycle_filters`` filters
-    row y with type y % 5, computing the FORWARD filter transform
-    (filt = raw - predictor mod 256), so decoding exercises every
-    unfilter branch including Paeth: on a solid image any reconstruction
-    bug changes pixel values and breaks the oracle-predicted means."""
+def encode_png_pixels(rows: list[bytes], color_type: int) -> bytes:
+    """Spec-correct PNG writer from raw scanlines (``rows`` = one bytes
+    object of width*channels samples per row, 8-bit): computes the
+    FORWARD filter transform (filt = raw - predictor mod 256) with the
+    filter type CYCLING y % 5, so decoding exercises every unfilter
+    branch including Paeth — on ARBITRARY pixel content, which is the
+    strong test: a solid image filters to mostly-zero bytes that can
+    cancel an unfilter indexing or Average-rounding bug."""
     import zlib
 
     channels = _PNG_CHANNELS[color_type]
     if color_type == 3:
         raise ValueError("encode_png writes gray/RGB/RGBA, not paletted")
-    r, g, b = rgb
-    px = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[color_type]
-    raw_row = bytes(px) * width
-    stride = width * channels
+    stride = len(rows[0])
+    width = stride // channels
     bpp = channels
     lines = []
     prior = bytes(stride)
-    for y in range(height):
-        ft = y % 5 if cycle_filters else 0
+    for y, raw_row in enumerate(rows):
+        ft = y % 5
         filt = bytearray(stride)
         for i in range(stride):
             a = raw_row[i - bpp] if i >= bpp else 0
@@ -329,13 +322,29 @@ def encode_png(
             filt[i] = (raw_row[i] - pred) & 0xFF
         lines.append(bytes([ft]) + bytes(filt))
         prior = raw_row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, len(rows), 8, color_type, 0, 0, 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    color_type: int,
+    rgb: tuple[int, int, int],
+    cycle_filters: bool = True,  # kept for call-site clarity; always cycles
+) -> bytes:
+    """Solid-color convenience wrapper over encode_png_pixels — the
+    oracle-fixture generator (means predictable from the color)."""
+    r, g, b = rgb
+    px = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[color_type]
+    return encode_png_pixels([bytes(px) * width] * height, color_type)
 
 
 def decode_wav(content: bytes) -> dict:

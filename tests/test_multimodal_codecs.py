@@ -570,3 +570,36 @@ def test_resize_media_real_path_and_fallback(spark):
     )
     assert got[1].n_bytes == len(bytes(got[1].content))
     assert got[2].n_bytes == 8 and len(bytes(got[2].content)) == 8
+
+
+@_settings(max_examples=80, deadline=None)
+@_given(
+    w=_st.integers(1, 12),
+    h=_st.integers(1, 10),
+    ct=_st.sampled_from([0, 2, 6]),
+    seed=_st.integers(0, 2**31),
+)
+def test_png_random_pixels_roundtrip_pixel_exact(w, h, ct, seed):
+    """Filter/unfilter round-trip on ARBITRARY pixel grids, checked
+    PIXEL-exact (not via means): solid images filter to mostly-zero
+    bytes that can cancel an indexing or Average-rounding bug — random
+    content cannot. The encoder cycles all five filter types, so with
+    h >= 5 every unfilter branch runs against random data."""
+    import random
+
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import (
+        _png_pixels,
+        encode_png_pixels,
+    )
+
+    rng = random.Random(seed)
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    rows = [
+        bytes(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)
+    ]
+    pix, gw, gh = _png_pixels(encode_png_pixels(rows, ct))
+    assert (gw, gh) == (w, h)
+    exp = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h * w, ch)
+    assert (pix == exp).all()
