@@ -131,6 +131,7 @@ def main() -> None:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_ngram_jaccard_capped",
+        "dedup_ngram_prefix",
         "dedup_embedding_cosine",
         "dedup_embedding_blocked",
         "dedup_cluster_cc",

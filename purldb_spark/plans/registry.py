@@ -97,6 +97,7 @@ def load_inventory() -> None:
         q_cc_plan,
         q_classifier,
         q_nb,
+        q_prefix,
         q_compact_plan,
         q_dedup_plan,
         q_ivf_plan,

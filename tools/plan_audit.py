@@ -103,6 +103,7 @@ AUDIT = [
     ("mm_resize_roundtrip", "NN resample roundtrip, map-only"),
     ("mm_embed_ann_search", "decode->features->grid cells->probe->L1 re-rank"),
     ("nb_train", "NB trainer: one (class x bucket) counting aggregation"),
+    ("dedup_ngram_prefix", "prefix-filtered exact jaccard: rarest-first prefix postings"),
 ]
 
 def _existing_ledger() -> list[str]:

@@ -94,6 +94,7 @@ PROBES = [
     ("sketch_hll_distinct", "register state fixed at types x 64 (map-side combined MAX); exact baseline pays the distinct shuffle — linear"),
     ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
     ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a DISTRIBUTED full sort (prefix-group rank, r9) — linear (N log N baseline)"),
+    ("dedup_ngram_prefix", "prefix-filtered exact jaccard — candidates from rarest-first prefixes only"),
     ("mm_png_roundtrip", "PNG encode/decode inside Arrow batches — map-only, linear"),
     ("mm_resize_roundtrip", "NN resample roundtrip — map-only, linear"),
     ("mm_embed_ann_search", "decode->features->grid-cell probe->L1 re-rank — cell-bounded"),
