@@ -224,7 +224,13 @@ def _png_pixels(content: bytes):
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG — codec boundary")
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # corrupt DEFLATE must surface as the poison-blob ValueError the
+        # Spark faces already catch — zlib.error is not in their catch
+        # tuples, and a torn PNG must never kill a 100 TB stage
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     pix = np.frombuffer(
         _png_unfilter(raw, width, height, channels), dtype=np.uint8
     ).reshape(width * height, channels)

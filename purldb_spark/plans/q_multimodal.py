@@ -290,7 +290,7 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~6e-5 e3-units, provably inside the >=1/510 e3 gap between any
     channel value and a rounding boundary, so the longs match exactly).
     At 100 TB: feature extraction is map-only Arrow batches, the probe
-    is a cell equi-join (broadcastable query side), the re-rank a
+    is a cell equi-join (AQE-broadcast while the query set is small), the re-rank a
     per-query window over cell-bounded candidates."""
     from collections.abc import Iterator
 
@@ -353,8 +353,13 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_e3").alias("qr"),
         "cb", "cg", "cr",
     )
+    # no broadcast hint: the query side here is a fixed FRACTION of the
+    # corpus (doc_id % 7), so forcing a broadcast would grow linearly
+    # with N and OOM a real cluster — AQE broadcasts it while small and
+    # falls back to a shuffled cell equi-join at scale (the correct
+    # shape; in production the query set is workload-pinned and small)
     pairs = (
-        F.broadcast(q)
+        q
         .join(coded, ["cb", "cg", "cr"])
         .filter(F.col("query_id") != F.col("media_id"))
         .select(

@@ -603,3 +603,34 @@ def test_png_random_pixels_roundtrip_pixel_exact(w, h, ct, seed):
     assert (gw, gh) == (w, h)
     exp = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h * w, ch)
     assert (pix == exp).all()
+
+
+def test_png_corrupt_deflate_is_poison_not_stage_death(spark):
+    """zlib.error from a torn IDAT must translate to the poison-blob
+    ValueError contract — it is NOT in the Spark faces' catch tuples,
+    so an untranslated corrupt-deflate PNG would kill the batch."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from purldb_spark.multimodal.binaryops import decode_png, image_stats
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", _zlib.crc32(t + d)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    torn = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x78\x9c not really deflate")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(torn)
+    df = spark.createDataFrame(
+        [(1, bytearray(torn))], "media_id long, content binary"
+    )
+    row = image_stats(df).collect()[0]
+    assert row.width == -1  # sentinel, batch survived
