@@ -86,3 +86,83 @@ def test_empty_batch_writes_zero_shard_not_poison(spark, tmp_path):
     )
     rows = _model_rows(current_nb_model(spark, stats_dir))
     assert len(rows) == 8 and all(r[2] == 0 for r in rows)
+
+
+def test_compaction_preserves_model_and_replay_contract(spark, tmp_path):
+    """compact_nb_shards folds all-but-newest into a base partition in a
+    fresh generation (CURRENT-pointer swap, writer flock): the model is
+    unchanged, a replay of the NEWEST epoch (the only one Structured
+    Streaming can replay) still overwrites its own carried partition
+    without double-counting, and a second compaction chains."""
+    import os
+
+    from purldb_spark.streaming.nb_stream import (
+        _shards_root,
+        compact_nb_shards,
+    )
+
+    stats_dir = str(tmp_path / "stats")
+    for ep, (lo, hi) in enumerate(((0, 2), (2, 4), (4, 6))):
+        train_nb_batch(
+            spark,
+            spark.createDataFrame(_DOCS[lo:hi], SCHEMA),
+            "y",
+            "text",
+            4,
+            stats_dir,
+            epoch_id=ep,
+        )
+    before = _model_rows(current_nb_model(spark, stats_dir))
+
+    gen = compact_nb_shards(spark, stats_dir)
+    assert gen == 1
+    root = _shards_root(stats_dir)
+    assert root.endswith("gen=1/shards")
+    parts = sorted(d for d in os.listdir(root) if d.startswith("batch="))
+    assert parts == ["batch=1", "batch=2"]  # folded base + carried newest
+    assert _model_rows(current_nb_model(spark, stats_dir)) == before
+    # the pre-compaction flat shards are GC'd
+    assert not os.path.isdir(os.path.join(stats_dir, "shards"))
+
+    # replay of the newest epoch: overwrites its carried partition only
+    train_nb_batch(
+        spark,
+        spark.createDataFrame(_DOCS[4:6], SCHEMA),
+        "y",
+        "text",
+        4,
+        stats_dir,
+        epoch_id=2,
+    )
+    assert _model_rows(current_nb_model(spark, stats_dir)) == before
+
+    # stream continues into the live generation, then compacts again
+    train_nb_batch(
+        spark,
+        spark.createDataFrame(_DOCS[0:1], SCHEMA),
+        "y",
+        "text",
+        4,
+        stats_dir,
+        epoch_id=3,
+    )
+    grown = _model_rows(current_nb_model(spark, stats_dir))
+    assert compact_nb_shards(spark, stats_dir) == 2
+    assert _model_rows(current_nb_model(spark, stats_dir)) == grown
+
+
+def test_compaction_noop_below_two_shards(spark, tmp_path):
+    from purldb_spark.streaming.nb_stream import compact_nb_shards
+
+    stats_dir = str(tmp_path / "stats")
+    assert compact_nb_shards(spark, stats_dir) is None
+    train_nb_batch(
+        spark,
+        spark.createDataFrame(_DOCS[:2], SCHEMA),
+        "y",
+        "text",
+        4,
+        stats_dir,
+        epoch_id=0,
+    )
+    assert compact_nb_shards(spark, stats_dir) is None  # one shard: no-op
