@@ -150,6 +150,7 @@ def main() -> None:
         "mm_decode_meta",
         "mm_bmp_roundtrip",
         "mm_wav_roundtrip",
+        "mm_wav_windows",
         "mm_png_roundtrip",
         "mm_embed_ann_search",
         "cc_deferral_plan",

@@ -669,6 +669,103 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def slice_wav_windows(content: bytes, n_windows: int) -> list[bytes]:
+    """REAL audio frame-sampling (r14 — the frame-sample verb upgraded
+    from byte-chunking for the decodable modality): split a PCM WAV into
+    ``n_windows`` frame-ALIGNED windows, each re-wrapped as a complete,
+    independently-decodable WAV with the source's fmt chunk — pure byte
+    arithmetic, no resample. Frames never split across windows (slices
+    are multiples of block_align); the remainder frames ride in the last
+    window. Raises the decoders' errors for non-PCM input — callers map
+    them to the poison contract."""
+    d = decode_wav(content)  # validates + gives block_align via fmt
+    # re-walk for the raw chunks (decode_wav returns stats only)
+    pos, fmt_raw, data = 12, None, b""
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt_raw = content[pos + 8 : pos + 8 + sz]
+        elif cid == b"data":
+            data = content[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    ba = d["channels"] * d["bits"] // 8
+    frames = len(data) // ba if ba else 0
+    per = frames // n_windows
+    out = []
+    for k in range(n_windows):
+        lo = k * per * ba
+        hi = len(data) if k == n_windows - 1 else (k + 1) * per * ba
+        body = data[lo:hi]
+        out.append(
+            struct.pack(
+                "<4sI4s", b"RIFF", 4 + 8 + len(fmt_raw) + 8 + len(body), b"WAVE"
+            )
+            + struct.pack("<4sI", b"fmt ", len(fmt_raw))
+            + fmt_raw
+            + struct.pack("<4sI", b"data", len(body))
+            + body
+        )
+    return out
+
+
+WINDOW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_e3", T.LongType()),
+    ]
+)
+
+
+def audio_window_stats(df: DataFrame, n_windows: int = 4) -> DataFrame:
+    """Frame-sample + decode in one Arrow pass: (media_id, content) WAV
+    blobs -> n_windows rows of per-window frame count / duration / RMS,
+    each window decoded as its own complete WAV (slice_wav_windows).
+    Poison blobs emit one sentinel row (window_idx = -1) instead of
+    killing the batch — the windowed twin of audio_stats' contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    for k, w in enumerate(
+                        slice_wav_windows(bytes(c), n_windows)
+                    ):
+                        s = decode_wav(w)
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "window_idx": k,
+                                "n_frames": s["n_frames"],
+                                "duration_ms": s["duration_ms"],
+                                "rms_e3": s["rms_e3"],
+                            }
+                        )
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    IndexError,
+                    struct.error,
+                    ZeroDivisionError,
+                ):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "window_idx": -1,
+                            "n_frames": 0,
+                            "duration_ms": 0,
+                            "rms_e3": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=WINDOW_STATS_SCHEMA)
+
+
 EMBED_DIM = 16
 
 EMBED_SCHEMA = T.StructType(

@@ -446,3 +446,56 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_media(media, 3, 3).select("media_id", "content")
     return image_stats(resized)
+
+
+@query(
+    "mm_wav_windows",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS window_idx,
+           CAST(8 * (doc_id % 50 + 1) AS BIGINT) AS n_frames,
+           CAST(doc_id % 50 + 1 AS BIGINT) AS duration_ms,
+           CAST((doc_id % 8) * 125 AS BIGINT) AS rms_e3
+    FROM documents, unnest([0, 1, 2, 3]) AS t(w)
+    """,
+)
+def mm_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame-sampling end to end (r14: the frame-sample verb
+    upgraded from byte-chunking): per document a genuine RIFF/PCM WAV
+    (8 kHz mono 16-bit alternating-sign square wave, 32*(doc_id%50+1)
+    frames so every quarter-window is a whole number of milliseconds —
+    a frame count divisible by 4*8 keeps duration_ms off the .5
+    rounding boundary where Python's banker's rounding and SQL's
+    half-away diverge), sliced into FOUR frame-aligned windows each
+    re-wrapped as a complete WAV, each decoded independently
+    (binaryops.audio_window_stats). The oracle predicts every window's
+    frame count, duration, and RMS arithmetically: a frame-misaligned
+    slice or a dropped fmt chunk breaks the decode, a remainder-frame
+    bug breaks the counts, and the alternating wave keeps per-window
+    RMS exactly (doc_id % 8) * 125 e3-units."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.binaryops import (
+        audio_window_stats,
+        encode_wav,
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                amp = (i % 8) * 4096
+                n = (i % 50 + 1) * 32
+                samples = [amp if k % 2 == 0 else -amp for k in range(n)]
+                outs.append(encode_wav(8000, 1, 16, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return audio_window_stats(media, n_windows=4)

@@ -634,3 +634,51 @@ def test_png_corrupt_deflate_is_poison_not_stage_death(spark):
     )
     row = image_stats(df).collect()[0]
     assert row.width == -1  # sentinel, batch survived
+
+
+def test_wav_window_slicing_frame_aligned_with_remainder():
+    """slice_wav_windows: frames never split (slices are block_align
+    multiples), the remainder rides in the last window, every window is
+    an independently-decodable WAV with the source fmt — checked on
+    stereo 16-bit where a byte-level split would desync channels."""
+    from purldb_spark.multimodal.binaryops import (
+        decode_wav,
+        encode_wav,
+        slice_wav_windows,
+    )
+
+    # stereo, 11 frames (22 samples): 4 windows of 2,2,2,5 frames
+    samples = [(100 * (i + 1)) * (1 if i % 2 == 0 else -1) for i in range(22)]
+    wav = encode_wav(4000, 2, 16, samples)
+    wins = slice_wav_windows(wav, 4)
+    assert len(wins) == 4
+    stats = [decode_wav(w) for w in wins]
+    assert [s["n_frames"] for s in stats] == [2, 2, 2, 5]
+    assert all(s["channels"] == 2 and s["sample_rate"] == 4000 for s in stats)
+    # total energy conserved: sum of per-window sum-of-squares equals the
+    # whole file's (frame alignment means no sample lost or duplicated)
+    import numpy as np
+
+    whole = np.array(samples, dtype=np.int64)
+    parts = []
+    for w in wins:
+        d = bytes(w)
+        off = d.rindex(b"data") + 8
+        parts.append(np.frombuffer(d[off:], dtype="<i2").astype(np.int64))
+    assert sum(int((p * p).sum()) for p in parts) == int((whole * whole).sum())
+
+
+def test_audio_window_stats_poison_contract(spark):
+    from purldb_spark.multimodal.binaryops import audio_window_stats
+
+    rows = [
+        (1, bytearray(encode_wav(8000, 1, 16, [4096, -4096] * 8))),
+        (2, bytearray(b"not riff at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = sorted(
+        (r.media_id, r.window_idx, r.n_frames, r.rms_e3)
+        for r in audio_window_stats(df, 4).collect()
+    )
+    assert got[:4] == [(1, 0, 4, 125), (1, 1, 4, 125), (1, 2, 4, 125), (1, 3, 4, 125)]
+    assert got[4] == (2, -1, 0, 0)  # sentinel row, batch survived

@@ -101,6 +101,7 @@ AUDIT = [
     ("mm_bmp_roundtrip", "encode+decode BMP inside Arrow batches, map-only"),
     ("mm_png_roundtrip", "encode+decode PNG (zlib+unfilter), map-only"),
     ("mm_resize_roundtrip", "NN resample roundtrip, map-only"),
+    ("mm_wav_windows", "frame-aligned window slice + per-window decode, map-only"),
     ("mm_embed_ann_search", "decode->features->grid cells->probe->L1 re-rank"),
     ("nb_train", "NB trainer: one (class x bucket) counting aggregation"),
     ("dedup_ngram_prefix", "prefix-filtered exact jaccard: rarest-first prefix postings"),

@@ -97,6 +97,7 @@ PROBES = [
     ("dedup_ngram_prefix", "prefix-filtered exact jaccard — candidates from rarest-first prefixes only"),
     ("mm_png_roundtrip", "PNG encode/decode inside Arrow batches — map-only, linear"),
     ("mm_resize_roundtrip", "NN resample roundtrip — map-only, linear"),
+    ("mm_wav_windows", "frame-aligned WAV window slice + per-window decode — map-only, linear"),
     ("mm_embed_ann_search", "decode->features->grid-cell probe->L1 re-rank — cell-bounded"),
     ("nb_train", "one (class x bucket) counting agg — linear scan, bounded shuffle"),
     ("knn_residual_ivfpq", "residual-coded IVFADC probe, per-probe query residuals — same cell-equi-join cost model as knn_fully_trained_ivfpq (anchors ∝ N in the probe; per query 28 -> 39.8 ms at 10x corpus = 1.4x), corpus-scaled k since r9 + nprobe=isqrt(k) since r11"),
