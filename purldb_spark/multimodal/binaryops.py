@@ -224,13 +224,34 @@ def _png_pixels(content: bytes):
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG — codec boundary")
     channels = _PNG_CHANNELS[color_type]
+    # Bounded inflate: declared geometry fixes the plaintext size at
+    # height * (1 filter byte + width*channels). An unbounded
+    # zlib.decompress would let a poison blob with tiny IHDR dims but a
+    # multi-MB highly-compressible IDAT inflate ~1000x and exhaust
+    # executor memory (MemoryError is NOT in the poison catch tuples) —
+    # max_length caps the output at exactly what the geometry admits,
+    # and any surplus is the same poison ValueError as corrupt DEFLATE.
+    expected = height * (1 + width * channels)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        # unconsumed_tail may legitimately hold the stream trailer when
+        # the output lands exactly on max_length — only surplus OUTPUT
+        # (capped at 1 byte) proves over-declaration, not leftover input
+        surplus = (
+            dec.decompress(dec.unconsumed_tail, 1)
+            if dec.unconsumed_tail
+            else b""
+        )
     except zlib.error as exc:
         # corrupt DEFLATE must surface as the poison-blob ValueError the
         # Spark faces already catch — zlib.error is not in their catch
         # tuples, and a torn PNG must never kill a 100 TB stage
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if surplus:
+        raise ValueError("PNG IDAT inflates past declared geometry")
+    if len(raw) < expected:
+        raise ValueError("PNG IDAT shorter than declared geometry")
     pix = np.frombuffer(
         _png_unfilter(raw, width, height, channels), dtype=np.uint8
     ).reshape(width * height, channels)
@@ -720,47 +741,59 @@ WINDOW_STATS_SCHEMA = T.StructType(
 )
 
 
+def _media_window_rows(mid, content: bytes, n_windows: int) -> list[dict]:
+    """Per-media window decode with an ALL-OR-NOTHING poison contract:
+    either every window decodes (n_windows real rows) or the media
+    contributes exactly one window_idx=-1 sentinel. Rows accumulate in a
+    local list and commit only after the last window decodes — a later
+    window raising after earlier rows were already committed would
+    otherwise mix real rows WITH the sentinel for the same media_id,
+    contradicting the documented one-sentinel-row contract (r14 advice)."""
+    media_rows = []
+    try:
+        for k, w in enumerate(slice_wav_windows(bytes(content), n_windows)):
+            s = decode_wav(w)
+            media_rows.append(
+                {
+                    "media_id": mid,
+                    "window_idx": k,
+                    "n_frames": s["n_frames"],
+                    "duration_ms": s["duration_ms"],
+                    "rms_e3": s["rms_e3"],
+                }
+            )
+        return media_rows
+    except (
+        ValueError,
+        NotImplementedError,
+        IndexError,
+        struct.error,
+        ZeroDivisionError,
+    ):
+        return [
+            {
+                "media_id": mid,
+                "window_idx": -1,
+                "n_frames": 0,
+                "duration_ms": 0,
+                "rms_e3": 0,
+            }
+        ]
+
+
 def audio_window_stats(df: DataFrame, n_windows: int = 4) -> DataFrame:
     """Frame-sample + decode in one Arrow pass: (media_id, content) WAV
     blobs -> n_windows rows of per-window frame count / duration / RMS,
     each window decoded as its own complete WAV (slice_wav_windows).
     Poison blobs emit one sentinel row (window_idx = -1) instead of
-    killing the batch — the windowed twin of audio_stats' contract."""
+    killing the batch — the windowed twin of audio_stats' contract
+    (_media_window_rows holds the all-or-nothing commit)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    for k, w in enumerate(
-                        slice_wav_windows(bytes(c), n_windows)
-                    ):
-                        s = decode_wav(w)
-                        rows.append(
-                            {
-                                "media_id": mid,
-                                "window_idx": k,
-                                "n_frames": s["n_frames"],
-                                "duration_ms": s["duration_ms"],
-                                "rms_e3": s["rms_e3"],
-                            }
-                        )
-                except (
-                    ValueError,
-                    NotImplementedError,
-                    IndexError,
-                    struct.error,
-                    ZeroDivisionError,
-                ):
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "window_idx": -1,
-                            "n_frames": 0,
-                            "duration_ms": 0,
-                            "rms_e3": 0,
-                        }
-                    )
+                rows.extend(_media_window_rows(mid, c, n_windows))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=WINDOW_STATS_SCHEMA)

@@ -84,6 +84,40 @@ def _proc_ident(pid: int) -> str | None:
         return None
 
 
+def _remove_stale_legacy_lock(index_dir: str) -> None:
+    """Remove a pre-r13 bare ``WRITER.lock`` only when its holder is
+    provably dead. The old O_CREAT|O_EXCL protocol relies on the file's
+    EXISTENCE for mutual exclusion, so unconditional removal during a
+    rolling upgrade would actively admit a second old-protocol writer
+    next to a LIVE holder (r14 advice) — strictly worse than the
+    mixed-fleet non-interop the docstring already warns about. The old
+    body recorded the holder's pid: if that pid is alive we leave the
+    file alone (the stray-parquet-file nuisance is the lesser evil); a
+    dead pid, or an unparseable body older than 10 minutes, is a crashed
+    holder whose file no longer guards anything."""
+    legacy = os.path.join(index_dir, "WRITER.lock")
+    try:
+        with open(legacy) as fh:
+            body = fh.read(64).strip()
+    except OSError:
+        return  # no legacy file (the overwhelmingly common path)
+    try:
+        pid = int(body.split(":", 1)[0].split()[0])
+    except (ValueError, IndexError):
+        pid = None
+    if pid is not None:
+        if _proc_ident(pid) is not None:
+            return  # live old-protocol holder — do not break its lock
+    else:
+        try:
+            if time.time() - os.stat(legacy).st_mtime < 600.0:
+                return  # unattributable and recent: assume live
+        except OSError:
+            return
+    with contextlib.suppress(OSError):
+        os.remove(legacy)
+
+
 @contextlib.contextmanager
 def writer_lock(index_dir: str, timeout: float = 60.0, poll: float = 0.05):
     """Single-writer lease over the band index (appenders + compaction).
@@ -107,16 +141,17 @@ def writer_lock(index_dir: str, timeout: float = 60.0, poll: float = 0.05):
     with the pre-r13 O_CREAT|O_EXCL protocol on the bare 'WRITER.lock'
     name — a mixed-version fleet (one old writer, one new) would admit
     two writers; upgrade all writers of an index together. A leftover
-    bare 'WRITER.lock' from a CRASHED old-version holder is removed
-    best-effort on first acquire: it no longer guards anything, and in
-    legacy flat ANN roots it sits where spark.read.parquet(index_dir)
-    scans it as a stray data file (r13 advice)."""
+    bare 'WRITER.lock' whose recorded holder is provably DEAD is removed
+    on acquire (it no longer guards anything, and in legacy flat ANN
+    roots it sits where spark.read.parquet(index_dir) scans it as a
+    stray data file — r13 advice); one whose pid is still alive is left
+    in place so a live old-protocol writer's exclusion survives a
+    rolling upgrade (r14 advice: _remove_stale_legacy_lock)."""
     import fcntl
 
     os.makedirs(index_dir, exist_ok=True)
     path = os.path.join(index_dir, _WRITER_LOCK)
-    with contextlib.suppress(OSError):
-        os.remove(os.path.join(index_dir, "WRITER.lock"))
+    _remove_stale_legacy_lock(index_dir)
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     deadline = time.monotonic() + timeout
     try:

@@ -65,15 +65,26 @@ def train_nb_batch(
     stats_dir: str,
     epoch_id: int = 0,
     n_classes: int = 2,
+    lock_timeout: float = 60.0,
 ) -> None:
     """One micro-batch body: count this batch's sufficient statistics
     (dense class x bucket grid, operators/nb.nb_train) and overwrite
-    the epoch's shard partition."""
-    nb_train(
-        spark, batch, label_col, text_col, n_buckets, n_classes
-    ).write.mode("overwrite").parquet(
-        os.path.join(_shards_root(stats_dir), f"batch={int(epoch_id)}")
-    )
+    the epoch's shard partition.
+
+    Resolve->write holds compact_stream's :func:`writer_lock`, matching
+    every other append face (dedup/ann/simhash streams): without it a
+    batch racing ``compact_nb_shards`` could resolve the OLD generation
+    root, have its freshly written shard rmtree'd by the swap (or land
+    it where readers no longer resolve), and silently lose the epoch's
+    counts — the stream checkpoint advances, so the batch is never
+    replayed. The lock covers the counting agg too; shards are tiny
+    (C x B integers), so the hold is short."""
+    with writer_lock(stats_dir, timeout=lock_timeout):
+        nb_train(
+            spark, batch, label_col, text_col, n_buckets, n_classes
+        ).write.mode("overwrite").parquet(
+            os.path.join(_shards_root(stats_dir), f"batch={int(epoch_id)}")
+        )
 
 
 def current_nb_model(spark: SparkSession, stats_dir: str) -> DataFrame:

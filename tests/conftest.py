@@ -28,6 +28,10 @@ def spark():
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()
+    # Structural 2 GB cap: every oracle in the suite must fit the same
+    # memory envelope the manual probes enforced (this gate caught three
+    # OOM-prone oracles in rounds 9-13; AS MATERIALIZED CTEs are the fix).
+    con.execute("SET memory_limit='2GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_CORRECT}/{t}.parquet'"

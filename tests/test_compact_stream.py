@@ -247,9 +247,34 @@ def test_writer_lock_crashed_holder_releases_automatically(tmp_path):
 
 
 def test_legacy_bare_writer_lock_removed_on_acquire(tmp_path):
-    """r13 advice: a crashed pre-flock holder's bare 'WRITER.lock' must
+    """r13 advice: a CRASHED pre-flock holder's bare 'WRITER.lock' must
     not survive in the index root — legacy flat ANN layouts read
-    index_dir itself as parquet, where the stray file breaks the scan."""
+    index_dir itself as parquet, where the stray file breaks the scan.
+    The recorded pid is a real exited child, so the holder is provably
+    dead (not a guess about an arbitrary pid number)."""
+    import os
+    import subprocess
+
+    from purldb_spark.streaming.compact_stream import writer_lock
+
+    child = subprocess.Popen(["true"])
+    child.wait()  # reaped: the pid is dead and cannot be recycled yet
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+    legacy = os.path.join(index_dir, "WRITER.lock")
+    open(legacy, "w").write(str(child.pid))
+    with writer_lock(index_dir):
+        assert not os.path.exists(legacy)
+        assert os.path.exists(os.path.join(index_dir, "_WRITER.lock"))
+
+
+def test_legacy_bare_writer_lock_live_holder_survives(tmp_path):
+    """r14 advice: the old O_CREAT|O_EXCL protocol relies on the file's
+    EXISTENCE for mutual exclusion — removing a LIVE holder's file during
+    a rolling upgrade would admit a second old-protocol writer. A legacy
+    lock recording a live pid (ours) must survive acquire; so must an
+    unparseable-but-recent body (attribution unknown: assume live)."""
     import os
 
     from purldb_spark.streaming.compact_stream import writer_lock
@@ -257,7 +282,10 @@ def test_legacy_bare_writer_lock_removed_on_acquire(tmp_path):
     index_dir = str(tmp_path / "idx")
     os.makedirs(index_dir)
     legacy = os.path.join(index_dir, "WRITER.lock")
-    open(legacy, "w").write("12345")
+    open(legacy, "w").write(str(os.getpid()))
     with writer_lock(index_dir):
-        assert not os.path.exists(legacy)
-        assert os.path.exists(os.path.join(index_dir, "_WRITER.lock"))
+        assert os.path.exists(legacy)
+
+    open(legacy, "w").write("not-a-pid")
+    with writer_lock(index_dir):
+        assert os.path.exists(legacy)

@@ -682,3 +682,89 @@ def test_audio_window_stats_poison_contract(spark):
     )
     assert got[:4] == [(1, 0, 4, 125), (1, 1, 4, 125), (1, 2, 4, 125), (1, 3, 4, 125)]
     assert got[4] == (2, -1, 0, 0)  # sentinel row, batch survived
+
+
+def test_audio_window_rows_all_or_nothing(monkeypatch):
+    """r14 advice: a window that fails AFTER earlier windows decoded must
+    yield the single sentinel, never a mix of real rows + sentinel for
+    the same media_id. slice_wav_windows builds all windows up front so
+    real bytes cannot fail mid-iteration — stub decode_wav to fail on
+    the third call and drive _media_window_rows directly."""
+    from purldb_spark.multimodal import binaryops
+
+    wav = encode_wav(8000, 1, 16, [4096, -4096] * 8)
+    calls = {"n": 0}
+    real = binaryops.decode_wav
+
+    def flaky(content):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise ValueError("synthetic late-window failure")
+        return real(content)
+
+    monkeypatch.setattr(binaryops, "decode_wav", flaky)
+    rows = binaryops._media_window_rows(7, wav, 4)
+    assert rows == [
+        {
+            "media_id": 7,
+            "window_idx": -1,
+            "n_frames": 0,
+            "duration_ms": 0,
+            "rms_e3": 0,
+        }
+    ]
+    # slice_wav_windows itself calls decode_wav once to validate, so the
+    # third call is window index 1 — a genuinely LATE failure (window 0
+    # had already appended a real row before the local list was dropped)
+    assert calls["n"] == 3
+
+
+def test_png_inflate_bomb_bounded_by_declared_geometry():
+    """r14 advice: a poison blob declaring tiny IHDR dims but carrying a
+    multi-MB highly-compressible IDAT must be rejected by the bounded
+    decompressobj (ValueError), not inflate ~1000x toward MemoryError —
+    which is NOT in the Spark faces' poison catch tuples."""
+    import struct as _struct
+    import tracemalloc
+    import zlib as _zlib
+
+    from purldb_spark.multimodal.binaryops import decode_png
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", _zlib.crc32(t + d)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # declares 1x1 RGB (expected plaintext: 4 bytes) but the IDAT
+    # inflates to 64 MiB of zeros (compressed to ~64 KiB)
+    bomb = _zlib.compress(bytes(64 * 1024 * 1024))
+    png = (
+        sig
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="past declared geometry"):
+        decode_png(png)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024  # never materialized the 64 MiB
+
+    # exact-geometry PNGs still decode (the trailer legitimately sits in
+    # unconsumed_tail when output lands exactly on max_length)
+    from purldb_spark.multimodal.binaryops import encode_png
+
+    d = decode_png(encode_png(5, 4, 2, (10, 20, 30)))
+    assert (d["width"], d["height"]) == (5, 4)
+
+    # under-declared stream (inflates SHORT of the geometry) is poison too
+    short = (
+        sig
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(5)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="shorter than declared"):
+        decode_png(short)
