@@ -98,6 +98,7 @@ def load_inventory() -> None:
         q_classifier,
         q_nb,
         q_prefix,
+        q_plan_choice,
         q_compact_plan,
         q_dedup_plan,
         q_ivf_plan,
