@@ -70,9 +70,14 @@ def nb_train(
     class_tokens = toks.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("class_tokens")
     )
-    grid = spark.createDataFrame(
-        [(c, b_) for c in range(n_classes) for b_ in range(n_buckets)],
-        "label long, bucket long",
+    # dense grid via range, not a driver-side list: at realistic widths
+    # (B = 4096 fastText buckets, or 2^20 in a large deployment) the
+    # C x B grid must be generated on executors, and a single range
+    # decode avoids the cross-join a range x range product would plan
+    # (BroadcastNestedLoopJoin — fenced registry-wide)
+    grid = spark.range(n_classes * n_buckets).select(
+        (F.col("id") % n_classes).cast("long").alias("label"),
+        F.expr(f"id div {n_classes}").cast("long").alias("bucket"),
     )
     return (
         grid.join(cnt, ["label", "bucket"], "left")

@@ -97,6 +97,7 @@ def load_inventory() -> None:
         q_cc_plan,
         q_classifier,
         q_nb,
+        q_nb_wide,
         q_prefix,
         q_plan_choice,
         q_compact_plan,
