@@ -122,6 +122,75 @@ def nb_score_expr(
     )
 
 
+def loglik_e6(token_cnt: int, class_tokens: int, n_buckets: int) -> int:
+    """Laplace-smoothed log-likelihood quantized to 1e-6 — the
+    fixed-point log-prob table (the classic integer-inference trick):
+    floor(ln((T_cb + 1) / (T_c + B)) * 1e6 + 0.5). floor(x + 0.5) rather
+    than round() because Python rounds half-to-even while SQL engines
+    round half-away — floor(+0.5) is the one rule every engine states
+    identically. With the table integer, per-doc scores are integer SUMS
+    (commutative — no float-accumulation-order drift between engines),
+    so the argmax decision is cross-engine exact; the only float op is
+    one ln per (class, bucket) cell, identical here because Python's
+    math.log and DuckDB's ln both call the host libm on the same
+    machine."""
+    return math.floor(
+        math.log((int(token_cnt) + 1) / (int(class_tokens) + n_buckets))
+        * 1e6
+        + 0.5
+    )
+
+
+def prior_e6(class_docs: int) -> int:
+    """ln(max(N_c, 1)) on the same e6 fixed-point grid as loglik_e6."""
+    return math.floor(math.log(max(int(class_docs), 1)) * 1e6 + 0.5)
+
+
+def loglik_e6_sql(token_cnt: str, class_tokens: str, n_buckets: int) -> str:
+    """DuckDB twin of loglik_e6 over column expressions."""
+    return (
+        f"CAST(floor(ln(({token_cnt} + 1.0) / ({class_tokens} + {n_buckets}))"
+        f" * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+def prior_e6_sql(class_docs: str) -> str:
+    """DuckDB twin of prior_e6 over a column expression."""
+    return (
+        f"CAST(floor(ln(greatest({class_docs}, 1)) * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+def nb_argmax_e6_expr(
+    text_col: str, stats: list[dict], n_buckets: int
+) -> str:
+    """Predicted class (0/1 binary) under the e6 FIXED-POINT log-prob
+    table — the cross-engine-exact twin of nb_argmax_expr: one integer
+    fold over the token array of the per-bucket loglik DIFFERENCE
+    (L1b - L0b), seeded with the prior difference; class 1 wins on
+    score > 0 (the same strictly-greater tie-break as nb_argmax_expr)."""
+    by = {(int(r["label"]), int(r["bucket"])): r for r in stats}
+    diffs = [
+        loglik_e6(
+            by[(1, b_)]["token_cnt"], by[(1, b_)]["class_tokens"], n_buckets
+        )
+        - loglik_e6(
+            by[(0, b_)]["token_cnt"], by[(0, b_)]["class_tokens"], n_buckets
+        )
+        for b_ in range(n_buckets)
+    ]
+    prior_diff = prior_e6(by[(1, 0)]["class_docs"]) - prior_e6(
+        by[(0, 0)]["class_docs"]
+    )
+    b = bucket_expr_spark("w", n_buckets)
+    arr = ", ".join(f"{int(v)}L" for v in diffs)
+    return (
+        f"case when aggregate(split({text_col}, ' '), {int(prior_diff)}L,"
+        f" (acc, w) -> acc + element_at(array({arr}), cast({b} as int) + 1))"
+        f" > 0 then 1 else 0 end"
+    )
+
+
 def nb_argmax_expr(text_col: str, stats: list[dict], n_buckets: int) -> str:
     """Predicted class (0/1 binary form): 1 iff class 1's log-score is
     strictly greater — deterministic tie-break to the lower label."""

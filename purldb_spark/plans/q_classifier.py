@@ -44,7 +44,12 @@ _B = 8  # feature buckets (student model; the frozen teacher uses 4096)
 _EPOCHS = 4
 
 
-def _oracle() -> str:
+def epoch_ctes() -> tuple[list[str], list[str]]:
+    """The perceptron training replay as SQL building blocks — a
+    ``feats`` CTE plus one ``e<t>`` CTE per epoch unrolling the exact
+    integer update chain. Returns (cte_parts, final_weight_exprs) so
+    q_classifier's own oracle AND the agreement eval's
+    (plans/q_agreement.py) share one replay of the trainer."""
     dims = [f"x{i}" for i in range(_B)] + ["xb"]
     feat_cols = ",\n         ".join(
         f"CAST(len(list_filter(string_split(text, ' '),"
@@ -84,6 +89,12 @@ e{t} AS MATERIALIZED (
 )"""
         )
         prev_w = [f"e{t}.w{i}" for i in range(len(dims))]
+    return parts, prev_w
+
+
+def _oracle() -> str:
+    dims = [f"x{i}" for i in range(_B)] + ["xb"]
+    parts, _final = epoch_ctes()
     selects = " UNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS epoch, "
         + ", ".join(

@@ -96,6 +96,7 @@ def load_inventory() -> None:
         q_chunk,
         q_cc_plan,
         q_classifier,
+        q_agreement,
         q_nb,
         q_nb_wide,
         q_prefix,

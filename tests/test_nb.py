@@ -105,3 +105,53 @@ def test_nb_gate_argmax_matches_pure_python(spark):
         assert pred == (1 if e1 > e0 else 0)
     # sanity: the model separates the toy corpus
     assert got[10][0] == 0 and got[11][0] == 1
+
+
+def _py_nb_e6_pred(text: str, stats: list[dict], n: int) -> int:
+    """Independent pure-Python replay of the e6 fixed-point argmax."""
+    by = {(r["label"], r["bucket"]): r for r in stats}
+    score = {}
+    for label in (0, 1):
+        t_c = int(by[(label, 0)]["class_tokens"])
+        n_c = max(int(by[(label, 0)]["class_docs"]), 1)
+        s = math.floor(math.log(n_c) * 1e6 + 0.5)
+        for w in text.split(" "):
+            b = _bucket(w, n)
+            t_cb = int(by[(label, b)]["token_cnt"])
+            s += math.floor(math.log((t_cb + 1) / (t_c + n)) * 1e6 + 0.5)
+        score[label] = s
+    return 1 if score[1] > score[0] else 0
+
+
+def test_nb_e6_fixed_point_argmax_matches_pure_python(spark):
+    """The cross-engine-exact e6 gate (integer log-prob table,
+    nb_argmax_e6_expr) classifies exactly as an independent pure-Python
+    replay of the same fixed-point rule, on training docs and unseen
+    probes — and (here, away from quantization boundaries) agrees with
+    the float gate too."""
+    from pyspark.sql import functions as F
+
+    from purldb_spark.operators.nb import nb_argmax_e6_expr
+
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string, y long")
+    stats = [
+        r.asDict() for r in nb_train(spark, df, "y", "text", 16).collect()
+    ]
+    probes = [t for _i, t, _y in _DOCS] + [
+        "buy buy spam spam now",
+        "useful clean words article prose",
+        "never seen tokens entirely",
+        "",
+    ]
+    pdf = (
+        spark.createDataFrame([(t,) for t in probes], "text string")
+        .select(
+            "text",
+            F.expr(nb_argmax_e6_expr("text", stats, 16)).alias("pred_e6"),
+            F.expr(nb_argmax_expr("text", stats, 16)).alias("pred_f"),
+        )
+        .collect()
+    )
+    for r in pdf:
+        assert r.pred_e6 == _py_nb_e6_pred(r.text, stats, 16), r.text
+        assert r.pred_e6 == r.pred_f, r.text
