@@ -1,14 +1,16 @@
 """Multimodal columns: image/audio/video as opaque BINARY columns with typed
 metadata, processed via Arrow-batched Pandas UDFs (mapInPandas).
 
-Decode is REAL for the formats stdlib can carry: BMP (header + padded
-BGR rows + 8-bit palette, decode_bmp), PNG (chunk walk + zlib inflate +
-per-row unfilter incl. Paeth, decode_png — PNG's only compression is
-DEFLATE, which is stdlib ``zlib``), and RIFF/PCM WAV (chunk walk +
-frames, decode_wav), surfaced as the image_stats / audio_stats
-mapInPandas faces. The container has no image/audio codec libs, so
-formats needing a real codec (jpeg/mp3/mp4) stay behind
-NotImplementedError in `decode_media` — a PIL/ffmpeg drop-in inherits
+Decode is REAL for the formats stdlib+numpy can carry: BMP (header +
+padded BGR rows + 8-bit palette, decode_bmp), PNG (chunk walk + zlib
+inflate + per-row unfilter incl. Paeth, decode_png — PNG's only
+compression is DEFLATE, which is stdlib ``zlib``), baseline JPEG
+(huffman decode + dequant + IDCT + YCbCr->RGB, multimodal/jpeg.py —
+r15), and RIFF/PCM WAV (chunk walk + frames, decode_wav), surfaced as
+the image_stats / jpeg_sum_stats / audio_stats mapInPandas faces. Only
+mp3/mp4 stay behind NotImplementedError in `decode_media` — their
+polyphase/MDCT codecs and container parsing genuinely need
+ffmpeg-class libraries absent in this container; a drop-in inherits
 the schema, batch iteration, UDF signatures, and partition sizing
 unchanged.
 
@@ -515,10 +517,12 @@ def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
 
 def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
     """(width, height) decode dispatch. REAL for 'image/bmp' (pure-Python
-    header parse, no codec library needed); deterministic fake for
-    'fake/*' so the pipeline stays oracle-checkable; NotImplementedError
-    only for genuinely-COMPRESSED codecs (png/jpeg/mp4 need PIL/ffmpeg,
-    absent in this container — a drop-in here inherits the plumbing
+    header parse), 'image/png' (stdlib-zlib inflate + unfilter, r14) and
+    'image/jpeg' (baseline huffman + IDCT, multimodal/jpeg.py, r15);
+    deterministic fake for 'fake/*' so the pipeline stays
+    oracle-checkable; NotImplementedError only for mp3/mp4 — the two
+    codecs whose polyphase/MDCT pipelines genuinely need ffmpeg-class
+    libraries absent in this container (a drop-in inherits the plumbing
     unchanged)."""
     if media_type == "image/bmp":
         d = decode_bmp(content)
@@ -526,12 +530,17 @@ def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
     if media_type == "image/png":
         d = decode_png(content)
         return (d["width"], d["height"])
+    if media_type == "image/jpeg":
+        from purldb_spark.multimodal.jpeg import decode_jpeg
+
+        d = decode_jpeg(content)
+        return (d["width"], d["height"])
     if media_type.startswith("fake/"):
         n = len(content)
         return (n % 640 + 1, n % 480 + 1)
     raise NotImplementedError(
-        f"no codec for {media_type!r} in this environment (jpeg/mp3/mp4 "
-        "need PIL/ffmpeg) — plug one into decode_media; the Spark "
+        f"no codec for {media_type!r} in this environment (mp3/mp4 need "
+        "ffmpeg-class codecs) — plug one into decode_media; the Spark "
         "plumbing is codec-agnostic"
     )
 
@@ -584,12 +593,14 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 def image_stats(df: DataFrame) -> DataFrame:
     """REAL image decode through the Arrow plumbing: (media_id, content)
-    of BMP or PNG blobs -> per-image dimensions + per-channel means
-    (magic-byte dispatch to decode_bmp / decode_png, both pure Python —
-    BMP is uncompressed and PNG's DEFLATE is stdlib zlib). Undecodable
-    rows (wrong magic, compressed variant) surface as width = -1 rather
-    than failing the batch — at 100 TB a poison blob must not kill the
-    stage."""
+    of BMP, PNG or baseline-JPEG blobs -> per-image dimensions +
+    per-channel means (magic-byte dispatch to decode_bmp / decode_png /
+    decode_jpeg, all pure Python+numpy — BMP is uncompressed, PNG's
+    DEFLATE is stdlib zlib, JPEG's huffman+IDCT is multimodal/jpeg.py).
+    Undecodable rows (wrong magic, unsupported variant) surface as
+    width = -1 rather than failing the batch — at 100 TB a poison blob
+    must not kill the stage."""
+    from purldb_spark.multimodal.jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -597,7 +608,12 @@ def image_stats(df: DataFrame) -> DataFrame:
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 try:
                     b = bytes(c)
-                    codec = decode_png if b[:8] == _PNG_SIG else decode_bmp
+                    if b[:8] == _PNG_SIG:
+                        codec = decode_png
+                    elif b[:2] == b"\xff\xd8":
+                        codec = decode_jpeg
+                    else:
+                        codec = decode_bmp
                     d = codec(b)
                 except (ValueError, NotImplementedError, IndexError, struct.error):
                     d = {
@@ -613,6 +629,50 @@ def image_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+IMAGE_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def jpeg_sum_stats(df: DataFrame) -> DataFrame:
+    """JPEG decode to integer-exact per-channel pixel SUMS (no float
+    mean rounding anywhere — the oracle-checkable face for
+    mm_jpeg_roundtrip, multimodal/jpeg.jpeg_sums). Poison contract as
+    image_stats: undecodable rows -> width = -1 sentinel."""
+    from purldb_spark.multimodal.jpeg import jpeg_sums
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = jpeg_sums(bytes(c))
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    d = {
+                        "width": -1,
+                        "height": -1,
+                        "channels": -1,
+                        "n_pixels": 0,
+                        "sum_r": 0,
+                        "sum_g": 0,
+                        "sum_b": 0,
+                    }
+                rows.append({"media_id": mid, **d})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=IMAGE_SUMS_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

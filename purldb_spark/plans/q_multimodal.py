@@ -8,8 +8,10 @@ BMP / RIFF-PCM WAV blobs per document and decode them with the
 pure-Python parsers (multimodal/binaryops.decode_bmp / decode_wav) —
 dimensions, channel means, sample rate, duration, RMS all come off real
 binary columns, with the oracle predicting each stat arithmetically
-from doc_id. Only genuinely-compressed codecs (png/jpeg/mp3) remain
-behind NotImplementedError.
+from doc_id. r14 added real PNG (stdlib zlib), r15 real baseline JPEG
+(multimodal/jpeg.py — huffman + IDCT + YCbCr, with DC-only mosaics that
+roundtrip pixel-exactly despite the codec being lossy). Only mp3/mp4
+remain behind NotImplementedError.
 """
 
 from __future__ import annotations
@@ -233,6 +235,115 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(enc, schema="media_id long, content binary")
     )
     return image_stats(media)
+
+
+@query(
+    "mm_jpeg_roundtrip",
+    oracle="""
+    WITH gray AS (
+      SELECT doc_id, doc_id % 21 + 4 AS w, doc_id % 13 + 4 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    gsum AS (
+      SELECT g.doc_id,
+             CAST(sum(((g.doc_id + 37 * t.bx + 59 * u.by) % 256)
+                  * least(8, g.w - 8 * t.bx)
+                  * least(8, g.h - 8 * u.by)) AS BIGINT) AS s
+      FROM gray g,
+           unnest(generate_series(0, (g.w + 7) // 8 - 1)) AS t(bx),
+           unnest(generate_series(0, (g.h + 7) // 8 - 1)) AS u(by)
+      GROUP BY g.doc_id
+    ),
+    color AS (
+      SELECT doc_id, doc_id % 19 + 2 AS w, doc_id % 11 + 2 AS h,
+             doc_id % 256 AS y,
+             (doc_id // 5) % 64 + 96 AS cb,
+             (doc_id // 11) % 64 + 80 AS cr
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT g.doc_id AS media_id, CAST(g.w AS INTEGER) AS width,
+           CAST(g.h AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels,
+           CAST(g.w * g.h AS BIGINT) AS n_pixels,
+           gs.s AS sum_r, gs.s AS sum_g, gs.s AS sum_b
+    FROM gray g JOIN gsum gs ON gs.doc_id = g.doc_id
+    UNION ALL
+    SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(w * h * least(255, greatest(0,
+                CAST(floor(y + 1.402 * (cr - 128) + 0.5) AS BIGINT)))
+             AS BIGINT) AS sum_r,
+           CAST(w * h * least(255, greatest(0,
+                CAST(floor(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5) AS BIGINT)))
+             AS BIGINT) AS sum_g,
+           CAST(w * h * least(255, greatest(0,
+                CAST(floor(y + 1.772 * (cb - 128) + 0.5) AS BIGINT)))
+             AS BIGINT) AS sum_b
+    FROM color
+    """,
+)
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG bytes through the full Arrow pipeline (r14
+    verdict #4, the PNG recipe one codec further): per EVEN document,
+    encode a grayscale BLOCK MOSAIC — every 8x8 block solid, so DC-only
+    coefficients under a DC quant step of 8 make the lossy codec
+    pixel-exact while the block-to-block DC-difference chain exercises
+    the real huffman path and non-multiple-of-8 dims exercise edge
+    cropping; per ODD document a solid-color 3-component JPEG (4:4:4,
+    or 4:2:0 when doc_id % 4 == 3 — solid planes keep subsampling
+    lossless) through the floor(x+0.5) YCbCr->RGB transform. Decoded
+    with multimodal/jpeg.decode_jpeg_pixels and reported as
+    INTEGER-EXACT per-channel pixel sums (jpeg_sum_stats — no float
+    mean rounding anywhere), so the oracle predicts every output cell
+    arithmetically from doc_id; the chroma ranges (cb 96..159,
+    cr 80..143) sit provably clear of the transform's floor boundaries
+    (tests/test_jpeg.py scans them)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.binaryops import jpeg_sum_stats
+    from purldb_spark.multimodal.jpeg import (
+        encode_jpeg_gray_mosaic,
+        encode_jpeg_solid_ycbcr,
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    outs.append(
+                        encode_jpeg_gray_mosaic(
+                            i % 21 + 4,
+                            i % 13 + 4,
+                            lambda bx, by, i=i: (i + 37 * bx + 59 * by)
+                            % 256,
+                        )
+                    )
+                else:
+                    outs.append(
+                        encode_jpeg_solid_ycbcr(
+                            i % 19 + 2,
+                            i % 11 + 2,
+                            (
+                                i % 256,
+                                (i // 5) % 64 + 96,
+                                (i // 11) % 64 + 80,
+                            ),
+                            subsample=(i % 4 == 3),
+                        )
+                    )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return jpeg_sum_stats(media)
 
 
 @query(

@@ -169,12 +169,19 @@ def test_wav_rejections():
 def test_decode_media_dispatch_narrowed():
     bmp = encode_bmp(5, 4, (1, 2, 3))
     assert decode_media("image/bmp", bmp) == (5, 4)
-    # r14: PNG decodes for real (stdlib zlib); jpeg stays the boundary
+    # r14: PNG decodes for real (stdlib zlib); r15: baseline JPEG too
     from purldb_spark.multimodal.binaryops import encode_png
+    from purldb_spark.multimodal.jpeg import encode_jpeg_gray_mosaic
 
     assert decode_media("image/png", encode_png(6, 2, 2, (9, 9, 9))) == (6, 2)
+    assert decode_media(
+        "image/jpeg", encode_jpeg_gray_mosaic(10, 9, lambda bx, by: 7)
+    ) == (10, 9)
+    with pytest.raises(ValueError):
+        decode_media("image/jpeg", b"\xff\xd8\xff\xe0 torn jfif bytes")
+    # mp3/mp4 are the remaining genuine codec boundary
     with pytest.raises(NotImplementedError):
-        decode_media("image/jpeg", b"\xff\xd8\xff\xe0 jfif-ish bytes")
+        decode_media("audio/mp3", b"\xff\xfb whatever")
     assert decode_media("fake/image", b"x" * 10) == (11, 11)
 
 

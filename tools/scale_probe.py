@@ -96,6 +96,7 @@ PROBES = [
     ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a DISTRIBUTED full sort (prefix-group rank, r9) — linear (N log N baseline)"),
     ("dedup_ngram_prefix", "prefix-filtered exact jaccard — candidates from rarest-first prefixes only"),
     ("mm_png_roundtrip", "PNG encode/decode inside Arrow batches — map-only, linear"),
+    ("mm_jpeg_roundtrip", "baseline JPEG huffman+IDCT decode inside Arrow batches — map-only, linear"),
     ("mm_resize_roundtrip", "NN resample roundtrip — map-only, linear"),
     ("mm_wav_windows", "frame-aligned WAV window slice + per-window decode — map-only, linear"),
     ("mm_embed_ann_search", "decode->features->grid-cell probe->L1 re-rank — cell-bounded"),
