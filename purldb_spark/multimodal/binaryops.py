@@ -489,26 +489,34 @@ def encode_bmp_pixels(arr) -> bytes:
 
 def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor resample (r14: the decoders made it
-    possible): decode BMP/PNG via the shared pixel extractors, NN-index
-    with integer arithmetic (src = floor(dst * src_dim / dst_dim) — two
-    vectorized numpy gathers, no interpolation kernel needed), and
-    re-encode as canonical 24-bit BMP. Grayscale replicates to 3
-    channels, alpha is dropped, PNG's RGB flips to BMP's BGR. Operates
-    in storage-row space (a bottom-up BMP resamples bottom-up; NN row
-    duplication is orientation-dependent at the margin, which is the
-    standard NN artifact). Raises the decoders' ValueError /
-    NotImplementedError for undecodable input — resize_media maps those
-    to its deterministic fallback."""
+    possible; r15 adds JPEG input): decode BMP/PNG/JPEG via the shared
+    pixel extractors, NN-index with integer arithmetic (src = floor(dst
+    * src_dim / dst_dim) — two vectorized numpy gathers, no
+    interpolation kernel needed), and re-encode as canonical 24-bit
+    BMP. Grayscale replicates to 3 channels, alpha is dropped, PNG/JPEG
+    RGB flips to BMP's BGR. Operates in storage-row space (a bottom-up
+    BMP resamples bottom-up; NN row duplication is
+    orientation-dependent at the margin, which is the standard NN
+    artifact). Raises the decoders' ValueError / NotImplementedError
+    for undecodable input — resize_media maps those to its
+    deterministic fallback."""
     import numpy as np
 
     is_png = content[:8] == _PNG_SIG
-    pix, w, h = (_png_pixels if is_png else _bmp_pixels)(content)
-    arr = pix.reshape(h, w, pix.shape[1])
+    is_jpeg = content[:2] == b"\xff\xd8"
+    if is_jpeg:
+        from purldb_spark.multimodal.jpeg import decode_jpeg_pixels
+
+        arr3, w, h = decode_jpeg_pixels(content)
+        arr = arr3
+    else:
+        pix, w, h = (_png_pixels if is_png else _bmp_pixels)(content)
+        arr = pix.reshape(h, w, pix.shape[1])
     if arr.shape[2] == 1:
         arr = np.repeat(arr, 3, axis=2)
     else:
         arr = arr[:, :, :3]  # drop alpha
-    if is_png:
+    if is_png or is_jpeg:
         arr = arr[:, :, ::-1]  # RGB -> BGR
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
@@ -927,6 +935,36 @@ def png_features(content: bytes) -> list[float]:
     return feats
 
 
+def jpeg_features(content: bytes) -> list[float]:
+    """JPEG twin of bmp_features/png_features: the same 16-dim
+    color-statistics descriptor off decode_jpeg_pixels (RGB order,
+    grayscale replicates its one channel) — JPEG-sourced media land in
+    the same comparable embedding space as BMP/PNG for the ANN stack."""
+    import math
+
+    from purldb_spark.multimodal.jpeg import decode_jpeg_pixels
+
+    arr, width, h = decode_jpeg_pixels(content)
+    chan = arr.reshape(width * h, arr.shape[2]).astype("float64")
+    channels = chan.shape[1]
+    feats: list[float] = []
+    for ci in range(3):
+        col = chan[:, ci] if ci < channels else chan[:, 0]
+        feats += [
+            float(col.mean() / 255.0),
+            float(col.std() / 255.0),
+            float(col.min() / 255.0),
+            float(col.max() / 255.0),
+        ]
+    feats += [
+        math.log1p(width) / 10.0,
+        math.log1p(h) / 10.0,
+        width / max(h, 1) / 10.0,
+        channels / 4.0,
+    ]
+    return feats
+
+
 def wav_features(content: bytes) -> list[float]:
     """REAL 16-dim audio feature vector off the decoded PCM frames:
     rms, zero-crossing rate, peak, mean |amplitude|, 4-band energy
@@ -979,9 +1017,10 @@ def wav_features(content: bytes) -> list[float]:
 def embed_media(df: DataFrame) -> DataFrame:
     """Feature-extraction plumbing: (media_id, media_type, content) ->
     fixed-dim float vector feeding the knn operators directly. REAL
-    features for the decodable formats (bmp_features / wav_features —
-    pixel color statistics, PCM energy/zero-crossing/spectral-profile
-    stats); the deterministic md5-derived vector remains the fallback
+    features for the decodable formats (bmp/png/jpeg_features /
+    wav_features — pixel color statistics, PCM energy/zero-crossing/
+    spectral-profile stats); the deterministic md5-derived vector
+    remains the fallback
     for fake/* and undecodable rows, so the pipeline never drops a row
     (the embedding-space twin of the poison-blob sentinel contract).
     Accepts frames without a media_type column (legacy callers) — those
@@ -995,6 +1034,8 @@ def embed_media(df: DataFrame) -> DataFrame:
                 return bmp_features(b)
             if mt == "image/png":
                 return png_features(b)
+            if mt == "image/jpeg":
+                return jpeg_features(b)
             if mt == "audio/wav":
                 return wav_features(b)
         except (ValueError, NotImplementedError, IndexError, struct.error):

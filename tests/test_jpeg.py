@@ -218,3 +218,42 @@ def test_poison_contract_through_spark_faces(spark):
     # image_stats magic-byte dispatch reaches decode_jpeg too
     st = {r.media_id: r for r in image_stats(df).collect()}
     assert st[1].mean_r_e3 == 90000 and st[2].width == -1
+
+
+def test_jpeg_features_and_resize_parity():
+    """jpeg_features lands in the same descriptor space as bmp/png
+    (solid-color images of equal RGB produce near-identical feature
+    heads), and resize_image accepts JPEG input, flipping RGB->BGR into
+    the canonical BMP like the PNG path."""
+    from purldb_spark.multimodal.binaryops import (
+        decode_bmp,
+        encode_png,
+        jpeg_features,
+        png_features,
+        resize_image,
+    )
+
+    # gray 4:2:0 solid: Y=140, Cb=Cr=128 -> RGB (140,140,140)
+    j = encode_jpeg_solid_ycbcr(12, 6, (140, 128, 128), subsample=True)
+    fj = jpeg_features(j)
+    fp = png_features(encode_png(12, 6, 2, (140, 140, 140)))
+    assert len(fj) == 16
+    assert fj == fp  # identical dims + identical solid pixels
+
+    out = resize_image(j, 3, 2)
+    d = decode_bmp(out)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["mean_r_e3"] == d["mean_g_e3"] == d["mean_b_e3"] == 140000
+
+
+def test_embed_media_dispatches_jpeg(spark):
+    from purldb_spark.multimodal.binaryops import embed_media, jpeg_features
+
+    j = encode_jpeg_gray_mosaic(16, 8, lambda bx, by: 60 + 10 * bx)
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(j))],
+        "media_id long, media_type string, content binary",
+    )
+    got = embed_media(df).collect()[0]
+    # EMBED_SCHEMA carries float32: compare at that precision
+    assert got.embedding == pytest.approx(jpeg_features(j), rel=1e-6)
