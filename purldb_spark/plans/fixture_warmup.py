@@ -85,6 +85,7 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
     )
     from purldb_spark.plans.q_bpe import bpe_trained_words
     from purldb_spark.plans.q_cc_plan import _prior_labels
+    from purldb_spark.plans.q_classifier import perceptron_feats
     from purldb_spark.plans.q_cluster import _exact_l2_gt, coarse_k
     from purldb_spark.plans.q_embed import block_bands
     from purldb_spark.plans.q_match import _query_df
@@ -169,6 +170,11 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
         # the encode/pack path, not this training cost
         [
             ("bpe_trained_words", lambda: bpe_trained_words(spark, sf_dir).count()),
+        ],
+        # the perceptron's thin integer feature table (r15: shared by
+        # classifier_train and classifier_agreement_eval)
+        [
+            ("perceptron_feats", lambda: perceptron_feats(spark, sf_dir).count()),
         ],
     ]
 

@@ -46,12 +46,16 @@ from purldb_spark.operators.nb import (
     prior_e6_sql,
 )
 from purldb_spark.operators.perceptron import (
-    bucket_expr_spark,
     bucket_expr_sql,
     perceptron_fit,
     score_expr,
 )
-from purldb_spark.plans.q_classifier import _B, _EPOCHS, epoch_ctes
+from purldb_spark.plans.q_classifier import (
+    _B,
+    _EPOCHS,
+    epoch_ctes,
+    perceptron_feats,
+)
 from purldb_spark.plans.q_select import _QC_W_SPARK
 from purldb_spark.plans.registry import query
 
@@ -137,26 +141,20 @@ def classifier_agreement_eval(
     corpus under all three gates in ONE pass and report the pairwise
     agreement table (module docstring)."""
     docs = load(spark, sf_dir, "documents")
-    b = bucket_expr_spark("w", _B)
     y = F.expr(
         f"case when aggregate(split(text, ' '), 0L,"
         f" (acc, w) -> acc + ({_QC_W_SPARK})) >= 0 then 1 else -1 end"
     ).cast("long")
 
-    # perceptron student: the classifier_train recipe (one tokenize pass
-    # into a thin integer feature table, then epoch aggs over it)
-    feats = docs.select(
-        "doc_id",
-        *[
-            F.expr(f"size(filter(split(text, ' '), w -> {b} = {i}))")
-            .cast("long")
-            .alias(f"x{i}")
-            for i in range(_B)
-        ],
-        F.lit(1).cast("long").alias("xb"),
-        y.alias("y"),
-    ).localCheckpoint(eager=True)
-    w = [int(v) for v in perceptron_fit(feats, "y", _B, _EPOCHS)[-1]["w"]]
+    # perceptron student: epochs over the SHARED thin feature table
+    # (q_classifier.perceptron_feats — one tokenize pass per session,
+    # not per query)
+    w = [
+        int(v)
+        for v in perceptron_fit(
+            perceptron_feats(spark, sf_dir), "y", _B, _EPOCHS
+        )[-1]["w"]
+    ]
 
     # NB student: one counting agg; artifact is 2 x B integer rows
     stats = [

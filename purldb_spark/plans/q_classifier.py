@@ -107,37 +107,49 @@ def _oracle() -> str:
     return "WITH " + ",".join(parts) + "\n" + selects
 
 
+def perceptron_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIN integer feature table (doc_id, x0..x{B-1}, xb, y) the
+    perceptron trains on — features + teacher label in ONE map-only
+    projection (no self-join), materialized once per (session, sf_dir)
+    and shared by classifier_train and classifier_agreement_eval
+    (fixture_runtime.cached_fixture; prebuilt by fixture_warmup). In
+    production this is the featurized table the curation pipeline
+    writes next to the corpus; epochs then iterate 11 longs/row (~1% of
+    the text they derive from), not raw text. Oracles re-derive the
+    features relationally from raw documents (epoch_ctes' feats CTE),
+    so the cache can never mask a featurization bug."""
+    from purldb_spark.plans.fixture_runtime import cached_fixture
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        b = bucket_expr_spark("w", _B)
+        return docs.select(
+            "doc_id",
+            *[
+                F.expr(f"size(filter(split(text, ' '), w -> {b} = {i}))")
+                .cast("long")
+                .alias(f"x{i}")
+                for i in range(_B)
+            ],
+            F.lit(1).cast("long").alias("xb"),
+            F.expr(
+                f"case when aggregate(split(text, ' '), 0L,"
+                f" (acc, w) -> acc + ({_QC_W_SPARK})) >= 0 then 1 else -1"
+                f" end"
+            )
+            .cast("long")
+            .alias("y"),
+        ).localCheckpoint(eager=True)
+
+    return cached_fixture(spark, f"perceptron_feats:{sf_dir}", build)
+
+
 @query("classifier_train", oracle=_oracle())
 def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the 8-bucket perceptron student on the frozen teacher's
     decisions (module docstring); emit the per-epoch weight/mistake
     history — the model artifact plus its training curve."""
-    docs = load(spark, sf_dir, "documents")
-    b = bucket_expr_spark("w", _B)
-    # features + label in ONE map-only projection (no self-join)
-    feats = docs.select(
-        "doc_id",
-        *[
-            F.expr(f"size(filter(split(text, ' '), w -> {b} = {i}))")
-            .cast("long")
-            .alias(f"x{i}")
-            for i in range(_B)
-        ],
-        F.lit(1).cast("long").alias("xb"),
-        F.expr(
-            f"case when aggregate(split(text, ' '), 0L,"
-            f" (acc, w) -> acc + ({_QC_W_SPARK})) >= 0 then 1 else -1 end"
-        )
-        .cast("long")
-        .alias("y"),
-    )
-    # materialize the THIN feature table once (11 longs/row, ~1% of the
-    # text it derives from): epochs then iterate integers, not text —
-    # the production shape (feature extraction is one pass; training
-    # reads the feature table). Without this each epoch re-ran the
-    # per-word md5 featurization over the corpus.
-    feats = feats.localCheckpoint(eager=True)
-    hist = perceptron_fit(feats, "y", _B, _EPOCHS)
+    hist = perceptron_fit(perceptron_feats(spark, sf_dir), "y", _B, _EPOCHS)
     rows = [
         (
             int(h["epoch"]),
