@@ -908,18 +908,21 @@ def bmp_features(content: bytes) -> list[float]:
 
 def png_features(content: bytes) -> list[float]:
     """PNG twin of bmp_features: the same 16-dim color-statistics
-    descriptor off _png_pixels (channel order is PNG's R,G,B(,A);
+    descriptor off _png_pixels, emitted in bmp_features' CANONICAL
+    B,G,R dim order (PNG stores R,G,B(,A), so the channel axis is
+    reversed here — r15 fix: the r14 version emitted PNG dims in RGB
+    order, so the same colored image featurized differently by codec,
+    silently breaking the one-comparable-embedding-space contract;
     grayscale replicates its one channel, alpha never enters the
-    statistics) — so BMP- and PNG-sourced media land in one comparable
-    embedding space for the ANN stack."""
+    statistics)."""
     import math
 
     pix, width, h = _png_pixels(content)
     chan = pix.astype("float64")
     channels = chan.shape[1]
     feats: list[float] = []
-    for ci in range(3):
-        col = chan[:, ci] if ci < channels else chan[:, 0]
+    for ci in (2, 1, 0):  # B, G, R — the canonical bmp_features order
+        col = chan[:, ci] if channels >= 3 else chan[:, 0]
         feats += [
             float(col.mean() / 255.0),
             float(col.std() / 255.0),
@@ -937,9 +940,10 @@ def png_features(content: bytes) -> list[float]:
 
 def jpeg_features(content: bytes) -> list[float]:
     """JPEG twin of bmp_features/png_features: the same 16-dim
-    color-statistics descriptor off decode_jpeg_pixels (RGB order,
-    grayscale replicates its one channel) — JPEG-sourced media land in
-    the same comparable embedding space as BMP/PNG for the ANN stack."""
+    color-statistics descriptor off decode_jpeg_pixels, emitted in the
+    canonical B,G,R dim order (the decoder returns RGB; grayscale
+    replicates its one channel) — JPEG-sourced media land in the same
+    comparable embedding space as BMP/PNG for the ANN stack."""
     import math
 
     from purldb_spark.multimodal.jpeg import decode_jpeg_pixels
@@ -948,8 +952,8 @@ def jpeg_features(content: bytes) -> list[float]:
     chan = arr.reshape(width * h, arr.shape[2]).astype("float64")
     channels = chan.shape[1]
     feats: list[float] = []
-    for ci in range(3):
-        col = chan[:, ci] if ci < channels else chan[:, 0]
+    for ci in (2, 1, 0):  # B, G, R — the canonical bmp_features order
+        col = chan[:, ci] if channels >= 3 else chan[:, 0]
         feats += [
             float(col.mean() / 255.0),
             float(col.std() / 255.0),

@@ -240,6 +240,13 @@ def test_jpeg_features_and_resize_parity():
     assert len(fj) == 16
     assert fj == fp  # identical dims + identical solid pixels
 
+    # COLORED cross-codec parity in the canonical B,G,R dim order:
+    # (Y,Cb,Cr)=(100,150,170) decodes to RGB (159,62,139) by the floor
+    # transform; the same color through PNG must featurize identically
+    fc = jpeg_features(encode_jpeg_solid_ycbcr(8, 8, (100, 150, 170)))
+    assert fc == png_features(encode_png(8, 8, 2, (159, 62, 139)))
+    assert abs(fc[0] - 139 / 255) < 1e-12  # dim 0 is the B mean
+
     out = resize_image(j, 3, 2)
     d = decode_bmp(out)
     assert (d["width"], d["height"]) == (3, 2)

@@ -493,8 +493,17 @@ def test_png_features_and_image_stats_dispatch(spark):
     png = encode_png(4, 3, 2, (51, 102, 204))
     f = png_features(png)
     assert len(f) == 16
-    assert abs(f[0] - 51 / 255) < 1e-12 and f[1] == 0.0  # R mean/std
+    # canonical B,G,R dim order (r15 fix): dims 0/4/8 are B/G/R means
+    assert abs(f[0] - 204 / 255) < 1e-12 and f[1] == 0.0  # B mean/std
     assert abs(f[4] - 102 / 255) < 1e-12  # G mean
+    assert abs(f[8] - 51 / 255) < 1e-12  # R mean
+    # the SAME color through BMP and PNG must featurize IDENTICALLY —
+    # the one-comparable-embedding-space contract the r14 RGB-order
+    # png_features silently broke for colored images
+    from purldb_spark.multimodal.binaryops import bmp_features
+
+    fb = bmp_features(encode_bmp(4, 3, (204, 102, 51)))  # BGR arg order
+    assert f == fb
     rows = [
         (1, bytearray(png)),
         (2, bytearray(encode_bmp(4, 3, (51, 102, 204)))),
