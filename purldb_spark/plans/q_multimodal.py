@@ -346,9 +346,36 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_sum_stats(media)
 
 
+def _cell_w(n_docs: int) -> int:
+    """Corpus-scaled e3 grid-cell width for the media-feature ANN
+    queries — the lsh_band_plan discipline (BENCH_scale finding 1)
+    applied to the color grid: a FIXED 250-wide cell (5^3 = 125 cells)
+    densifies linearly with N, making the cell join quadratic at scale;
+    the ladder keeps expected cell occupancy roughly constant. An
+    integer CASE ladder rather than a cube root so both engines derive
+    the identical width with no float boundary risk."""
+    if n_docs <= 2_000:
+        return 250
+    if n_docs <= 20_000:
+        return 125
+    if n_docs <= 200_000:
+        return 50
+    return 20
+
+
+_CELL_W_SQL = """(CASE WHEN (SELECT count(*) FROM documents) <= 2000
+                       THEN 250
+                       WHEN (SELECT count(*) FROM documents) <= 20000
+                       THEN 125
+                       WHEN (SELECT count(*) FROM documents) <= 200000
+                       THEN 50
+                       ELSE 20 END)"""
+
+
+
 @query(
     "mm_embed_ann_search",
-    oracle="""
+    oracle=f"""
     WITH feat AS (
       SELECT doc_id,
              CAST(round((doc_id % 256) * 1000.0 / 255) AS BIGINT) AS b_e3,
@@ -359,7 +386,7 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     cand AS (
-      SELECT *, b_e3 // 250 AS cb, g_e3 // 250 AS cg, r_e3 // 250 AS cr
+      SELECT *, b_e3 // {_CELL_W_SQL} AS cb, g_e3 // {_CELL_W_SQL} AS cg, r_e3 // {_CELL_W_SQL} AS cr
       FROM feat
     ),
     q AS (SELECT * FROM cand WHERE doc_id % 7 = 0),
@@ -391,7 +418,11 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_bmp_roundtrip recipe), embed_media extracts the 16-dim color
     descriptor inside Arrow batches (bmp_features — real pixel decode
     through the palette-aware parser), and the channel-mean dims are
-    e3-integer-scaled into a 5x5x5 grid-cell code. Query docs (doc_id %
+    e3-integer-scaled into a grid-cell code whose width is
+    CORPUS-SCALED (r15, _cell_w ladder 250->20 — the lsh_band_plan
+    discipline: a fixed 5x5x5 grid densifies linearly with N, going
+    quadratic in the cell join; the ladder keeps expected occupancy
+    roughly constant). Query docs (doc_id %
     7 == 0) probe ONLY their own cell — the banded/cell-bounded shape
     every ANN query in the registry uses (no all-pairs scan) — and
     candidates re-rank by exact integer L1 distance with a deterministic
@@ -430,8 +461,10 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    docs = load(spark, sf_dir, "documents")
+    w_cell = _cell_w(docs.count())
     media = (
-        load(spark, sf_dir, "documents")
+        docs
         .select("doc_id")
         .mapInPandas(
             enc, schema="media_id long, media_type string, content binary"
@@ -453,9 +486,9 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_e3"),
     ).select(
         "*",
-        (F.col("b_e3") / 250).cast("long").alias("cb"),
-        (F.col("g_e3") / 250).cast("long").alias("cg"),
-        (F.col("r_e3") / 250).cast("long").alias("cr"),
+        F.expr(f"b_e3 div {w_cell}").alias("cb"),
+        F.expr(f"g_e3 div {w_cell}").alias("cg"),
+        F.expr(f"r_e3 div {w_cell}").alias("cr"),
     )
     q = coded.filter(F.col("media_id") % 7 == 0).select(
         F.col("media_id").alias("query_id"),
@@ -490,6 +523,209 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "cand_id", "rnk", "dist_e3")
+    )
+
+
+_PAIR_TXT = """
+  SELECT doc_id,
+         CAST(round((doc_id % 256) * 1000.0 / 255) AS BIGINT) AS tb,
+         CAST(round(((doc_id // 3) % 256) * 1000.0 / 255) AS BIGINT) AS tg,
+         CAST(round(((doc_id // 7) % 256) * 1000.0 / 255) AS BIGINT) AS tr
+  FROM documents
+"""
+
+_PAIR_IMG = """
+  SELECT doc_id,
+         CAST(round((CASE WHEN doc_id % 17 = 3
+                          THEN (doc_id % 256 + 64) % 256
+                          ELSE doc_id % 256 END) * 1000.0 / 255)
+              AS BIGINT) AS ib,
+         CAST(round((CASE WHEN doc_id % 17 = 3
+                          THEN ((doc_id // 3) % 256 + 64) % 256
+                          ELSE (doc_id // 3) % 256 END) * 1000.0 / 255)
+              AS BIGINT) AS ig,
+         CAST(round((CASE WHEN doc_id % 17 = 3
+                          THEN ((doc_id // 7) % 256 + 64) % 256
+                          ELSE (doc_id // 7) % 256 END) * 1000.0 / 255)
+              AS BIGINT) AS ir
+  FROM documents
+"""
+
+
+@query(
+    "mm_pair_alignment_qa",
+    oracle=f"""
+    WITH t AS ({_PAIR_TXT}),
+    img AS ({_PAIR_IMG}),
+    tc AS (SELECT *, tb // {_CELL_W_SQL} AS cb, tg // {_CELL_W_SQL} AS cg,
+                  tr // {_CELL_W_SQL} AS cr
+           FROM t),
+    ic AS (SELECT *, ib // {_CELL_W_SQL} AS cb, ig // {_CELL_W_SQL} AS cg,
+                  ir // {_CELL_W_SQL} AS cr
+           FROM img),
+    cand AS (
+      SELECT tc.doc_id AS pair_id, ic.doc_id AS cand_id,
+             abs(tc.tb - ic.ib) + abs(tc.tg - ic.ig) + abs(tc.tr - ic.ir)
+               AS d
+      FROM tc JOIN ic ON ic.cb = tc.cb AND ic.cg = tc.cg AND ic.cr = tc.cr
+    ),
+    best AS (
+      SELECT pair_id, cand_id, d, row_number() OVER (
+        PARTITION BY pair_id ORDER BY d, cand_id) AS rnk
+      FROM cand
+    )
+    SELECT t.doc_id AS pair_id,
+           CAST(COALESCE(b.cand_id, -1) AS BIGINT) AS retrieved_id,
+           CAST(COALESCE(b.d, -1) AS BIGINT) AS dist_e3,
+           COALESCE(b.cand_id, -1) = t.doc_id AS aligned,
+           t.doc_id % 17 = 3 AS corrupted
+    FROM t LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b
+      ON b.pair_id = t.doc_id
+    """,
+)
+def mm_pair_alignment_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-data alignment QA by cross-modal retrieval — the
+    LAION-style filtering op for (text, image) training pairs: verify
+    each pair by retrieving the text's nearest IMAGE by content and
+    checking it is the paired one. Per document the "text encoder"
+    stand-in is the deterministic e3 color triple (the capstone's
+    doc_id arithmetic — documented fake, like the md5 embedding
+    fallback), and the paired image is a REAL solid-color blob carrying
+    that triple — BMP for even doc_ids, PNG for odd (cross-codec
+    through the r15-canonical BGR feature space). A deterministic
+    corruption (doc_id % 17 == 3: every channel shifted +64 mod 256)
+    models scraped misaligned pairs; the +64 shift provably moves the
+    image out of the text's 250-wide e3 cell, so a corrupted pair can
+    never retrieve itself. Text vectors probe ONLY their own cell (the
+    registry's standard cell-bounded ANN shape), candidates re-rank by
+    exact integer L1 with id tie-break, and the verdict per pair is
+    (retrieved_id, dist, aligned = retrieved-self, corrupted = ground
+    truth) — the precision/recall of the flag is readable off the
+    aligned x corrupted table, and the oracle re-derives the whole
+    chain arithmetically from doc_id. The cell width is CORPUS-SCALED
+    (_cell_w ladder, the lsh_band_plan discipline) so expected cell
+    occupancy — and with it candidate volume per pair — stays roughly
+    constant at scale; every ladder width is <= 250, below the
+    corruption shift, so the never-retrieves-itself lemma is
+    width-independent. At 100 TB: encode/decode/feature are map-only
+    Arrow passes, the probe one cell equi-join, the re-rank a per-pair
+    window over cell-bounded candidates — identical scale shape to
+    mm_embed_ann_search."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from purldb_spark.multimodal.binaryops import (
+        embed_media,
+        encode_bmp,
+        encode_png,
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, types = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b, g, r = i % 256, (i // 3) % 256, (i // 7) % 256
+                if i % 17 == 3:
+                    b, g, r = (b + 64) % 256, (g + 64) % 256, (r + 64) % 256
+                if i % 2 == 0:
+                    outs.append(encode_bmp(i % 9 + 1, i % 5 + 1, (b, g, r)))
+                    types.append("image/bmp")
+                else:
+                    outs.append(
+                        encode_png(i % 9 + 1, i % 5 + 1, 2, (r, g, b))
+                    )
+                    types.append("image/png")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": types,
+                    "content": outs,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents")
+    w_cell = _cell_w(docs.count())
+    media = (
+        docs
+        .select("doc_id")
+        .mapInPandas(
+            enc, schema="media_id long, media_type string, content binary"
+        )
+    )
+    img = (
+        embed_media(media)
+        .select(
+            F.col("media_id").alias("cand_id"),
+            F.round(F.element_at("embedding", 1) * 1000)
+            .cast("long")
+            .alias("ib"),
+            F.round(F.element_at("embedding", 5) * 1000)
+            .cast("long")
+            .alias("ig"),
+            F.round(F.element_at("embedding", 9) * 1000)
+            .cast("long")
+            .alias("ir"),
+        )
+        .select(
+            "*",
+            F.expr(f"ib div {w_cell}").alias("cb"),
+            F.expr(f"ig div {w_cell}").alias("cg"),
+            F.expr(f"ir div {w_cell}").alias("cr"),
+        )
+    )
+    txt = (
+        docs
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.round(F.expr("doc_id % 256") * 1000 / 255)
+            .cast("long")
+            .alias("tb"),
+            F.round(F.expr("(doc_id div 3) % 256") * 1000 / 255)
+            .cast("long")
+            .alias("tg"),
+            F.round(F.expr("(doc_id div 7) % 256") * 1000 / 255)
+            .cast("long")
+            .alias("tr"),
+        )
+        .select(
+            "*",
+            F.expr(f"tb div {w_cell}").alias("cb"),
+            F.expr(f"tg div {w_cell}").alias("cg"),
+            F.expr(f"tr div {w_cell}").alias("cr"),
+        )
+    )
+    cand = txt.join(img, ["cb", "cg", "cr"]).select(
+        "pair_id",
+        "cand_id",
+        (
+            F.abs(F.col("tb") - F.col("ib"))
+            + F.abs(F.col("tg") - F.col("ig"))
+            + F.abs(F.col("tr") - F.col("ir"))
+        ).alias("d"),
+    )
+    w = Window.partitionBy("pair_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    best = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("pair_id", "cand_id", "d")
+    )
+    return (
+        txt.select("pair_id")
+        .join(best, "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("cand_id", F.lit(-1))
+            .cast("long")
+            .alias("retrieved_id"),
+            F.coalesce("d", F.lit(-1)).cast("long").alias("dist_e3"),
+            (
+                F.coalesce("cand_id", F.lit(-1)) == F.col("pair_id")
+            ).alias("aligned"),
+            (F.col("pair_id") % 17 == 3).alias("corrupted"),
+        )
     )
 
 

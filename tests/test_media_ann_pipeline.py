@@ -106,3 +106,27 @@ def test_blobs_to_similarity_search(spark, tmp_path):
         by_q.setdefault(r.q_vec_id, []).append(r.vec_id)
     assert by_q[100] and all(v in range(1, 5) for v in by_q[100]), by_q
     assert by_q[200] and all(v in range(15, 19) for v in by_q[200]), by_q
+
+
+def test_pair_alignment_qa_flag_quality(spark):
+    """The alignment flag must be PERFECT on the synthetic construction:
+    every corrupted pair flagged (the +64 channel shift provably leaves
+    the text's 250-wide e3 cell, so a corrupted pair can never retrieve
+    itself) and every clean pair aligned at distance 0 (solid colors
+    decode exactly; its own image is in the cell at L1 = 0, and the id
+    tie-break cannot displace it unless another doc carries the
+    identical triple — absent at this scale)."""
+    from purldb_spark.plans.registry import QUERIES, load_inventory
+
+    load_inventory()
+    rows = QUERIES["mm_pair_alignment_qa"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.corrupted == (r.pair_id % 17 == 3)
+        assert r.aligned == (not r.corrupted)
+        if r.aligned:
+            assert r.retrieved_id == r.pair_id and r.dist_e3 == 0
+        else:
+            assert r.retrieved_id != r.pair_id

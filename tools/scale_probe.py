@@ -100,6 +100,7 @@ PROBES = [
     ("mm_resize_roundtrip", "NN resample roundtrip — map-only, linear"),
     ("mm_wav_windows", "frame-aligned WAV window slice + per-window decode — map-only, linear"),
     ("mm_embed_ann_search", "decode->features->grid-cell probe->L1 re-rank — cell-bounded"),
+    ("mm_pair_alignment_qa", "paired-data QA by cross-modal retrieval: map-only encode/decode/feature + ONE cell equi-join + per-pair window — cell-bounded"),
     ("nb_train", "one (class x bucket) counting agg — linear scan, bounded shuffle"),
     ("nb_train_wide", "the same counting agg at B=4096 (the teacher's width) — B widens the combine key space only, never the scan"),
     ("knn_residual_ivfpq", "residual-coded IVFADC probe, per-probe query residuals — same cell-equi-join cost model as knn_fully_trained_ivfpq (anchors ∝ N in the probe; per query 28 -> 39.8 ms at 10x corpus = 1.4x), corpus-scaled k since r9 + nprobe=isqrt(k) since r11"),
