@@ -43,6 +43,7 @@ def load_inventory() -> None:
         q_bonus,
         q_clearindex,
         q_cluster,
+        q_kmeans_stream,
         q_collect,
         q_d2d,
         q_update,

@@ -264,3 +264,56 @@ def test_embed_media_dispatches_jpeg(spark):
     got = embed_media(df).collect()[0]
     # EMBED_SCHEMA carries float32: compare at that precision
     assert got.embedding == pytest.approx(jpeg_features(j), rel=1e-6)
+
+
+from hypothesis import assume as _assume  # noqa: E402
+from hypothesis import given as _given  # noqa: E402
+from hypothesis import settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(w=_st.integers(1, 40), h=_st.integers(1, 28), seed=_st.integers(0, 2**31))
+def test_jpeg_mosaic_roundtrip_property(w, h, seed):
+    """Random block mosaics of every geometry (incl. single-pixel and
+    non-multiple-of-8 dims) roundtrip pixel-exactly — the DC-difference
+    chain, edge cropping and huffman paths under fuzzing."""
+    import random
+
+    rng = random.Random(seed)
+    grid = {
+        (bx, by): rng.randrange(256)
+        for bx in range(-(-w // 8))
+        for by in range(-(-h // 8))
+    }
+    pix, gw, gh = decode_jpeg_pixels(
+        encode_jpeg_gray_mosaic(w, h, lambda bx, by: grid[(bx, by)])
+    )
+    assert (gw, gh) == (w, h)
+    for y in range(gh):
+        for x in range(gw):
+            assert pix[y, x, 0] == grid[(x // 8, y // 8)]
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    y=_st.integers(0, 255),
+    cb=_st.integers(0, 255),
+    cr=_st.integers(0, 255),
+    sub=_st.booleans(),
+)
+def test_jpeg_solid_color_roundtrip_property(y, cb, cr, sub):
+    """Any YCbCr solid (4:4:4 and 4:2:0) decodes to the floor-transform
+    RGB exactly — away from the four floor-boundary chroma values where
+    the decoder's ~1e-13 IDCT jitter may legitimately round across."""
+    _assume(cb not in (3, 253))
+    _assume((cb, cr) not in ((78, 178), (178, 78)))
+    pix, w, h = decode_jpeg_pixels(
+        encode_jpeg_solid_ycbcr(10, 7, (y, cb, cr), subsample=sub)
+    )
+    r = min(255, max(0, math.floor(y + 1.402 * (cr - 128) + 0.5)))
+    g = min(255, max(0, math.floor(
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+    b = min(255, max(0, math.floor(y + 1.772 * (cb - 128) + 0.5)))
+    uniq = np.unique(pix.reshape(-1, 3), axis=0)
+    assert len(uniq) == 1 and tuple(uniq[0]) == (r, g, b)

@@ -56,6 +56,7 @@ PROBES = [
     ("shuffle_global", "sharded rank + broadcast offsets — linear"),
     ("corpus_curate_pipeline", "gates + sample + pack over pair fixture — linear"),
     ("kmeans_train", "cell-index view: sizes agg + broadcast join — linear"),
+    ("kmeans_minibatch_merge", "e6 sufficient-stats shard merge proof: posexplode + two combine-bounded aggs (k x dim x partitions shuffle) — linear"),
     ("kmeans_fit_cold", "Lloyd trainer, no cache — scan + k*dim-row shuffle per iteration"),
     ("pq_encode_cold", "PQ index build (8x16 argmin encode), no cache — map-only linear"),
     ("semantic_tau055", "SemDeDup cell equi-join, tau=0.55 deep tail — largest-cell bound"),
