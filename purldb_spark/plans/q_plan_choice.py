@@ -158,8 +158,7 @@ def dedup_plan_stats(sliced: DataFrame, df_cap: int = _DF_CAP) -> DataFrame:
     )
 
 
-_ORACLE = f"""
-WITH shingles AS MATERIALIZED ({_SHINGLES_SQL}),
+_STATS_CTES = f"""shingles AS MATERIALIZED ({_SHINGLES_SQL}),
 sliced AS MATERIALIZED (
   SELECT d.lang AS slice, s.doc_id, s.sh
   FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
@@ -211,7 +210,10 @@ costed AS (
            AS prefix_cost,
          p.capped_fanin, p.capped_dropped_postings
   FROM per_sh p JOIN nd n ON n.slice = p.slice JOIN pf f ON f.slice = p.slice
-)
+)"""
+
+_ORACLE = f"""
+WITH {_STATS_CTES}
 SELECT slice, n_docs, postings, max_df, counting_fanin, counting_cost,
        prefix_postings, prefix_fanin, prefix_cost,
        capped_fanin, capped_dropped_postings,
@@ -233,3 +235,177 @@ def dedup_plan_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sliced = doc_shingles(spark, sf_dir).join(docs, "doc_id")
     return dedup_plan_stats(sliced)
+
+
+def _counting_pairs(sliced: DataFrame) -> DataFrame:
+    """Slice-aware all-pairs counting plan: posting self-join on
+    (slice, sh), intersection count, exact jaccard at t = 0.8."""
+    inter = (
+        sliced.alias("a")
+        .join(
+            sliced.alias("b"),
+            (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.slice").alias("slice"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return _verify(sliced, inter)
+
+
+def _prefix_pairs(sliced: DataFrame) -> DataFrame:
+    """Slice-aware prefix-filtered SSJoin (q_prefix's plan with the
+    slice riding every key): rarest-first prefixes, candidate self-join
+    on prefix tokens only, exact verify rejoin."""
+    from pyspark.sql import Window
+
+    df_tbl = sliced.groupBy("slice", "sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sliced.groupBy("slice", "doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pfx = (
+        sliced.join(df_tbl, ["slice", "sh"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("slice", "doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(sizes, ["slice", "doc_id"])
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({_T_NUM}*n + {_T_NUM}) div {_T_DEN}")
+            + 1
+        )
+        .select("slice", "doc_id", "sh")
+    )
+    cands = (
+        pfx.alias("a")
+        .join(
+            pfx.alias("b"),
+            (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.slice").alias("slice"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    inter = (
+        cands.join(
+            sliced.select(
+                "slice", F.col("doc_id").alias("id_a"), "sh"
+            ),
+            ["slice", "id_a"],
+        )
+        .join(
+            sliced.select(
+                "slice", F.col("doc_id").alias("id_b"), "sh"
+            ),
+            ["slice", "id_b", "sh"],
+        )
+        .groupBy("slice", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return _verify(sliced, inter)
+
+
+def _verify(sliced: DataFrame, inter: DataFrame) -> DataFrame:
+    """Shared exact-jaccard gate: join sizes, threshold t = 0.8."""
+    sizes = sliced.groupBy("slice", "doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    na = sizes.select(
+        "slice", F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+    )
+    nb = sizes.select(
+        "slice", F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(na, ["slice", "id_a"])
+        .join(nb, ["slice", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("na") + F.col("nb") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("slice", "id_a", "id_b", "intersection", "jaccard")
+    )
+
+
+_DISPATCH_ORACLE = f"""
+WITH {_STATS_CTES},
+choice AS (
+  SELECT slice, CASE WHEN postings + counting_fanin <=
+                          4 * postings + 2 * (postings // n_docs)
+                              * prefix_fanin
+                     THEN 'counting' ELSE 'prefix' END AS plan
+  FROM costed
+),
+inter AS (
+  SELECT a.slice, a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS intersection
+  FROM sliced a
+  JOIN sliced b ON b.slice = a.slice AND b.sh = a.sh
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT i.slice, i.id_a, i.id_b, i.intersection,
+       CAST(i.intersection AS DOUBLE)
+         / (za.n + zb.n - i.intersection) AS jaccard,
+       c.plan
+FROM inter i
+JOIN sizes za ON za.slice = i.slice AND za.doc_id = i.id_a
+JOIN sizes zb ON zb.slice = i.slice AND zb.doc_id = i.id_b
+JOIN choice c ON c.slice = i.slice
+WHERE CAST(i.intersection AS DOUBLE) / (za.n + zb.n - i.intersection) >= 0.8
+"""
+
+
+@query("dedup_dispatch_run", oracle=_DISPATCH_ORACLE)
+def dedup_dispatch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dispatcher EXECUTING its choice — the adaptive follow-up to
+    dedup_plan_choice: compute the per-slice decision statistics, pull
+    the O(slices) choice table to the driver (a few rows — the
+    data-dependent plan-construction step AQE cannot do across queries),
+    then run the counting plan on the slices it wins and the prefix
+    SSJoin on the slices it wins, union the per-slice EXACT jaccard
+    pairs, and label each row with the plan that produced it. Both
+    plans are exact (the prefix theorem), so the oracle verifies the
+    pairs with ONE formulation regardless of which plan ran — the
+    dispatcher can change its mind as the corpus shifts without
+    changing the answer, only the cost; the choice label itself is
+    re-derived relationally. At 100 TB the choice table is per-shard
+    planning metadata; a boilerplate-flooded slice automatically gets
+    the plan that survives it."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("slice")
+    )
+    sliced = doc_shingles(spark, sf_dir).join(docs, "doc_id")
+    choices = {
+        r.slice: r.chosen_plan for r in dedup_plan_stats(sliced).collect()
+    }
+    parts = []
+    for plan_name, runner in (
+        ("counting", _counting_pairs),
+        ("prefix", _prefix_pairs),
+    ):
+        slices = sorted(s for s, c in choices.items() if c == plan_name)
+        if not slices:
+            continue
+        sub = sliced.filter(F.col("slice").isin(slices))
+        parts.append(runner(sub).withColumn("plan", F.lit(plan_name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -94,3 +94,61 @@ def test_counting_fanin_equals_actual_pair_rows(spark):
         .count()
     )
     assert got.counting_fanin == pair_rows == 1 + 1 + 3  # a:1, c:1, b:C(3,2)
+
+
+def test_dispatch_runners_agree_with_python_bruteforce(spark):
+    """Both slice-aware runners (_counting_pairs, _prefix_pairs) are
+    EXACT: on a mixed flood+benign corpus each must reproduce the
+    pure-Python brute-force jaccard pairs at t = 0.8 — so the
+    dispatcher's choice changes only cost, never the answer."""
+    from itertools import combinations
+
+    from purldb_spark.plans.q_plan_choice import (
+        _counting_pairs,
+        _prefix_pairs,
+        dedup_plan_stats,
+    )
+
+    rows = []
+    # 100-doc flood (hot shingle everywhere -> C(100,2) counting pair
+    # rows); docs 0/1 carry identical shingle sets (jaccard 1.0)
+    for d in range(100):
+        base = [f"sh-{0 if d <= 1 else d}-{j}" for j in range(9)]
+        rows += [("flood", d, "hot shingle")] + [
+            ("flood", d, sh) for sh in base
+        ]
+    # benign slice: docs 0/1 identical shingle sets (jaccard 1.0)
+    for d in range(6):
+        rows += [
+            ("benign", d, f"b-{0 if d <= 1 else d}-{j}")
+            for j in range(10)
+        ]
+    sliced = _postings(spark, rows)
+
+    by_doc: dict[tuple[str, int], set] = {}
+    for sl, d, sh in rows:
+        by_doc.setdefault((sl, d), set()).add(sh)
+    want = set()
+    for (sl_a, da), (sl_b, db) in combinations(sorted(by_doc), 2):
+        if sl_a != sl_b:
+            continue
+        inter = len(by_doc[(sl_a, da)] & by_doc[(sl_b, db)])
+        union = len(by_doc[(sl_a, da)] | by_doc[(sl_b, db)])
+        if union and inter / union >= 0.8:
+            want.add((sl_a, min(da, db), max(da, db), inter))
+
+    got_c = {
+        (r.slice, r.id_a, r.id_b, r.intersection)
+        for r in _counting_pairs(sliced).collect()
+    }
+    got_p = {
+        (r.slice, r.id_a, r.id_b, r.intersection)
+        for r in _prefix_pairs(sliced).collect()
+    }
+    assert got_c == want and got_p == want
+
+    # and the dispatcher picks a different plan per slice on this corpus
+    choices = {
+        r.slice: r.chosen_plan for r in dedup_plan_stats(sliced).collect()
+    }
+    assert choices == {"flood": "prefix", "benign": "counting"}
