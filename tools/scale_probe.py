@@ -96,6 +96,8 @@ PROBES = [
     ("sketch_cms_topk", "fixed d x w additive counter table + labeled exact top-k groupBy — linear"),
     ("sketch_histogram_quantiles", "fixed-width additive histogram + cum walk; exact-rank baseline pays a DISTRIBUTED full sort (prefix-group rank, r9) — linear (N log N baseline)"),
     ("dedup_ngram_prefix", "prefix-filtered exact jaccard — candidates from rarest-first prefixes only"),
+    ("dedup_plan_choice", "per-slice decision statistics + argmin as data — two key-count aggs + one rank window, linear"),
+    ("dedup_dispatch_run", "the dispatcher executing its per-slice choice — stats + the chosen exact plan per slice"),
     ("mm_png_roundtrip", "PNG encode/decode inside Arrow batches — map-only, linear"),
     ("mm_jpeg_roundtrip", "baseline JPEG huffman+IDCT decode inside Arrow batches — map-only, linear"),
     ("mm_resize_roundtrip", "NN resample roundtrip — map-only, linear"),
