@@ -179,12 +179,15 @@ def test_multimodal_decode_stub_and_embed(spark):
 
     import pytest as _pytest
 
-    # r14: PNG decodes for real — a torn PNG is a poison ValueError and
-    # jpeg remains the NotImplementedError codec boundary
+    # r14: PNG decodes for real; r15: baseline JPEG too — torn blobs of
+    # both are poison ValueErrors, and mp3/mp4 are the remaining
+    # NotImplementedError codec boundary
     with _pytest.raises(ValueError):
         decode_media("image/png", b"\x89PNG")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_media("image/jpeg", b"\xff\xd8\xff\xe0")
+    with _pytest.raises(NotImplementedError):
+        decode_media("video/mp4", b"\x00\x00\x00 ftypisom")
     assert decode_media("fake/image", b"abcd") == (4 % 640 + 1, 4 % 480 + 1)
 
     media = spark.createDataFrame(
