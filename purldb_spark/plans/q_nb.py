@@ -68,11 +68,11 @@ LEFT JOIN ct ON ct.label = g.label
 """
 
 
-@query("nb_train", oracle=_oracle())
-def nb_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the NB student on the frozen teacher's decisions (module
-    docstring); emit the dense sufficient-statistics table."""
-    docs = load(spark, sf_dir, "documents").select(
+def teacher_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the frozen teacher's keep/drop decision as an int
+    label — the training frame both NB faces and the agreement eval
+    share."""
+    return load(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         F.expr(
@@ -80,7 +80,40 @@ def nb_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (acc, w) -> acc + ({_QC_W_SPARK})) >= 0 then 1 else 0 end"
         ).alias("y"),
     )
-    return nb_train(spark, docs, "y", "text", _B)
+
+
+def trained_nb_stats(
+    spark: SparkSession, sf_dir: str, n_buckets: int
+) -> list[dict]:
+    """The NB sufficient-statistics artifact as driver-side dicts,
+    trained ONCE per (session, sf_dir, B) through the model cache — the
+    trained_centroids production split; consumers build scoring exprs
+    from it (nb_argmax_e6_expr). 2 x (B + 2) integers."""
+    from purldb_spark.plans.fixture_runtime import cached_model
+
+    return cached_model(
+        spark,
+        f"nb_stats:{sf_dir}:{n_buckets}",
+        lambda: [
+            r.asDict()
+            for r in nb_train(
+                spark,
+                teacher_labeled_docs(spark, sf_dir),
+                "y",
+                "text",
+                n_buckets,
+            ).collect()
+        ],
+    )
+
+
+@query("nb_train", oracle=_oracle())
+def nb_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the NB student on the frozen teacher's decisions (module
+    docstring); emit the dense sufficient-statistics table."""
+    return nb_train(
+        spark, teacher_labeled_docs(spark, sf_dir), "y", "text", _B
+    )
 
 
 @query(
