@@ -105,6 +105,13 @@ AUDIT = [
     ("mm_embed_ann_search", "decode->features->grid cells->probe->L1 re-rank"),
     ("nb_train", "NB trainer: one (class x bucket) counting aggregation"),
     ("dedup_ngram_prefix", "prefix-filtered exact jaccard: rarest-first prefix postings"),
+    ("dedup_plan_choice", "per-slice dedup-plan decision statistics + argmin as data"),
+    ("dedup_dispatch_run", "dispatcher executing its per-slice choice, exact pairs"),
+    ("nb_train_wide", "NB trainer at B=4096: same one counting aggregation"),
+    ("classifier_agreement_eval", "3 trained/frozen gates fused in one corpus pass"),
+    ("mm_jpeg_roundtrip", "encode+decode baseline JPEG (huffman+IDCT), map-only"),
+    ("mm_pair_alignment_qa", "paired-data QA: corpus-scaled cell probe + L1 verdict"),
+    ("kmeans_minibatch_merge", "e6 sufficient-stats shard merge proof, combine-bounded"),
 ]
 
 def _existing_ledger() -> list[str]:
