@@ -51,7 +51,12 @@ ZIGZAG = [
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-_MAX_PIXELS = 1 << 26  # declared-geometry memory guard (PNG bound's twin)
+# declared-geometry memory guard (the PNG inflate bound's twin): planes
+# decode through float64, so a component plane costs 8 bytes/px — 2^24
+# px (4096x4096) caps one plane at ~134 MB, safe for a 32-slot executor
+# even with 3 components + the uint8 output; a real 100 TB media
+# pipeline tiles anything larger upstream
+_MAX_PIXELS = 1 << 24
 
 
 def _idct_matrix():
