@@ -1,0 +1,207 @@
+"""Arrow mapInPandas faces over the container parsers (mp4.py / mp3.py)
+— the same plumbing contract as binaryops' image/audio faces: opaque
+``binary`` columns in, typed per-media (or per-frame) rows out, poison
+blobs surfacing as a sentinel row instead of stage death.
+
+Scale notes (as binaryops): payloads ride Arrow buffers; the per-frame
+face prunes content before anything downstream — only (id, frame stats)
+leave the worker, never the blob; at 100 TB both faces are map-only
+passes with no shuffle of their own.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from purldb_spark.multimodal.mp3 import walk_mp3
+from purldb_spark.multimodal.mp4 import parse_mp4, sample_bytes
+
+_POISON = (ValueError, NotImplementedError, IndexError, struct.error)
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("n_sync", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_bytes", T.LongType()),
+    ]
+)
+
+
+def mp4_meta_stats(df: DataFrame) -> DataFrame:
+    """REAL container metadata off (media_id, content) MP4 blobs: brand,
+    first video track's codec/dims, resolved sample-table shape and
+    total payload volume. Poison contract: undecodable rows -> one
+    width = -1 sentinel row, the batch survives."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = parse_mp4(bytes(c))
+                    t = d["tracks"][0]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "brand": d["brand"],
+                            "codec": t["codec"],
+                            "width": t["width"],
+                            "height": t["height"],
+                            "n_samples": t["n_samples"],
+                            "n_chunks": t["n_chunks"],
+                            "n_sync": len(t["sync"]),
+                            "duration_ms": d["duration_ms"],
+                            "sample_bytes": sum(s for _, s in t["samples"]),
+                        }
+                    )
+                except _POISON:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "brand": "",
+                            "codec": "",
+                            "width": -1,
+                            "height": -1,
+                            "n_samples": -1,
+                            "n_chunks": -1,
+                            "n_sync": -1,
+                            "duration_ms": 0,
+                            "sample_bytes": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MP4_META_SCHEMA)
+
+
+MP4_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_no", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def mp4_sync_frames(df: DataFrame) -> DataFrame:
+    """REAL video frame-sampling: per MP4 blob, extract every SYNC
+    sample's payload bytes via the resolved sample table (stss x
+    stsc/stco/stsz) and emit one row per keyframe — 1-based sample
+    number, decode timestamp in ms, extracted size and byte sum. The
+    blob never leaves the worker. Poison contract (all-or-nothing per
+    media, the audio_window_stats discipline): rows for a media are
+    committed only after every sync sample extracted; on any failure a
+    single sample_no = -1 sentinel row stands in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    b = bytes(c)
+                    d = parse_mp4(b)
+                    t = d["tracks"][0]
+                    media_rows = []
+                    for sno in t["sync"]:
+                        payload = sample_bytes(b, t, sno)
+                        media_rows.append(
+                            {
+                                "media_id": mid,
+                                "sample_no": sno,
+                                "ts_ms": t["ts"][sno - 1]
+                                * 1000
+                                // t["timescale"],
+                                "n_bytes": len(payload),
+                                "byte_sum": sum(payload),
+                            }
+                        )
+                    rows.extend(media_rows)
+                except _POISON:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_no": -1,
+                            "ts_ms": 0,
+                            "n_bytes": 0,
+                            "byte_sum": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MP4_FRAME_SCHEMA)
+
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("audio_frames", T.LongType()),
+        T.StructField("is_vbr", T.BooleanType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("id3_bytes", T.LongType()),
+        T.StructField("junk_bytes", T.LongType()),
+        T.StructField("stream_bytes", T.LongType()),
+    ]
+)
+
+
+def mp3_meta_stats(df: DataFrame) -> DataFrame:
+    """REAL mp3 frame-layer metadata off (media_id, content): walked
+    physical frames, Xing-aware audio frame count and duration, tag /
+    junk / stream byte accounting. Poison contract: undecodable rows ->
+    one sample_rate = -1 sentinel row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = walk_mp3(bytes(c))
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_rate": d["sample_rate"],
+                            "bitrate_kbps": d["bitrate_kbps"],
+                            "n_frames": d["n_frames"],
+                            "audio_frames": d["audio_frames"],
+                            "is_vbr": d["is_vbr"],
+                            "duration_ms": d["duration_ms"],
+                            "id3_bytes": d["id3_bytes"],
+                            "junk_bytes": d["junk_bytes"],
+                            "stream_bytes": d["stream_bytes"],
+                        }
+                    )
+                except _POISON:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_rate": -1,
+                            "bitrate_kbps": -1,
+                            "n_frames": -1,
+                            "audio_frames": -1,
+                            "is_vbr": False,
+                            "duration_ms": 0,
+                            "id3_bytes": 0,
+                            "junk_bytes": 0,
+                            "stream_bytes": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MP3_META_SCHEMA)
