@@ -7,12 +7,13 @@ inflate + per-row unfilter incl. Paeth, decode_png — PNG's only
 compression is DEFLATE, which is stdlib ``zlib``), baseline JPEG
 (huffman decode + dequant + IDCT + YCbCr->RGB, multimodal/jpeg.py —
 r15), and RIFF/PCM WAV (chunk walk + frames, decode_wav), surfaced as
-the image_stats / jpeg_sum_stats / audio_stats mapInPandas faces. Only
-mp3/mp4 stay behind NotImplementedError in `decode_media` — their
-polyphase/MDCT codecs and container parsing genuinely need
-ffmpeg-class libraries absent in this container; a drop-in inherits
-the schema, batch iteration, UDF signatures, and partition sizing
-unchanged.
+the image_stats / jpeg_sum_stats / audio_stats mapInPandas faces. The
+MP4 (ISO-BMFF box tree + sample tables, multimodal/mp4.py) and MP3
+(frame-header walk, mp3.py) CONTAINER layers are real too (r15), so
+only frame-payload DSP — H.264/HEVC entropy + transform, mp3 huffman +
+IMDCT + polyphase — stays behind NotImplementedError in
+`decode_media`; a codec drop-in inherits the schema, batch iteration,
+UDF signatures, and partition sizing unchanged.
 
 Scale notes: binary payloads ride Arrow buffers between JVM and Python, so
 `spark.sql.execution.arrow.maxRecordsPerBatch` (and for 100 MB+ blobs,
@@ -525,13 +526,15 @@ def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
 
 def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
     """(width, height) decode dispatch. REAL for 'image/bmp' (pure-Python
-    header parse), 'image/png' (stdlib-zlib inflate + unfilter, r14) and
-    'image/jpeg' (baseline huffman + IDCT, multimodal/jpeg.py, r15);
-    deterministic fake for 'fake/*' so the pipeline stays
-    oracle-checkable; NotImplementedError only for mp3/mp4 — the two
-    codecs whose polyphase/MDCT pipelines genuinely need ffmpeg-class
-    libraries absent in this container (a drop-in inherits the plumbing
-    unchanged)."""
+    header parse), 'image/png' (stdlib-zlib inflate + unfilter, r14),
+    'image/jpeg' (baseline huffman + IDCT, multimodal/jpeg.py, r15) and
+    'video/mp4' (container-level dims off the tkhd 16.16 fields through
+    the full ISO-BMFF walk, multimodal/mp4.py, r15 — the frame PAYLOADS
+    stay opaque); deterministic fake for 'fake/*' so the pipeline stays
+    oracle-checkable. NotImplementedError now names only the frame/
+    sample PAYLOAD codecs (H.264/HEVC entropy + transform, mp3's
+    huffman + IMDCT + polyphase) — the genuinely ffmpeg-shaped DSP; the
+    container layers are parsed for real (mp4.py, mp3.py)."""
     if media_type == "image/bmp":
         d = decode_bmp(content)
         return (d["width"], d["height"])
@@ -543,13 +546,20 @@ def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
 
         d = decode_jpeg(content)
         return (d["width"], d["height"])
+    if media_type == "video/mp4":
+        from purldb_spark.multimodal.mp4 import parse_mp4
+
+        t = parse_mp4(content)["tracks"][0]
+        return (t["width"], t["height"])
     if media_type.startswith("fake/"):
         n = len(content)
         return (n % 640 + 1, n % 480 + 1)
     raise NotImplementedError(
-        f"no codec for {media_type!r} in this environment (mp3/mp4 need "
-        "ffmpeg-class codecs) — plug one into decode_media; the Spark "
-        "plumbing is codec-agnostic"
+        f"no codec for {media_type!r} in this environment — the remaining "
+        "boundary is frame-payload DSP only (H.264/HEVC entropy+transform, "
+        "mp3 huffman+IMDCT+polyphase); container layers are real "
+        "(multimodal/mp4.py, mp3.py) and the Spark plumbing is "
+        "codec-agnostic"
     )
 
 

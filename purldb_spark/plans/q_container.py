@@ -1,0 +1,345 @@
+"""Media-container queries: REAL MP4/MP3 container walks through the
+full Arrow pipeline, oracle-checked end to end (the mm_png/mm_jpeg
+recipe one layer further out).
+
+Per document a syntactically complete container is ENCODED with every
+parameter derived from doc_id — frame counts, per-frame sizes and fill
+bytes, chunk grouping, sync cadence, 32/64-bit offset and version-0/1
+header variants, ID3/junk/Xing presence — then PARSED back by the
+pure-stdlib walkers (multimodal/mp4.py, mp3.py via the containers.py
+Arrow faces). The oracle predicts every output cell arithmetically from
+doc_id, so a box-offset bug, a chunk-run expansion bug, a sync-table
+slip, or a frame-length table error each breaks the hash match.
+
+Scale shape: all three queries are MAP-ONLY — encode, parse, and
+extract happen inside one mapInPandas pass per partition; no shuffle,
+no join, blobs never leave the worker (only integer stats do). At
+100 TB that is the right plan by construction: the scan parallelizes
+on parquet splits and the pipeline is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from purldb_spark.catalog.tables import load
+from purldb_spark.plans.registry import query
+
+_KBPS = (32, 48, 64, 96, 128, 160, 192, 224)
+_SR = (44100, 48000, 32000)
+
+_KBPS_SQL = """CASE doc_id % 8
+  WHEN 0 THEN 32 WHEN 1 THEN 48 WHEN 2 THEN 64 WHEN 3 THEN 96
+  WHEN 4 THEN 128 WHEN 5 THEN 160 WHEN 6 THEN 192 ELSE 224 END"""
+_SR_SQL = """CASE doc_id % 3
+  WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END"""
+
+
+def _mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document, a complete MP4: n = doc%24+2 frames of ramp bytes
+    (byte j of frame k = (doc + 37k + j) % 256, size (doc + 11k) % 64
+    + 8), delta doc%40+10 ms at timescale 1000, doc%3+1 samples per
+    chunk, sync every doc%4+1 (cadence 1 exercises the omitted-stss
+    branch), co64 when doc%7=0, version-1 headers when doc%5=0."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.mp4 import encode_mp4
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 24 + 2
+                payloads = [
+                    bytes(
+                        ((i + 37 * k + j) % 256)
+                        for j in range((i + 11 * k) % 64 + 8)
+                    )
+                    for k in range(n)
+                ]
+                outs.append(
+                    encode_mp4(
+                        16 * (i % 20 + 1),
+                        16 * (i % 12 + 1),
+                        payloads,
+                        delta=i % 40 + 10,
+                        sync_every=i % 4 + 1,
+                        samples_per_chunk=i % 3 + 1,
+                        use_co64=(i % 7 == 0),
+                        v1=(i % 5 == 0),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+
+
+@query(
+    "mm_mp4_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 24 + 2 AS n, doc_id % 40 + 10 AS delta,
+             doc_id % 3 + 1 AS spc, doc_id % 4 + 1 AS g
+      FROM documents
+    ),
+    sb AS (
+      SELECT p.doc_id,
+             CAST(sum((p.doc_id + 11 * t.k) % 64 + 8) AS BIGINT)
+               AS sample_bytes
+      FROM p, unnest(generate_series(0, p.n - 1)) AS t(k)
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           'isom' AS brand, 'mp4v' AS codec,
+           CAST(16 * (p.doc_id % 20 + 1) AS INTEGER) AS width,
+           CAST(16 * (p.doc_id % 12 + 1) AS INTEGER) AS height,
+           CAST(p.n AS BIGINT) AS n_samples,
+           CAST((p.n + p.spc - 1) // p.spc AS BIGINT) AS n_chunks,
+           CAST((p.n - 1) // p.g + 1 AS BIGINT) AS n_sync,
+           CAST(p.n * p.delta AS BIGINT) AS duration_ms,
+           sb.sample_bytes
+    FROM p JOIN sb ON sb.doc_id = p.doc_id
+    """,
+)
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container metadata through the full Arrow pipeline: per
+    document a complete ISO-BMFF file (frame payloads, chunk offsets,
+    sample tables all real) is parsed back by the pure-stdlib box walk;
+    brand, codec, dims (16.16 fixed-point tkhd), resolved sample/chunk/
+    sync counts, mvhd duration and total payload volume are all
+    oracle-predicted arithmetically from doc_id. The co64 / version-1 /
+    omitted-stss variants rotate by doc_id, so every parse branch is
+    hash-checked across the corpus, not just unit-tested."""
+    from purldb_spark.multimodal.containers import mp4_meta_stats
+
+    return mp4_meta_stats(_mp4_media(spark, sf_dir))
+
+
+@query(
+    "mm_mp4_frame_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 24 + 2 AS n, doc_id % 40 + 10 AS delta,
+             doc_id % 4 + 1 AS g
+      FROM documents
+    ),
+    f AS (
+      SELECT p.doc_id, t.m * p.g AS k, p.delta
+      FROM p, unnest(generate_series(0, (p.n - 1) // p.g)) AS t(m)
+    ),
+    s AS (
+      SELECT doc_id, k, delta,
+             (doc_id + 37 * k) % 256 AS a,
+             (doc_id + 11 * k) % 64 + 8 AS sz
+      FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(k + 1 AS BIGINT) AS sample_no,
+           CAST(k * delta AS BIGINT) AS ts_ms,
+           CAST(sz AS BIGINT) AS n_bytes,
+           CAST(sz * a + sz * (sz - 1) // 2
+                - 256 * greatest(0, a + sz - 256) AS BIGINT) AS byte_sum
+    FROM s
+    """,
+)
+def mm_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling end to end: the sync samples named by
+    stss are EXTRACTED from mdat via the resolved stsc/stco/stsz tables
+    — one row per keyframe with its 1-based sample number, stts decode
+    timestamp in ms, and the extracted payload's length and byte sum.
+    Frame k's payload is the mod-256 ramp starting at (doc + 37k), so
+    the oracle predicts the byte sum in closed form (ramp sum minus one
+    wrap correction — sizes < 256 wrap at most once); an extraction
+    that is off by ONE byte, or that reads the neighboring frame,
+    breaks both sum and size. Map-only: blobs never leave the worker,
+    only (id, frame stats) rows do — at 100 TB the keyframe index build
+    over a video corpus is a single scan."""
+    from purldb_spark.multimodal.containers import mp4_sync_frames
+
+    return mp4_sync_frames(_mp4_media(spark, sf_dir))
+
+
+@query(
+    "mm_mp3_meta",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             {_KBPS_SQL} AS kbps,
+             {_SR_SQL} AS sr,
+             doc_id % 30 + 3 AS n,
+             CASE WHEN doc_id % 4 = 0 THEN 0
+                  ELSE 11 + doc_id % 100 END AS id3_bytes,
+             CASE WHEN doc_id % 5 = 1 THEN doc_id % 7 + 1
+                  ELSE 0 END AS junk_bytes,
+             doc_id % 6 = 0 AS vbr
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(kbps AS INTEGER) AS bitrate_kbps,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(CASE WHEN vbr THEN n - 1 ELSE n END AS BIGINT)
+             AS audio_frames,
+           vbr AS is_vbr,
+           CAST((CASE WHEN vbr THEN n - 1 ELSE n END) * 1152 * 1000 // sr
+                AS BIGINT) AS duration_ms,
+           CAST(id3_bytes AS BIGINT) AS id3_bytes,
+           CAST(junk_bytes AS BIGINT) AS junk_bytes,
+           CAST(n * (144000 * kbps // sr) AS BIGINT) AS stream_bytes
+    FROM p
+    """,
+)
+def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mp3 frame-layer metadata through the full Arrow pipeline:
+    per document a complete CBR mono MPEG-1 Layer III stream — bitrate
+    and sample rate rotating through the real header tables, an ID3v2
+    tag (syncsafe size, absent when doc%4=0), zero-junk before the
+    first sync when doc%5=1 (drives the bounded resync scan), a Xing
+    block claiming n-1 audio frames when doc%6=0 — walked back frame by
+    frame. Frame count, Xing-aware audio frames and duration, tag/junk/
+    stream byte accounting are all oracle-predicted from doc_id; a
+    frame-length table error of one byte desynchronizes the walk and
+    zeroes the match. Map-only, same 100 TB shape as mm_mp4_meta."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.containers import mp3_meta_stats
+    from purldb_spark.multimodal.mp3 import encode_mp3
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 30 + 3
+                outs.append(
+                    encode_mp3(
+                        _KBPS[i % 8],
+                        _SR[i % 3],
+                        n,
+                        lambda k, i=i: i + 13 * k,
+                        id3_payload=None if i % 4 == 0 else i % 100 + 1,
+                        junk=i % 7 + 1 if i % 5 == 1 else 0,
+                        xing_frames=n - 1 if i % 6 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return mp3_meta_stats(media)
+
+_FRAME_SIG_CTES = """
+    p AS (
+      SELECT doc_id, doc_id % 24 + 2 AS n, doc_id % 40 + 10 AS delta,
+             doc_id % 4 + 1 AS g
+      FROM documents
+    ),
+    f AS (
+      SELECT p.doc_id, t.m * p.g AS k, p.delta
+      FROM p, unnest(generate_series(0, (p.n - 1) // p.g)) AS t(m)
+    ),
+    s AS (
+      SELECT doc_id, k, delta,
+             (doc_id + 37 * k) % 256 AS a,
+             (doc_id + 11 * k) % 64 + 8 AS sz
+      FROM f
+    ),
+    sig AS (
+      SELECT doc_id AS media_id, k + 1 AS sample_no, k * delta AS ts_ms,
+             (sz * a + sz * (sz - 1) // 2
+              - 256 * greatest(0, a + sz - 256)) * 1000 // sz AS sig_e3
+      FROM s
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(sig_e3) OVER w IS NULL THEN 1
+                  WHEN abs(sig_e3 - lag(sig_e3) OVER w) > 64000 THEN 1
+                  ELSE 0 END AS boundary
+      FROM sig
+      WINDOW w AS (PARTITION BY media_id ORDER BY sample_no)
+    ),
+    shots AS (
+      SELECT *, sum(boundary) OVER (
+        PARTITION BY media_id ORDER BY sample_no
+        ROWS UNBOUNDED PRECEDING) AS shot_id
+      FROM flagged
+    )
+"""
+
+
+@query(
+    "mm_shot_segmentation",
+    oracle=f"""
+    WITH {_FRAME_SIG_CTES}
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(min(sample_no) AS BIGINT) AS start_sample,
+           CAST(max(sample_no) AS BIGINT) AS end_sample,
+           CAST(min(ts_ms) AS BIGINT) AS start_ts_ms,
+           CAST(max(ts_ms) AS BIGINT) AS end_ts_ms
+    FROM shots
+    GROUP BY media_id, shot_id
+    """,
+)
+def mm_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene segmentation over REAL extracted keyframes — the video
+    training-data op (shot boundaries feed clip-level captioning and
+    dedup): each sync sample's e3 mean byte value is its signature, a
+    lag diff over the per-video frame order flags a boundary when the
+    signature jumps > 64 e3-units (the first frame always opens shot 1),
+    a running sum of flags numbers the shots, and shots roll up to
+    (n_frames, start/end sample and timestamp). Everything downstream
+    of the container walk is built-in window/agg functions — the lag,
+    the flag, the cumulative sum and the rollup all run JVM-side; the
+    ONE shuffle partitions by media_id (frames per video are bounded by
+    the container, so no skew), and the oracle replays the identical
+    closed-form signatures and window chain in SQL. At 100 TB: map-only
+    extraction, a single bounded-fanout shuffle, then a group-by that
+    AQE coalesces — the same shape as w6_span_merge_sessionize."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from purldb_spark.multimodal.containers import mp4_sync_frames
+
+    frames = mp4_sync_frames(_mp4_media(spark, sf_dir)).select(
+        "media_id",
+        "sample_no",
+        "ts_ms",
+        (F.col("byte_sum") * 1000 / F.col("n_bytes"))
+        .cast("long")
+        .alias("sig_e3"),
+    )
+    w = Window.partitionBy("media_id").orderBy("sample_no")
+    flagged = frames.withColumn(
+        "boundary",
+        F.when(F.lag("sig_e3").over(w).isNull(), F.lit(1))
+        .when(
+            F.abs(F.col("sig_e3") - F.lag("sig_e3").over(w)) > 64000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    shots = flagged.withColumn(
+        "shot_id",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return shots.groupBy("media_id", "shot_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("sample_no").alias("start_sample"),
+        F.max("sample_no").alias("end_sample"),
+        F.min("ts_ms").alias("start_ts_ms"),
+        F.max("ts_ms").alias("end_ts_ms"),
+    )

@@ -108,6 +108,7 @@ def load_inventory() -> None:
         q_minhash_plan,
         q_simhash_plan,
         q_snippet,
+        q_container,
         q_vcs,
         q_version_apis,
         q_versions,

@@ -179,7 +179,11 @@ def test_decode_media_dispatch_narrowed():
     ) == (10, 9)
     with pytest.raises(ValueError):
         decode_media("image/jpeg", b"\xff\xd8\xff\xe0 torn jfif bytes")
-    # mp3/mp4 are the remaining genuine codec boundary
+    # r15: MP4 container dims are real (tkhd through the box walk)
+    from purldb_spark.multimodal.mp4 import encode_mp4
+
+    assert decode_media("video/mp4", encode_mp4(32, 24, [b"xx"])) == (32, 24)
+    # frame-payload DSP is the remaining genuine codec boundary
     with pytest.raises(NotImplementedError):
         decode_media("audio/mp3", b"\xff\xfb whatever")
     assert decode_media("fake/image", b"x" * 10) == (11, 11)
