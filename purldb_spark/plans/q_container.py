@@ -343,3 +343,95 @@ def mm_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("start_ts_ms"),
         F.max("ts_ms").alias("end_ts_ms"),
     )
+
+
+@query(
+    "dedup_video_shots",
+    oracle=f"""
+    WITH {_FRAME_SIG_CTES},
+    shot_sigs AS (
+      SELECT media_id, shot_id,
+             count(*) AS n_frames,
+             string_agg(CAST(sig_e3 AS VARCHAR), ',' ORDER BY sample_no)
+               AS sig_key
+      FROM shots
+      GROUP BY media_id, shot_id
+    )
+    SELECT sig_key,
+           CAST(min(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(min(media_id) AS BIGINT) AS example_media
+    FROM shot_sigs
+    GROUP BY sig_key
+    HAVING count(*) > 1
+    """,
+)
+def dedup_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-SHOT detection — the video-corpus analogue
+    of exact text dedup (intros, logo stings and boilerplate clips
+    repeat across a scraped corpus and must not be oversampled in
+    training): shots from mm_shot_segmentation's chain are keyed by
+    their ordered frame-signature sequence (string-joined e3 values —
+    an exact key, not a sketch), and keys occurring more than once
+    across the corpus come back with occurrence/media counts and an
+    example. The signature alphabet folds (a, size) into 1000a +
+    500(size-1), so distinct frames genuinely collide and the dup
+    groups are non-trivial. Plan shape: the map-only frame extraction,
+    ONE shuffle by media_id for the shot chain (bounded fanout), one
+    groupBy on the signature key (map-side combined) — exact-dedup's
+    hash-groupBy shape, no joins anywhere. At 100 TB the key-space is
+    bounded by content, not corpus, and AQE handles the residual skew
+    the HAVING filter targets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from purldb_spark.multimodal.containers import mp4_sync_frames
+
+    frames = mp4_sync_frames(_mp4_media(spark, sf_dir)).select(
+        "media_id",
+        "sample_no",
+        (F.col("byte_sum") * 1000 / F.col("n_bytes"))
+        .cast("long")
+        .alias("sig_e3"),
+    )
+    w = Window.partitionBy("media_id").orderBy("sample_no")
+    shots = (
+        frames.withColumn(
+            "boundary",
+            F.when(F.lag("sig_e3").over(w).isNull(), F.lit(1))
+            .when(
+                F.abs(F.col("sig_e3") - F.lag("sig_e3").over(w)) > 64000,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "shot_id",
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    shot_sigs = shots.groupBy("media_id", "shot_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("sample_no", "sig_e3"))
+                ),
+                lambda s: s["sig_e3"].cast("string"),
+            ),
+        ).alias("sig_key"),
+    )
+    return (
+        shot_sigs.groupBy("sig_key")
+        .agg(
+            F.min("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("media_id").alias("n_media"),
+            F.min("media_id").alias("example_media"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
