@@ -112,6 +112,11 @@ AUDIT = [
     ("mm_jpeg_roundtrip", "encode+decode baseline JPEG (huffman+IDCT), map-only"),
     ("mm_pair_alignment_qa", "paired-data QA: corpus-scaled cell probe + L1 verdict"),
     ("kmeans_minibatch_merge", "e6 sufficient-stats shard merge proof, combine-bounded"),
+    ("mm_mp4_meta", "ISO-BMFF encode+box-walk inside Arrow batches, map-only"),
+    ("mm_mp4_frame_sample", "stss keyframe extraction off resolved sample tables, map-only"),
+    ("mm_mp3_meta", "mp3 frame walk (ID3/resync/Xing) inside Arrow batches, map-only"),
+    ("mm_shot_segmentation", "keyframe chain: ONE media window + shot rollup"),
+    ("dedup_video_shots", "shot signature groupBy: exact-dedup shape over chains"),
 ]
 
 def _existing_ledger() -> list[str]:

@@ -122,6 +122,11 @@ PROBES = [
     ("mm_bmp_roundtrip", "mapInPandas BMP encode+decode, map-only Arrow batches, zero shuffle — linear"),
     ("mm_wav_roundtrip", "mapInPandas WAV encode+decode, map-only Arrow batches, zero shuffle — linear"),
     ("classifier_train", "perceptron epochs over the materialized integer feature table — one map-side-combined agg per epoch, 10 ints to driver"),
+    ("mm_mp4_meta", "full ISO-BMFF encode+box-walk inside Arrow batches — map-only, zero shuffle, linear"),
+    ("mm_mp4_frame_sample", "sync-sample extraction off resolved stsc/stco/stsz tables — map-only, zero shuffle, linear"),
+    ("mm_mp3_meta", "mp3 frame walk (ID3 skip/resync/Xing) inside Arrow batches — map-only, zero shuffle, linear"),
+    ("mm_shot_segmentation", "keyframe extraction + ONE media_id window chain + shot rollup — bounded fanout, linear"),
+    ("dedup_video_shots", "shot chain + map-side-combined signature groupBy — exact-dedup shape, linear"),
 ]
 
 
