@@ -131,3 +131,47 @@ def test_continuing_shot_across_epochs(spark, tmp_path):
     got = current_assignments(spark, d).collect()
     assert {r.shot_id for r in got} == {1}
     assert len(got) == 4
+
+
+def test_real_stream_end_to_end(spark, tmp_path):
+    """Actual Structured Streaming drive: parquet source -> foreachBatch
+    shot_sink -> availableNow drain, twice — the streamed chain over two
+    physical epochs equals the independent fold, and a full RESTART with
+    the same checkpoint replays nothing."""
+    from purldb_spark.streaming.shot_stream import shot_sink
+
+    src = str(tmp_path / "incoming")
+    d = str(tmp_path / "shots")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "media_id long, sample_no long, ts_ms long, sig_e3 long"
+    rows = _frames(10)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(shot_sink(spark, d))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    e0 = [r for r in rows if r["sample_no"] <= 4]
+    e1 = [r for r in rows if r["sample_no"] > 4]
+    _mk_df(spark, e0).write.mode("append").parquet(src)
+    drain()
+    _mk_df(spark, e1).write.mode("append").parquet(src)
+    drain()
+    got = sorted(
+        (r.media_id, r.sample_no, r.ts_ms, r.sig_e3, r.shot_id)
+        for r in current_assignments(spark, d).collect()
+    )
+    assert got == _expected_assignments(rows)
+    # restart with nothing new: the drained checkpoint replays no epoch
+    drain()
+    after = sorted(
+        (r.media_id, r.sample_no, r.ts_ms, r.sig_e3, r.shot_id)
+        for r in current_assignments(spark, d).collect()
+    )
+    assert after == got
