@@ -435,3 +435,67 @@ def dedup_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "shot_incremental_fold",
+    oracle=f"""
+    WITH {_FRAME_SIG_CTES}
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(sample_no AS BIGINT) AS sample_no,
+           CAST(ts_ms AS BIGINT) AS ts_ms,
+           CAST(sig_e3 AS BIGINT) AS sig_e3,
+           CAST(shot_id AS BIGINT) AS shot_id
+    FROM shots
+    """,
+)
+def shot_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine check for the 19th streaming face's fold algebra (the
+    kmeans_minibatch_merge discipline applied to a SEQUENTIAL fold):
+    the corpus's keyframe rows are split into three epoch slices by
+    sample_no and folded through streaming/shot_stream.extend_shot_chains
+    exactly as micro-batches would be — each epoch extends the frontier
+    the previous epoch left — and the unioned assignments must equal the
+    DIRECT single-pass chain, which is what the oracle computes. A
+    frontier bug (wrong carried signature, off-by-one shot offset, a
+    dropped or double-counted boundary at an epoch seam) shifts shot ids
+    and breaks the hash. Unlike the monoid proofs this one is
+    order-SENSITIVE: the epochs compose in sequence, which is precisely
+    the property being certified. Plan shape: the same map-only
+    extraction three times (one per slice) + one window chain per
+    slice + a broadcast frontier join between slices — per-epoch cost
+    is O(epoch + active videos), the streaming contract."""
+    from pyspark.sql import functions as F
+
+    from purldb_spark.multimodal.containers import mp4_sync_frames
+    from purldb_spark.streaming.shot_stream import extend_shot_chains
+
+    frames = mp4_sync_frames(_mp4_media(spark, sf_dir)).select(
+        "media_id",
+        "sample_no",
+        "ts_ms",
+        (F.col("byte_sum") * 1000 / F.col("n_bytes"))
+        .cast("long")
+        .alias("sig_e3"),
+    )
+    # stabilize the source so the three slices + frontier joins read one
+    # computation, not three re-executions of the Arrow pipeline
+    frames = frames.localCheckpoint(eager=True)
+    state = spark.createDataFrame(
+        [], "media_id long, last_sample_no long, last_sig_e3 long, shots_so_far long"
+    )
+    outs = []
+    for lo, hi in ((1, 2), (3, 5), (6, 1 << 30)):
+        batch = frames.filter(
+            (F.col("sample_no") >= lo) & (F.col("sample_no") <= hi)
+        )
+        assignments, state = extend_shot_chains(batch, state)
+        # materialize the frontier between epochs — the stream persists
+        # it as the generation snapshot; without this the lineage
+        # re-derives every prior epoch inside each later one
+        state = state.localCheckpoint(eager=True)
+        outs.append(assignments)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4,8 +4,10 @@ upgrade from codec stubs to real bytes).
 
 Per micro-batch of (media_id, media_type, content) blobs: dispatch each
 row to its decoder (image_stats for image/bmp, audio_stats for
-audio/wav — the same Arrow mapInPandas faces the batch queries
-mm_bmp_roundtrip / mm_wav_roundtrip verify against the SQL oracle),
+audio/wav, and since r15 the container walks — mp4_meta_stats for
+video/mp4, mp3_meta_stats for audio/mpeg — the same Arrow mapInPandas
+faces the batch queries mm_bmp_roundtrip / mm_wav_roundtrip /
+mm_mp4_meta / mm_mp3_meta verify against the SQL oracle),
 and append one typed stats row per blob to the stats table. Decode
 failures follow the faces' poison-blob contract (sentinel row,
 decoded = false) — at 100 TB a torn upload must never kill the ingest
@@ -87,8 +89,45 @@ def decode_stats_batch(batch: DataFrame) -> DataFrame:
         "n_frames",
         "duration_ms",
     )
+    from purldb_spark.multimodal.containers import (
+        mp3_meta_stats,
+        mp4_meta_stats,
+    )
+
+    mp4 = mp4_meta_stats(
+        batch.filter(F.col("media_type") == "video/mp4").select(
+            "media_id", "content"
+        )
+    ).select(
+        "media_id",
+        F.lit("video/mp4").alias("media_type"),
+        (F.col("width") >= 0).alias("decoded"),
+        "width",
+        "height",
+        F.lit(None).cast("int").alias("channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.col("n_samples").alias("n_frames"),
+        "duration_ms",
+    )
+    mp3 = mp3_meta_stats(
+        batch.filter(F.col("media_type") == "audio/mpeg").select(
+            "media_id", "content"
+        )
+    ).select(
+        "media_id",
+        F.lit("audio/mpeg").alias("media_type"),
+        (F.col("sample_rate") >= 0).alias("decoded"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("channels"),
+        "sample_rate",
+        F.col("audio_frames").alias("n_frames"),
+        "duration_ms",
+    )
     other = batch.filter(
-        ~F.col("media_type").isin("image/bmp", "audio/wav")
+        ~F.col("media_type").isin(
+            "image/bmp", "audio/wav", "video/mp4", "audio/mpeg"
+        )
     ).select(
         "media_id",
         "media_type",
@@ -105,7 +144,13 @@ def decode_stats_batch(batch: DataFrame) -> DataFrame:
             )
         ],
     )
-    return img.unionByName(aud).unionByName(other).select(*STATS_COLS)
+    return (
+        img.unionByName(aud)
+        .unionByName(mp4)
+        .unionByName(mp3)
+        .unionByName(other)
+        .select(*STATS_COLS)
+    )
 
 
 def index_media_batch(

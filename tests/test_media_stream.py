@@ -1,6 +1,7 @@
 """Multimodal ingest stream (streaming/media_stream.py): REAL BMP/WAV
-decode per micro-batch, unified stats rows, replay idempotence (ledger
-anti-join), the poison-blob quarantine, and a real AvailableNow drain."""
+decode per micro-batch — and since r15 the MP4/MP3 container walks —
+unified stats rows, replay idempotence (ledger anti-join), the
+poison-blob quarantine, and a real AvailableNow drain."""
 
 from __future__ import annotations
 
@@ -39,7 +40,7 @@ def _blob(mid):
             "audio/wav",
             bytearray(encode_wav(8000, 1, 16, [1024, -1024] * 4)),
         )
-    return (mid, "video/mp4", bytearray(b"no codec for this"))
+    return (mid, "application/x-unknown", bytearray(b"no codec for this"))
 
 
 def test_batch_decodes_both_modalities_and_quarantines(spark, tmp_path):
@@ -59,7 +60,7 @@ def test_batch_decodes_both_modalities_and_quarantines(spark, tmp_path):
     bad = got[5]
     assert not bad.decoded
     q = {(r.media_id, r.media_type) for r in quarantine(spark, stats_dir).collect()}
-    assert q == {(5, "video/mp4"), (8, "video/mp4")}
+    assert q == {(5, "application/x-unknown"), (8, "application/x-unknown")}
 
 
 def test_replay_appends_nothing(spark, tmp_path):
@@ -135,3 +136,36 @@ def test_within_batch_duplicate_id_picks_deterministic_representative(
         index_media_batch(spark, batch, stats_dir)
         rows = _rows(spark, stats_dir)
         assert len(rows) == 1 and rows[7].width == exp_w
+
+
+def test_container_formats_decode_and_torn_ones_quarantine(spark, tmp_path):
+    """r15: video/mp4 and audio/mpeg ride the container walks — a well-
+    formed blob lands real duration/frame stats, a torn one quarantines
+    without blocking the batch."""
+    from purldb_spark.multimodal.mp3 import encode_mp3
+    from purldb_spark.multimodal.mp4 import encode_mp4
+
+    stats_dir = str(tmp_path / "stats")
+    mp4_ok = encode_mp4(32, 16, [b"aa", b"bbb"], delta=25)
+    mp3_ok = encode_mp3(64, 32000, 4, lambda k: k)
+    batch = spark.createDataFrame(
+        [
+            (1, "video/mp4", bytearray(mp4_ok)),
+            (2, "video/mp4", bytearray(mp4_ok[:20])),  # torn
+            (3, "audio/mpeg", bytearray(mp3_ok)),
+            (4, "audio/mpeg", bytearray(b"\x00" * 64)),  # no sync
+        ],
+        SCHEMA,
+    )
+    index_media_batch(spark, batch, stats_dir)
+    got = _rows(spark, stats_dir)
+    v = got[1]
+    assert (v.decoded, v.width, v.height, v.n_frames, v.duration_ms) == (
+        True, 32, 16, 2, 50,
+    )
+    a = got[3]
+    assert (a.decoded, a.sample_rate, a.n_frames) == (True, 32000, 4)
+    assert a.duration_ms == 4 * 1152 * 1000 // 32000
+    assert not got[2].decoded and not got[4].decoded
+    q = {r.media_id for r in quarantine(spark, stats_dir).collect()}
+    assert q == {2, 4}
