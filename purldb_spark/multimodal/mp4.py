@@ -370,6 +370,8 @@ def encode_mp4(
     use_co64: bool = False,
     v1: bool = False,
     codec: bytes = b"mp4v",
+    captions: list[str] | None = None,
+    caption_delta: int = 50,
 ) -> bytes:
     """Write a syntactically complete single-video-track MP4 around
     caller-chosen frame payloads: ftyp + mdat first (so moov's chunk
@@ -379,12 +381,20 @@ def encode_mp4(
     stsc/stco (or co64) grouping `samples_per_chunk` samples per chunk,
     and stss marking samples 1, 1+g, ... (OMITTED when sync_every == 1:
     the spec's all-sync representation, so both parser branches are
-    driven)."""
+    driven). When `captions` is given, a SECOND trak (hdlr 'text',
+    tx3g sample entries: u16 length + utf-8 — the 3GPP timed-text
+    sample format) rides in the same mdat after the video payloads,
+    one caption per `caption_delta` ticks, all in one chunk — the
+    subtitle track clip-caption alignment extracts."""
     n = len(payloads)
     if n < 1:
         raise ValueError("need at least one sample")
+    cap_payloads = [
+        _U16.pack(len(c.encode("utf-8"))) + c.encode("utf-8")
+        for c in (captions or [])
+    ]
     ftyp = _box(b"ftyp", b"isom" + _U32.pack(0) + b"isom" + b"iso2")
-    mdat = _box(b"mdat", b"".join(payloads))
+    mdat = _box(b"mdat", b"".join(payloads) + b"".join(cap_payloads))
     base = len(ftyp) + 8  # first payload byte inside mdat
 
     sizes = [len(p) for p in payloads]
@@ -511,5 +521,74 @@ def encode_mp4(
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
+
+    text_trak = b""
+    if cap_payloads:
+        nc = len(cap_payloads)
+        cdur = nc * caption_delta
+        cap_base = base + sum(sizes)  # captions follow the video payloads
+        t_tkhd = _full(
+            b"tkhd",
+            0,
+            _U32.pack(0) * 2
+            + _U32.pack(2)  # track_id
+            + _U32.pack(0)
+            + _U32.pack(cdur)
+            + b"\x00" * 8
+            + _U16.pack(0) * 4
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + _U32.pack(0)  # text tracks carry no visual dims here
+            + _U32.pack(0),
+        )
+        t_mdhd = _full(
+            b"mdhd",
+            0,
+            _U32.pack(0) * 2
+            + _U32.pack(timescale)
+            + _U32.pack(cdur)
+            + _U16.pack(0x55C4)
+            + _U16.pack(0),
+        )
+        t_hdlr = _full(
+            b"hdlr", 0, _U32.pack(0) + b"text" + _U32.pack(0) * 3 + b"\x00"
+        )
+        # tx3g sample entry: SampleEntry header + the 3GPP TextSampleEntry
+        # fixed fields (display flags, justification, bg color, box record,
+        # style record) zeroed — the parser reads the fourcc; a player
+        # would read defaults
+        tx3g = _box(
+            b"tx3g", b"\x00" * 6 + _U16.pack(1) + b"\x00" * 30
+        )
+        t_stsd = _full(b"stsd", 0, _U32.pack(1) + tx3g)
+        t_stts = _full(
+            b"stts", 0, _U32.pack(1) + _U32.pack(nc) + _U32.pack(caption_delta)
+        )
+        t_stsc = _full(
+            b"stsc", 0, _U32.pack(1) + _U32.pack(1) + _U32.pack(nc) + _U32.pack(1)
+        )
+        t_stsz = _full(
+            b"stsz",
+            0,
+            _U32.pack(0)
+            + _U32.pack(nc)
+            + b"".join(_U32.pack(len(p)) for p in cap_payloads),
+        )
+        t_stco = _full(b"stco", 0, _U32.pack(1) + _U32.pack(cap_base))
+        t_stbl = _box(b"stbl", t_stsd + t_stts + t_stsc + t_stsz + t_stco)
+        nmhd = _full(b"nmhd", 0, b"")
+        t_minf = _box(b"minf", nmhd + dinf + t_stbl)
+        t_mdia = _box(b"mdia", t_mdhd + t_hdlr + t_minf)
+        text_trak = _box(b"trak", t_tkhd + t_mdia)
+
+    moov = _box(b"moov", mvhd + trak + text_trak)
     return ftyp + mdat + moov
+
+
+def parse_tx3g(sample: bytes) -> str:
+    """Decode one tx3g timed-text sample: u16 length + utf-8 text."""
+    if len(sample) < 2:
+        raise ValueError("tx3g sample too short")
+    n = _u16(sample, 0)
+    if 2 + n > len(sample):
+        raise ValueError("tx3g length exceeds sample")
+    return sample[2 : 2 + n].decode("utf-8")

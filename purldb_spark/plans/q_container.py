@@ -499,3 +499,163 @@ def shot_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _mp4_av_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_mp4_media's video track plus a tx3g caption track: doc%6+1
+    captions 'cap <doc>-<k>' of doc%35+20 ms each, in the same mdat."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.mp4 import encode_mp4
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 24 + 2
+                payloads = [
+                    bytes(
+                        ((i + 37 * k + j) % 256)
+                        for j in range((i + 11 * k) % 64 + 8)
+                    )
+                    for k in range(n)
+                ]
+                outs.append(
+                    encode_mp4(
+                        16 * (i % 20 + 1),
+                        16 * (i % 12 + 1),
+                        payloads,
+                        delta=i % 40 + 10,
+                        sync_every=i % 4 + 1,
+                        samples_per_chunk=i % 3 + 1,
+                        use_co64=(i % 7 == 0),
+                        v1=(i % 5 == 0),
+                        captions=[
+                            f"cap {i}-{k}" for k in range(i % 6 + 1)
+                        ],
+                        caption_delta=i % 35 + 20,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+
+
+@query(
+    "mm_clip_caption_pairs",
+    oracle=f"""
+    WITH {_FRAME_SIG_CTES},
+    shot_spans AS (
+      SELECT media_id, shot_id,
+             min(ts_ms) AS ss,
+             max(ts_ms) + media_id % 40 + 10 AS se_excl
+      FROM shots
+      GROUP BY media_id, shot_id
+    ),
+    caps AS (
+      SELECT d.doc_id AS media_id,
+             t.k + 1 AS caption_idx,
+             t.k * (d.doc_id % 35 + 20) AS cs,
+             (t.k + 1) * (d.doc_id % 35 + 20) AS ce,
+             'cap ' || CAST(d.doc_id AS VARCHAR) || '-'
+                    || CAST(t.k AS VARCHAR) AS caption_text
+      FROM documents d,
+           unnest(generate_series(0, d.doc_id % 6)) AS t(k)
+    )
+    SELECT CAST(s.media_id AS BIGINT) AS media_id,
+           CAST(s.shot_id AS BIGINT) AS shot_id,
+           CAST(c.caption_idx AS BIGINT) AS caption_idx,
+           c.caption_text,
+           CAST(least(c.ce, s.se_excl) - greatest(c.cs, s.ss) AS BIGINT)
+             AS overlap_ms
+    FROM shot_spans s JOIN caps c
+      ON c.media_id = s.media_id
+     AND c.cs < s.se_excl AND c.ce > s.ss
+    """,
+)
+def mm_clip_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-caption training-pair assembly — the op a video-captioning
+    corpus build actually runs: shots (from the keyframe chain) align
+    with subtitle-track captions by TIME-INTERVAL OVERLAP, yielding
+    (clip, caption text) pairs with their overlap in ms. Both sides are
+    REAL extractions from one container: the shot chain off the video
+    track's sync samples, the captions off a tx3g timed-text track in
+    the same mdat (u16-length + utf-8 samples — mp4_text_samples
+    decodes the actual bytes; the oracle regenerates the strings from
+    doc_id, so a mis-extracted caption byte breaks the string match,
+    not just a count). The overlap join is per-media (equi-join on
+    media_id + interval predicates over per-video bounded rows — the
+    j15 discipline at a bounded grain, no bin-explode needed because
+    shots-per-video and captions-per-video are container-bounded, not
+    corpus-bounded). At 100 TB: map-only extraction of both tracks in
+    ONE container pass each, one bounded-fanout shuffle for the chain,
+    one media_id equi-join — no all-pairs anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from purldb_spark.multimodal.containers import (
+        mp4_sync_frames,
+        mp4_text_samples,
+    )
+
+    media = _mp4_av_media(spark, sf_dir)
+    # one encode pass feeds both track extractions
+    media = media.localCheckpoint(eager=True)
+    frames = mp4_sync_frames(media).select(
+        "media_id",
+        "sample_no",
+        "ts_ms",
+        (F.col("byte_sum") * 1000 / F.col("n_bytes"))
+        .cast("long")
+        .alias("sig_e3"),
+    )
+    w = Window.partitionBy("media_id").orderBy("sample_no")
+    shots = (
+        frames.withColumn(
+            "boundary",
+            F.when(F.lag("sig_e3").over(w).isNull(), F.lit(1))
+            .when(
+                F.abs(F.col("sig_e3") - F.lag("sig_e3").over(w)) > 64000,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "shot_id",
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("media_id", "shot_id")
+        .agg(
+            F.min("ts_ms").alias("ss"),
+            (F.max("ts_ms") + F.col("media_id") % 40 + 10).alias("se_excl"),
+        )
+    )
+    caps = mp4_text_samples(media).select(
+        "media_id",
+        "caption_idx",
+        F.col("ts_ms").alias("cs"),
+        F.col("end_ts_ms").alias("ce"),
+        F.col("text").alias("caption_text"),
+    )
+    return (
+        shots.join(caps, "media_id")
+        .filter((F.col("cs") < F.col("se_excl")) & (F.col("ce") > F.col("ss")))
+        .select(
+            "media_id",
+            "shot_id",
+            "caption_idx",
+            "caption_text",
+            (
+                F.least("ce", "se_excl") - F.greatest("cs", "ss")
+            ).alias("overlap_ms"),
+        )
+    )

@@ -288,3 +288,53 @@ def test_mp4_faces_poison_contract(spark):
     assert m3[1]["n_frames"] == 3 and m3[1]["sample_rate"] == 32000
     assert m3[1]["duration_ms"] == 3 * 1152 * 1000 // 32000
     assert m3[2]["sample_rate"] == -1
+
+
+def test_caption_track_roundtrip():
+    from purldb_spark.multimodal.mp4 import parse_tx3g
+
+    caps = ["hello world", "second", "ünïcode ok"]
+    blob = encode_mp4(
+        64, 48, [b"AAA", b"BB"], delta=30, captions=caps, caption_delta=45
+    )
+    d = parse_mp4(blob)
+    kinds = [t["kind"] for t in d["tracks"]]
+    assert kinds == ["vide", "text"]
+    t = d["tracks"][1]
+    assert t["codec"] == "tx3g" and t["n_samples"] == 3
+    assert t["ts"] == [0, 45, 90] and t["duration"] == 135
+    assert [parse_tx3g(sample_bytes(blob, t, k + 1)) for k in range(3)] == caps
+    # video samples keep their offsets despite captions in the same mdat
+    v = d["tracks"][0]
+    assert sample_bytes(blob, v, 1) == b"AAA"
+    assert sample_bytes(blob, v, 2) == b"BB"
+    # tx3g poison: declared length exceeding the sample
+    with pytest.raises(ValueError):
+        parse_tx3g(b"\x00\xff")
+
+
+def test_text_face_rows_and_sentinel(spark):
+    from purldb_spark.multimodal.containers import mp4_text_samples
+
+    with_caps = encode_mp4(
+        8, 8, [b"x"], captions=["a", "bc"], caption_delta=100
+    )
+    no_caps = encode_mp4(8, 8, [b"x"])
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(with_caps)),
+            (2, bytearray(no_caps)),
+            (3, bytearray(b"torn")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = sorted(
+        (r.media_id, r.caption_idx, r.ts_ms, r.end_ts_ms, r.text)
+        for r in mp4_text_samples(df).collect()
+    )
+    # media 2 (no text track) contributes NOTHING; media 3 one sentinel
+    assert rows == [
+        (1, 1, 0, 100, "a"),
+        (1, 2, 100, 200, "bc"),
+        (3, -1, 0, 0, ""),
+    ]

@@ -117,6 +117,8 @@ AUDIT = [
     ("mm_mp3_meta", "mp3 frame walk (ID3/resync/Xing) inside Arrow batches, map-only"),
     ("mm_shot_segmentation", "keyframe chain: ONE media window + shot rollup"),
     ("dedup_video_shots", "shot signature groupBy: exact-dedup shape over chains"),
+    ("mm_clip_caption_pairs", "clip-caption pairs: two track extractions + media interval join"),
+    ("shot_incremental_fold", "epoch-sliced sequential fold proof, frontier-joined"),
 ]
 
 def _existing_ledger() -> list[str]:

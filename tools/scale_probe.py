@@ -127,6 +127,8 @@ PROBES = [
     ("mm_mp3_meta", "mp3 frame walk (ID3 skip/resync/Xing) inside Arrow batches — map-only, zero shuffle, linear"),
     ("mm_shot_segmentation", "keyframe extraction + ONE media_id window chain + shot rollup — bounded fanout, linear"),
     ("dedup_video_shots", "shot chain + map-side-combined signature groupBy — exact-dedup shape, linear"),
+    ("mm_clip_caption_pairs", "shots x tx3g captions interval-overlap per media — bounded grain, linear"),
+    ("shot_incremental_fold", "3-epoch sequential fold == direct chain (order-sensitive proof)"),
 ]
 
 
