@@ -208,3 +208,96 @@ def encode_mp3(
             body[xo + 8 : xo + 12] = int(xing_frames).to_bytes(4, "big")
         out += hdr + bytes(body)
     return bytes(out)
+
+
+def parse_id3_frames(content: bytes) -> dict:
+    """Parse the leading ID3v2.3/2.4 tag's FRAMES (not just its size):
+    each frame is a 4-char id + 4-byte size (SYNCSAFE in v2.4, plain
+    big-endian in v2.3) + 2 flag bytes + payload; text frames ('T...')
+    decode as an encoding byte (0 latin-1, 1 utf-16 w/ BOM, 3 utf-8)
+    followed by the value, trailing NULs stripped. The walk stops at
+    padding (a zero byte where a frame id should start) or the tag end,
+    and every declared size is bounded by the tag — the same
+    table-vs-backing-bytes discipline as the MP4 walk. Returns
+    {'version', 'tag_bytes', 'frames': {id: text}, 'n_frames'}
+    (non-text frames are counted but not decoded)."""
+    data = bytes(content)
+    _require(data[:3] == b"ID3" and len(data) >= 10, "no ID3v2 tag")
+    version = data[3]
+    _require(version in (3, 4), f"unsupported ID3v2.{version}")
+    end = skip_id3v2(data)
+    o = 10
+    frames: dict[str, str] = {}
+    n = 0
+    while o + 10 <= end:
+        fid = data[o : o + 4]
+        if fid[0] == 0:  # padding
+            break
+        _require(
+            all(65 <= b <= 90 or 48 <= b <= 57 for b in fid),
+            "malformed frame id",
+        )
+        if version == 4:
+            _require(
+                all(b < 0x80 for b in data[o + 4 : o + 8]),
+                "frame size not syncsafe",
+            )
+            size = (
+                (data[o + 4] << 21)
+                | (data[o + 5] << 14)
+                | (data[o + 6] << 7)
+                | data[o + 7]
+            )
+        else:
+            size = int.from_bytes(data[o + 4 : o + 8], "big")
+        _require(o + 10 + size <= end, "frame exceeds tag")
+        payload = data[o + 10 : o + 10 + size]
+        n += 1
+        if fid[:1] == b"T" and size >= 1:
+            enc = payload[0]
+            body = payload[1:]
+            if enc == 0:
+                text = body.decode("latin-1")
+            elif enc == 1:
+                text = body.decode("utf-16")
+            elif enc == 3:
+                text = body.decode("utf-8")
+            else:
+                raise ValueError(f"unknown text encoding {enc}")
+            frames[fid.decode("latin-1")] = text.rstrip("\x00")
+        o += 10 + size
+    return {
+        "version": version,
+        "tag_bytes": end,
+        "frames": frames,
+        "n_frames": n,
+    }
+
+
+def encode_id3(frames: dict[str, str], *, padding: int = 0) -> bytes:
+    """Write an ID3v2.4 tag holding utf-8 text frames (syncsafe frame
+    sizes) plus `padding` zero bytes — prepend to an encode_mp3 stream
+    to drive parse_id3_frames without fixture files."""
+    body = b""
+    for fid, text in frames.items():
+        payload = b"\x03" + text.encode("utf-8")
+        _require(len(payload) < 1 << 28, "frame too large")
+        body += fid.encode("latin-1") + bytes(
+            [
+                (len(payload) >> 21) & 0x7F,
+                (len(payload) >> 14) & 0x7F,
+                (len(payload) >> 7) & 0x7F,
+                len(payload) & 0x7F,
+            ]
+        ) + b"\x00\x00" + payload
+    body += b"\x00" * padding
+    size = len(body)
+    _require(size < 1 << 28, "tag too large")
+    return b"ID3" + bytes([4, 0, 0]) + bytes(
+        [
+            (size >> 21) & 0x7F,
+            (size >> 14) & 0x7F,
+            (size >> 7) & 0x7F,
+            size & 0x7F,
+        ]
+    ) + body

@@ -109,6 +109,7 @@ def load_inventory() -> None:
         q_simhash_plan,
         q_snippet,
         q_container,
+        q_audio,
         q_vcs,
         q_version_apis,
         q_versions,

@@ -338,3 +338,65 @@ def test_text_face_rows_and_sentinel(spark):
         (1, 2, 100, 200, "bc"),
         (3, -1, 0, 0, ""),
     ]
+
+
+def test_id3_frames_golden_v24_and_v23():
+    from purldb_spark.multimodal.mp3 import encode_id3, parse_id3_frames
+
+    tag = encode_id3(
+        {"TIT2": "My Title", "TPE1": "Ärtist", "TALB": "Album X"}, padding=7
+    )
+    d = parse_id3_frames(tag)
+    assert d["version"] == 4 and d["n_frames"] == 3
+    assert d["frames"] == {
+        "TIT2": "My Title", "TPE1": "Ärtist", "TALB": "Album X",
+    }
+    assert d["tag_bytes"] == len(tag)
+    # hand-packed v2.3: plain big-endian frame size, latin-1, utf-16
+    f1 = b"TIT2" + struct.pack(">I", 6) + b"\x00\x00" + b"\x00Hello"
+    u16 = "Wörld".encode("utf-16")
+    f2 = b"TPE1" + struct.pack(">I", 1 + len(u16)) + b"\x00\x00" + b"\x01" + u16
+    body = f1 + f2
+    hdr = b"ID3" + bytes([3, 0, 0]) + bytes(
+        [
+            (len(body) >> 21) & 0x7F,
+            (len(body) >> 14) & 0x7F,
+            (len(body) >> 7) & 0x7F,
+            len(body) & 0x7F,
+        ]
+    )
+    d23 = parse_id3_frames(hdr + body)
+    assert d23["version"] == 3
+    assert d23["frames"] == {"TIT2": "Hello", "TPE1": "Wörld"}
+
+
+def test_id3_frames_poison():
+    from purldb_spark.multimodal.mp3 import encode_id3, parse_id3_frames
+
+    good = encode_id3({"TIT2": "x"})
+    for mut in (
+        b"",
+        b"no tag here" + good,  # tag must lead
+        good[:3] + bytes([2]) + good[4:],  # unsupported ID3v2.2
+        # frame declaring more bytes than the tag holds
+        good[:10] + b"TIT2" + struct.pack(">I", 0x7F) + b"\x00\x00",
+    ):
+        with pytest.raises(ValueError):
+            parse_id3_frames(mut)
+
+
+def test_mp3_tag_face_sentinel(spark):
+    from purldb_spark.multimodal.containers import mp3_tag_stats
+    from purldb_spark.multimodal.mp3 import encode_id3, encode_mp3
+
+    ok = encode_id3({"TIT2": "T", "TPE1": "A"}) + encode_mp3(
+        32, 32000, 1, lambda k: 0
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(b"\xff\xfbno tag"))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in mp3_tag_stats(df).collect()}
+    assert rows[1].tag_version == 4 and rows[1].title == "T"
+    assert rows[1].album is None
+    assert rows[2].tag_version == -1

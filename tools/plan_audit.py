@@ -119,6 +119,8 @@ AUDIT = [
     ("dedup_video_shots", "shot signature groupBy: exact-dedup shape over chains"),
     ("mm_clip_caption_pairs", "clip-caption pairs: two track extractions + media interval join"),
     ("shot_incremental_fold", "epoch-sliced sequential fold proof, frontier-joined"),
+    ("mm_audio_segments", "VAD segmentation: window decode + lag/flag/cumsum chain"),
+    ("mm_mp3_tags", "ID3v2.4 text-frame extraction, map-only"),
 ]
 
 def _existing_ledger() -> list[str]:
@@ -225,9 +227,14 @@ def main() -> None:
             ("BHJ" if st["has_bhj"] else "")
             + ("+SMJ" if st["has_smj"] else "")
         ).lstrip("+") or "none"
+        # the UI store evicts old stages in long sessions; a negative
+        # delta means the window rolled between snapshots — report
+        # unmeasured rather than a bogus value (scale_probe's rule)
+        rd = round((r1 - r0) / 1e6, 1) if r1 >= r0 >= 0 else "n/a"
+        wr = round((w1 - w0) / 1e6, 1) if w1 >= w0 >= 0 else "n/a"
         rows.append(
             f"| {name} | {len(jobs)} | {len(stages)} |"
-            f" {round((r1 - r0) / 1e6, 1)} / {round((w1 - w0) / 1e6, 1)} |"
+            f" {rd} / {wr} |"
             f" {joins} | {'YES' if st['nested_loop'] else 'no'} | {note} |"
         )
         if st["pushed"] or st["read_schemas"]:

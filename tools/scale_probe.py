@@ -129,6 +129,8 @@ PROBES = [
     ("dedup_video_shots", "shot chain + map-side-combined signature groupBy — exact-dedup shape, linear"),
     ("mm_clip_caption_pairs", "shots x tx3g captions interval-overlap per media — bounded grain, linear"),
     ("shot_incremental_fold", "3-epoch sequential fold == direct chain (order-sensitive proof)"),
+    ("mm_audio_segments", "VAD chain over decoded windows — map-only decode + ONE media window, linear"),
+    ("mm_mp3_tags", "ID3v2.4 frame extraction inside Arrow batches — map-only, zero shuffle, linear"),
 ]
 
 
