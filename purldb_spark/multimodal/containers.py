@@ -333,3 +333,64 @@ def mp3_tag_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=MP3_TAG_SCHEMA)
+
+
+MP4_FRAG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("base_ts_ms", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("frag_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def mp4_fragment_stats(df: DataFrame) -> DataFrame:
+    """REAL fragmented-MP4 (DASH/HLS) walk: one row per moof fragment —
+    mfhd sequence, tfdt base decode time in ms, trun-resolved sample
+    count, byte volume and extracted byte sum. Poison contract
+    (all-or-nothing per media): one seq = -1 sentinel row."""
+    from purldb_spark.multimodal.mp4 import parse_fmp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    b = bytes(c)
+                    d = parse_fmp4(b)
+                    scale = d["timescale"]
+                    media_rows = []
+                    for f in d["fragments"]:
+                        media_rows.append(
+                            {
+                                "media_id": mid,
+                                "seq": f["seq"],
+                                "base_ts_ms": f["base_ts"] * 1000 // scale,
+                                "n_samples": len(f["samples"]),
+                                "frag_bytes": sum(
+                                    s for _, s, _ in f["samples"]
+                                ),
+                                "byte_sum": sum(
+                                    sum(b[o : o + s])
+                                    for o, s, _ in f["samples"]
+                                ),
+                            }
+                        )
+                    rows.extend(media_rows)
+                except _POISON:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "seq": -1,
+                            "base_ts_ms": 0,
+                            "n_samples": 0,
+                            "frag_bytes": 0,
+                            "byte_sum": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MP4_FRAG_SCHEMA)

@@ -592,3 +592,262 @@ def parse_tx3g(sample: bytes) -> str:
     if 2 + n > len(sample):
         raise ValueError("tx3g length exceeds sample")
     return sample[2 : 2 + n].decode("utf-8")
+
+
+# ------------------------------------------------- fragmented MP4 (fMP4)
+
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+
+
+def parse_fmp4(content: bytes) -> dict:
+    """Walk a FRAGMENTED MP4 (the DASH/HLS form): an init segment
+    (moov with an mvex/trex carrying track defaults, sample tables
+    empty) followed by moof+mdat pairs, each moof holding
+    mfhd (sequence number) + traf (tfhd overrides, optional tfdt base
+    decode time, trun per-sample table). Sample offsets resolve from
+    the trun data_offset RELATIVE TO THE MOOF START (the base-is-moof
+    convention encode_fmp4 writes) plus cumulative sizes; sizes and
+    durations fall back tfhd -> trex defaults when the trun omits them
+    — both branches are real fragment-layer logic a progressive-upload
+    pipeline needs. Same bomb discipline as parse_mp4: every table
+    bounded by its box, every resolved range bounded by the file.
+
+    Returns {'brand', 'timescale', 'track_id', 'default_size',
+    'default_duration', 'fragments': [{'seq', 'base_ts', 'samples':
+    [(offset, size, ts)]}]}."""
+    data = bytes(content)
+    ft = _find(data, 0, len(data), b"ftyp")
+    _require(ft is not None, "missing ftyp")
+    brand = bytes(data[ft[0] : ft[0] + 4]).decode("latin-1")
+
+    mv = _find(data, 0, len(data), b"moov")
+    _require(mv is not None, "missing moov")
+    mh = _find(data, *mv, b"mvhd")
+    _require(mh is not None, "moov missing mvhd")
+    v, p = _fullbox(data, *mh)
+    timescale = _u32(data, p + 16 if v == 1 else p + 8)
+    _require(timescale > 0, "mvhd timescale 0")
+
+    mx = _find(data, *mv, b"mvex")
+    _require(mx is not None, "fragmented file missing mvex")
+    tx = _find(data, *mx, b"trex")
+    _require(tx is not None, "mvex missing trex")
+    _, p = _fullbox(data, *tx)
+    _require(p + 20 <= tx[1], "truncated trex")
+    track_id = _u32(data, p)
+    trex_duration = _u32(data, p + 8)
+    trex_size = _u32(data, p + 12)
+
+    fragments = []
+    for btype, s, e in iter_boxes(data, 0, len(data)):
+        if btype != b"moof":
+            continue
+        moof_start = s - 8  # offsets are relative to the moof box start
+        mf = _find(data, s, e, b"mfhd")
+        _require(mf is not None, "moof missing mfhd")
+        _, p = _fullbox(data, *mf)
+        seq = _u32(data, p)
+        tf = _find(data, s, e, b"traf")
+        _require(tf is not None, "moof missing traf")
+        th = _find(data, *tf, b"tfhd")
+        _require(th is not None, "traf missing tfhd")
+        flags = int.from_bytes(data[th[0] + 1 : th[0] + 4], "big")
+        p = th[0] + 4
+        _require(_u32(data, p) == track_id, "tfhd track mismatch")
+        p += 4
+        if flags & 0x000001:  # base-data-offset present (not written here)
+            p += 8
+        if flags & 0x000002:  # sample-description-index
+            p += 4
+        default_duration = trex_duration
+        default_size = trex_size
+        if flags & _TFHD_DEFAULT_DURATION:
+            default_duration = _u32(data, p)
+            p += 4
+        if flags & _TFHD_DEFAULT_SIZE:
+            default_size = _u32(data, p)
+            p += 4
+
+        base_ts = 0
+        td = _find(data, *tf, b"tfdt")
+        if td is not None:
+            v, p = _fullbox(data, *td)
+            base_ts = _u64(data, p) if v == 1 else _u32(data, p)
+
+        tr = _find(data, *tf, b"trun")
+        _require(tr is not None, "traf missing trun")
+        tflags = int.from_bytes(data[tr[0] + 1 : tr[0] + 4], "big")
+        p = tr[0] + 4
+        count = _u32(data, p)
+        p += 4
+        _require(count <= len(data), "trun sample_count exceeds file")
+        _require(tflags & _TRUN_DATA_OFFSET, "trun missing data_offset")
+        data_offset = int.from_bytes(
+            data[p : p + 4], "big", signed=True
+        )
+        p += 4
+        per = 0
+        if tflags & _TRUN_SAMPLE_DURATION:
+            per += 4
+        if tflags & _TRUN_SAMPLE_SIZE:
+            per += 4
+        _require(p + count * per <= tr[1], "trun table exceeds box")
+        samples = []
+        off = moof_start + data_offset
+        ts = base_ts
+        for _k in range(count):
+            dur = default_duration
+            size = default_size
+            if tflags & _TRUN_SAMPLE_DURATION:
+                dur = _u32(data, p)
+                p += 4
+            if tflags & _TRUN_SAMPLE_SIZE:
+                size = _u32(data, p)
+                p += 4
+            _require(
+                0 <= off and off + size <= len(data),
+                "fragment sample outside file",
+            )
+            samples.append((off, size, ts))
+            off += size
+            ts += dur
+        fragments.append({"seq": seq, "base_ts": base_ts, "samples": samples})
+    _require(len(fragments) >= 1, "no moof fragments")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "track_id": track_id,
+        "default_size": trex_size,
+        "default_duration": trex_duration,
+        "fragments": fragments,
+    }
+
+
+def encode_fmp4(
+    width: int,
+    height: int,
+    fragments: list[list[bytes]],
+    *,
+    delta: int = 40,
+    timescale: int = 1000,
+    uniform_size: bool = False,
+) -> bytes:
+    """Write a fragmented MP4: init segment (ftyp 'iso5' + moov whose
+    sample tables are EMPTY and whose mvex/trex carries the defaults),
+    then one moof+mdat pair per fragment — mfhd sequence numbers from
+    1, tfdt carrying the running base decode time, and a trun with
+    data_offset relative to the moof start. When uniform_size is True
+    (all payloads in a fragment must be equal-sized) the trun OMITS
+    per-sample sizes and the tfhd carries default-sample-size — the
+    fallback branch; otherwise the trun lists per-sample sizes."""
+    _require(len(fragments) >= 1, "need at least one fragment")
+    ftyp = _box(b"ftyp", b"iso5" + _U32.pack(0) + b"iso5" + b"isom")
+
+    mvhd = _full(
+        b"mvhd",
+        0,
+        _U32.pack(0) * 2
+        + _U32.pack(timescale)
+        + _U32.pack(0)
+        + _U32.pack(0x00010000)
+        + _U16.pack(0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + _U32.pack(2),
+    )
+    tkhd = _full(
+        b"tkhd",
+        0,
+        _U32.pack(0) * 2
+        + _U32.pack(1)
+        + _U32.pack(0)
+        + _U32.pack(0)
+        + b"\x00" * 8
+        + _U16.pack(0) * 4
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + _U32.pack(width << 16)
+        + _U32.pack(height << 16),
+    )
+    mdhd = _full(
+        b"mdhd",
+        0,
+        _U32.pack(0) * 2
+        + _U32.pack(timescale)
+        + _U32.pack(0)
+        + _U16.pack(0x55C4)
+        + _U16.pack(0),
+    )
+    hdlr = _full(b"hdlr", 0, _U32.pack(0) + b"vide" + _U32.pack(0) * 3 + b"\x00")
+    vmhd = _full(b"vmhd", 0, _U16.pack(0) * 4)
+    url = _box(b"url ", bytes([0, 0, 0, 1]))
+    dinf = _box(b"dinf", _full(b"dref", 0, _U32.pack(1) + url))
+    stsd = _full(
+        b"stsd", 0, _U32.pack(1) + _visual_sample_entry(b"mp4v", width, height)
+    )
+    empty_stts = _full(b"stts", 0, _U32.pack(0))
+    empty_stsc = _full(b"stsc", 0, _U32.pack(0))
+    empty_stsz = _full(b"stsz", 0, _U32.pack(0) + _U32.pack(0))
+    empty_stco = _full(b"stco", 0, _U32.pack(0))
+    stbl = _box(b"stbl", stsd + empty_stts + empty_stsc + empty_stsz + empty_stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(
+        b"trex",
+        0,
+        _U32.pack(1)  # track_id
+        + _U32.pack(1)  # default sample description index
+        + _U32.pack(delta)  # default sample duration
+        + _U32.pack(0)  # default sample size (overridden per fragment)
+        + _U32.pack(0),
+    )
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = bytearray(ftyp + moov)
+    base_ts = 0
+    for fi, payloads in enumerate(fragments):
+        _require(len(payloads) >= 1, "empty fragment")
+        mfhd = _full(b"mfhd", 0, _U32.pack(fi + 1))
+        if uniform_size:
+            _require(
+                len({len(p) for p in payloads}) == 1,
+                "uniform_size fragment with unequal payloads",
+            )
+            tfhd = _box(
+                b"tfhd",
+                bytes([0]) + _TFHD_DEFAULT_SIZE.to_bytes(3, "big")
+                + _U32.pack(1)
+                + _U32.pack(len(payloads[0])),
+            )
+            tflags = _TRUN_DATA_OFFSET
+            trun_samples = b""
+        else:
+            tfhd = _box(b"tfhd", bytes([0, 0, 0, 0]) + _U32.pack(1))
+            tflags = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE
+            trun_samples = b"".join(_U32.pack(len(p)) for p in payloads)
+        tfdt = _full(b"tfdt", 0, _U32.pack(base_ts))
+        # data_offset = moof size + mdat header (8); moof size depends on
+        # trun size, which is fixed once sample count and flags are known
+        trun_fixed = 4 + 4 + 4  # version/flags + sample_count + data_offset
+        trun_size = 8 + trun_fixed + len(trun_samples)
+        traf_size = 8 + len(tfhd) + len(tfdt) + trun_size
+        moof_size = 8 + len(mfhd) + traf_size
+        trun = _box(
+            b"trun",
+            bytes([0]) + tflags.to_bytes(3, "big")
+            + _U32.pack(len(payloads))
+            + struct.pack(">i", moof_size + 8)
+            + trun_samples,
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out += moof + _box(b"mdat", b"".join(payloads))
+        base_ts += len(payloads) * delta
+    return bytes(out)

@@ -659,3 +659,93 @@ def mm_clip_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ms"),
         )
     )
+
+
+@query(
+    "mm_fmp4_fragments",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 5 + 1 AS nf, doc_id % 6 + 2 AS m,
+             doc_id % 20 + 10 AS delta, doc_id % 3 = 0 AS uniform
+      FROM documents
+    ),
+    fs AS (
+      SELECT p.*, t.f
+      FROM p, unnest(generate_series(0, p.nf - 1)) AS t(f)
+    ),
+    smp AS (
+      SELECT fs.doc_id, fs.f, fs.m, fs.delta, u.s,
+             CASE WHEN fs.uniform
+                  THEN (fs.doc_id + 9 * fs.f) % 48 + 6
+                  ELSE (fs.doc_id + 9 * fs.f + 5 * u.s) % 48 + 6
+             END AS sz,
+             (fs.doc_id + 23 * fs.f + 7 * u.s) % 256 AS a
+      FROM fs, unnest(generate_series(0, fs.m - 1)) AS u(s)
+    )
+    SELECT doc_id AS media_id,
+           CAST(f + 1 AS BIGINT) AS seq,
+           CAST(f * m * delta AS BIGINT) AS base_ts_ms,
+           CAST(m AS BIGINT) AS n_samples,
+           CAST(sum(sz) AS BIGINT) AS frag_bytes,
+           CAST(sum(sz * a + sz * (sz - 1) // 2
+                    - 256 * greatest(0, a + sz - 256)) AS BIGINT)
+             AS byte_sum
+    FROM smp
+    GROUP BY doc_id, f, m, delta
+    """,
+)
+def mm_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL fragmented-MP4 walk through the full Arrow pipeline — the
+    DASH/HLS container form large-scale video ingest actually sees:
+    per document an fMP4 (init segment with empty sample tables +
+    mvex/trex defaults, then moof+mdat pairs with mfhd sequence
+    numbers, tfdt base decode times and trun sample tables) is parsed
+    back fragment by fragment, samples EXTRACTED via the trun's
+    moof-relative data_offset. Docs with doc%3=0 take the
+    default-sample-size branch (tfhd default, trun omits sizes) and the
+    rest the per-sample-size branch, so BOTH fragment-layer size paths
+    are hash-checked corpus-wide; byte sums use the closed-form ramp
+    recipe. Map-only, zero shuffle — the progressive-upload ingest
+    shape: each fragment indexes without reading the others."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.containers import mp4_fragment_stats
+    from purldb_spark.multimodal.mp4 import encode_fmp4
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf, m = i % 5 + 1, i % 6 + 2
+                uniform = i % 3 == 0
+                frags = []
+                for f in range(nf):
+                    payloads = []
+                    for s in range(m):
+                        if uniform:
+                            sz = (i + 9 * f) % 48 + 6
+                        else:
+                            sz = (i + 9 * f + 5 * s) % 48 + 6
+                        a = (i + 23 * f + 7 * s) % 256
+                        payloads.append(
+                            bytes((a + j) % 256 for j in range(sz))
+                        )
+                    frags.append(payloads)
+                outs.append(
+                    encode_fmp4(
+                        320, 240, frags,
+                        delta=i % 20 + 10,
+                        uniform_size=uniform,
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return mp4_fragment_stats(media)

@@ -400,3 +400,91 @@ def test_mp3_tag_face_sentinel(spark):
     assert rows[1].tag_version == 4 and rows[1].title == "T"
     assert rows[1].album is None
     assert rows[2].tag_version == -1
+
+
+def test_fmp4_roundtrip_and_uniform_branch():
+    from purldb_spark.multimodal.mp4 import encode_fmp4, parse_fmp4
+
+    frags = [[b"AA", b"BBBB", b"C"], [b"DDD"], [b"EE", b"FFF"]]
+    blob = encode_fmp4(320, 240, frags, delta=25)
+    d = parse_fmp4(blob)
+    assert d["brand"] == "iso5" and d["track_id"] == 1
+    assert [f["seq"] for f in d["fragments"]] == [1, 2, 3]
+    # tfdt base times accumulate samples x delta across fragments
+    assert [f["base_ts"] for f in d["fragments"]] == [0, 75, 100]
+    got = [
+        bytes(blob[o : o + s])
+        for f in d["fragments"]
+        for (o, s, t) in f["samples"]
+    ]
+    assert got == [p for f in frags for p in f]
+    ts = [t for f in d["fragments"] for (o, s, t) in f["samples"]]
+    assert ts == [0, 25, 50, 75, 100, 125]
+    # default-sample-size branch: tfhd default, trun omits sizes
+    u = [[b"XX", b"YY"], [b"ZZZ", b"WWW", b"VVV"]]
+    ub = encode_fmp4(64, 64, u, delta=10, uniform_size=True)
+    du_ = parse_fmp4(ub)
+    got = [
+        bytes(ub[o : o + s])
+        for f in du_["fragments"]
+        for (o, s, t) in f["samples"]
+    ]
+    assert got == [p for f in u for p in f]
+
+
+@given(
+    nf=st.integers(1, 6),
+    m=st.integers(1, 8),
+    delta=st.integers(1, 100),
+    uniform=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_fmp4_roundtrip_property(nf, m, delta, uniform, seed):
+    from purldb_spark.multimodal.mp4 import encode_fmp4, parse_fmp4
+
+    frags = []
+    for f in range(nf):
+        if uniform:
+            sz = (seed + 9 * f) % 48 + 6
+            frags.append(
+                [bytes(((seed + 7 * s + j) % 256) for j in range(sz))
+                 for s in range(m)]
+            )
+        else:
+            frags.append(
+                [bytes(((seed + 7 * s + j) % 256)
+                       for j in range((seed + 9 * f + 5 * s) % 48 + 6))
+                 for s in range(m)]
+            )
+    blob = encode_fmp4(128, 96, frags, delta=delta, uniform_size=uniform)
+    d = parse_fmp4(blob)
+    assert len(d["fragments"]) == nf
+    for fi, f in enumerate(d["fragments"]):
+        assert f["seq"] == fi + 1
+        assert f["base_ts"] == fi * m * delta
+        assert [bytes(blob[o : o + s]) for o, s, _ in f["samples"]] == frags[fi]
+        assert [t for _, _, t in f["samples"]] == [
+            fi * m * delta + k * delta for k in range(m)
+        ]
+
+
+def test_fmp4_poison_and_bombs():
+    from purldb_spark.multimodal.mp4 import encode_fmp4, parse_fmp4
+
+    good = encode_fmp4(16, 16, [[b"abc", b"de"]])
+    for mut in (
+        b"",
+        good[:40],
+        good.replace(b"mvex", b"zvex"),  # non-fragmented init
+        good.replace(b"trun", b"zrun"),
+        good.replace(b"mfhd", b"zfhd"),
+    ):
+        with pytest.raises(ValueError):
+            parse_fmp4(mut)
+    # trun sample_count bomb
+    i = good.index(b"trun")
+    bombed = bytearray(good)
+    bombed[i + 8 : i + 12] = struct.pack(">I", 2**30)
+    with pytest.raises(ValueError):
+        parse_fmp4(bytes(bombed))

@@ -121,6 +121,7 @@ AUDIT = [
     ("shot_incremental_fold", "epoch-sliced sequential fold proof, frontier-joined"),
     ("mm_audio_segments", "VAD segmentation: window decode + lag/flag/cumsum chain"),
     ("mm_mp3_tags", "ID3v2.4 text-frame extraction, map-only"),
+    ("mm_fmp4_fragments", "DASH/HLS fragment walk: trun-resolved extraction, map-only"),
 ]
 
 def _existing_ledger() -> list[str]:

@@ -131,6 +131,7 @@ PROBES = [
     ("shot_incremental_fold", "3-epoch sequential fold == direct chain (order-sensitive proof)"),
     ("mm_audio_segments", "VAD chain over decoded windows — map-only decode + ONE media window, linear"),
     ("mm_mp3_tags", "ID3v2.4 frame extraction inside Arrow batches — map-only, zero shuffle, linear"),
+    ("mm_fmp4_fragments", "fragmented-MP4 (moof/traf/trun) walk + sample extraction — map-only, linear"),
 ]
 
 
