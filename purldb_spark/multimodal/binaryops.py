@@ -70,7 +70,7 @@ def _bmp_header(content: bytes) -> tuple[int, int, int, int]:
         raise NotImplementedError(
             "compressed or pre-BITMAPINFOHEADER BMP — codec boundary"
         )
-    if bits not in (8, 24, 32):
+    if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"{bits}-bit BMP — codec boundary")
     return pix_off, width, height, bits
 
@@ -87,8 +87,33 @@ def _bmp_pixels(content: bytes):
     import numpy as np
 
     pix_off, width, height, bits = _bmp_header(content)
-    channels = bits // 8
     h = abs(height)
+    if bits == 16:
+        # RGB555 (BI_RGB 16-bit): little-endian u16 per pixel,
+        # b = v & 31, g = (v >> 5) & 31, r = (v >> 10) & 31, each
+        # 5-bit value scaled to 8 bits by floor(x * 255 / 31) — an
+        # integer expression a SQL oracle replays exactly
+        row_bytes = width * 2
+        stride = (row_bytes + 3) & ~3
+        px = np.frombuffer(
+            content, dtype=np.uint8, count=stride * h, offset=pix_off
+        )
+        v = (
+            px.reshape(h, stride)[:, :row_bytes]
+            .reshape(h * width, 2)
+            .astype(np.uint16)
+        )
+        v = v[:, 0] | (v[:, 1] << 8)
+        chan = np.stack(
+            [
+                ((v & 31) * 255 // 31),
+                (((v >> 5) & 31) * 255 // 31),
+                (((v >> 10) & 31) * 255 // 31),
+            ],
+            axis=1,
+        ).astype(np.uint8)  # BGR
+        return chan, int(width), int(h)
+    channels = bits // 8
     row_bytes = width * channels
     stride = (row_bytes + 3) & ~3  # each row padded to 4 bytes
     px = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=pix_off)
@@ -187,6 +212,50 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
 # channels per PNG color type (8-bit depth): gray, RGB, palette, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_passes(width: int, height: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) for each NON-EMPTY Adam7 pass —
+    an empty pass (zero width or height) contributes no scanlines at
+    all, which is the spec subtlety small images exercise."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _png_adam7_pixels(raw: bytes, width: int, height: int, channels: int):
+    """Deinterlace an Adam7 scanline stream: each pass is its own
+    filtered sub-image (the filter predictor chain RESETS per pass),
+    unfiltered independently and scattered onto the output grid at the
+    pass's (start, step) lattice."""
+    import numpy as np
+
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        n = ph * (1 + pw * channels)
+        sub = _png_unfilter(raw[pos : pos + n], pw, ph, channels)
+        pos += n
+        arr = np.frombuffer(sub, dtype=np.uint8).reshape(ph, pw, channels)
+        out[y0::dy, x0::dx, :] = arr
+    if pos != len(raw):
+        raise ValueError("Adam7 stream length mismatch")
+    return out.reshape(height * width, channels)
+
 
 def _png_pixels(content: bytes):
     """Shared pixel extraction behind decode_png and png_features:
@@ -224,8 +293,8 @@ def _png_pixels(content: bytes):
         raise NotImplementedError(
             f"PNG depth {depth} color type {color_type} — codec boundary"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG — codec boundary")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = _PNG_CHANNELS[color_type]
     # Bounded inflate: declared geometry fixes the plaintext size at
     # height * (1 filter byte + width*channels). An unbounded
@@ -234,7 +303,13 @@ def _png_pixels(content: bytes):
     # executor memory (MemoryError is NOT in the poison catch tuples) —
     # max_length caps the output at exactly what the geometry admits,
     # and any surplus is the same poison ValueError as corrupt DEFLATE.
-    expected = height * (1 + width * channels)
+    if interlace == 0:
+        expected = height * (1 + width * channels)
+    else:
+        expected = sum(
+            ph * (1 + pw * channels)
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
+        )
     try:
         dec = zlib.decompressobj()
         raw = dec.decompress(b"".join(idat), expected)
@@ -255,9 +330,12 @@ def _png_pixels(content: bytes):
         raise ValueError("PNG IDAT inflates past declared geometry")
     if len(raw) < expected:
         raise ValueError("PNG IDAT shorter than declared geometry")
-    pix = np.frombuffer(
-        _png_unfilter(raw, width, height, channels), dtype=np.uint8
-    ).reshape(width * height, channels)
+    if interlace == 0:
+        pix = np.frombuffer(
+            _png_unfilter(raw, width, height, channels), dtype=np.uint8
+        ).reshape(width * height, channels)
+    else:
+        pix = _png_adam7_pixels(raw, width, height, channels)
     if color_type == 3:
         if not plte or len(plte) % 3:
             raise ValueError("paletted PNG missing/odd PLTE")
@@ -273,12 +351,13 @@ def decode_png(content: bytes) -> dict:
     """REAL pure-Python PNG decode — the DEFLATE inside IDAT is stdlib
     ``zlib``, so unlike JPEG/MP3 no external codec is needed (r13 verdict
     gap): IHDR/PLTE/IDAT chunk walk, zlib inflate, per-row unfilter
-    (incl. Paeth), for 8-bit grayscale / RGB / RGBA / paletted,
-    non-interlaced. Returns the same stat dict as decode_bmp; PNG stores
-    RGB (not BGR), paletted images decode through PLTE to 3 channels,
-    RGBA means ignore alpha. 16-bit depth, gray+alpha and Adam7 interlace
-    stay behind NotImplementedError — real but rarer layouts a PIL
-    drop-in inherits."""
+    (incl. Paeth), for 8-bit grayscale / RGB / RGBA / paletted, and —
+    since r15 — Adam7 interlace (per-pass unfilter + lattice scatter,
+    _png_adam7_pixels). Returns the same stat dict as decode_bmp; PNG
+    stores RGB (not BGR), paletted images decode through PLTE to 3
+    channels, RGBA means ignore alpha. 16-bit depth and gray+alpha stay
+    behind NotImplementedError — real but rarer layouts a PIL drop-in
+    inherits."""
     pix, width, height = _png_pixels(content)
     n_px = width * height
     sums = pix.astype("int64").sum(axis=0)
@@ -312,21 +391,12 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png_pixels(rows: list[bytes], color_type: int) -> bytes:
-    """Spec-correct PNG writer from raw scanlines (``rows`` = one bytes
-    object of width*channels samples per row, 8-bit): computes the
-    FORWARD filter transform (filt = raw - predictor mod 256) with the
-    filter type CYCLING y % 5, so decoding exercises every unfilter
-    branch including Paeth — on ARBITRARY pixel content, which is the
-    strong test: a solid image filters to mostly-zero bytes that can
-    cancel an unfilter indexing or Average-rounding bug."""
-    import zlib
-
-    channels = _PNG_CHANNELS[color_type]
-    if color_type == 3:
-        raise ValueError("encode_png writes gray/RGB/RGBA, not paletted")
+def _png_filter_scanlines(rows: list[bytes], channels: int) -> bytes:
+    """FORWARD filter transform (filt = raw - predictor mod 256) over one
+    scanline group, filter type CYCLING y % 5 — the predictor chain is
+    self-contained (prior row starts zeroed), so it serves both the
+    whole image (interlace 0) and each Adam7 pass independently."""
     stride = len(rows[0])
-    width = stride // channels
     bpp = channels
     lines = []
     prior = bytes(stride)
@@ -352,13 +422,68 @@ def encode_png_pixels(rows: list[bytes], color_type: int) -> bytes:
             filt[i] = (raw_row[i] - pred) & 0xFF
         lines.append(bytes([ft]) + bytes(filt))
         prior = raw_row
+    return b"".join(lines)
+
+
+def encode_png_pixels(rows: list[bytes], color_type: int) -> bytes:
+    """Spec-correct PNG writer from raw scanlines (``rows`` = one bytes
+    object of width*channels samples per row, 8-bit): computes the
+    FORWARD filter transform with the filter type CYCLING y % 5, so
+    decoding exercises every unfilter branch including Paeth — on
+    ARBITRARY pixel content, which is the strong test: a solid image
+    filters to mostly-zero bytes that can cancel an unfilter indexing
+    or Average-rounding bug."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("encode_png writes gray/RGB/RGBA, not paletted")
+    stride = len(rows[0])
+    width = stride // channels
     ihdr = struct.pack(
         ">IIBBBBB", width, len(rows), 8, color_type, 0, 0, 0
     )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(
+            b"IDAT", zlib.compress(_png_filter_scanlines(rows, channels))
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(rows: list[bytes], color_type: int) -> bytes:
+    """ADAM7-INTERLACED PNG writer from full-image scanlines: pixels
+    regroup into the 7 pass lattices, each pass filters independently
+    (cycling y % 5 within the pass — its own predictor chain, the spec
+    rule the deinterlacer must honor), passes concatenate into one
+    deflate stream, IHDR declares interlace = 1."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("encode_png writes gray/RGB/RGBA, not paletted")
+    stride = len(rows[0])
+    width = stride // channels
+    height = len(rows)
+    stream = b""
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        pass_rows = []
+        for yy in range(y0, height, dy):
+            row = rows[yy]
+            pass_rows.append(
+                b"".join(
+                    row[xx * channels : (xx + 1) * channels]
+                    for xx in range(x0, width, dx)
+                )
+            )
+        stream += _png_filter_scanlines(pass_rows, channels)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -441,6 +566,25 @@ def encode_bmp(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
         "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
     ) + struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def encode_bmp16(width: int, height: int, rgb555: tuple[int, int, int]) -> bytes:
+    """Minimal 16-bit RGB555 uncompressed BMP writer (solid color from
+    5-bit ``(r, g, b)`` components) — fixture generator for the 16-bit
+    decode branch; rows are u16 little-endian, 4-byte padded."""
+    import struct
+
+    r, g, b = rgb555
+    v = ((r & 31) << 10) | ((g & 31) << 5) | (b & 31)
+    row = struct.pack("<H", v) * width
+    pad = (-len(row)) % 4
+    pixels = (row + b"\x00" * pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 16, 0, len(pixels), 2835, 2835, 0, 0
     )
     return header + pixels
 

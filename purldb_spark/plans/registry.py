@@ -110,6 +110,7 @@ def load_inventory() -> None:
         q_snippet,
         q_container,
         q_audio,
+        q_image,
         q_vcs,
         q_version_apis,
         q_versions,

@@ -109,7 +109,7 @@ def test_bmp_rejections():
     with pytest.raises(NotImplementedError):
         decode_bmp(_bmp(2, 2, 24, bytes(16), compression=1))  # RLE
     with pytest.raises(NotImplementedError):
-        decode_bmp(_bmp(2, 2, 16, bytes(16)))  # 16-bit masks
+        decode_bmp(_bmp(2, 2, 4, bytes(16)))  # 4-bit paletted
 
 
 def test_wav_literal_bytes_golden():
@@ -326,8 +326,9 @@ def test_poison_blobs_hit_sentinels_not_stage_failures(spark):
         _struct.pack("<4sI4s", b"RIFF", 20, b"WAVE")
         + _struct.pack("<4sI", b"fmt ", 4) + b"\x01\x00\x01\x00"
     )
-    # 16-bit BMP: decode_bmp raises NotImplementedError
-    bmp16 = _bmp(2, 2, 16, bytes(16))
+    # 4-bit BMP: decode_bmp raises NotImplementedError (16-bit RGB555
+    # decodes for real since r15 — see test_bmp16_literal_bytes_golden)
+    bmp16 = _bmp(2, 2, 4, bytes(16))
     rows = [
         (1, "audio/wav", bytearray(torn_wav)),
         (2, "image/bmp", bytearray(b"BM torn upload")),
@@ -442,11 +443,16 @@ def test_png_rejections_and_boundaries():
 
     with pytest.raises(ValueError):
         decode_png(b"BM this is a bmp not a png, padded to length......")
-    # 16-bit depth and interlace are documented codec boundaries
+    # 16-bit depth stays a documented codec boundary
     with pytest.raises(NotImplementedError):
         decode_png(_png_chunks_raw((1, 1, 16, 2, 0, 0, 0), bytes(7)))
-    with pytest.raises(NotImplementedError):
-        decode_png(_png_chunks_raw((1, 1, 8, 2, 0, 0, 1), bytes(4)))
+    # Adam7 interlace decodes for real since r15: a 1x1 interlaced RGB
+    # is one pass-1 scanline (filter byte + 3 samples)
+    d = decode_png(_png_chunks_raw((1, 1, 8, 2, 0, 0, 1), bytes(4)))
+    assert (d["width"], d["height"], d["n_pixels"]) == (1, 1, 1)
+    # interlace methods beyond 0/1 are malformed, not a boundary
+    with pytest.raises(ValueError):
+        decode_png(_png_chunks_raw((1, 1, 8, 2, 0, 0, 2), bytes(4)))
     # truncated scanline stream (fewer rows than height) -> poison
     with pytest.raises(ValueError):
         decode_png(_png_chunks_raw((2, 3, 8, 2, 0, 0, 0), bytes([0]) + bytes(6)))
@@ -788,3 +794,77 @@ def test_png_inflate_bomb_bounded_by_declared_geometry():
     )
     with pytest.raises(ValueError, match="shorter than declared"):
         decode_png(short)
+
+
+def test_bmp16_literal_bytes_golden():
+    """16-bit RGB555 decode (r15): hand-packed pixels, independent of
+    encode_bmp16 — u16 LE, 5-bit fields b|g<<5|r<<10, floor(x*255/31)
+    scaling, 4-byte row padding excluded."""
+    from purldb_spark.multimodal.binaryops import decode_bmp
+
+    # 1x2 bottom-up: rows are 2 bytes + 2 pad; pixel values chosen so
+    # every field differs: (r,g,b) = (31,0,0) and (0,16,7)
+    p1 = (31 << 10) | (0 << 5) | 0
+    p2 = (0 << 10) | (16 << 5) | 7
+    rows = struct.pack("<H", p2) + b"\xee\xee" + struct.pack("<H", p1) + b"\xee\xee"
+    d = decode_bmp(_bmp(1, 2, 16, rows))
+    assert (d["width"], d["height"], d["channels"], d["n_pixels"]) == (1, 2, 3, 2)
+    assert d["mean_r_e3"] == round((255 + 0) / 2 * 1000)
+    assert d["mean_g_e3"] == round((0 + 16 * 255 // 31) / 2 * 1000)
+    assert d["mean_b_e3"] == round((0 + 7 * 255 // 31) / 2 * 1000)
+
+
+def test_png_adam7_literal_bytes_golden():
+    """Hand-built 2x2 interlaced RGB: non-empty passes are 1 (pixel
+    (0,0)), 6 (pixel (1,0)) and 7 (row y=1) — built with raw filter-0
+    scanlines, independent of encode_png_adam7."""
+    from purldb_spark.multimodal.binaryops import decode_png
+
+    px = {(0, 0): (10, 20, 30), (1, 0): (40, 50, 60),
+          (0, 1): (70, 80, 90), (1, 1): (100, 110, 120)}
+    stream = (
+        bytes([0]) + bytes(px[(0, 0)])          # pass 1
+        + bytes([0]) + bytes(px[(1, 0)])        # pass 6
+        + bytes([0]) + bytes(px[(0, 1)] + px[(1, 1)])  # pass 7
+    )
+    d = decode_png(_png_chunks_raw((2, 2, 8, 2, 0, 0, 1), stream))
+    assert (d["width"], d["height"], d["n_pixels"]) == (2, 2, 4)
+    assert d["mean_r_e3"] == round((10 + 40 + 70 + 100) / 4 * 1000)
+    assert d["mean_g_e3"] == round((20 + 50 + 80 + 110) / 4 * 1000)
+    assert d["mean_b_e3"] == round((30 + 60 + 90 + 120) / 4 * 1000)
+
+
+def test_png_adam7_matches_progressive_on_random_content():
+    """The deinterlacer must reproduce EXACTLY what the progressive
+    path decodes for the same pixels, across sizes that exercise empty
+    passes, 1-pixel lattices and all color types."""
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import (
+        decode_png,
+        encode_png_adam7,
+        encode_png_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    for (w, h, ct, ch) in [
+        (1, 1, 0, 1), (2, 3, 2, 3), (7, 5, 2, 3), (8, 8, 6, 4),
+        (13, 11, 0, 1), (16, 9, 2, 3), (3, 17, 6, 4),
+    ]:
+        arr = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+        rows = [bytes(arr[y]) for y in range(h)]
+        assert decode_png(encode_png_pixels(rows, ct)) == decode_png(
+            encode_png_adam7(rows, ct)
+        )
+
+
+def test_png_adam7_stream_length_mismatch_is_poison():
+    from purldb_spark.multimodal.binaryops import decode_png, encode_png_adam7
+
+    good = encode_png_adam7([bytes([1, 2, 3] * 4)] * 4, 2)
+    # shrink declared height so the stream holds surplus pass bytes
+    i = good.index(b"IHDR")
+    mut = bytearray(good)
+    mut[i + 8 : i + 12] = struct.pack(">I", 2)  # height 4 -> 2
+    with pytest.raises(ValueError):
+        decode_png(bytes(mut))

@@ -122,6 +122,8 @@ AUDIT = [
     ("mm_audio_segments", "VAD segmentation: window decode + lag/flag/cumsum chain"),
     ("mm_mp3_tags", "ID3v2.4 text-frame extraction, map-only"),
     ("mm_fmp4_fragments", "DASH/HLS fragment walk: trun-resolved extraction, map-only"),
+    ("mm_png_adam7_roundtrip", "Adam7 PNG: 7-pass unfilter + lattice scatter, map-only"),
+    ("mm_bmp16_roundtrip", "RGB555 decode with integer 5->8-bit scaling, map-only"),
 ]
 
 def _existing_ledger() -> list[str]:

@@ -132,6 +132,8 @@ PROBES = [
     ("mm_audio_segments", "VAD chain over decoded windows — map-only decode + ONE media window, linear"),
     ("mm_mp3_tags", "ID3v2.4 frame extraction inside Arrow batches — map-only, zero shuffle, linear"),
     ("mm_fmp4_fragments", "fragmented-MP4 (moof/traf/trun) walk + sample extraction — map-only, linear"),
+    ("mm_png_adam7_roundtrip", "Adam7 interlaced PNG encode+deinterlace — map-only, linear"),
+    ("mm_bmp16_roundtrip", "16-bit RGB555 BMP decode — map-only, linear"),
 ]
 
 
