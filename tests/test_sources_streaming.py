@@ -179,15 +179,18 @@ def test_multimodal_decode_stub_and_embed(spark):
 
     import pytest as _pytest
 
-    # r14: PNG decodes for real; r15: baseline JPEG too — torn blobs of
-    # both are poison ValueErrors, and mp3/mp4 are the remaining
-    # NotImplementedError codec boundary
+    # r14: PNG decodes for real; r15: baseline JPEG and the MP4
+    # container walk too — torn blobs of all three are poison
+    # ValueErrors; frame-payload DSP (e.g. bare mp3 streams routed as
+    # audio/mp3) is the remaining NotImplementedError boundary
     with _pytest.raises(ValueError):
         decode_media("image/png", b"\x89PNG")
     with _pytest.raises(ValueError):
         decode_media("image/jpeg", b"\xff\xd8\xff\xe0")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_media("video/mp4", b"\x00\x00\x00 ftypisom")
+    with _pytest.raises(NotImplementedError):
+        decode_media("audio/mp3", b"\xff\xfb torn")
     assert decode_media("fake/image", b"abcd") == (4 % 640 + 1, 4 % 480 + 1)
 
     media = spark.createDataFrame(
