@@ -53,26 +53,81 @@ META_SCHEMA = T.StructType(
 )
 
 
-def _bmp_header(content: bytes) -> tuple[int, int, int, int]:
+def _bmp_header(content: bytes) -> tuple[int, int, int, int, int]:
     """Validated BMP header parse shared by decode_bmp and bmp_features:
-    (pix_off, width, height, bits). Raises ValueError on bad magic,
-    NotImplementedError for compressed / unsupported bit depths — both
-    consumers enforce the SAME format boundary (a feature extractor that
-    skipped validation produced silent garbage vectors for blobs the
-    stats face correctly rejected)."""
+    (pix_off, width, height, bits, compression). Raises ValueError on
+    bad magic, NotImplementedError for unsupported compressions / bit
+    depths — both consumers enforce the SAME format boundary (a feature
+    extractor that skipped validation produced silent garbage vectors
+    for blobs the stats face correctly rejected). Compression 0 (BI_RGB)
+    for every depth; compression 1 (BI_RLE8, 8-bit only) decodes for
+    real since r15."""
     if len(content) < 54 or content[:2] != b"BM":
         raise ValueError("not a BMP file")
     pix_off = struct.unpack_from("<I", content, 10)[0]
     hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
     _planes, bits = struct.unpack_from("<HH", content, 26)
     compression = struct.unpack_from("<I", content, 30)[0]
-    if hdr_size < 40 or compression != 0:
+    if hdr_size < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER BMP — codec boundary")
+    if compression == 1:
+        if bits != 8:
+            raise ValueError("BI_RLE8 requires 8-bit pixels")
+    elif compression != 0:
         raise NotImplementedError(
-            "compressed or pre-BITMAPINFOHEADER BMP — codec boundary"
+            f"BMP compression {compression} — codec boundary"
         )
     if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"{bits}-bit BMP — codec boundary")
-    return pix_off, width, height, bits
+    return pix_off, width, height, bits, compression
+
+
+def _bmp_rle8_indices(content: bytes, pix_off: int, width: int, h: int):
+    """Decode a BI_RLE8 stream to the (h, width) palette-index grid —
+    real run-length decompression: (count, value) runs; escape 0
+    followed by 0 = end of line, 1 = end of bitmap, 2 = (dx, dy) delta,
+    n >= 3 = n absolute indices padded to a word boundary. Rows in the
+    stream are BOTTOM-UP like uncompressed BMPs (the caller flips).
+    Overruns of the declared grid or a truncated stream raise ValueError
+    (the poison contract); skipped cells stay index 0, per spec."""
+    import numpy as np
+
+    grid = np.zeros((h, width), dtype=np.uint8)
+    pos = pix_off
+    x = y = 0
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("RLE8 stream truncated")
+        count, val = content[pos], content[pos + 1]
+        pos += 2
+        if count > 0:  # run
+            if y >= h or x + count > width:
+                raise ValueError("RLE8 run outside declared grid")
+            grid[y, x : x + count] = val
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return grid
+        elif val == 2:  # delta
+            if pos + 2 > len(content):
+                raise ValueError("RLE8 delta truncated")
+            x += content[pos]
+            y += content[pos + 1]
+            pos += 2
+            if x > width or y > h:
+                raise ValueError("RLE8 delta outside declared grid")
+        else:  # absolute mode: `val` literal indices, word-padded
+            n = val
+            if pos + n > len(content):
+                raise ValueError("RLE8 absolute run truncated")
+            if y >= h or x + n > width:
+                raise ValueError("RLE8 absolute run outside declared grid")
+            grid[y, x : x + n] = np.frombuffer(
+                content, dtype=np.uint8, count=n, offset=pos
+            )
+            x += n
+            pos += n + (n & 1)
 
 
 def _bmp_pixels(content: bytes):
@@ -86,8 +141,17 @@ def _bmp_pixels(content: bytes):
     overrun palette raises ValueError (the poison-blob contract)."""
     import numpy as np
 
-    pix_off, width, height, bits = _bmp_header(content)
+    pix_off, width, height, bits, compression = _bmp_header(content)
     h = abs(height)
+    if compression == 1:
+        grid = _bmp_rle8_indices(content, pix_off, width, h)
+        if height > 0:  # bottom-up like uncompressed rows
+            grid = np.flipud(grid)
+        idx = grid.reshape(-1)
+        pal, n_entries = _bmp_palette(content, pix_off)
+        if len(idx) and int(idx.max()) >= n_entries:
+            raise ValueError("8-bit BMP pixel index outside the palette")
+        return pal[idx], int(width), int(h)
     if bits == 16:
         # RGB555 (BI_RGB 16-bit): little-endian u16 per pixel,
         # b = v & 31, g = (v >> 5) & 31, r = (v >> 10) & 31, each
@@ -119,20 +183,30 @@ def _bmp_pixels(content: bytes):
     px = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=pix_off)
     chan = px.reshape(h, stride)[:, :row_bytes].reshape(h * width, channels)
     if bits == 8:
-        hdr_size = struct.unpack_from("<I", content, 14)[0]
-        clr_used = struct.unpack_from("<I", content, 46)[0]
-        pal_off = 14 + hdr_size
-        n_entries = min(clr_used or 256, max((pix_off - pal_off) // 4, 0))
-        if n_entries <= 0:
-            raise ValueError("8-bit BMP missing its color palette")
-        pal = np.frombuffer(
-            content, dtype=np.uint8, count=n_entries * 4, offset=pal_off
-        ).reshape(n_entries, 4)[:, :3]  # entries are (B, G, R, reserved)
+        pal, n_entries = _bmp_palette(content, pix_off)
         idx = chan.reshape(-1)
         if len(idx) and int(idx.max()) >= n_entries:
             raise ValueError("8-bit BMP pixel index outside the palette")
         chan = pal[idx]  # (n_px, 3) BGR
     return chan, int(width), int(h)
+
+
+def _bmp_palette(content: bytes, pix_off: int):
+    """(palette as (n, 3) BGR uint8 array, entry count) from the color
+    table between the info header and the pixel data — shared by the
+    uncompressed 8-bit and RLE8 paths."""
+    import numpy as np
+
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    clr_used = struct.unpack_from("<I", content, 46)[0]
+    pal_off = 14 + hdr_size
+    n_entries = min(clr_used or 256, max((pix_off - pal_off) // 4, 0))
+    if n_entries <= 0:
+        raise ValueError("8-bit BMP missing its color palette")
+    pal = np.frombuffer(
+        content, dtype=np.uint8, count=n_entries * 4, offset=pal_off
+    ).reshape(n_entries, 4)[:, :3]  # entries are (B, G, R, reserved)
+    return pal, n_entries
 
 
 def decode_bmp(content: bytes) -> dict:
@@ -505,9 +579,12 @@ def encode_png(
 def decode_wav(content: bytes) -> dict:
     """REAL pure-Python WAV decode (RIFF chunk walk + PCM frames): sample
     rate, channels, bits, frame count, duration in ms, and RMS amplitude
-    in milli-units of full scale (rms_e3). 16-bit signed and 8-bit
-    unsigned PCM — the uncompressed layouts; anything with an audio codec
-    (format tag != 1) stays behind NotImplementedError."""
+    in milli-units of full scale (rms_e3). Integer PCM at 8 (unsigned),
+    16 and — since r15 — 24 bits (packed 3-byte little-endian,
+    sign-extended), plus 32-bit IEEE-float frames (format tag 3,
+    WAVE_FORMAT_IEEE_FLOAT, full scale 1.0) — every uncompressed layout;
+    actual audio codecs (any other format tag) stay behind
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -527,16 +604,39 @@ def decode_wav(content: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, channels, rate, _byte_rate, block_align, bits = fmt
-    if tag != 1:
+    if tag == 3:
+        if bits != 32:
+            raise NotImplementedError(
+                f"{bits}-bit float WAV — codec boundary"
+            )
+    elif tag != 1:
         raise NotImplementedError(f"WAV format tag {tag} — codec boundary")
-    if bits not in (8, 16):
+    elif bits not in (8, 16, 24):
         raise NotImplementedError(f"{bits}-bit PCM — codec boundary")
     n_frames = len(data) // block_align if block_align else 0
-    if bits == 16:
+    if tag == 3:
+        s = np.frombuffer(
+            data, dtype="<f4", count=n_frames * channels
+        ).astype(np.float64)
+        full = 1.0
+    elif bits == 16:
         s = np.frombuffer(
             data, dtype="<i2", count=n_frames * channels
         ).astype(np.int64)
         full = 32768.0
+    elif bits == 24:
+        # packed 3-byte little-endian signed: widen to i32 and
+        # sign-extend via the top byte
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * channels * 3
+        ).reshape(-1, 3)
+        s = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        s = np.where(s >= 1 << 23, s - (1 << 24), s)
+        full = float(1 << 23)
     else:
         s = np.frombuffer(
             data, dtype=np.uint8, count=n_frames * channels
@@ -592,19 +692,30 @@ def encode_bmp16(width: int, height: int, rgb555: tuple[int, int, int]) -> bytes
 def encode_wav(
     rate: int, channels: int, bits: int, samples: list[int]
 ) -> bytes:
-    """Minimal PCM WAV writer (16-bit signed / 8-bit unsigned) — fixture
-    generator for the decode path; ``samples`` are interleaved frames."""
+    """Minimal uncompressed WAV writer — fixture generator for the
+    decode path; ``samples`` are interleaved frames. bits selects the
+    layout: 8 (unsigned), 16, 24 (packed 3-byte LE signed), or the
+    sentinel 32 meaning IEEE-float frames (format tag 3; samples are
+    floats in [-1, 1])."""
     import struct
 
+    tag = 1
     if bits == 16:
         data = b"".join(struct.pack("<h", s) for s in samples)
     elif bits == 8:
         data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 24:
+        data = b"".join(
+            int(s & 0xFFFFFF).to_bytes(3, "little") for s in samples
+        )
+    elif bits == 32:
+        tag = 3
+        data = b"".join(struct.pack("<f", s) for s in samples)
     else:
-        raise ValueError("encode_wav writes 8- or 16-bit PCM only")
+        raise ValueError("encode_wav writes 8/16/24-bit PCM or 32-bit float")
     block_align = channels * bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+        "<HHIIHH", tag, channels, rate, rate * block_align, block_align, bits
     )
     return (
         struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
@@ -1268,3 +1379,57 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def encode_bmp_rle8(
+    width: int, height: int, idxs: list[int], pal_bgr: list[tuple[int, int, int]]
+) -> bytes:
+    """BI_RLE8 BMP writer — fixture generator for the RLE decode path:
+    rows (bottom-up, as the spec stores them) compress as maximal runs,
+    except runs of length 1 that neighbor another singleton group into
+    ABSOLUTE mode (word-padded) so both stream forms are exercised;
+    end-of-line after every row, end-of-bitmap last."""
+    import struct
+
+    rows = [idxs[y * width : (y + 1) * width] for y in range(height)]
+    stream = bytearray()
+    for row in reversed(rows):  # bottom-up
+        x = 0
+        while x < width:
+            run = 1
+            while x + run < width and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run == 1:
+                # gather a literal stretch of singletons for absolute mode
+                lit = [row[x]]
+                while (
+                    x + len(lit) < width
+                    and len(lit) < 255
+                    and (
+                        x + len(lit) + 1 >= width
+                        or row[x + len(lit)] != row[x + len(lit) + 1]
+                    )
+                ):
+                    lit.append(row[x + len(lit)])
+                if len(lit) >= 3:
+                    stream += bytes([0, len(lit)]) + bytes(lit)
+                    if len(lit) & 1:
+                        stream += b"\x00"
+                    x += len(lit)
+                    continue
+                stream += bytes([1, row[x]])
+                x += 1
+            else:
+                stream += bytes([run, row[x]])
+                x += run
+        stream += b"\x00\x00"  # end of line
+    stream += b"\x00\x01"  # end of bitmap
+    pal = b"".join(bytes(e) + b"\x00" for e in pal_bgr)
+    pix_off = 54 + len(pal)
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, 1, len(stream), 0, 0, len(pal_bgr), 0,
+    )
+    return hdr + pal + bytes(stream)

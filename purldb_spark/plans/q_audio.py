@@ -189,3 +189,58 @@ def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(enc, schema="media_id long, content binary")
     )
     return mp3_tag_stats(media)
+
+
+@query(
+    "mm_wav24_float_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS INTEGER)
+             AS bits,
+           CAST((doc_id % 50 + 1) * 8 AS BIGINT) AS n_frames,
+           CAST(doc_id % 50 + 1 AS BIGINT) AS duration_ms,
+           CAST((doc_id % 8) * 125 AS BIGINT) AS rms_e3
+    FROM documents
+    """,
+)
+def mm_wav24_float_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM and IEEE-float WAV through the full Arrow pipeline —
+    the two uncompressed layouts the r14 decode still rejected, now
+    real: even documents carry packed 3-byte little-endian 24-bit
+    frames (amplitude (doc%8) << 20, so RMS is exactly (doc%8)/8 of
+    the 2^23 full scale), odd documents 32-bit float frames (amplitude
+    (doc%8)/8 — eighths are exactly representable in binary floating
+    point, so the RMS is exact in BOTH engines). The oracle predicts
+    every stat from doc_id; a sign-extension slip in the 3-byte
+    unpack or a float full-scale error shifts rms_e3 and breaks the
+    match. Map-only, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.binaryops import audio_stats, encode_wav
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = (i % 50 + 1) * 8
+                if i % 2 == 0:
+                    amp = (i % 8) << 20
+                    samples = [amp if k % 2 == 0 else -amp for k in range(n)]
+                    outs.append(encode_wav(8000, 1, 24, samples))
+                else:
+                    amp = (i % 8) / 8.0
+                    samples = [amp if k % 2 == 0 else -amp for k in range(n)]
+                    outs.append(encode_wav(8000, 1, 32, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return audio_stats(media)

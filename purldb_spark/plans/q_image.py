@@ -18,7 +18,8 @@ from purldb_spark.plans.registry import query
     "mm_png_adam7_roundtrip",
     oracle="""
     WITH p AS (
-      SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 9 + 1 AS h,
+      SELECT doc_id, doc_id % 13 + 1 AS w,
+             2 * (doc_id % 4) + 1 AS h,
              doc_id % 3 AS ctv
       FROM documents
     ),
@@ -59,8 +60,11 @@ def mm_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycling types within each pass) and decoded by the deinterlacer
     (_png_adam7_pixels: per-pass unfilter + lattice scatter, empty
     passes skipped — the small-image subtlety). Color type cycles
-    gray/RGB/RGBA by doc_id; width/height sweep 1..13 x 1..9 so pass
-    emptiness and 1-pixel lattices are all hash-checked. The oracle
+    gray/RGB/RGBA by doc_id; widths sweep 1..13 and heights the odd
+    values 1/3/5/7 — pass emptiness and 1-pixel lattices are all
+    hash-checked, and odd heights keep 16 from dividing w*h, which
+    PROVES the e3 means never land on a .5 rounding boundary
+    (v2(2000*sum) >= 4 > v2(w*h) — the banker's-vs-half-away guard). The oracle
     re-derives each channel sum arithmetically: one misplaced lattice
     pixel or a filter chain crossing a pass boundary shifts a mean and
     breaks the match. Map-only, zero shuffle."""
@@ -78,7 +82,7 @@ def mm_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             outs = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                w, h = i % 13 + 1, i % 9 + 1
+                w, h = i % 13 + 1, 2 * (i % 4) + 1
                 ct = (0, 2, 6)[i % 3]
                 nch = {0: 1, 2: 3, 6: 4}[ct]
                 rows = []
@@ -141,6 +145,87 @@ def mm_bmp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ((i // 11) % 32, (i // 5) % 32, i % 32),
                     )
                 )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return image_stats(media)
+
+
+@query(
+    "mm_bmp_rle_roundtrip",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 14 + 2 AS w, 2 * (doc_id % 3) + 1 AS h
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT p.doc_id, p.w, p.h, t.y,
+             (p.w + 1) // 2 AS n1,
+             p.w - (p.w + 1) // 2 AS n2,
+             (p.doc_id + t.y) % 4 AS a,
+             (p.doc_id + t.y + 1) % 4 AS b
+      FROM p, unnest(generate_series(0, p.h - 1)) AS t(y)
+    ),
+    sums AS (
+      SELECT doc_id, w, h,
+             sum(n1 * (10 + 60 * a) + n2 * (10 + 60 * b)) AS sb,
+             sum(n1 * (20 + 60 * a) + n2 * (20 + 60 * b)) AS sg,
+             sum(n1 * (30 + 60 * a) + n2 * (30 + 60 * b)) AS sr
+      FROM rows_
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(round(sb * 1000.0 / (w * h)) AS BIGINT) AS mean_b_e3,
+           CAST(round(sg * 1000.0 / (w * h)) AS BIGINT) AS mean_g_e3,
+           CAST(round(sr * 1000.0 / (w * h)) AS BIGINT) AS mean_r_e3
+    FROM sums
+    """,
+)
+def mm_bmp_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI_RLE8 BMP through the full Arrow pipeline — real run-length
+    DECOMPRESSION, the first compressed-BMP layout to cross the
+    boundary: per document each row y splits into two runs (palette
+    index (doc+y)%4 then (doc+y+1)%4, palette entry j = (10+60j,
+    20+60j, 30+60j) BGR), encoded with runs + end-of-line + end-of-
+    bitmap markers and decoded back through the RLE walk + palette
+    expansion (odd heights keep 16 from dividing w*h — the .5 rounding
+    guard, as mm_png_adam7_roundtrip)
+    expansion. The oracle re-derives per-row run lengths and palette
+    sums arithmetically: a run-length slip, a bottom-up flip error, or
+    an escape-code confusion shifts a mean and breaks the match (the
+    absolute-mode and delta escapes are pinned by unit tests —
+    test_multimodal_codecs). Map-only, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.binaryops import (
+        encode_bmp_rle8,
+        image_stats,
+    )
+
+    _PAL = [(10 + 60 * j, 20 + 60 * j, 30 + 60 * j) for j in range(4)]
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 14 + 2, 2 * (i % 3) + 1
+                n1 = (w + 1) // 2
+                idxs = []
+                for y in range(h):
+                    a, b = (i + y) % 4, (i + y + 1) % 4
+                    idxs += [a] * n1 + [b] * (w - n1)
+                outs.append(encode_bmp_rle8(w, h, idxs, _PAL))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
     media = (

@@ -107,7 +107,9 @@ def test_bmp_rejections():
     with pytest.raises(ValueError):
         decode_bmp(b"PNG nonsense that is long enough to pass the length gate" * 2)
     with pytest.raises(NotImplementedError):
-        decode_bmp(_bmp(2, 2, 24, bytes(16), compression=1))  # RLE
+        decode_bmp(_bmp(2, 2, 4, bytes(16), compression=2))  # RLE4
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp(2, 2, 24, bytes(16), compression=1))  # RLE8@24bit
     with pytest.raises(NotImplementedError):
         decode_bmp(_bmp(2, 2, 4, bytes(16)))  # 4-bit paletted
 
@@ -868,3 +870,97 @@ def test_png_adam7_stream_length_mismatch_is_poison():
     mut[i + 8 : i + 12] = struct.pack(">I", 2)  # height 4 -> 2
     with pytest.raises(ValueError):
         decode_png(bytes(mut))
+
+
+def test_wav_24bit_and_float_golden():
+    """24-bit packed PCM (3-byte LE, sign-extended) and 32-bit IEEE
+    float (format tag 3) decode for real since r15."""
+    from purldb_spark.multimodal.binaryops import decode_wav, encode_wav
+
+    A = 1 << 22  # half of 24-bit full scale
+    d = decode_wav(encode_wav(8000, 1, 24, [A, -A] * 8))
+    assert (d["bits"], d["n_frames"], d["rms_e3"]) == (24, 16, 500)
+    # extreme negatives exercise the sign extension
+    d2 = decode_wav(encode_wav(8000, 1, 24, [-(1 << 23), (1 << 23) - 1]))
+    assert d2["rms_e3"] == 1000
+    # hand-packed golden, independent of encode_wav: one frame 0x123456
+    data = b"\x56\x34\x12"
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 3000, 3, 24)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    d3 = decode_wav(wav)
+    assert d3["n_frames"] == 1
+    assert d3["rms_e3"] == round(0x123456 / (1 << 23) * 1000)
+    # float: eighths are exact in binary FP, stereo interleave
+    d4 = decode_wav(encode_wav(16000, 2, 32, [0.5, -0.5] * 6))
+    assert (d4["bits"], d4["channels"], d4["n_frames"], d4["rms_e3"]) == (
+        32, 2, 6, 500,
+    )
+    # float tags other than 32-bit stay a boundary
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 64000, 8, 64)
+    wav64 = (
+        struct.pack("<4sI4s", b"RIFF", 36, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", 8) + b"\x00" * 8
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav64)
+
+
+def test_bmp_rle8_roundtrip_and_escapes():
+    """BI_RLE8 decode (r15): runs, absolute mode, end-of-line/bitmap;
+    the delta escape and grid-overrun poison via hand-built streams."""
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import (
+        _bmp_pixels,
+        decode_bmp,
+        encode_bmp_rle8,
+    )
+
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    rng = np.random.RandomState(3)
+    for (w, h) in [(1, 1), (4, 3), (7, 5), (16, 2), (9, 9)]:
+        idxs = []
+        for _y in range(h):
+            row = []
+            while len(row) < w:
+                if rng.rand() < 0.5:
+                    row += [int(rng.randint(4))] * min(
+                        int(rng.randint(1, 5)), w - len(row)
+                    )
+                else:
+                    row.append(int(rng.randint(4)))
+            idxs += row[:w]
+        chan, ww, hh = _bmp_pixels(encode_bmp_rle8(w, h, idxs, pal))
+        assert (ww, hh) == (w, h)
+        assert (chan == np.array([pal[i] for i in idxs], dtype=np.uint8)).all()
+
+    def _rle(stream, w, h, npal=2):
+        palb = b"".join(bytes((j, j, j)) + b"\x00" for j in range(npal))
+        pix_off = 54 + len(palb)
+        hdr = struct.pack(
+            "<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, npal, 0
+        )
+        return hdr + palb + stream
+
+    # delta escape skips cells (they stay index 0), hand-built
+    d = decode_bmp(_rle(b"\x00\x02\x02\x01" + b"\x02\x01" + b"\x00\x00" + b"\x00\x01", 4, 2))
+    # bottom row: skip (2,1)... delta moved to x=2,y=1 then run of 2 ones
+    assert d["n_pixels"] == 8
+    # truncated stream / run past width -> poison
+    with pytest.raises(ValueError):
+        decode_bmp(_rle(b"\x05\x01", 4, 2))  # run of 5 in width-4 row
+    with pytest.raises(ValueError):
+        decode_bmp(_rle(b"\x02\x01", 4, 2))  # no end-of-bitmap
+    # RLE8 with non-8-bit depth is malformed
+    blob = encode_bmp_rle8(2, 1, [0, 1], pal)
+    mut = bytearray(blob)
+    struct.pack_into("<H", mut, 28, 24)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(mut))

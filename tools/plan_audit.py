@@ -124,6 +124,8 @@ AUDIT = [
     ("mm_fmp4_fragments", "DASH/HLS fragment walk: trun-resolved extraction, map-only"),
     ("mm_png_adam7_roundtrip", "Adam7 PNG: 7-pass unfilter + lattice scatter, map-only"),
     ("mm_bmp16_roundtrip", "RGB555 decode with integer 5->8-bit scaling, map-only"),
+    ("mm_bmp_rle_roundtrip", "BI_RLE8 decompression + palette expansion, map-only"),
+    ("mm_wav24_float_roundtrip", "24-bit PCM sign-extension + float frames, map-only"),
 ]
 
 def _existing_ledger() -> list[str]:

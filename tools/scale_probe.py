@@ -134,6 +134,8 @@ PROBES = [
     ("mm_fmp4_fragments", "fragmented-MP4 (moof/traf/trun) walk + sample extraction — map-only, linear"),
     ("mm_png_adam7_roundtrip", "Adam7 interlaced PNG encode+deinterlace — map-only, linear"),
     ("mm_bmp16_roundtrip", "16-bit RGB555 BMP decode — map-only, linear"),
+    ("mm_bmp_rle_roundtrip", "BI_RLE8 run-length decode + palette expansion — map-only, linear"),
+    ("mm_wav24_float_roundtrip", "24-bit packed PCM + IEEE-float WAV decode — map-only, linear"),
 ]
 
 
