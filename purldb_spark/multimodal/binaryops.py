@@ -283,8 +283,8 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
-# channels per PNG color type (8-bit depth): gray, RGB, palette, RGBA
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
 _ADAM7 = [
@@ -363,13 +363,20 @@ def _png_pixels(content: bytes):
     width, height, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if depth not in (8, 16) or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG depth {depth} color type {color_type} — codec boundary"
         )
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit paletted PNG is spec-invalid")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     channels = _PNG_CHANNELS[color_type]
+    # PNG filters operate on BYTES with bpp = channels * bytes-per-sample
+    # (the spec rule 16-bit decode hinges on), so the unfilter runs with
+    # the byte-channel count and 16-bit samples resolve afterwards
+    bps = depth // 8
+    bch = channels * bps
     # Bounded inflate: declared geometry fixes the plaintext size at
     # height * (1 filter byte + width*channels). An unbounded
     # zlib.decompress would let a poison blob with tiny IHDR dims but a
@@ -378,10 +385,10 @@ def _png_pixels(content: bytes):
     # max_length caps the output at exactly what the geometry admits,
     # and any surplus is the same poison ValueError as corrupt DEFLATE.
     if interlace == 0:
-        expected = height * (1 + width * channels)
+        expected = height * (1 + width * bch)
     else:
         expected = sum(
-            ph * (1 + pw * channels)
+            ph * (1 + pw * bch)
             for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
         )
     try:
@@ -406,10 +413,14 @@ def _png_pixels(content: bytes):
         raise ValueError("PNG IDAT shorter than declared geometry")
     if interlace == 0:
         pix = np.frombuffer(
-            _png_unfilter(raw, width, height, channels), dtype=np.uint8
-        ).reshape(width * height, channels)
+            _png_unfilter(raw, width, height, bch), dtype=np.uint8
+        ).reshape(width * height, bch)
     else:
-        pix = _png_adam7_pixels(raw, width, height, channels)
+        pix = _png_adam7_pixels(raw, width, height, bch)
+    if bps == 2:
+        # big-endian u16 samples: the HIGH byte is the spec-sanctioned
+        # 8-bit reduction (floor(v / 257 + eps) ~ v >> 8)
+        pix = pix.reshape(width * height, channels, 2)[:, :, 0]
     if color_type == 3:
         if not plte or len(plte) % 3:
             raise ValueError("paletted PNG missing/odd PLTE")
@@ -429,9 +440,10 @@ def decode_png(content: bytes) -> dict:
     since r15 — Adam7 interlace (per-pass unfilter + lattice scatter,
     _png_adam7_pixels). Returns the same stat dict as decode_bmp; PNG
     stores RGB (not BGR), paletted images decode through PLTE to 3
-    channels, RGBA means ignore alpha. 16-bit depth and gray+alpha stay
-    behind NotImplementedError — real but rarer layouts a PIL drop-in
-    inherits."""
+    channels, RGBA and gray+alpha exclude alpha from means, and 16-bit
+    samples reduce by their high byte (r15 — the spec-sanctioned 8-bit
+    reduction; filters run at bpp = channels * 2 bytes per the spec).
+    Depths below 8 stay behind NotImplementedError."""
     pix, width, height = _png_pixels(content)
     n_px = width * height
     sums = pix.astype("int64").sum(axis=0)
@@ -439,7 +451,10 @@ def decode_png(content: bytes) -> dict:
     def mean_e3(ci: int) -> int:
         if not n_px:
             return 0
-        c = min(ci, pix.shape[1] - 1)  # grayscale: one channel for all
+        # color channels exclude alpha: gray/gray+alpha read channel 0
+        # for all three means, RGB(A) reads R,G,B
+        ncolor = 1 if pix.shape[1] <= 2 else 3
+        c = min(ci, ncolor - 1)
         return int(round(int(sums[c]) * 1000 / n_px))
 
     # PNG channel order is R, G, B(, A); alpha excluded from means
@@ -1433,3 +1448,31 @@ def encode_bmp_rle8(
         40, width, height, 1, 8, 1, len(stream), 0, 0, len(pal_bgr), 0,
     )
     return hdr + pal + bytes(stream)
+
+
+def encode_png_pixels16(rows: list[list[int]], color_type: int) -> bytes:
+    """16-bit-depth PNG writer from u16 sample rows (big-endian on the
+    wire): the forward filter runs at bpp = channels * 2 BYTES — the
+    spec rule whose violation is invisible on 8-bit content — with the
+    filter type cycling y % 5; pairs with the depth-16 decode branch."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("paletted PNG cannot be 16-bit")
+    byte_rows = [
+        b"".join(struct.pack(">H", v) for v in row) for row in rows
+    ]
+    width = len(rows[0]) // channels
+    ihdr = struct.pack(
+        ">IIBBBBB", width, len(rows), 16, color_type, 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(
+            b"IDAT",
+            zlib.compress(_png_filter_scanlines(byte_rows, channels * 2)),
+        )
+        + _png_chunk(b"IEND", b"")
+    )

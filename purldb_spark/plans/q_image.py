@@ -234,3 +234,87 @@ def mm_bmp_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(enc, schema="media_id long, content binary")
     )
     return image_stats(media)
+
+
+@query(
+    "mm_png16_roundtrip",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 + 1 AS w, 2 * (doc_id % 4) + 1 AS h,
+             doc_id % 4 AS ctv
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.ctv, t.x, u.y
+      FROM p,
+           unnest(generate_series(0, p.w - 1)) AS t(x),
+           unnest(generate_series(0, p.h - 1)) AS u(y)
+    ),
+    sums AS (
+      SELECT doc_id, w, h, ctv,
+             sum((doc_id + 7 * x + 13 * y) % 256) AS s0,
+             sum((doc_id + 7 * x + 13 * y + 29) % 256) AS s1,
+             sum((doc_id + 7 * x + 13 * y + 58) % 256) AS s2
+      FROM px
+      GROUP BY doc_id, w, h, ctv
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE ctv WHEN 0 THEN 1 WHEN 1 THEN 3
+                         WHEN 2 THEN 2 ELSE 4 END AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(round((CASE WHEN ctv IN (0, 2) THEN s0 ELSE s2 END)
+                      * 1000.0 / (w * h)) AS BIGINT) AS mean_b_e3,
+           CAST(round((CASE WHEN ctv IN (0, 2) THEN s0 ELSE s1 END)
+                      * 1000.0 / (w * h)) AS BIGINT) AS mean_g_e3,
+           CAST(round(s0 * 1000.0 / (w * h)) AS BIGINT) AS mean_r_e3
+    FROM sums
+    """,
+)
+def mm_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT-DEPTH and GRAY+ALPHA PNG through the full Arrow pipeline —
+    the last named PNG layouts, now real: per document u16 big-endian
+    samples whose HIGH byte carries (doc + 7x + 13y + 29c) % 256 and
+    whose LOW byte is unrelated noise ((doc + 3x + 5y) % 256), so a
+    decoder that mixes sample bytes — or unfilters at 8-bit bpp instead
+    of the spec's channels x 2 — corrupts the means and breaks the
+    hash. Color type cycles gray / RGB / GRAY+ALPHA / RGBA by doc_id
+    (ct 4 exercises the alpha-excluded 2-channel mean path); odd
+    heights keep the .5 rounding guard (v2(2000*sum) >= 4 > v2(w*h)).
+    Map-only, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.binaryops import (
+        encode_png_pixels16,
+        image_stats,
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 7 + 1, 2 * (i % 4) + 1
+                ct = (0, 2, 4, 6)[i % 4]
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+                rows = []
+                for y in range(h):
+                    row = []
+                    for x in range(w):
+                        for c in range(nch):
+                            hi = (i + 7 * x + 13 * y + 29 * c) % 256
+                            lo = (i + 3 * x + 5 * y) % 256
+                            row.append(hi << 8 | lo)
+                    rows.append(row)
+                outs.append(encode_png_pixels16(rows, ct))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return image_stats(media)

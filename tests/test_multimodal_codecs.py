@@ -445,9 +445,9 @@ def test_png_rejections_and_boundaries():
 
     with pytest.raises(ValueError):
         decode_png(b"BM this is a bmp not a png, padded to length......")
-    # 16-bit depth stays a documented codec boundary
-    with pytest.raises(NotImplementedError):
-        decode_png(_png_chunks_raw((1, 1, 16, 2, 0, 0, 0), bytes(7)))
+    # 16-bit depth decodes for real since r15 (high-byte reduction)
+    d16 = decode_png(_png_chunks_raw((1, 1, 16, 2, 0, 0, 0), bytes(7)))
+    assert (d16["width"], d16["n_pixels"]) == (1, 1)
     # Adam7 interlace decodes for real since r15: a 1x1 interlaced RGB
     # is one pass-1 scanline (filter byte + 3 samples)
     d = decode_png(_png_chunks_raw((1, 1, 8, 2, 0, 0, 1), bytes(4)))
@@ -964,3 +964,45 @@ def test_bmp_rle8_roundtrip_and_escapes():
     struct.pack_into("<H", mut, 28, 24)
     with pytest.raises(ValueError):
         decode_bmp(bytes(mut))
+
+
+def test_png_16bit_and_gray_alpha():
+    """Depth-16 decode (r15): high-byte reduction with noise low bytes,
+    filters at bpp = channels*2; gray+alpha excludes alpha from means."""
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import (
+        decode_png,
+        encode_png_pixels,
+        encode_png_pixels16,
+    )
+
+    rng = np.random.RandomState(5)
+    for (w, h, ct, ch) in [(3, 2, 0, 1), (4, 3, 2, 3), (2, 5, 6, 4)]:
+        hi = rng.randint(0, 256, size=(h, w * ch))
+        lo = rng.randint(0, 256, size=(h, w * ch))
+        rows16 = [
+            [int(hi[y][i]) << 8 | int(lo[y][i]) for i in range(w * ch)]
+            for y in range(h)
+        ]
+        rows8 = [bytes(int(v) for v in hi[y]) for y in range(h)]
+        # 16-bit high bytes must decode to the SAME stats as the 8-bit
+        # image of those bytes — low-byte noise must not leak in
+        assert decode_png(encode_png_pixels16(rows16, ct)) == decode_png(
+            encode_png_pixels(rows8, ct)
+        )
+    # 8-bit gray+alpha: 2 channels, alpha excluded
+    d = decode_png(encode_png_pixels([bytes([200, 7, 100, 250])], 4))
+    assert d["channels"] == 2
+    assert d["mean_r_e3"] == d["mean_g_e3"] == d["mean_b_e3"] == 150000
+    # 16-bit gray+alpha through the 2-byte-bpp filter path
+    d16 = decode_png(
+        encode_png_pixels16([[200 << 8 | 9, 7 << 8, 100 << 8 | 255, 250 << 8]], 4)
+    )
+    assert d16["mean_r_e3"] == 150000 and d16["channels"] == 2
+    # 16-bit paletted is spec-invalid -> poison, not a boundary
+    with pytest.raises(ValueError):
+        decode_png(_png_chunks_raw((1, 1, 16, 3, 0, 0, 0), bytes(3)))
+    # sub-8-bit depth stays behind NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_chunks_raw((1, 1, 4, 0, 0, 0, 0), bytes(2)))

@@ -136,6 +136,7 @@ PROBES = [
     ("mm_bmp16_roundtrip", "16-bit RGB555 BMP decode — map-only, linear"),
     ("mm_bmp_rle_roundtrip", "BI_RLE8 run-length decode + palette expansion — map-only, linear"),
     ("mm_wav24_float_roundtrip", "24-bit packed PCM + IEEE-float WAV decode — map-only, linear"),
+    ("mm_png16_roundtrip", "16-bit-depth + gray+alpha PNG decode (2-byte-bpp filters) — map-only, linear"),
 ]
 
 
