@@ -363,20 +363,35 @@ def _png_pixels(content: bytes):
     width, height, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if depth not in (8, 16) or color_type not in _PNG_CHANNELS:
+    if depth not in (1, 2, 4, 8, 16) or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG depth {depth} color type {color_type} — codec boundary"
         )
     if depth == 16 and color_type == 3:
         raise ValueError("16-bit paletted PNG is spec-invalid")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"sub-8-bit PNG allows gray/palette only, not type {color_type}"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
+    if depth < 8 and interlace == 1:
+        raise NotImplementedError(
+            "Adam7 at sub-8-bit depth — residual boundary"
+        )
     channels = _PNG_CHANNELS[color_type]
     # PNG filters operate on BYTES with bpp = channels * bytes-per-sample
     # (the spec rule 16-bit decode hinges on), so the unfilter runs with
     # the byte-channel count and 16-bit samples resolve afterwards
-    bps = depth // 8
-    bch = channels * bps
+    if depth < 8:
+        # packed samples: scanlines are ceil(width*d/8) bytes and the
+        # filters run bytewise at bpp = 1 (the spec's sub-byte rule)
+        bch = 1
+        row_bytes = (width * depth + 7) // 8
+    else:
+        bps = depth // 8
+        bch = channels * bps
+        row_bytes = width * bch
     # Bounded inflate: declared geometry fixes the plaintext size at
     # height * (1 filter byte + width*channels). An unbounded
     # zlib.decompress would let a poison blob with tiny IHDR dims but a
@@ -385,7 +400,7 @@ def _png_pixels(content: bytes):
     # max_length caps the output at exactly what the geometry admits,
     # and any surplus is the same poison ValueError as corrupt DEFLATE.
     if interlace == 0:
-        expected = height * (1 + width * bch)
+        expected = height * (1 + row_bytes)
     else:
         expected = sum(
             ph * (1 + pw * bch)
@@ -411,13 +426,28 @@ def _png_pixels(content: bytes):
         raise ValueError("PNG IDAT inflates past declared geometry")
     if len(raw) < expected:
         raise ValueError("PNG IDAT shorter than declared geometry")
-    if interlace == 0:
+    if depth < 8:
+        # unfilter at one byte per "pixel" over the packed scanline,
+        # then unpack MSB-first d-bit samples and drop the row tail
+        flat = np.frombuffer(
+            _png_unfilter(raw, row_bytes, height, 1), dtype=np.uint8
+        ).reshape(height, row_bytes)
+        bits = np.unpackbits(flat, axis=1)[:, : width * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (
+            bits.reshape(height, width, depth) * weights
+        ).sum(axis=2).astype(np.uint8)
+        if color_type == 0:
+            # exact integer scaling: 255/(2^d - 1) is 255, 85 or 17
+            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        pix = vals.reshape(width * height, 1)
+    elif interlace == 0:
         pix = np.frombuffer(
             _png_unfilter(raw, width, height, bch), dtype=np.uint8
         ).reshape(width * height, bch)
     else:
         pix = _png_adam7_pixels(raw, width, height, bch)
-    if bps == 2:
+    if depth == 16:
         # big-endian u16 samples: the HIGH byte is the spec-sanctioned
         # 8-bit reduction (floor(v / 257 + eps) ~ v >> 8)
         pix = pix.reshape(width * height, channels, 2)[:, :, 0]
@@ -1473,6 +1503,50 @@ def encode_png_pixels16(rows: list[list[int]], color_type: int) -> bytes:
         + _png_chunk(
             b"IDAT",
             zlib.compress(_png_filter_scanlines(byte_rows, channels * 2)),
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_sub8(
+    rows: list[list[int]],
+    depth: int,
+    color_type: int,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Sub-8-bit PNG writer (depths 1/2/4, gray or paletted): samples
+    pack MSB-first into byte-aligned scanlines, the forward filter runs
+    bytewise at bpp = 1 with the type cycling y % 5, and paletted
+    images carry their PLTE — pairs with the packed-sample decode
+    branch."""
+    import zlib
+
+    import numpy as np
+
+    if color_type not in (0, 3):
+        raise ValueError("sub-8-bit PNG is gray or paletted only")
+    width = len(rows[0])
+    byte_rows = []
+    for row in rows:
+        bits = np.zeros(width * depth, dtype=np.uint8)
+        for i, v in enumerate(row):
+            for b in range(depth):
+                bits[i * depth + b] = (v >> (depth - 1 - b)) & 1
+        byte_rows.append(np.packbits(bits).tobytes())
+    ihdr = struct.pack(
+        ">IIBBBBB", width, len(rows), depth, color_type, 0, 0, 0
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG needs a palette")
+        out += _png_chunk(
+            b"PLTE", b"".join(bytes(e) for e in palette)
+        )
+    return (
+        out
+        + _png_chunk(
+            b"IDAT", zlib.compress(_png_filter_scanlines(byte_rows, 1))
         )
         + _png_chunk(b"IEND", b"")
     )

@@ -1003,6 +1003,47 @@ def test_png_16bit_and_gray_alpha():
     # 16-bit paletted is spec-invalid -> poison, not a boundary
     with pytest.raises(ValueError):
         decode_png(_png_chunks_raw((1, 1, 16, 3, 0, 0, 0), bytes(3)))
-    # sub-8-bit depth stays behind NotImplementedError
+    # sub-8-bit depths decode for real too (test_png_sub8_depths);
+    # an out-of-spec depth value is the remaining boundary error
     with pytest.raises(NotImplementedError):
-        decode_png(_png_chunks_raw((1, 1, 4, 0, 0, 0, 0), bytes(2)))
+        decode_png(_png_chunks_raw((1, 1, 3, 0, 0, 0, 0), bytes(2)))
+
+
+def test_png_sub8_depths():
+    """1/2/4-bit packed-sample decode (r15): MSB-first unpacking,
+    bytewise bpp-1 filters, exact 255/85/17 gray scaling, palette
+    expansion, row-tail discard; sub-8 Adam7 stays a boundary."""
+    import numpy as np
+
+    from purldb_spark.multimodal.binaryops import decode_png, encode_png_sub8
+
+    rng = np.random.RandomState(11)
+    for d in (1, 2, 4):
+        mx = 1 << d
+        scale = 255 // (mx - 1)
+        for (w, h) in [(1, 1), (3, 2), (8, 3), (11, 5)]:
+            rows = [[int(rng.randint(mx)) for _ in range(w)] for _ in range(h)]
+            flat = [v for r in rows for v in r]
+            g = decode_png(encode_png_sub8(rows, d, 0))
+            assert (g["channels"], g["n_pixels"]) == (1, w * h)
+            assert g["mean_r_e3"] == round(
+                sum(v * scale for v in flat) * 1000 / (w * h)
+            )
+            pal = [(7 + 16 * j, 11 + 16 * j, 13 + 16 * j) for j in range(mx)]
+            p = decode_png(encode_png_sub8(rows, d, 3, palette=pal))
+            assert p["channels"] == 3
+            assert p["mean_g_e3"] == round(
+                sum(11 + 16 * v for v in flat) * 1000 / (w * h)
+            )
+    # literal golden, independent of the encoder: 2-bit gray 5x1 row
+    # [3,0,2,1,2] packs to 0b11001001, 0b10000000 -> bytes 0xC9 0x80
+    d = decode_png(_png_chunks_raw((5, 1, 2, 0, 0, 0, 0), bytes([0, 0xC9, 0x80])))
+    assert d["n_pixels"] == 5
+    assert d["mean_r_e3"] == round((3 + 0 + 2 + 1 + 2) * 85 * 1000 / 5)
+    # palette overrun is poison; sub-8 RGB is malformed; sub-8 Adam7 stays out
+    with pytest.raises(ValueError):
+        decode_png(encode_png_sub8([[3, 3]], 2, 3, palette=[(1, 1, 1)] * 2))
+    with pytest.raises(ValueError):
+        decode_png(_png_chunks_raw((2, 1, 4, 2, 0, 0, 0), bytes(2)))
+    with pytest.raises(NotImplementedError):
+        decode_png(_png_chunks_raw((2, 1, 4, 0, 0, 0, 1), bytes(2)))

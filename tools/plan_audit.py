@@ -127,6 +127,7 @@ AUDIT = [
     ("mm_bmp_rle_roundtrip", "BI_RLE8 decompression + palette expansion, map-only"),
     ("mm_wav24_float_roundtrip", "24-bit PCM sign-extension + float frames, map-only"),
     ("mm_png16_roundtrip", "depth-16 high-byte reduction + GA alpha exclusion, map-only"),
+    ("mm_png_sub8_roundtrip", "packed sub-byte samples: bpp-1 filters + bit unpack, map-only"),
 ]
 
 def _existing_ledger() -> list[str]:

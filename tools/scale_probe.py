@@ -137,6 +137,7 @@ PROBES = [
     ("mm_bmp_rle_roundtrip", "BI_RLE8 run-length decode + palette expansion — map-only, linear"),
     ("mm_wav24_float_roundtrip", "24-bit packed PCM + IEEE-float WAV decode — map-only, linear"),
     ("mm_png16_roundtrip", "16-bit-depth + gray+alpha PNG decode (2-byte-bpp filters) — map-only, linear"),
+    ("mm_png_sub8_roundtrip", "1/2/4-bit packed-sample PNG decode (gray + paletted) — map-only, linear"),
 ]
 
 
