@@ -195,6 +195,15 @@ def _parse_trak(data: bytes, s: int, e: int, file_len: int) -> dict:
     n_desc = _u32(data, p)
     _require(n_desc >= 1 and p + 8 + 8 <= sd[1], "empty stsd")
     codec = bytes(data[p + 8 : p + 12]).decode("latin-1")
+    audio_channels = audio_rate = None
+    if kind == "soun":
+        # AudioSampleEntry: SampleEntry (6 reserved + data_ref_index)
+        # then reserved 8, channelcount u16, samplesize u16,
+        # pre_defined u16, reserved u16, samplerate 16.16 fixed
+        body = p + 12 + 8  # entry payload after size+fourcc+SampleEntry
+        _require(body + 20 <= sd[1], "truncated AudioSampleEntry")
+        audio_channels = _u16(data, body + 8)
+        audio_rate = _u32(data, body + 16) >> 16
 
     tt = _find(data, *st, b"stts")
     _require(tt is not None, "stbl missing stts")
@@ -268,6 +277,8 @@ def _parse_trak(data: bytes, s: int, e: int, file_len: int) -> dict:
     return {
         "kind": kind,
         "codec": codec,
+        "audio_channels": audio_channels,
+        "audio_rate": audio_rate,
         "width": width,
         "height": height,
         "timescale": m_timescale,
@@ -372,6 +383,10 @@ def encode_mp4(
     codec: bytes = b"mp4v",
     captions: list[str] | None = None,
     caption_delta: int = 50,
+    audio_payloads: list[bytes] | None = None,
+    audio_rate: int = 8000,
+    audio_channels: int = 1,
+    audio_delta: int = 1024,
 ) -> bytes:
     """Write a syntactically complete single-video-track MP4 around
     caller-chosen frame payloads: ftyp + mdat first (so moov's chunk
@@ -393,8 +408,12 @@ def encode_mp4(
         _U16.pack(len(c.encode("utf-8"))) + c.encode("utf-8")
         for c in (captions or [])
     ]
+    aud_payloads = list(audio_payloads or [])
     ftyp = _box(b"ftyp", b"isom" + _U32.pack(0) + b"isom" + b"iso2")
-    mdat = _box(b"mdat", b"".join(payloads) + b"".join(cap_payloads))
+    mdat = _box(
+        b"mdat",
+        b"".join(payloads) + b"".join(cap_payloads) + b"".join(aud_payloads),
+    )
     base = len(ftyp) + 8  # first payload byte inside mdat
 
     sizes = [len(p) for p in payloads]
@@ -580,7 +599,76 @@ def encode_mp4(
         t_mdia = _box(b"mdia", t_mdhd + t_hdlr + t_minf)
         text_trak = _box(b"trak", t_tkhd + t_mdia)
 
-    moov = _box(b"moov", mvhd + trak + text_trak)
+    audio_trak = b""
+    if aud_payloads:
+        na = len(aud_payloads)
+        adur = na * audio_delta
+        aud_base = (
+            base + sum(sizes) + sum(len(p) for p in cap_payloads)
+        )
+        a_tkhd = _full(
+            b"tkhd",
+            0,
+            _U32.pack(0) * 2
+            + _U32.pack(3)  # track_id
+            + _U32.pack(0)
+            + _U32.pack(adur)
+            + b"\x00" * 8
+            + _U16.pack(0) * 3
+            + _U16.pack(0x0100)  # volume, audio convention
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + _U32.pack(0)
+            + _U32.pack(0),
+        )
+        a_mdhd = _full(
+            b"mdhd",
+            0,
+            _U32.pack(0) * 2
+            + _U32.pack(audio_rate)  # audio media timescale = sample rate
+            + _U32.pack(adur)
+            + _U16.pack(0x55C4)
+            + _U16.pack(0),
+        )
+        a_hdlr = _full(
+            b"hdlr", 0, _U32.pack(0) + b"soun" + _U32.pack(0) * 3 + b"\x00"
+        )
+        # mp4a AudioSampleEntry: SampleEntry + reserved 8 + channelcount
+        # + samplesize 16 + pre_defined + reserved + samplerate 16.16
+        mp4a = _box(
+            b"mp4a",
+            b"\x00" * 6
+            + _U16.pack(1)
+            + b"\x00" * 8
+            + _U16.pack(audio_channels)
+            + _U16.pack(16)
+            + _U16.pack(0)
+            + _U16.pack(0)
+            + _U32.pack(audio_rate << 16),
+        )
+        a_stsd = _full(b"stsd", 0, _U32.pack(1) + mp4a)
+        a_stts = _full(
+            b"stts", 0, _U32.pack(1) + _U32.pack(na) + _U32.pack(audio_delta)
+        )
+        a_stsc = _full(
+            b"stsc", 0, _U32.pack(1) + _U32.pack(1) + _U32.pack(na) + _U32.pack(1)
+        )
+        a_stsz = _full(
+            b"stsz",
+            0,
+            _U32.pack(0)
+            + _U32.pack(na)
+            + b"".join(_U32.pack(len(p)) for p in aud_payloads),
+        )
+        a_stco = _full(b"stco", 0, _U32.pack(1) + _U32.pack(aud_base))
+        a_stbl = _box(
+            b"stbl", a_stsd + a_stts + a_stsc + a_stsz + a_stco
+        )
+        smhd = _full(b"smhd", 0, _U16.pack(0) + _U16.pack(0))
+        a_minf = _box(b"minf", smhd + dinf + a_stbl)
+        a_mdia = _box(b"mdia", a_mdhd + a_hdlr + a_minf)
+        audio_trak = _box(b"trak", a_tkhd + a_mdia)
+
+    moov = _box(b"moov", mvhd + trak + text_trak + audio_trak)
     return ftyp + mdat + moov
 
 

@@ -749,3 +749,78 @@ def mm_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(enc, schema="media_id long, content binary")
     )
     return mp4_fragment_stats(media)
+
+
+@query(
+    "mm_mp4_audio_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 12 + 2 AS na,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 32000 END AS rate,
+             doc_id % 2 + 1 AS ch,
+             256 * (doc_id % 4 + 1) AS adelta
+      FROM documents
+    ),
+    sb AS (
+      SELECT p.doc_id,
+             CAST(sum((p.doc_id + 5 * t.k) % 40 + 4) AS BIGINT)
+               AS sample_bytes
+      FROM p, unnest(generate_series(0, p.na - 1)) AS t(k)
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           'mp4a' AS codec,
+           CAST(p.ch AS INTEGER) AS channels,
+           CAST(p.rate AS INTEGER) AS sample_rate,
+           CAST(p.na AS BIGINT) AS n_samples,
+           sb.sample_bytes,
+           CAST(p.na * p.adelta * 1000 // p.rate AS BIGINT) AS duration_ms
+    FROM p JOIN sb ON sb.doc_id = p.doc_id
+    """,
+)
+def mm_mp4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 AUDIO-track metadata through the full Arrow pipeline: per
+    document the A/V container gains a real 'soun' trak — smhd, mp4a
+    AudioSampleEntry (channel count and 16.16 sample rate are REAL
+    parsed fields, rotating by doc_id), its own sample tables in the
+    shared mdat — and the walk reports entry fields + resolved sample
+    volume + duration at the audio media timescale (= the sample rate,
+    the audio convention; deltas are multiples of 256 so the ms
+    division is exact in both engines). The audio PAYLOAD stays opaque
+    (AAC is the codec boundary); the container metadata a corpus
+    catalog needs is all here. Map-only, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from purldb_spark.multimodal.containers import mp4_audio_stats
+    from purldb_spark.multimodal.mp4 import encode_mp4
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                na = i % 12 + 2
+                aud = [
+                    bytes(((i + 11 * k + j) % 256) for j in range((i + 5 * k) % 40 + 4))
+                    for k in range(na)
+                ]
+                outs.append(
+                    encode_mp4(
+                        16, 16, [b"v"],
+                        audio_payloads=aud,
+                        audio_rate=(8000, 16000, 32000)[i % 3],
+                        audio_channels=i % 2 + 1,
+                        audio_delta=256 * (i % 4 + 1),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(enc, schema="media_id long, content binary")
+    )
+    return mp4_audio_stats(media)

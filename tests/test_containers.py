@@ -488,3 +488,39 @@ def test_fmp4_poison_and_bombs():
     bombed[i + 8 : i + 12] = struct.pack(">I", 2**30)
     with pytest.raises(ValueError):
         parse_fmp4(bytes(bombed))
+
+
+def test_mp4_audio_track_roundtrip(spark):
+    from purldb_spark.multimodal.containers import mp4_audio_stats
+    from purldb_spark.multimodal.mp4 import encode_mp4, parse_mp4, sample_bytes
+
+    aud = [bytes([10 + k] * (30 + k)) for k in range(4)]
+    blob = encode_mp4(
+        32, 16, [b"VID1", b"VID22"], delta=40,
+        captions=["c0"], caption_delta=70,
+        audio_payloads=aud, audio_rate=16000,
+        audio_channels=2, audio_delta=512,
+    )
+    d = parse_mp4(blob)
+    assert [t["kind"] for t in d["tracks"]] == ["vide", "text", "soun"]
+    a = d["tracks"][2]
+    assert a["codec"] == "mp4a"
+    assert (a["audio_channels"], a["audio_rate"]) == (2, 16000)
+    # audio media timescale is the sample rate; stts deltas accumulate
+    assert a["timescale"] == 16000 and a["ts"] == [0, 512, 1024, 1536]
+    assert [sample_bytes(blob, a, k + 1) for k in range(4)] == aud
+    # video fields don't leak audio entry fields
+    assert d["tracks"][0]["audio_channels"] is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)),
+         (2, bytearray(encode_mp4(8, 8, [b"v"]))),   # no audio track
+         (3, bytearray(b"torn"))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in mp4_audio_stats(df).collect()}
+    assert rows[1].channels == 2 and rows[1].sample_rate == 16000
+    assert rows[1].n_samples == 4
+    assert rows[1].duration_ms == 4 * 512 * 1000 // 16000
+    assert 2 not in rows            # absence is a fact, not poison
+    assert rows[3].channels == -1   # torn -> sentinel

@@ -128,6 +128,7 @@ AUDIT = [
     ("mm_wav24_float_roundtrip", "24-bit PCM sign-extension + float frames, map-only"),
     ("mm_png16_roundtrip", "depth-16 high-byte reduction + GA alpha exclusion, map-only"),
     ("mm_png_sub8_roundtrip", "packed sub-byte samples: bpp-1 filters + bit unpack, map-only"),
+    ("mm_mp4_audio_meta", "mp4a AudioSampleEntry fields + resolved audio samples, map-only"),
 ]
 
 def _existing_ledger() -> list[str]:

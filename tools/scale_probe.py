@@ -138,6 +138,7 @@ PROBES = [
     ("mm_wav24_float_roundtrip", "24-bit packed PCM + IEEE-float WAV decode — map-only, linear"),
     ("mm_png16_roundtrip", "16-bit-depth + gray+alpha PNG decode (2-byte-bpp filters) — map-only, linear"),
     ("mm_png_sub8_roundtrip", "1/2/4-bit packed-sample PNG decode (gray + paletted) — map-only, linear"),
+    ("mm_mp4_audio_meta", "soun-trak AudioSampleEntry walk + sample volume — map-only, linear"),
 ]
 
 
