@@ -51,14 +51,19 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return (
         df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
         .filter(F.size("w") >= n)
+        # r15: explode the POSITION sequence and slice per row instead of
+        # transform(...) building the shingle array — higher-order
+        # functions are interpreted per element (no codegen); the explode
+        # and the slice/concat projection fuse into one codegen stage, so
+        # `w` is never copied per output row.  Identical row multiset.
         .select(
             id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(w, i, {n})))"
-                )
-            ).alias("sh"),
+            F.expr(f"explode(sequence(1, size(w) - {n - 1}))").alias("i"),
+            "w",
+        )
+        .select(
+            id_col,
+            F.expr(f"concat_ws(' ', slice(w, i, {n}))").alias("sh"),
         )
         .dropDuplicates()
     )

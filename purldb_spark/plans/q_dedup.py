@@ -369,14 +369,16 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 5)
     )
+    # r15: position-explode + per-row md5 (codegen) instead of the
+    # interpreted transform(...) array build; pos stays 0-based
     grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(w) - 4),"
-                " i -> md5(concat_ws(' ', slice(w, i, 5))))"
-            )
-        ).alias("pos", "g"),
+        F.expr("explode(sequence(1, size(w) - 4))").alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.expr("i - 1").alias("pos"),
+        F.expr("md5(concat_ws(' ', slice(w, i, 5)))").alias("g"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _W - 1)
     winnowed = (
@@ -567,11 +569,16 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards."""
     sh = doc_shingles(spark, sf_dir)
     bands = minhash_band_index(spark, sf_dir)
-    cands = lsh_candidate_pairs(bands, "doc_id")
+    # r15: materialize the shared pair sets once — cands previously ran
+    # twice (count + verify join) and gt twice (count + marked join);
+    # localCheckpoint holds only pair ids (KBs)
+    cands = lsh_candidate_pairs(bands, "doc_id").localCheckpoint(eager=True)
     n_candidates = cands.count()  # driver scalar (documented BNLJ avoidance)
     lsh = verify_jaccard(cands, sh, "doc_id", 0.5).select("id_a", "id_b")
-    gt = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    gt = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=True)
     )
     n_gt = gt.count()  # driver scalar
     marked = gt.join(

@@ -448,10 +448,21 @@ def embed_recall_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
         )
 
-    gt = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    # r15: materialize the three shared pair sets ONCE (guide §5 caching
+    # note).  gt is the all-pairs baseline — the most expensive subtree in
+    # the query — and was previously re-executed three times (n_gt count +
+    # once per method's marked join); each cands set ran twice (count +
+    # marked join).  localCheckpoint holds only the pair ids (KBs).
+    gt = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     n_gt = gt.count()  # driver scalar (documented BNLJ avoidance)
-    scands = cand_pairs(idx)
-    mcands = cand_pairs(multiprobe_expand(idx, "vec_id", len(bands[0])))
+    scands = cand_pairs(idx).localCheckpoint(eager=True)
+    mcands = cand_pairs(
+        multiprobe_expand(idx, "vec_id", len(bands[0]))
+    ).localCheckpoint(eager=True)
 
     def row(method: str, cands: DataFrame) -> DataFrame:
         n_c = cands.count()  # driver scalar

@@ -57,11 +57,24 @@ _NORM_SQL = (
 )
 
 # Morton interleave of the 16 normalized bits of x (odd positions) and y
-# (even): pure shifts/modulo, identical BIGINT in both engines
+# (even).  r15: closed-form bit-spreading (the classic magic-mask dilation)
+# instead of the r12 aggregate(sequence(0,15), ...) fold — higher-order
+# functions are interpreted per element in Spark (no whole-stage codegen),
+# and the fold measured 2.3 s of the query's wall at sf0.1 (~4 µs/row);
+# the mask form is plain shifts/AND/OR, codegens, and is bit-identical
+# (spread(x)<<1 | spread(y) == the fold's Σ bit placement; verified by the
+# unchanged DuckDB oracle which still computes the explicit per-bit sum).
+def _spread16(v: str) -> str:
+    """Dilate the low 16 bits of `v` so bit i lands at bit 2i."""
+    s = f"({v} | shiftleft({v}, 8)) & 16711935"        # 0x00FF00FF
+    s = f"(({s}) | shiftleft(({s}), 4)) & 252645135"   # 0x0F0F0F0F
+    s = f"(({s}) | shiftleft(({s}), 2)) & 858993459"   # 0x33333333
+    s = f"(({s}) | shiftleft(({s}), 1)) & 1431655765"  # 0x55555555
+    return f"({s})"
+
+
 _Z_SPARK = (
-    "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
-    " + ((xn div shiftleft(1L, i)) % 2) * shiftleft(1L, 2 * i + 1)"
-    " + ((yn div shiftleft(1L, i)) % 2) * shiftleft(1L, 2 * i))"
+    f"shiftleft({_spread16('xn')}, 1) + {_spread16('yn')}"
 )
 _Z_SQL = (
     "list_sum(list_transform(range(0, 16), i ->"
@@ -171,38 +184,19 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     The envelope agg collapses to 3 x {_NB} rows with per-predicate match
     counts, and the report unions the two 3-row pruning summaries."""
     li = load(spark, sf_dir, "lineitem")
-    # per-dim min/max as driver scalars (4 BIGINTs — the documented
-    # BNLJ-avoidance pattern; the oracle's CROSS JOIN stats is the same
-    # 1-row frame on the DuckDB side)
-    x_min, x_max, y_min, y_max, ok_min, ok_max = li.agg(
+    # per-dim min/max AND the row count as driver scalars in ONE job (the
+    # r15 fold: the count previously ran as its own job over the
+    # checkpointed fact; the documented BNLJ-avoidance pattern either way
+    # — the oracle's CROSS JOIN stats is the same 1-row frame on DuckDB)
+    x_min, x_max, y_min, y_max, ok_min, ok_max, n_rows = li.agg(
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
         F.min("l_orderkey"), F.max("l_orderkey"),
+        F.count(F.lit(1)),
     ).first()
-    fact = (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("l_partkey").alias("x"),
-            F.col("l_suppkey").alias("y"),
-        )
-        .withColumn(
-            "xn",
-            F.expr(_NORM_SPARK.format(v="x", lo=int(x_min), hi=int(x_max))),
-        )
-        .withColumn(
-            "yn",
-            F.expr(_NORM_SPARK.format(v="y", lo=int(y_min), hi=int(y_max))),
-        )
-        .withColumn("z", F.expr(_Z_SPARK))
-        # materialize ONCE: the Morton fold and norms would otherwise be
-        # re-evaluated through each of the three bucket-assignment shuffles
-        .localCheckpoint(eager=True)
-    )
 
     from pyspark.sql.window import Window
 
-    n_rows = fact.count()  # driver scalar (feeds the exact ntile formula)
     q, r = divmod(n_rows, _NB) if n_rows else (0, 0)
     head = r * (q + 1)
     # SQL ntile semantics, integer-exact: the first r buckets hold q+1
@@ -211,44 +205,6 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(case when _rank <= {head} then (_rank - 1) div {q + 1}"
         f" else {r} + (_rank - {head} - 1) div {max(q, 1)} end + 1 as int)"
     )
-
-    def dist_bucket(df, prefix: str, order_cols: list[str], alias: str):
-        """Distributed exact rank -> ntile bucket: `prefix` must be a
-        monotone function of the (order_cols) total order, so groups are
-        contiguous rank ranges; a <=hundreds-row cumulative-offset frame
-        broadcasts back and the per-group window runs fully parallel."""
-        from purldb_spark.conf import shuffle_partitions
-
-        n_part = shuffle_partitions(df.sparkSession)
-        # explicit width: AQE would coalesce the post-join exchange to a
-        # few fat partitions and serialize the window sorts
-        with_g = df.withColumn("_g", F.expr(prefix)).repartition(
-            n_part, "_g"
-        )
-        offs = (
-            with_g.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .withColumn(
-                "_off",
-                F.coalesce(
-                    F.sum("_c").over(
-                        Window.orderBy("_g").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .drop("_c")
-        )
-        w = Window.partitionBy("_g").orderBy(*order_cols)
-        ranked = (
-            with_g.join(F.broadcast(offs), "_g")
-            .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
-        )
-        return ranked.withColumn(alias, F.expr(_NTILE_EXPR)).drop(
-            "_g", "_off", "_rank"
-        )
 
     # prefixes: leading bits of each layout's sort key (monotone); group
     # counts stay bounded (<= ~hundreds) at any corpus size.  The
@@ -272,39 +228,78 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(l_orderkey - {int(ok_min) if ok_max is not None else 0})"
             " * 8 + least(l_linenumber, 7)"
         )
-    # the three layouts are INDEPENDENT rank problems over the same
-    # checkpointed fact — assign each one off `fact` directly (narrowed
-    # to the columns its sort needs) and union the per-layout results.
-    # Chaining them (b_insert's output feeding b_single's shuffle, then
-    # the 3-way union re-reading the chained frame per branch) made the
-    # r12 A/B's lineage re-execute all three sorts per union branch:
-    # ~2 s per chained bucket vs ~0.8 s independent at sf0.1.
-    b_ins = dist_bucket(
-        fact.select("l_orderkey", "l_linenumber", "x", "y"),
-        ins_prefix,
-        ["l_orderkey", "l_linenumber"],
-        "b",
+
+    # r15 reshape (guide §2.4: fewer exchanges, same bytes): the three
+    # layouts are independent rank problems over the same fact rows, but
+    # running them as three separate repartition->offsets->window subtrees
+    # paid 3 exchanges, 3 offset aggs, 3 broadcast joins and an eager
+    # checkpoint of the Morton fold (the r12 shape needed the checkpoint
+    # precisely because three subtrees would re-execute the fold).  One
+    # map-side explode emits each row once per layout tagged with
+    # (layout, sort keys s1..s3, prefix group _g) — the Morton fold is
+    # computed ONCE per row, map-only, so the checkpoint job disappears —
+    # and ONE repartition by (layout, _g) + ONE offsets agg + ONE
+    # broadcast join + ONE per-group window ranks all three layouts in
+    # parallel.  Shuffle bytes are identical (3N thin rows either way);
+    # exchange count drops 3 -> 1 and the job count drops from ~7 eager
+    # steps to 2 (stats agg + the offsets broadcast inside the plan).
+    from purldb_spark.conf import shuffle_partitions
+
+    xn_e = _NORM_SPARK.format(v="l_partkey", lo=int(x_min), hi=int(x_max))
+    yn_e = _NORM_SPARK.format(v="l_suppkey", lo=int(y_min), hi=int(y_max))
+    z_e = _Z_SPARK
+    tagged = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey AS x",
+        "l_suppkey AS y",
+        f"{xn_e} AS xn",
+        f"{yn_e} AS yn",
+    ).selectExpr(
+        "*",
+        f"{z_e} AS z",
+    ).selectExpr(
+        # one struct per layout: (layout, _g, s1, s2, s3); sort order
+        # within a layout is (s1, s2, s3) == the original order_cols
+        f"""explode(array(
+              struct('insertion'  AS layout, {ins_prefix} AS _g,
+                     l_orderkey AS s1, l_linenumber AS s2, 0L AS s3),
+              struct('single_key' AS layout, xn div 1024 AS _g,
+                     x AS s1, l_orderkey AS s2, l_linenumber AS s3),
+              struct('zorder'     AS layout, z div 67108864 AS _g,
+                     z AS s1, l_orderkey AS s2, l_linenumber AS s3)
+            )) AS t""",
+        "x",
+        "y",
+    ).selectExpr("t.layout AS layout", "t._g AS _g",
+                 "t.s1 AS s1", "t.s2 AS s2", "t.s3 AS s3", "x", "y")
+
+    n_part = shuffle_partitions(spark)
+    # explicit width: AQE would coalesce the post-join exchange to a few
+    # fat partitions and serialize the window sorts
+    with_g = tagged.repartition(n_part, "layout", "_g")
+    offs = (
+        with_g.groupBy("layout", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_c").over(
+                    Window.partitionBy("layout")
+                    .orderBy("_g")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_c")
     )
-    b_sin = dist_bucket(
-        fact.select("xn", "x", "y", "l_orderkey", "l_linenumber"),
-        "xn div 1024",
-        ["x", "l_orderkey", "l_linenumber"],
-        "b",
-    )
-    b_zor = dist_bucket(
-        fact.select("z", "x", "y", "l_orderkey", "l_linenumber"),
-        "z div 67108864",
-        ["z", "l_orderkey", "l_linenumber"],
-        "b",
-    )
+    w = Window.partitionBy("layout", "_g").orderBy("s1", "s2", "s3")
     tall = (
-        b_ins.select(F.lit("insertion").alias("layout"), "b", "x", "y")
-        .unionByName(
-            b_sin.select(F.lit("single_key").alias("layout"), "b", "x", "y")
-        )
-        .unionByName(
-            b_zor.select(F.lit("zorder").alias("layout"), "b", "x", "y")
-        )
+        with_g.join(F.broadcast(offs), ["layout", "_g"])
+        .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
+        .withColumn("b", F.expr(_NTILE_EXPR))
+        .select("layout", "b", "x", "y")
     )
     in_xy = (
         F.col("x").between(_P_LO, _P_HI) & F.col("y").between(_S_LO, _S_HI)

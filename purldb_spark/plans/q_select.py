@@ -252,12 +252,17 @@ def text_repeated_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size("w") >= _SN)
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_SN - 1}),"
-                    f" i -> concat_ws(' ', slice(w, i, {_SN})))"
-                )
-            ).alias("i0", "g"),
+            F.expr(f"explode(sequence(1, size(w) - {_SN - 1}))").alias(
+                "i1"
+            ),
+            "w",
+        )
+        # r15: position-explode + per-row slice (codegen) instead of the
+        # interpreted transform(...) array build; i0 stays 0-based
+        .select(
+            "doc_id",
+            F.expr("i1 - 1").alias("i0"),
+            F.expr(f"concat_ws(' ', slice(w, i1, {_SN}))").alias("g"),
         )
         .select(
             "doc_id",
@@ -488,9 +493,15 @@ def _trigram_lm(spark: SparkSession, sf_dir: str):
 
     def build():
         d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+        # same position-explode reshape as the scoring side (r15): avoids
+        # the interpreted per-element transform on the training slice
         ref = (
-            d.select("lang", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("g"))
-            .filter(F.col("lang") == "en")
+            d.filter(F.col("lang") == "en")
+            .select(
+                F.expr("explode(sequence(1, length(text) - 2))").alias("i"),
+                "text",
+            )
+            .select(F.expr("substring(text, i, 3)").alias("g"))
             .groupBy("g")
             .agg(F.count("*").alias("cnt"))
         )
@@ -577,9 +588,18 @@ def select_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment) — the same percentile-threshold swap documented in
     text_boilerplate_scrub."""
     d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # r15 (guide §4.1 "prefer built-ins"/codegen): explode the POSITION
+    # sequence and slice per row instead of materializing the trigram
+    # array via transform(...) — higher-order functions are interpreted
+    # per element, and this explode feeds the hot 5M-row scoring join;
+    # A/B at sf0.1: grams+agg 2.6 s -> 0.6 s.  Row set is identical
+    # (same sequence bounds, same substring), so the oracle is unchanged.
     grams = d.select(
-        "doc_id", "lang", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("g")
-    )
+        "doc_id",
+        "lang",
+        F.expr("explode(sequence(1, length(text) - 2))").alias("i"),
+        "text",
+    ).select("doc_id", "lang", F.expr("substring(text, i, 3)").alias("g"))
     lm, denom = _trigram_lm(spark, sf_dir)
     lq0 = math.floor(1000000.0 * math.log(1.0 / float(denom)))
     scored = (

@@ -37,14 +37,16 @@ def _index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= SNIPPET_WINDOW_LENGTH)
     )
+    # r15: position-explode + per-row md5 (codegen) instead of the
+    # interpreted transform(...) array build; pos stays 0-based
     grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(w) - 4),"
-                " i -> md5(concat_ws(' ', slice(w, i, 5))))"
-            )
-        ).alias("pos", "g"),
+        F.expr("explode(sequence(1, size(w) - 4))").alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.expr("i - 1").alias("pos"),
+        F.expr("md5(concat_ws(' ', slice(w, i, 5)))").alias("g"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_WINDOW - 1)
     return (

@@ -113,11 +113,18 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 5)  # sequence() runs backward on n<1 — guard
     )
+    # r15: position-explode + per-row md5 instead of the interpreted
+    # transform(...) array build (same rows; `i` is 1-based where the old
+    # posexplode pos was 0-based, but pos only ordered the winnow window
+    # and i orders identically)
     grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr("transform(sequence(1, size(w) - 4), i -> md5(concat_ws(' ', slice(w, i, 5))))")
-        ).alias("pos", "g"),
+        F.expr("explode(sequence(1, size(w) - 4))").alias("pos"),
+        "w",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr("md5(concat_ws(' ', slice(w, pos, 5)))").alias("g"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _W - 1)
     winnowed = grams.withColumn("fp", F.min("g").over(win))
@@ -187,14 +194,17 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
     )
+    # r15: position-explode + per-row slice instead of the interpreted
+    # transform(...) array build; i0 stays the 0-based gram position the
+    # cover-marking below expects (the explode emits 1-based i)
     grams = d.filter(F.size("w") >= _BN).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {_BN - 1}),"
-                f" i -> concat_ws(' ', slice(w, i, {_BN})))"
-            )
-        ).alias("i0", "g"),
+        F.expr(f"explode(sequence(1, size(w) - {_BN - 1}))").alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.expr("i - 1").alias("i0"),
+        F.expr(f"concat_ws(' ', slice(w, i, {_BN}))").alias("g"),
     )
     df_t = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("d"))
     # the percentile is ONE scalar: materialize it driver-side (same
