@@ -479,8 +479,10 @@ def shot_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sig_e3"),
     )
     # stabilize the source so the three slices + frontier joins read one
-    # computation, not three re-executions of the Arrow pipeline
-    frames = frames.localCheckpoint(eager=True)
+    # computation, not three re-executions of the Arrow pipeline (r15:
+    # lazy — the first epoch's materialization computes and caches it;
+    # eager paid a separate up-front job)
+    frames = frames.localCheckpoint(eager=False)
     state = spark.createDataFrame(
         [], "media_id long, last_sample_no long, last_sig_e3 long, shots_so_far long"
     )
@@ -492,8 +494,11 @@ def shot_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         assignments, state = extend_shot_chains(batch, state)
         # materialize the frontier between epochs — the stream persists
         # it as the generation snapshot; without this the lineage
-        # re-derives every prior epoch inside each later one
-        state = state.localCheckpoint(eager=True)
+        # re-derives every prior epoch inside each later one.  r15: lazy —
+        # the cache fills when the next epoch (or the final union action)
+        # first computes it, inside that job, instead of paying one eager
+        # job per epoch; lineage truncation is identical.
+        state = state.localCheckpoint(eager=False)
         outs.append(assignments)
     out = outs[0]
     for o in outs[1:]:

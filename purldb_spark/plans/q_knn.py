@@ -345,8 +345,15 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall monitoring samples; the approximate sides stay cell-bounded
     equi-joins. Recall integers ride the e6 grid, so the whole report is
     BIGINT-exact."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "ivf_cell", cell_expr("embedding")
+    # r15: materialize (vec_id, embedding, ivf_cell) once — the frozen-
+    # centroid argmax (8 centroids x 64-dim interpreted dots per row) was
+    # re-executed by each of the three subtrees referencing e (q, a1's
+    # index side, a2's index side); the table is corpus-small (the index
+    # row set, KB-scale here, the stored cell column in production)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("ivf_cell", cell_expr("embedding"))
+        .localCheckpoint(eager=True)
     )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),

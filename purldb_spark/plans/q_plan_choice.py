@@ -391,7 +391,14 @@ def dedup_dispatch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang").alias("slice")
     )
-    sliced = doc_shingles(spark, sf_dir).join(docs, "doc_id")
+    # r15: materialize the sliced posting table once — it feeds the stats
+    # collect AND both plan runners (each a multi-pass consumer), which
+    # previously re-ran the shingle/doc join per subtree
+    sliced = (
+        doc_shingles(spark, sf_dir)
+        .join(docs, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     choices = {
         r.slice: r.chosen_plan for r in dedup_plan_stats(sliced).collect()
     }

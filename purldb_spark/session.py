@@ -39,6 +39,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # r15 (guide §4): JVM<->Python-worker channels over Unix domain
+        # sockets (SPARK-51424, Spark 4.1) instead of loopback TCP.
+        # Python workers are always co-located with their executor, on a
+        # laptop or a 100-node cluster alike, so this is scale-neutral;
+        # measured 15-35% off every mapInPandas/pandas-UDF query here
+        # (loopback TCP round trips are syscall-bound under virtualized
+        # NICs). Env override for environments without UDS support.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_PY_UDS", "true"),
+        )
         # the synthetic events table stores TIMESTAMP(NANOS); read as long
         # and convert in catalog.tables.load (Spark has no nanos timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -48,16 +48,25 @@ def visit_to_fixpoint(
     seen = seeds.select(uri_col).dropDuplicates().localCheckpoint(eager=True)
     frontier = seen
     for _ in range(max_rounds):
+        # r15: ONE job per wave instead of three.  The wave's checkpoint is
+        # lazy and the count() both materializes it (truncating lineage —
+        # the reason the checkpoint exists) and answers the fixpoint test;
+        # the eager checkpoint + separate isEmpty() paid two extra job
+        # round trips per wave, pure scheduling overhead on every corpus.
+        # The running `seen` union is checkpointed lazily too — it
+        # materializes inside the NEXT wave's count job (or the caller's
+        # final action), one fewer job per wave with identical lineage
+        # truncation.
         discovered = (
             visit(frontier)
             .select(uri_col)
             .dropDuplicates()
             .join(seen, uri_col, "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if discovered.isEmpty():
+        if discovered.count() == 0:
             break
-        seen = seen.unionByName(discovered).localCheckpoint(eager=True)
+        seen = seen.unionByName(discovered).localCheckpoint(eager=False)
         frontier = discovered
     return seen
 
