@@ -347,7 +347,7 @@ def trained_pq_code_index(
             "vec_id",
             *[
                 assign_expr(
-                    f"slice(embedding, {si * sub + 1}, {sub})", books[si]
+                    "embedding", books[si], offset=si * sub
                 ).alias(f"c{si}")
                 for si in range(m)
             ],
@@ -616,7 +616,7 @@ def residual_code_index(
             "vec_id",
             *[
                 assign_expr(
-                    f"slice(resid, {si * sub + 1}, {sub})", books[si]
+                    "resid", books[si], offset=si * sub
                 ).alias(f"c{si}")
                 for si in range(m)
             ],

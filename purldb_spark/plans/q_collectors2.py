@@ -21,9 +21,9 @@ Shapes exercised:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.functions.sqlexpr import sql_concat
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.collectors4 import (
     map_cargo_collect,
@@ -47,19 +47,16 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    ver = F.concat(
-        (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+    ver = (
+        "concat(CAST(p_partkey % 9 AS STRING), '.',"
+        " CAST(p_partkey % 5 AS STRING), '.0')"
     )
-    return p.select(
-        k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
-            k.cast("string"),
-        ).alias("name"),
-        ver.alias("ver"),
-        F.concat(ver, F.lit(".9")).alias("ver2"),
+    return p.selectExpr(
+        "p_partkey AS k",
+        "concat(lower(replace(p_brand, '#', '-')), '-',"
+        " CAST(p_partkey AS STRING)) AS name",
+        f"{ver} AS ver",
+        f"concat({ver}, '.9') AS ver2",
     )
 
 
@@ -112,54 +109,53 @@ def x_pypi_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension; missing docs and empty version lists surface as status
     rows."""
     b = _base(spark, sf_dir)
-    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
     requests = (
-        b.filter((k % 4 == 0) | (k % 4 == 3)).select(
-            F.concat(F.lit("pkg:pypi/"), name).alias("purl"),
-            name.alias("name"),
-            F.lit(None).cast("string").alias("version"),
+        b.filter("k % 4 = 0 OR k % 4 = 3").selectExpr(
+            "concat('pkg:pypi/', name) AS purl",
+            "name",
+            "CAST(NULL AS STRING) AS version",
         )
     ).unionByName(
-        b.filter((k % 4 == 1) | (k % 4 == 2)).select(
-            F.concat(F.lit("pkg:pypi/"), name, F.lit("@"), ver).alias("purl"),
-            name.alias("name"),
-            ver.alias("version"),
+        b.filter("k % 4 = 1 OR k % 4 = 2").selectExpr(
+            "concat('pkg:pypi/', name, '@', ver) AS purl",
+            "name",
+            "ver AS version",
         )
     )
-    versions = b.filter(k % 4 == 0).select(name.alias("name"), ver.alias("version"))
+    versions = b.filter("k % 4 = 0").selectExpr("name", "ver AS version")
     versions = versions.unionByName(
-        b.filter(k % 4 == 0).select(name.alias("name"), ver2.alias("version"))
+        b.filter("k % 4 = 0").selectExpr("name", "ver2 AS version")
     )
 
-    def _doc(v):
-        lic = F.when(k % 2 == 0, F.lit('"MIT"')).otherwise(F.lit('"UNKNOWN"'))
-        return F.concat(
-            F.lit('{"info":{"name":"'), name,
-            F.lit('","version":"'), v,
-            F.lit('","license":'), lic,
-            F.lit(',"classifiers":["License :: OSI Approved :: BSD License"]},'),
-            F.lit('"urls":['),
-            F.lit('{"packagetype":"sdist","filename":"'), name, F.lit("-"), v,
-            F.lit('.tar.gz","url":"https://files.ex/'), name, F.lit("-"), v,
-            F.lit('.tar.gz","digests":{"sha256":"'), F.md5(F.concat(name, v)),
-            F.lit('"}},'),
-            F.lit('{"packagetype":"bdist_wheel","filename":"'), name, F.lit("-"), v,
-            F.lit('-py3.whl","url":"https://files.ex/'), name, F.lit("-"), v,
-            F.lit('-py3.whl","digests":{"sha256":"'), F.md5(F.concat(name, v)),
-            F.lit('"}}]}'),
+    def _doc(v: str) -> str:
+        lic = "`CASE WHEN k % 2 = 0 THEN '\"MIT\"' ELSE '\"UNKNOWN\"' END"
+        return sql_concat(
+            '{"info":{"name":"', "`name",
+            '","version":"', f"`{v}",
+            '","license":', lic,
+            ',"classifiers":["License :: OSI Approved :: BSD License"]},',
+            '"urls":[',
+            '{"packagetype":"sdist","filename":"', "`name", "-", f"`{v}",
+            '.tar.gz","url":"https://files.ex/', "`name", "-", f"`{v}",
+            '.tar.gz","digests":{"sha256":"', f"`md5(concat(name, {v}))",
+            '"}},',
+            '{"packagetype":"bdist_wheel","filename":"', "`name", "-", f"`{v}",
+            '-py3.whl","url":"https://files.ex/', "`name", "-", f"`{v}",
+            '-py3.whl","digests":{"sha256":"', f"`md5(concat(name, {v}))",
+            '"}}]}',
         )
 
     docs = (
-        b.filter(k % 4 == 0)
-        .select(name.alias("name"), ver.alias("version"), _doc(ver).alias("doc"))
+        b.filter("k % 4 = 0")
+        .selectExpr("name", "ver AS version", f"{_doc('ver')} AS doc")
         .unionByName(
-            b.filter(k % 4 == 0).select(
-                name.alias("name"), ver2.alias("version"), _doc(ver2).alias("doc")
+            b.filter("k % 4 = 0").selectExpr(
+                "name", "ver2 AS version", f"{_doc('ver2')} AS doc"
             )
         )
         .unionByName(
-            b.filter(k % 4 == 1).select(
-                name.alias("name"), ver.alias("version"), _doc(ver).alias("doc")
+            b.filter("k % 4 = 1").selectExpr(
+                "name", "ver AS version", f"{_doc('ver')} AS doc"
             )
         )
     )
@@ -208,67 +204,64 @@ def x_cargo_gem_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     unless the purl pins one; gem purls fan out over the v1 version
     list then join the v2 document; misses surface as status rows."""
     b = _base(spark, sf_dir)
-    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
 
     cargo_requests = (
-        b.filter(k % 3 == 0).select(
-            F.concat(F.lit("pkg:cargo/"), name).alias("purl"),
-            name.alias("name"),
-            F.lit(None).cast("string").alias("version"),
+        b.filter("k % 3 = 0").selectExpr(
+            "concat('pkg:cargo/', name) AS purl",
+            "name",
+            "CAST(NULL AS STRING) AS version",
         )
     ).unionByName(
-        b.filter((k % 3 == 1) | (k % 3 == 2)).select(
-            F.concat(F.lit("pkg:cargo/"), name, F.lit("@"), ver).alias("purl"),
-            name.alias("name"),
-            ver.alias("version"),
+        b.filter("k % 3 = 1 OR k % 3 = 2").selectExpr(
+            "concat('pkg:cargo/', name, '@', ver) AS purl",
+            "name",
+            "ver AS version",
         )
     )
 
-    def _cver(v):
-        return F.concat(
-            F.lit('{"crate":"'), name,
-            F.lit('","num":"'), v,
-            F.lit('","license":"Apache-2.0","dl_path":"/api/v1/crates/'),
-            name, F.lit("/"), v,
-            F.lit('/download","checksum":"'), F.md5(F.concat(name, v)),
-            F.lit('","published_by":{"name":"Ann"}}'),
+    def _cver(v: str) -> str:
+        return sql_concat(
+            '{"crate":"', "`name",
+            '","num":"', f"`{v}",
+            '","license":"Apache-2.0","dl_path":"/api/v1/crates/',
+            "`name", "/", f"`{v}",
+            '/download","checksum":"', f"`md5(concat(name, {v}))",
+            '","published_by":{"name":"Ann"}}',
         )
 
-    cargo_doc = F.concat(
-        F.lit('{"crate":{"keywords":["k1"]},"versions":['),
-        _cver(ver), F.lit(","), _cver(ver2),
-        F.lit("]}"),
+    cargo_doc = sql_concat(
+        '{"crate":{"keywords":["k1"]},"versions":[',
+        f"`{_cver('ver')}", ",", f"`{_cver('ver2')}",
+        "]}",
     )
-    cargo_docs = b.filter((k % 3 == 0) | (k % 3 == 1)).select(
-        name.alias("name"), cargo_doc.alias("doc")
+    cargo_docs = b.filter("k % 3 = 0 OR k % 3 = 1").selectExpr(
+        "name", f"{cargo_doc} AS doc"
     )
     cargo = map_cargo_collect(cargo_requests, cargo_docs)
 
     gem_requests = (
-        b.filter(k % 3 == 0).select(
-            F.concat(F.lit("pkg:gem/"), name, F.lit("@"), ver).alias("purl"),
-            name.alias("name"),
-            ver.alias("version"),
+        b.filter("k % 3 = 0").selectExpr(
+            "concat('pkg:gem/', name, '@', ver) AS purl",
+            "name",
+            "ver AS version",
         )
     ).unionByName(
-        b.filter((k % 3 == 1) | (k % 3 == 2)).select(
-            F.concat(F.lit("pkg:gem/"), name).alias("purl"),
-            name.alias("name"),
-            F.lit(None).cast("string").alias("version"),
+        b.filter("k % 3 = 1 OR k % 3 = 2").selectExpr(
+            "concat('pkg:gem/', name) AS purl",
+            "name",
+            "CAST(NULL AS STRING) AS version",
         )
     )
-    gem_versions = b.filter(k % 3 == 1).select(
-        name.alias("name"), ver.alias("version")
+    gem_versions = b.filter("k % 3 = 1").selectExpr("name", "ver AS version")
+    gem_doc = sql_concat(
+        '{"name":"', "`name",
+        '","version":"', "`ver",
+        '","licenses":["MIT","BSD"],"gem_uri":"https://rubygems.org/gems/',
+        "`name", "-", "`ver",
+        '.gem","sha":"', "`md5(concat(ver, name))", '"}',
     )
-    gem_doc = F.concat(
-        F.lit('{"name":"'), name,
-        F.lit('","version":"'), ver,
-        F.lit('","licenses":["MIT","BSD"],"gem_uri":"https://rubygems.org/gems/'),
-        name, F.lit("-"), ver,
-        F.lit('.gem","sha":"'), F.md5(F.concat(ver, name)), F.lit('"}'),
-    )
-    gem_docs = b.filter((k % 3 == 0) | (k % 3 == 1)).select(
-        name.alias("name"), ver.alias("version"), gem_doc.alias("doc")
+    gem_docs = b.filter("k % 3 = 0 OR k % 3 = 1").selectExpr(
+        "name", "ver AS version", f"{gem_doc} AS doc"
     )
     gem = map_gem_collect(gem_requests, gem_docs, gem_versions)
     return cargo.unionByName(gem)
@@ -329,96 +322,93 @@ def x_nuget_npm_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a version; npm builds the scoped/unscoped API URL and silently
     skips versionless purls (surfaced as missing_version)."""
     b = _base(spark, sf_dir)
-    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
 
     nuget_requests = (
-        b.filter(k % 3 == 0).select(
-            F.concat(F.lit("pkg:nuget/"), F.upper(name)).alias("purl"),
-            F.upper(name).alias("name"),
-            F.lit(None).cast("string").alias("version"),
+        b.filter("k % 3 = 0").selectExpr(
+            "concat('pkg:nuget/', upper(name)) AS purl",
+            "upper(name) AS name",
+            "CAST(NULL AS STRING) AS version",
         )
     ).unionByName(
-        b.filter((k % 3 == 1) | (k % 3 == 2)).select(
-            F.concat(F.lit("pkg:nuget/"), F.upper(name), F.lit("@"), ver).alias(
-                "purl"
-            ),
-            F.upper(name).alias("name"),
-            ver.alias("version"),
+        b.filter("k % 3 = 1 OR k % 3 = 2").selectExpr(
+            "concat('pkg:nuget/', upper(name), '@', ver) AS purl",
+            "upper(name) AS name",
+            "ver AS version",
         )
     )
 
-    def _entry(v):
-        return F.concat(
-            F.lit('{"id":"'), F.upper(name),
-            F.lit('","version":"'), v,
-            F.lit('","packageContent":"https://api.nuget.org/packages/'),
-            name, F.lit("."), v, F.lit('.nupkg"}'),
+    def _entry(v: str) -> str:
+        return sql_concat(
+            '{"id":"', "`upper(name)",
+            '","version":"', f"`{v}",
+            '","packageContent":"https://api.nuget.org/packages/',
+            "`name", ".", f"`{v}", '.nupkg"}',
         )
 
-    nuget_index = b.filter((k % 3 == 0) | (k % 3 == 1)).select(
-        name.alias("name_lc"),
-        F.array(_entry(ver), _entry(ver2)).alias("entries"),
+    nuget_index = b.filter("k % 3 = 0 OR k % 3 = 1").selectExpr(
+        "name AS name_lc",
+        f"array({_entry('ver')}, {_entry('ver2')}) AS entries",
     )
     # pinned requests (k%3=1) keep only the matching entry; unpinned map both
-    nuget = map_nuget_collect(nuget_requests, nuget_index).select(
+    nuget = map_nuget_collect(nuget_requests, nuget_index).selectExpr(
         "purl",
         "status",
         "type",
         "name",
         "version",
         "download_url",
-        F.lit(None).cast("string").alias("api_url"),
+        "CAST(NULL AS STRING) AS api_url",
         "package_content",
     )
 
-    ns = F.concat(F.lit("@org-"), name)
     npm_requests = (
-        b.filter(k % 4 == 0).select(
-            F.concat(F.lit("pkg:npm/"), name, F.lit("@"), ver).alias("purl"),
-            F.lit(None).cast("string").alias("namespace"),
-            name.alias("name"),
-            ver.alias("version"),
+        b.filter("k % 4 = 0").selectExpr(
+            "concat('pkg:npm/', name, '@', ver) AS purl",
+            "CAST(NULL AS STRING) AS namespace",
+            "name",
+            "ver AS version",
         )
         .unionByName(
-            b.filter(k % 4 == 1).select(
-                F.concat(
-                    F.lit("pkg:npm/%40org-"), name, F.lit("/"), name,
-                    F.lit("@"), ver,
-                ).alias("purl"),
-                ns.alias("namespace"),
-                name.alias("name"),
-                ver.alias("version"),
+            b.filter("k % 4 = 1").selectExpr(
+                "concat('pkg:npm/%40org-', name, '/', name, '@', ver)"
+                " AS purl",
+                "concat('@org-', name) AS namespace",
+                "name",
+                "ver AS version",
             )
         )
         .unionByName(
-            b.filter(k % 4 == 2).select(
-                F.concat(F.lit("pkg:npm/"), name, F.lit("@"), ver).alias("purl"),
-                F.lit(None).cast("string").alias("namespace"),
-                name.alias("name"),
-                ver.alias("version"),
+            b.filter("k % 4 = 2").selectExpr(
+                "concat('pkg:npm/', name, '@', ver) AS purl",
+                "CAST(NULL AS STRING) AS namespace",
+                "name",
+                "ver AS version",
             )
         )
         .unionByName(
-            b.filter(k % 4 == 3).select(
-                F.concat(F.lit("pkg:npm/"), name).alias("purl"),
-                F.lit(None).cast("string").alias("namespace"),
-                name.alias("name"),
-                F.lit(None).cast("string").alias("version"),
+            b.filter("k % 4 = 3").selectExpr(
+                "concat('pkg:npm/', name) AS purl",
+                "CAST(NULL AS STRING) AS namespace",
+                "name",
+                "CAST(NULL AS STRING) AS version",
             )
         )
     )
-    full_name = F.when(k % 4 == 1, F.concat(ns, F.lit("/"), name)).otherwise(name)
-    npm_doc = F.concat(
-        F.lit('{"name":"'), full_name,
-        F.lit('","dist-tags":{"latest":"'), ver,
-        F.lit('"},"versions":{"'), ver,
-        F.lit('":{"version":"'), ver,
-        F.lit('","license":"MIT","dist":{"tarball":"https://t.ex/'), name,
-        F.lit("-"), ver, F.lit('.tgz","shasum":"'), F.md5(name),
-        F.lit('"}}}}'),
+    full_name = (
+        "CASE WHEN k % 4 = 1 THEN concat(concat('@org-', name), '/', name)"
+        " ELSE name END"
     )
-    npm_docs = b.filter((k % 4 == 0) | (k % 4 == 1)).select(
-        full_name.alias("name"), npm_doc.alias("doc")
+    npm_doc = sql_concat(
+        '{"name":"', f"`{full_name}",
+        '","dist-tags":{"latest":"', "`ver",
+        '"},"versions":{"', "`ver",
+        '":{"version":"', "`ver",
+        '","license":"MIT","dist":{"tarball":"https://t.ex/', "`name",
+        "-", "`ver", '.tgz","shasum":"', "`md5(name)",
+        '"}}}}',
+    )
+    npm_docs = b.filter("k % 4 = 0 OR k % 4 = 1").selectExpr(
+        f"{full_name} AS name", f"{npm_doc} AS doc"
     )
     npm = map_npm_collect(npm_requests, npm_docs).select(
         "purl",

@@ -42,19 +42,16 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    ver = F.concat(
-        (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+    ver = (
+        "concat(CAST(p_partkey % 9 AS STRING), '.',"
+        " CAST(p_partkey % 5 AS STRING), '.0')"
     )
-    return p.select(
-        k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
-            k.cast("string"),
-        ).alias("name"),
-        ver.alias("ver"),
-        F.concat(ver, F.lit(".9")).alias("ver2"),
+    return p.selectExpr(
+        "p_partkey AS k",
+        "concat(lower(replace(p_brand, '#', '-')), '-',"
+        " CAST(p_partkey AS STRING)) AS name",
+        f"{ver} AS ver",
+        f"concat({ver}, '.9') AS ver2",
     )
 
 
@@ -100,94 +97,90 @@ def x_vcs_tags_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses (status column folded into version/null shape here: a swift
     miss keeps NULL version)."""
     b = _base(spark, sf_dir)
-    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
 
-    gl_doc = F.concat(
-        F.lit('[{"name":"v'), ver,
-        F.lit('","commit":{"author_name":"Ann '), name,
-        F.lit('","author_email":"'), name,
-        F.lit('@ex.com"}},{"name":"v'), ver2, F.lit('","commit":{}}]'),
-    )
     gitlab = parse_gitlab_tags(
-        b.select(F.concat(F.lit("grp-"), name).alias("subset_path"), gl_doc.alias("doc"))
-    ).select(
-        F.lit("gitlab").alias("source"),
-        F.col("subset_path").alias("key"),
+        b.selectExpr(
+            "concat('grp-', name) AS subset_path",
+            "concat('[{\"name\":\"v', ver,"
+            " '\",\"commit\":{\"author_name\":\"Ann ', name,"
+            " '\",\"author_email\":\"', name,"
+            " '@ex.com\"}},{\"name\":\"v', ver2,"
+            " '\",\"commit\":{}}]') AS doc",
+        )
+    ).selectExpr(
+        "'gitlab' AS source",
+        "subset_path AS key",
         "version",
         "author",
         "author_email",
-        F.lit(None).cast("string").alias("download_url"),
+        "CAST(NULL AS STRING) AS download_url",
     )
 
-    bb_page1 = F.concat(
-        F.lit('{"size":2,"values":[{"name":"'), ver,
-        F.lit('","target":{"author":{"type":"author","user":{"display_name":"Bob '),
-        name,
-        F.lit('"}}}},{"name":"'), ver2,
-        F.lit('","target":{"author":{"type":"tag"}}}],"next":null}'),
-    )
-    bb_pages = b.select(
-        F.concat(F.lit("team-"), name).alias("subset_path"), bb_page1.alias("doc")
+    bb_pages = b.selectExpr(
+        "concat('team-', name) AS subset_path",
+        "concat('{\"size\":2,\"values\":[{\"name\":\"', ver,"
+        " '\",\"target\":{\"author\":{\"type\":\"author\","
+        "\"user\":{\"display_name\":\"Bob ', name,"
+        " '\"}}}},{\"name\":\"', ver2,"
+        " '\",\"target\":{\"author\":{\"type\":\"tag\"}}}],"
+        "\"next\":null}') AS doc",
     ).unionByName(
-        b.filter(k % 2 == 0).select(
-            F.concat(F.lit("team-"), name).alias("subset_path"),
-            F.lit('{"size":0,"values":[]}').alias("doc"),
+        b.filter("k % 2 = 0").selectExpr(
+            "concat('team-', name) AS subset_path",
+            "'{\"size\":0,\"values\":[]}' AS doc",
         )
     )
-    bitbucket = parse_bitbucket_tags(bb_pages).select(
-        F.lit("bitbucket").alias("source"),
-        F.col("subset_path").alias("key"),
+    bitbucket = parse_bitbucket_tags(bb_pages).selectExpr(
+        "'bitbucket' AS source",
+        "subset_path AS key",
         "version",
         "author",
-        F.lit(None).cast("string").alias("author_email"),
-        F.lit(None).cast("string").alias("download_url"),
+        "CAST(NULL AS STRING) AS author_email",
+        "CAST(NULL AS STRING) AS download_url",
     )
 
-    gh_pages = b.select(
-        F.concat(F.lit("org-"), name).alias("subset_path"),
-        F.concat(F.lit('[{"name":"v'), ver, F.lit('"},{"name":""}]')).alias("doc"),
+    gh_pages = b.selectExpr(
+        "concat('org-', name) AS subset_path",
+        "concat('[{\"name\":\"v', ver, '\"},{\"name\":\"\"}]') AS doc",
     ).unionByName(
-        b.filter(k % 2 == 0).select(
-            F.concat(F.lit("org-"), name).alias("subset_path"),
-            F.concat(F.lit('[{"name":"v'), ver2, F.lit('"}]')).alias("doc"),
+        b.filter("k % 2 = 0").selectExpr(
+            "concat('org-', name) AS subset_path",
+            "concat('[{\"name\":\"v', ver2, '\"}]') AS doc",
         )
     )
-    github = parse_github_tag_pages(gh_pages).select(
-        F.lit("github").alias("source"),
-        F.col("subset_path").alias("key"),
+    github = parse_github_tag_pages(gh_pages).selectExpr(
+        "'github' AS source",
+        "subset_path AS key",
         "version",
-        F.lit(None).cast("string").alias("author"),
-        F.lit(None).cast("string").alias("author_email"),
-        F.lit(None).cast("string").alias("download_url"),
+        "CAST(NULL AS STRING) AS author",
+        "CAST(NULL AS STRING) AS author_email",
+        "CAST(NULL AS STRING) AS download_url",
     )
 
-    sw_ver = F.when(k % 2 == 0, F.concat(F.lit("v"), ver)).otherwise(F.lit("v9.9"))
-    sw_requests = b.select(
-        F.concat(
-            F.lit("pkg:swift/github.com/own-"), name, F.lit("/"), name,
-            F.lit("@"), sw_ver,
-        ).alias("purl"),
-        F.concat(F.lit("github.com/own-"), name).alias("namespace"),
-        name.alias("name"),
-        sw_ver.alias("version"),
+    sw_ver = (
+        "CASE WHEN k % 2 = 0 THEN concat('v', ver) ELSE 'v9.9' END"
     )
-    repo_doc = F.concat(
-        F.lit('{"full_name":"own-'), name, F.lit("/"), name,
-        F.lit('","tags":[{"name":"v'), ver,
-        F.lit('","tarball_url":"https://api.github.com/repos/own-'), name,
-        F.lit("/"), name, F.lit("/tarball/v"), ver, F.lit('"}]}'),
+    sw_requests = b.selectExpr(
+        "concat('pkg:swift/github.com/own-', name, '/', name, '@',"
+        f" {sw_ver}) AS purl",
+        "concat('github.com/own-', name) AS namespace",
+        "name",
+        f"{sw_ver} AS version",
     )
-    repo_docs = b.select(
-        F.concat(F.lit("own-"), name).alias("owner"),
-        name.alias("name"),
-        repo_doc.alias("doc"),
+    repo_docs = b.selectExpr(
+        "concat('own-', name) AS owner",
+        "name",
+        "concat('{\"full_name\":\"own-', name, '/', name,"
+        " '\",\"tags\":[{\"name\":\"v', ver,"
+        " '\",\"tarball_url\":\"https://api.github.com/repos/own-', name,"
+        " '/', name, '/tarball/v', ver, '\"}]}') AS doc",
     )
-    swift = map_swift_requests(sw_requests, repo_docs).select(
-        F.lit("swift").alias("source"),
-        F.col("purl").alias("key"),
+    swift = map_swift_requests(sw_requests, repo_docs).selectExpr(
+        "'swift' AS source",
+        "purl AS key",
         "version",
-        F.lit(None).cast("string").alias("author"),
-        F.lit(None).cast("string").alias("author_email"),
+        "CAST(NULL AS STRING) AS author",
+        "CAST(NULL AS STRING) AS author_email",
         "download_url",
     )
     return gitlab.unionByName(bitbucket).unionByName(github).unionByName(swift)

@@ -74,28 +74,26 @@ def fan_out_versions(requests: DataFrame, versions: DataFrame) -> DataFrame:
     with no version rows becomes a ``no_versions`` status row. Output:
     (purl, name, version, status) with status NULL on the happy path.
     """
-    pinned = requests.filter(F.col("version").isNotNull()).select(
-        "purl", "name", "version", F.lit(None).cast("string").alias("status")
+    pinned = requests.filter("version IS NOT NULL").selectExpr(
+        "purl", "name", "version", "CAST(NULL AS STRING) AS status"
     )
-    vlist = versions.select(
-        F.col("name").alias("_vn"), F.col("version").alias("_vv")
-    )
+    vlist = versions.selectExpr("name AS _vn", "version AS _vv")
     loose = (
-        requests.filter(F.col("version").isNull())
+        requests.filter("version IS NULL")
         .select("purl", "name")
-        .join(vlist, F.col("name") == F.col("_vn"), "left")
+        .join(vlist, F.expr("name = _vn"), "left")
     )
-    missing = loose.filter(F.col("_vv").isNull()).select(
+    missing = loose.filter("_vv IS NULL").selectExpr(
         "purl",
         "name",
-        F.lit(None).cast("string").alias("version"),
-        F.lit("no_versions").alias("status"),
+        "CAST(NULL AS STRING) AS version",
+        "'no_versions' AS status",
     )
-    fanned = loose.filter(F.col("_vv").isNotNull()).select(
+    fanned = loose.filter("_vv IS NOT NULL").selectExpr(
         "purl",
         "name",
-        F.col("_vv").alias("version"),
-        F.lit(None).cast("string").alias("status"),
+        "_vv AS version",
+        "CAST(NULL AS STRING) AS status",
     )
     return pinned.unionByName(fanned).unionByName(missing)
 
@@ -103,11 +101,11 @@ def fan_out_versions(requests: DataFrame, versions: DataFrame) -> DataFrame:
 def _status_rows(df: DataFrame, status: str, like: DataFrame) -> DataFrame:
     """(purl) rows -> the full output schema of `like` with NULL fields."""
     null_cols = [
-        F.lit(None).cast(like.schema[c].dataType).alias(c)
+        f"CAST(NULL AS {like.schema[c].dataType.simpleString()}) AS {c}"
         for c in like.columns
         if c not in ("purl", "status")
     ]
-    return df.select("purl", F.lit(status).alias("status"), *null_cols)
+    return df.selectExpr("purl", f"'{status}' AS status", *null_cols)
 
 
 def map_pypi_collect(
@@ -117,16 +115,12 @@ def map_pypi_collect(
     purls, join the per-(name, version) release JSON, map one row per
     download via the miner mapper, classify content by extension."""
     resolved = fan_out_versions(requests, versions)
-    no_versions = resolved.filter(F.col("status") == "no_versions")
-    ok = resolved.filter(F.col("status").isNull())
-    d = docs.select(
-        F.col("name").alias("_dn"), F.col("version").alias("_dv"), "doc"
-    )
-    joined = ok.join(
-        d, (F.col("name") == F.col("_dn")) & (F.col("version") == F.col("_dv")), "left"
-    )
-    missing = joined.filter(F.col("doc").isNull()).select("purl")
-    mapped = map_pypi_docs(parse_pypi_docs(joined.filter(F.col("doc").isNotNull())))
+    no_versions = resolved.filter("status = 'no_versions'")
+    ok = resolved.filter("status IS NULL")
+    d = docs.selectExpr("name AS _dn", "version AS _dv", "doc")
+    joined = ok.join(d, F.expr("name = _dn AND version = _dv"), "left")
+    missing = joined.filter("doc IS NULL").select("purl")
+    mapped = map_pypi_docs(parse_pypi_docs(joined.filter("doc IS NOT NULL")))
     rows = mapped.select(
         "purl",
         F.lit("collected").alias("status"),
@@ -148,35 +142,31 @@ def map_cargo_collect(requests: DataFrame, docs: DataFrame) -> DataFrame:
     """Cargo collect (collectors/cargo.py:24-59 + miners/cargo.py:14-30):
     the crate document is keyed by name and carries every version; a
     pinned purl keeps only its version, an unpinned one keeps all."""
-    reqs = requests.select("purl", "name", F.col("version").alias("_want"))
-    d = docs.select(F.col("name").alias("_dn"), "doc")
-    joined = reqs.join(d, F.col("name") == F.col("_dn"), "left")
-    missing = joined.filter(F.col("doc").isNull()).select("purl")
-    found = joined.filter(F.col("doc").isNotNull())
+    reqs = requests.selectExpr("purl", "name", "version AS _want")
+    d = docs.selectExpr("name AS _dn", "doc")
+    joined = reqs.join(d, F.expr("name = _dn"), "left")
+    missing = joined.filter("doc IS NULL").select("purl")
+    found = joined.filter("doc IS NOT NULL")
     # map_cargo_docs projects the doc columns only; map each distinct
     # crate document once, then re-attach the request keyed by name (the
     # crate doc is name-unique) to apply the version pin
     mapped = map_cargo_docs(found.select("doc").distinct())
     reattach = mapped.join(
-        found.select(
-            F.col("purl").alias("req_purl"),
-            F.col("name").alias("_rn"),
-            "_want",
-        ),
+        found.selectExpr("purl AS req_purl", "name AS _rn", "_want"),
         mapped["name"] == F.col("_rn"),
-    ).filter(F.col("_want").isNull() | (F.col("version") == F.col("_want")))
+    ).filter("_want IS NULL OR version = _want")
     # one package per mapped version, keyed by its own purl (the
     # reference's merge_or_create_package is per built package)
-    rows = reattach.select(
-        mapped["purl"],
-        F.lit("collected").alias("status"),
+    rows = reattach.selectExpr(
+        "purl",
+        "'collected' AS status",
         "type",
         "name",
         "version",
         "download_url",
         "declared_license",
         "sha256",
-        F.lit("source_archive").alias("package_content"),
+        "'source_archive' AS package_content",
         "datasource_id",
     )
     return rows.unionByName(_status_rows(missing, "does_not_exist", rows))
@@ -189,26 +179,22 @@ def map_gem_collect(
     v1 versions list, join the v2 (name, version) document, map via the
     miner mapper; source_archive always."""
     resolved = fan_out_versions(requests, versions)
-    no_versions = resolved.filter(F.col("status") == "no_versions")
-    ok = resolved.filter(F.col("status").isNull())
-    d = docs.select(
-        F.col("name").alias("_dn"), F.col("version").alias("_dv"), "doc"
-    )
-    joined = ok.join(
-        d, (F.col("name") == F.col("_dn")) & (F.col("version") == F.col("_dv")), "left"
-    )
-    missing = joined.filter(F.col("doc").isNull()).select("purl")
-    mapped = map_gem_docs(joined.filter(F.col("doc").isNotNull()))
-    rows = mapped.select(
+    no_versions = resolved.filter("status = 'no_versions'")
+    ok = resolved.filter("status IS NULL")
+    d = docs.selectExpr("name AS _dn", "version AS _dv", "doc")
+    joined = ok.join(d, F.expr("name = _dn AND version = _dv"), "left")
+    missing = joined.filter("doc IS NULL").select("purl")
+    mapped = map_gem_docs(joined.filter("doc IS NOT NULL"))
+    rows = mapped.selectExpr(
         "purl",
-        F.lit("collected").alias("status"),
-        F.lit("gem").alias("type"),
+        "'collected' AS status",
+        "'gem' AS type",
         "name",
         "version",
         "download_url",
-        F.col("declared_license"),
+        "declared_license",
         "sha256",
-        F.lit("source_archive").alias("package_content"),
+        "'source_archive' AS package_content",
         "datasource_id",
     )
     return rows.unionByName(_status_rows(missing, "does_not_exist", rows)).unionByName(
@@ -233,18 +219,18 @@ def map_nuget_collect(requests: DataFrame, index_docs: DataFrame) -> DataFrame:
     """
     from purldb_spark.sources.miners2 import map_nuget_docs
 
-    reqs = requests.select(
-        "purl", F.lower(F.col("name")).alias("_nlc"), F.col("version").alias("_want")
+    reqs = requests.selectExpr(
+        "purl", "lower(name) AS _nlc", "version AS _want"
     )
-    d = index_docs.select(F.col("name_lc").alias("_dn"), "entries")
-    joined = reqs.join(d, F.col("_nlc") == F.col("_dn"), "left")
-    missing = joined.filter(F.col("entries").isNull()).select("purl")
+    d = index_docs.selectExpr("name_lc AS _dn", "entries")
+    joined = reqs.join(d, F.expr("_nlc = _dn"), "left")
+    missing = joined.filter("entries IS NULL").select("purl")
     # map_nuget_docs drops the request columns; map each distinct catalog
     # entry once and rejoin on the mapped lowercased name — catalog
     # entries are version-unique per package
     exploded = (
-        joined.filter(F.col("entries").isNotNull())
-        .select(F.explode("entries").alias("doc"))
+        joined.filter("entries IS NOT NULL")
+        .selectExpr("explode(entries) AS doc")
         .distinct()
     )
     entry_keys = (
@@ -252,21 +238,21 @@ def map_nuget_collect(requests: DataFrame, index_docs: DataFrame) -> DataFrame:
         .withColumnRenamed("purl", "entry_purl")
         .withColumn("_en", F.lower(F.col("name")))
     )
-    reattach = joined.filter(F.col("entries").isNotNull()).select(
+    reattach = joined.filter("entries IS NOT NULL").select(
         "purl", "_nlc", "_want"
-    ).join(entry_keys, F.col("_nlc") == F.col("_en")).filter(
-        F.col("_want").isNull() | (F.col("version") == F.col("_want"))
+    ).join(entry_keys, F.expr("_nlc = _en")).filter(
+        "_want IS NULL OR version = _want"
     )
-    rows = reattach.select(
-        F.col("purl"),
-        F.lit("collected").alias("status"),
+    rows = reattach.selectExpr(
+        "purl",
+        "'collected' AS status",
         "type",
         "name",
         "version",
         "download_url",
-        F.col("declared_license"),
-        F.lit(None).cast("string").alias("sha256"),
-        F.lit("source_archive").alias("package_content"),
+        "declared_license",
+        "CAST(NULL AS STRING) AS sha256",
+        "'source_archive' AS package_content",
         "datasource_id",
     )
     return rows.unionByName(_status_rows(missing, "does_not_exist", rows))
@@ -294,26 +280,29 @@ def map_npm_collect(requests: DataFrame, docs: DataFrame) -> DataFrame:
     mapper; source_archive always."""
     from purldb_spark.sources.registry_json import packages_from_registry
 
-    reqs = requests.select(
+    reqs = requests.selectExpr(
         "purl",
-        F.col("namespace").alias("_ns"),
-        F.col("name").alias("_n"),
-        F.col("version").alias("_v"),
+        "namespace AS _ns",
+        "name AS _n",
+        "version AS _v",
     )
-    no_ver = reqs.filter(F.col("_v").isNull()).select("purl")
-    ok = reqs.filter(F.col("_v").isNotNull()).withColumn(
-        "api_url", npm_api_url(F.col("_ns"), F.col("_n"), F.col("_v"))
-    )
+    no_ver = reqs.filter("_v IS NULL").select("purl")
     # doc table is keyed by the FULL registry name ("@scope/name" for
     # scoped packages) — the same identifier the registry URL resolves
-    full = F.when(
-        F.col("_ns").isNotNull(), F.concat(F.col("_ns"), F.lit("/"), F.col("_n"))
-    ).otherwise(F.col("_n"))
-    ok = ok.withColumn("_full", full)
-    d = docs.select(F.col("name").alias("_dn"), "doc")
-    joined = ok.join(d, F.col("_full") == F.col("_dn"), "left")
-    missing = joined.filter(F.col("doc").isNull()).select("purl")
-    found = joined.filter(F.col("doc").isNotNull())
+    ok = reqs.filter("_v IS NOT NULL").selectExpr(
+        "*",
+        "CASE WHEN _ns IS NOT NULL"
+        " THEN concat('https://registry.npmjs.org/', _ns, '%2f', _n)"
+        " ELSE CASE WHEN _v IS NOT NULL"
+        " THEN concat('https://registry.npmjs.org/', _n, '/', _v)"
+        " ELSE concat('https://registry.npmjs.org/', _n) END END AS api_url",
+        "CASE WHEN _ns IS NOT NULL THEN concat(_ns, '/', _n)"
+        " ELSE _n END AS _full",
+    )
+    d = docs.selectExpr("name AS _dn", "doc")
+    joined = ok.join(d, F.expr("_full = _dn"), "left")
+    missing = joined.filter("doc IS NULL").select("purl")
+    found = joined.filter("doc IS NOT NULL")
     # registry mapper explodes the versions map; parse each distinct doc
     # once and rejoin on (full name, version) to pick the pinned release
     from purldb_spark.sources.registry_json import REGISTRY_SCHEMA
@@ -329,17 +318,17 @@ def map_npm_collect(requests: DataFrame, docs: DataFrame) -> DataFrame:
         mapped.withColumnRenamed("purl", "entry_purl").withColumnRenamed(
             "name", "full_name"
         ),
-        (F.col("_full") == F.col("full_name")) & (F.col("_v") == F.col("version")),
+        F.expr("_full = full_name AND _v = version"),
     )
-    rows = reattach.select(
-        F.col("purl"),
-        F.lit("collected").alias("status"),
-        F.lit("npm").alias("type"),
-        F.col("full_name").alias("name"),
+    rows = reattach.selectExpr(
+        "purl",
+        "'collected' AS status",
+        "'npm' AS type",
+        "full_name AS name",
         "version",
         "api_url",
         "download_url",
-        F.lit("source_archive").alias("package_content"),
+        "'source_archive' AS package_content",
     )
     out_missing = _status_rows(missing, "does_not_exist", rows)
     out_no_ver = _status_rows(no_ver, "missing_version", rows)

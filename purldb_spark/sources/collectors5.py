@@ -81,15 +81,19 @@ _GITLAB_TAGS_SCHEMA = T.ArrayType(
 def parse_gitlab_tags(docs: DataFrame, json_col: str = "doc") -> DataFrame:
     """GitLab repository-tags responses -> (subset_path, version,
     author, author_email) rows (gitlab.py:21-41): missing commit/author
-    fields coalesce to ''."""
-    t = F.explode(F.from_json(F.col(json_col), _GITLAB_TAGS_SCHEMA)).alias("t")
-    out = docs.select("subset_path", t)
-    c = F.col("t")["commit"]
-    return out.select(
+    fields coalesce to ''.
+
+    selectExpr strings, not Column chains (r15 §5-driver): one py4j
+    round trip per select instead of one per F.* node."""
+    return docs.selectExpr(
         "subset_path",
-        F.col("t")["name"].alias("version"),
-        F.coalesce(c["author_name"], F.lit("")).alias("author"),
-        F.coalesce(c["author_email"], F.lit("")).alias("author_email"),
+        f"explode(from_json({json_col},"
+        f" '{_GITLAB_TAGS_SCHEMA.simpleString()}')) AS t",
+    ).selectExpr(
+        "subset_path",
+        "t.name AS version",
+        "coalesce(t.commit.author_name, '') AS author",
+        "coalesce(t.commit.author_email, '') AS author_email",
     )
 
 
@@ -143,17 +147,15 @@ def parse_bitbucket_tags(pages: DataFrame, json_col: str = "doc") -> DataFrame:
     author display_name is taken only from entries whose author is
     typed "author" (the reference carries the previous value across
     untyped entries — a NULL here instead, deviation documented)."""
-    j = F.from_json(F.col(json_col), _BITBUCKET_TAGS_SCHEMA)
-    out = pages.select(
-        "subset_path", F.explode(F.when(j["size"] > 0, j["values"])).alias("v")
-    )
-    v = F.col("v")
-    author = F.when(
-        v["target"]["author"]["type"] == "author",
-        v["target"]["author"]["user"]["display_name"],
-    )
-    return out.select(
-        "subset_path", v["name"].alias("version"), author.alias("author")
+    j = f"from_json({json_col}, '{_BITBUCKET_TAGS_SCHEMA.simpleString()}')"
+    return pages.selectExpr(
+        "subset_path",
+        f"explode(CASE WHEN {j}.size > 0 THEN {j}.values END) AS v",
+    ).selectExpr(
+        "subset_path",
+        "v.name AS version",
+        "CASE WHEN v.target.author.type = 'author'"
+        " THEN v.target.author.user.display_name END AS author",
     )
 
 
@@ -165,11 +167,14 @@ _GITHUB_TAGS_SCHEMA = T.ArrayType(
 def parse_github_tag_pages(pages: DataFrame, json_col: str = "doc") -> DataFrame:
     """GitHub tags pages -> (subset_path, version) rows
     (github.py:16-42): empty/missing names are dropped."""
-    t = F.explode(F.from_json(F.col(json_col), _GITHUB_TAGS_SCHEMA)).alias("t")
     return (
-        pages.select("subset_path", t)
-        .select("subset_path", F.col("t")["name"].alias("version"))
-        .where(F.col("version").isNotNull() & (F.col("version") != ""))
+        pages.selectExpr(
+            "subset_path",
+            f"explode(from_json({json_col},"
+            f" '{_GITHUB_TAGS_SCHEMA.simpleString()}')) AS t",
+        )
+        .selectExpr("subset_path", "t.name AS version")
+        .where("version IS NOT NULL AND version != ''")
     )
 
 
@@ -181,25 +186,23 @@ def map_swift_requests(requests: DataFrame, repo_docs: DataFrame) -> DataFrame:
     yields a ``no_tag`` status row."""
     from purldb_spark.sources.miners4 import map_github_docs
 
-    reqs = requests.select(
+    reqs = requests.selectExpr(
         "purl",
-        F.col("namespace").alias("_ns"),
-        F.col("name").alias("_n"),
-        F.col("version").alias("_v"),
-        F.substring_index(F.col("namespace"), "/", -1).alias("_owner"),
+        "namespace AS _ns",
+        "name AS _n",
+        "version AS _v",
+        "substring_index(namespace, '/', -1) AS _owner",
     )
-    d = repo_docs.select(
-        F.col("owner").alias("_do"), F.col("name").alias("_dn"), "doc"
+    d = repo_docs.selectExpr("owner AS _do", "name AS _dn", "doc")
+    joined = reqs.join(d, F.expr("_owner = _do AND _n = _dn"), "left")
+    mapped = map_github_docs(
+        joined.filter("doc IS NOT NULL").select("doc").distinct()
     )
-    joined = reqs.join(
-        d, (F.col("_owner") == F.col("_do")) & (F.col("_n") == F.col("_dn")), "left"
-    )
-    mapped = map_github_docs(joined.filter(F.col("doc").isNotNull()).select("doc").distinct())
     # tag rows only, re-keyed by (owner, name, version) == the purl pin
-    tags = mapped.filter(F.col("version").isNotNull()).select(
-        F.col("namespace").alias("_mo"),
-        F.col("name").alias("_mn"),
-        F.col("version").alias("_mv"),
+    tags = mapped.filter("version IS NOT NULL").selectExpr(
+        "namespace AS _mo",
+        "name AS _mn",
+        "version AS _mv",
         "description",
         "homepage_url",
         "vcs_url",
@@ -207,33 +210,30 @@ def map_swift_requests(requests: DataFrame, repo_docs: DataFrame) -> DataFrame:
         "sha1",
     )
     hit = joined.select("purl", "_ns", "_n", "_v", "_owner").join(
-        tags,
-        (F.col("_owner") == F.col("_mo"))
-        & (F.col("_n") == F.col("_mn"))
-        & (F.col("_v") == F.col("_mv")),
+        tags, F.expr("_owner = _mo AND _n = _mn AND _v = _mv")
     )
-    rows = hit.select(
+    rows = hit.selectExpr(
         "purl",
-        F.lit("collected").alias("status"),
-        F.lit("swift").alias("type"),
-        F.col("_ns").alias("namespace"),
-        F.col("_n").alias("name"),
-        F.col("_v").alias("version"),
+        "'collected' AS status",
+        "'swift' AS type",
+        "_ns AS namespace",
+        "_n AS name",
+        "_v AS version",
         "description",
         "homepage_url",
         "vcs_url",
         "download_url",
         "sha1",
-        F.lit("source_archive").alias("package_content"),
+        "'source_archive' AS package_content",
     )
     missed = joined.select("purl").exceptAll(hit.select("purl"))
     null_cols = [
-        F.lit(None).cast(rows.schema[c].dataType).alias(c)
+        f"CAST(NULL AS {rows.schema[c].dataType.simpleString()}) AS {c}"
         for c in rows.columns
         if c not in ("purl", "status")
     ]
     return rows.unionByName(
-        missed.select("purl", F.lit("no_tag").alias("status"), *null_cols)
+        missed.selectExpr("purl", "'no_tag' AS status", *null_cols)
     )
 
 
