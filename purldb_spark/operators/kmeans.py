@@ -50,31 +50,14 @@ def _lit_array(c: list[float]) -> str:
     return "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
 
 
-def sqdist_spark(vec_col: str, c: list[float], offset: int = 0) -> str:
+def sqdist_spark(vec_col: str, c: list[float]) -> str:
     """Squared L2 distance of an array<float> column to a literal centroid,
-    as a Spark SQL expression.
-
-    r15: closed-form left-associated sum over per-element subscripts
-    instead of the old ``aggregate(zip_with(...))`` fold. Catalyst runs
-    higher-order-function lambdas interpreted (per element, boxed) even
-    inside an otherwise codegen'd stage; the unrolled sum compiles into
-    straight-line generated Java. Bit-identity with the fold: the fold
-    computed ((0D + v0) + v1) + ... with v_i = (x_i - y_i)^2; 0D + v0 is
-    bit-identical to v0 for any v0 a double product can produce (>= +0.0
-    or NaN), and the remaining additions associate left in both forms.
-    ``offset`` indexes a sub-range so PQ sub-quantizers address the base
-    array directly rather than materializing slice() per distance
-    (identical elements: slice(v, off+1, n)[i] == v[off+i]).
-
-    Contract narrowing vs the fold (all call sites comply): the vector
-    must have >= offset+len(c) elements — fixed-dim embedding columns
-    always do; the fold would have yielded NULL on a short vector where
-    this raises under ANSI subscript checking."""
-    terms = []
-    for i, y in enumerate(c):
-        d = f"(cast({vec_col}[{offset + i}] as double) - {float(y)!r}D)"
-        terms.append(f"{d} * {d}")
-    return "(" + " + ".join(terms) + ")"
+    as a Spark SQL expression (deterministic left fold)."""
+    return (
+        f"aggregate(zip_with({vec_col}, {_lit_array(c)},"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
 
 
 def sqdist_cols_spark(a: str, b: str) -> str:
@@ -98,14 +81,10 @@ def sqdist_cols_duckdb(a: str, b: str) -> str:
     )
 
 
-def assign_expr(
-    vec_col: str, centroids: list[list[float]], offset: int = 0
-) -> F.Column:
+def assign_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """1-based argmin cluster id over literal centroids (first-min ties)."""
     dists = (
-        "array("
-        + ", ".join(sqdist_spark(vec_col, c, offset) for c in centroids)
-        + ")"
+        "array(" + ", ".join(sqdist_spark(vec_col, c) for c in centroids) + ")"
     )
     return F.expr(f"array_position({dists}, array_min({dists}))").cast("long")
 

@@ -347,7 +347,7 @@ def trained_pq_code_index(
             "vec_id",
             *[
                 assign_expr(
-                    "embedding", books[si], offset=si * sub
+                    f"slice(embedding, {si * sub + 1}, {sub})", books[si]
                 ).alias(f"c{si}")
                 for si in range(m)
             ],
@@ -616,7 +616,7 @@ def residual_code_index(
             "vec_id",
             *[
                 assign_expr(
-                    "resid", books[si], offset=si * sub
+                    f"slice(resid, {si * sub + 1}, {sub})", books[si]
                 ).alias(f"c{si}")
                 for si in range(m)
             ],

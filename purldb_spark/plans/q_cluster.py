@@ -593,7 +593,7 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[
             (
-                assign_expr("embedding", books[si], offset=si * sub)
+                assign_expr(f"slice(embedding, {si * sub + 1}, {sub})", books[si])
                 - F.lit(1)
             )
             .cast("long")
