@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.collectors import (
     enrich_debian_packages,
@@ -45,53 +46,54 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
     )
 
 
 def _pom(g, a, v, license_=None, url=None, dev=None, parent=None):
-    """Small column-expression POM builder for the fixture."""
+    """Small expression-text POM builder for the fixture."""
     parts = [
-        F.lit('<project><modelVersion>4.0.0</modelVersion>'),
+        '<project><modelVersion>4.0.0</modelVersion>',
     ]
     if parent is not None:
         pg, pa, pv = parent
         parts += [
-            F.lit("<parent><groupId>"), pg,
-            F.lit("</groupId><artifactId>"), pa,
-            F.lit("</artifactId><version>"), pv,
-            F.lit("</version></parent>"),
+            "<parent><groupId>", pg,
+            "</groupId><artifactId>", pa,
+            "</artifactId><version>", pv,
+            "</version></parent>",
         ]
     parts += [
-        F.lit("<groupId>"), g,
-        F.lit("</groupId><artifactId>"), a,
-        F.lit("</artifactId><version>"), v,
-        F.lit("</version>"),
+        "<groupId>", g,
+        "</groupId><artifactId>", a,
+        "</artifactId><version>", v,
+        "</version>",
     ]
     if url is not None:
-        parts += [F.lit("<url>"), url, F.lit("</url>")]
+        parts += ["<url>", url, "</url>"]
     if license_ is not None:
         parts += [
-            F.lit("<licenses><license><name>"), license_,
-            F.lit("</name></license></licenses>"),
+            "<licenses><license><name>", license_,
+            "</name></license></licenses>",
         ]
     if dev is not None:
         parts += [
-            F.lit("<developers><developer><name>"), dev,
-            F.lit("</name></developer></developers>"),
+            "<developers><developer><name>", dev,
+            "</name></developer></developers>",
         ]
-    parts.append(F.lit("</project>"))
-    return F.concat(*parts)
+    parts.append("</project>")
+    return S.concat(*parts)
 
 
 @query(
@@ -117,56 +119,56 @@ def x_maven_pom_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deepest ancestor holding a value (the reference's oldest-first
     merge), child values never overwritten."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
-    packages = b.select(
-        F.concat(F.lit("pkg:maven/org.ex/"), name, F.lit("@"), ver).alias("purl"),
-        F.lit("org.ex").alias("namespace"),
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
+    packages = S.sel(
+        b,
+        S.concat("pkg:maven/org.ex/", name, "@", ver).alias("purl"),
+        S.lit("org.ex").alias("namespace"),
         name.alias("name"),
         ver.alias("version"),
-        F.when(k % 3 == 0, F.lit("CHILD-LIC")).alias(
+        S.when(k % 3 == 0, "CHILD-LIC").alias(
             "declared_license_expression"
         ),
-        F.lit(None).cast("string").alias("homepage_url"),
-        F.when(k % 5 == 0, F.lit("Child Team")).alias("parties"),
+        "CAST(NULL AS string) AS homepage_url",
+        S.when(k % 5 == 0, "Child Team").alias("parties"),
     )
-    par_a = F.concat(F.lit("par-"), name)
-    grand_a = F.concat(F.lit("g-"), name)
-    child_pom = b.select(
+    par_a = S.concat("par-", name)
+    grand_a = S.concat("g-", name)
+    child_pom = S.sel(
+        b,
         _pom(
-            F.lit("org.ex"), name, ver,
-            parent=(F.lit("org.parent"), par_a, F.lit("1")),
-        ).alias("pom_text")
+            "org.ex", name, ver,
+            parent=("org.parent", par_a, "1"),
+        ).alias("pom_text"),
     )
-    parent_pom = b.select(
-        F.when(
+    parent_pom = S.sel(
+        b,
+        S.when(
             k % 2 == 0,
             _pom(
-                F.lit("org.parent"), par_a, F.lit("1"),
-                license_=F.when(k % 3 == 1, F.lit("PARENT-LIC")).otherwise(
-                    F.lit("")
-                ),
-                url=F.concat(F.lit("https://parent.ex/"), name),
-                parent=(F.lit("org.grand"), grand_a, F.lit("2")),
+                "org.parent", par_a, "1",
+                license_=S.when(k % 3 == 1, "PARENT-LIC").otherwise(""),
+                url=S.concat("https://parent.ex/", name),
+                parent=("org.grand", grand_a, "2"),
             ),
         )
         .otherwise(
             _pom(
-                F.lit("org.parent"), par_a, F.lit("1"),
-                license_=F.when(k % 3 == 1, F.lit("PARENT-LIC")).otherwise(
-                    F.lit("")
-                ),
-                url=F.concat(F.lit("https://parent.ex/"), name),
+                "org.parent", par_a, "1",
+                license_=S.when(k % 3 == 1, "PARENT-LIC").otherwise(""),
+                url=S.concat("https://parent.ex/", name),
             )
         )
-        .alias("pom_text")
+        .alias("pom_text"),
     )
-    grand_pom = b.filter(k % 2 == 0).select(
+    grand_pom = S.sel(
+        b.filter((k % 2 == 0).sql),
         _pom(
-            F.lit("org.grand"), grand_a, F.lit("2"),
-            license_=F.lit("GRAND-LIC"),
-            url=F.concat(F.lit("https://grand.ex/"), name),
-            dev=F.lit("Grand Team"),
-        ).alias("pom_text")
+            "org.grand", grand_a, "2",
+            license_="GRAND-LIC",
+            url=S.concat("https://grand.ex/", name),
+            dev="Grand Team",
+        ).alias("pom_text"),
     )
     poms = parse_pom_cols(
         child_pom.unionByName(parent_pom).unionByName(grand_pom)
@@ -242,54 +244,51 @@ def x_debian_collect_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool archive URLs across the epoch / revision-0 / '+build' / lib-name
     / source-purl branches."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
-    dname = F.when(k % 2 == 0, F.concat(F.lit("lib"), name)).otherwise(name)
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
+    dname = S.when(k % 2 == 0, S.concat("lib", name)).otherwise(name)
     dver = (
-        F.when(k % 4 == 0, F.concat(F.lit("1:"), ver, F.lit("-2")))
-        .when(k % 4 == 1, F.concat(ver, F.lit("+b1-1")))
+        S.when(k % 4 == 0, S.concat("1:", ver, "-2"))
+        .when(k % 4 == 1, S.concat(ver, "+b1-1"))
         .when(k % 4 == 2, ver)
-        .otherwise(F.concat(ver, F.lit("-0")))
+        .otherwise(S.concat(ver, "-0"))
     )
-    arch = F.when(k % 2 == 1, F.lit("amd64"))
-    src_name = F.when(k % 3 == 0, F.concat(F.lit("src-"), name))
-    src_ver = F.when(k % 3 == 0, F.concat(ver, F.lit("-s1")))
-    meta_name = F.coalesce(src_name, dname)
-    predep = F.when(k % 5 == 0, F.lit("Pre-Depends: dpkg (>= 1.15)\n")).otherwise(
-        F.lit("")
+    arch = S.when(k % 2 == 1, "amd64")
+    src_name = S.when(k % 3 == 0, S.concat("src-", name))
+    src_ver = S.when(k % 3 == 0, S.concat(ver, "-s1"))
+    meta_name = S.coalesce(src_name, dname)
+    predep = S.when(k % 5 == 0, "Pre-Depends: dpkg (>= 1.15)\n").otherwise(
+        ""
     )
-    dsc = F.concat(
-        F.lit("Format: 3.0 (quilt)\nSource: "), meta_name,
-        F.lit("\nVersion: "), dver,
-        F.lit("\nHomepage: https://home.ex/"), dname,
-        F.lit("\nLicense: META-LIC\nBuild-Depends: debhelper (>= 9), cmake\n"),
+    dsc = S.concat(
+        "Format: 3.0 (quilt)\nSource: ", meta_name,
+        "\nVersion: ", dver,
+        "\nHomepage: https://home.ex/", dname,
+        "\nLicense: META-LIC\nBuild-Depends: debhelper (>= 9), cmake\n",
         predep,
-        F.lit("Vcs-Browser: https://salsa.debian.org/x/"), dname,
-        F.lit("\nVcs-Git: https://salsa.debian.org/x/"), dname,
-        F.lit(".git\n"),
+        "Vcs-Browser: https://salsa.debian.org/x/", dname,
+        "\nVcs-Git: https://salsa.debian.org/x/", dname,
+        ".git\n",
     )
-    copyright_doc = F.when(
+    copyright_doc = S.when(
         k % 3 != 1,
-        F.concat(
-            F.lit(
-                "Format: https://www.debian.org/doc/packaging-manuals/"
-                "copyright-format/1.0/\nCopyright: 2020 Ann\n"
-                "License: MIT\n some text\nFiles: debian/*\n"
-                "License: GPL-2+\nLicense: MIT\n"
-            )
-        ),
+        "Format: https://www.debian.org/doc/packaging-manuals/"
+        "copyright-format/1.0/\nCopyright: 2020 Ann\n"
+        "License: MIT\n some text\nFiles: debian/*\n"
+        "License: GPL-2+\nLicense: MIT\n",
     )
-    requests = b.select(
-        F.concat(
-            F.lit("pkg:deb/debian/"), dname, F.lit("@"), dver,
-            F.when(arch.isNotNull(), F.lit("?arch=amd64")).otherwise(F.lit("")),
+    requests = S.sel(
+        b,
+        S.concat(
+            "pkg:deb/debian/", dname, "@", dver,
+            S.when(arch.isNotNull(), "?arch=amd64").otherwise(""),
         ).alias("purl"),
         dname.alias("name"),
         dver.alias("version"),
         arch.alias("arch"),
         src_name.alias("source_name"),
         src_ver.alias("source_version"),
-        F.lit("http://deb.ex/pool/main/").alias("archive_base_url"),
-        F.lit("http://meta.ex/main/").alias("metadata_base_url"),
+        S.lit("http://deb.ex/pool/main/").alias("archive_base_url"),
+        S.lit("http://meta.ex/main/").alias("metadata_base_url"),
         dsc.alias("dsc_text"),
         copyright_doc.alias("copyright_text"),
     )
@@ -386,70 +385,71 @@ def x_hf_generic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         map_huggingface_requests,
     )
 
-    b = _base(spark, sf_dir).withColumn(
-        "cs", F.md5(F.concat(F.col("k").cast("string"), F.col("name")))
+    b = _base(spark, sf_dir).selectExpr(
+        "*", "md5(concat(CAST(k AS string), name)) AS cs"
     )
-    k, name, cs = F.col("k"), F.col("name"), F.col("cs")
-    ns = F.concat(F.lit("org-"), name)
+    k, name, cs = S.col("k"), S.col("name"), S.col("cs")
+    ns = S.concat("org-", name)
     hf_purl = (
-        F.when(
+        S.when(
             k % 4 == 1,
-            F.concat(F.lit("pkg:huggingface/"), name, F.lit("@"), cs),
+            S.concat("pkg:huggingface/", name, "@", cs),
         )
         .when(
             k % 4 == 2,
-            F.concat(F.lit("pkg:huggingface/"), ns, F.lit("/"), name),
+            S.concat("pkg:huggingface/", ns, "/", name),
         )
         .otherwise(
-            F.concat(
-                F.lit("pkg:huggingface/"), ns, F.lit("/"), name, F.lit("@"), cs
-            )
+            S.concat("pkg:huggingface/", ns, "/", name, "@", cs)
         )
     )
-    hf_requests = b.select(
+    hf_requests = S.sel(
+        b,
         hf_purl.alias("purl"),
-        F.when(k % 4 != 1, ns).alias("namespace"),
+        S.when(k % 4 != 1, ns).alias("namespace"),
         name.alias("name"),
-        F.when(k % 4 != 2, cs).alias("version"),
+        S.when(k % 4 != 2, cs).alias("version"),
     )
-    model_doc = F.concat(
-        F.lit('{"author":"au-'), name,
-        F.lit('","createdAt":"2024-02-03T00:00:00.000Z","siblings":['),
-        F.lit('{"rfilename":"pytorch_model.bin"},'),
-        F.lit('{"rfilename":"model-2.bin"},'),
-        F.lit('{"rfilename":"x.safetensors"}]}'),
+    model_doc = S.concat(
+        '{"author":"au-', name,
+        '","createdAt":"2024-02-03T00:00:00.000Z","siblings":[',
+        '{"rfilename":"pytorch_model.bin"},',
+        '{"rfilename":"model-2.bin"},',
+        '{"rfilename":"x.safetensors"}]}',
     )
-    models = b.filter(k % 4 == 0).select(
-        ns.alias("namespace"), name.alias("name"), model_doc.alias("doc")
+    models = S.sel(
+        b.filter((k % 4 == 0).sql),
+        ns.alias("namespace"), name.alias("name"), model_doc.alias("doc"),
     )
-    licenses = b.filter(k % 8 == 0).select(
+    licenses = S.sel(
+        b.filter((k % 8 == 0).sql),
         ns.alias("namespace"),
         name.alias("name"),
-        F.lit("MIT license text").alias("license_text"),
+        S.lit("MIT license text").alias("license_text"),
     )
     hf = map_huggingface_requests(hf_requests, models, licenses)
 
     gen_purl = (
-        F.when(
+        S.when(
             k % 3 == 0,
-            F.concat(
-                F.lit("pkg:generic/blob-"), name,
-                F.lit("@1.0?download_url=https%3A%2F%2Fex.com%2F"), name,
-                F.lit(".tgz"),
+            S.concat(
+                "pkg:generic/blob-", name,
+                "@1.0?download_url=https%3A%2F%2Fex.com%2F", name,
+                ".tgz",
             ),
         )
         .when(
             k % 3 == 1,
-            F.concat(
-                F.lit("pkg:generic/ns1/blob-"), name,
-                F.lit("?download_url=http://p.ex/"), name,
+            S.concat(
+                "pkg:generic/ns1/blob-", name,
+                "?download_url=http://p.ex/", name,
             ),
         )
-        .otherwise(F.concat(F.lit("pkg:generic/blob-"), name, F.lit("@2.0")))
+        .otherwise(S.concat("pkg:generic/blob-", name, "@2.0"))
     )
-    gen = map_generic_requests(b.select(gen_purl.alias("purl")))
+    gen = map_generic_requests(S.sel(b, gen_purl.alias("purl")))
     null_hf_cols = [
-        F.lit(None).cast("string").alias(c)
+        f"CAST(NULL AS string) AS {c}"
         for c in (
             "homepage_url",
             "api_data_url",
@@ -458,7 +458,7 @@ def x_hf_generic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "extracted_license_statement",
         )
     ]
-    gen = gen.select(
+    gen = gen.selectExpr(
         "purl",
         "status",
         "type",
@@ -469,7 +469,7 @@ def x_hf_generic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         *null_hf_cols,
         "package_content",
     )
-    return hf.select(
+    return hf.selectExpr(
         "purl",
         "status",
         "type",
@@ -526,70 +526,72 @@ def x_conan_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe / download url)."""
     from purldb_spark.sources.collectors3 import map_conan_requests
 
-    b = _base(spark, sf_dir).withColumn(
-        "cs", F.md5(F.concat(F.col("name"), F.col("k").cast("string")))
+    b = _base(spark, sf_dir).selectExpr(
+        "*", "md5(concat(name, CAST(k AS string))) AS cs"
     )
-    k, name, ver, cs = F.col("k"), F.col("name"), F.col("ver"), F.col("cs")
-    requests = b.select(
-        F.concat(F.lit("pkg:conan/"), name, F.lit("@"), ver).alias("purl"),
+    k, name, ver, cs = S.col("k"), S.col("name"), S.col("ver"), S.col("cs")
+    requests = S.sel(
+        b,
+        S.concat("pkg:conan/", name, "@", ver).alias("purl"),
         name.alias("name"),
         ver.alias("version"),
     ).unionByName(
-        b.filter(k % 7 == 0).select(
-            F.concat(F.lit("pkg:conan/"), name).alias("purl"),
+        S.sel(
+            b.filter((k % 7 == 0).sql),
+            S.concat("pkg:conan/", name).alias("purl"),
             name.alias("name"),
-            F.lit(None).cast("string").alias("version"),
+            "CAST(NULL AS string) AS version",
         )
     )
-    folder = F.when((k % 5 == 1) | (k % 5 == 3), F.lit("f2")).otherwise(F.lit("all"))
-    cfg_key = F.when(k % 5 == 2, F.lit("9.9.9")).otherwise(ver)
-    config_doc = F.concat(
-        F.lit('versions:\n  "'), cfg_key, F.lit('":\n    folder: '), folder,
-        F.lit("\n"),
+    folder = S.when((k % 5 == 1) | (k % 5 == 3), "f2").otherwise("all")
+    cfg_key = S.when(k % 5 == 2, "9.9.9").otherwise(ver)
+    config_doc = S.concat(
+        'versions:\n  "', cfg_key, '":\n    folder: ', folder,
+        "\n",
     )
-    configs = b.select(name.alias("name"), config_doc.alias("doc"))
+    configs = S.sel(b, name.alias("name"), config_doc.alias("doc"))
 
     cd_doc = (
-        F.when(
+        S.when(
             k % 5 == 0,
-            F.concat(
-                F.lit('sources:\n  "'), ver,
-                F.lit('":\n    url: "https://c.ex/'), name, F.lit("-"), ver,
-                F.lit('.tgz"\n    sha256: "'), cs, F.lit('"\n'),
+            S.concat(
+                'sources:\n  "', ver,
+                '":\n    url: "https://c.ex/', name, "-", ver,
+                '.tgz"\n    sha256: "', cs, '"\n',
             ),
         )
         .when(
             k % 5 == 1,
-            F.concat(
-                F.lit('sources:\n  "'), ver,
-                F.lit('":\n    url:\n      - "https://c1.ex/'), name,
-                F.lit('.tgz"\n      - "https://c2.ex/'), name,
-                F.lit('.tgz"\n    sha256: "'), cs, F.lit('"\n'),
+            S.concat(
+                'sources:\n  "', ver,
+                '":\n    url:\n      - "https://c1.ex/', name,
+                '.tgz"\n      - "https://c2.ex/', name,
+                '.tgz"\n    sha256: "', cs, '"\n',
             ),
         )
         .when(
             k % 5 == 4,
-            F.concat(F.lit('sources:\n  "'), ver, F.lit('":\n    other: 1\n')),
+            S.concat('sources:\n  "', ver, '":\n    other: 1\n'),
         )
     )
-    conandatas = b.filter(cd_doc.isNotNull()).select(
-        name.alias("name"), folder.alias("folder"), cd_doc.alias("doc")
+    conandatas = S.sel(
+        b.filter(cd_doc.isNotNull().sql),
+        name.alias("name"), folder.alias("folder"), cd_doc.alias("doc"),
     )
-    cf_doc = F.when(
+    cf_doc = S.when(
         k % 5 != 3,
-        F.concat(
-            F.lit(
-                "from conan import ConanFile\n\nclass PkgConan(ConanFile):\n"
-                '    name = "'
-            ),
+        S.concat(
+            "from conan import ConanFile\n\nclass PkgConan(ConanFile):\n"
+            '    name = "',
             name,
-            F.lit('"\n    description = "Conan pkg '), name,
-            F.lit('"\n    license = "MIT"\n    homepage = "https://c.ex/'), name,
-            F.lit('"\n    topics = ("t1", "t2")\n'),
+            '"\n    description = "Conan pkg ', name,
+            '"\n    license = "MIT"\n    homepage = "https://c.ex/', name,
+            '"\n    topics = ("t1", "t2")\n',
         ),
     )
-    conanfiles = b.filter(k % 5 != 3).select(
-        name.alias("name"), folder.alias("folder"), cf_doc.alias("doc")
+    conanfiles = S.sel(
+        b.filter((k % 5 != 3).sql),
+        name.alias("name"), folder.alias("folder"), cf_doc.alias("doc"),
     )
     return map_conan_requests(requests, configs, conandatas, conanfiles)
 
@@ -643,35 +645,35 @@ def x_golang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purldb_spark.sources.collectors3 import golang_route_cols
 
     b = _base(spark, sf_dir)
-    k, name = F.col("k"), F.col("name")
+    k, name = S.col("k"), S.col("name")
     purl = (
-        F.when(
+        S.when(
             k % 4 == 0,
-            F.concat(
-                F.lit("pkg:golang/github.com/org-"), name, F.lit("/"), name,
-                F.lit("/v2@2.1."), k.cast("string"),
+            S.concat(
+                "pkg:golang/github.com/org-", name, "/", name,
+                "/v2@2.1.", k.cast("string"),
             ),
         )
         .when(
             k % 4 == 1,
-            F.concat(
-                F.lit("pkg:golang/gitlab.com/grp-"), name, F.lit("/sub/"), name,
-                F.lit("@v1."), k.cast("string"),
+            S.concat(
+                "pkg:golang/gitlab.com/grp-", name, "/sub/", name,
+                "@v1.", k.cast("string"),
             ),
         )
         .when(
             k % 4 == 2,
-            F.concat(
-                F.lit("pkg:golang/bitbucket.org/team-"), name, F.lit("/"), name,
-                F.lit("@0."), k.cast("string"),
+            S.concat(
+                "pkg:golang/bitbucket.org/team-", name, "/", name,
+                "@0.", k.cast("string"),
             ),
         )
         .otherwise(
-            F.concat(
-                F.lit("pkg:golang/golang.org/x/"), name,
-                F.when(k % 8 == 3, F.lit("@v1.2")).otherwise(F.lit("@1.2")),
+            S.concat(
+                "pkg:golang/golang.org/x/", name,
+                S.when(k % 8 == 3, "@v1.2").otherwise("@1.2"),
             )
         )
     )
-    docs = b.select(purl.alias("purl"))
+    docs = S.sel(b, purl.alias("purl"))
     return docs.select("purl", *golang_route_cols(F.col("purl")))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.collectors5 import (
     alpine_archive_urls,
@@ -242,25 +243,27 @@ def x_fetchcode_distro_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     supported-name list, conda/alpine URLs are NULL when qualifiers are
     missing, alpm defaults arch to "any"."""
     b = _base(spark, sf_dir)
+    sk, sname, sver = S.col("k"), S.col("name"), S.col("ver")
     k, name, ver = F.col("k"), F.col("name"), F.col("ver")
 
-    routed_purl = (
-        F.when(k % 8 == 0, F.concat(F.lit("pkg:openssl/openssl@"), ver))
-        .when(k % 8 == 1, F.concat(F.lit("pkg:openssl/"), name, F.lit("@"), ver))
-        .when(k % 8 == 2, F.concat(F.lit("pkg:gnu/"), name, F.lit("@"), ver))
-        .when(k % 8 == 3, F.concat(F.lit("pkg:gnu/"), name))
-        .when(k % 8 == 4, F.concat(F.lit("pkg:generic/busybox@"), ver))
-        .when(k % 8 == 5, F.concat(F.lit("pkg:generic/"), name, F.lit("@"), ver))
+    routed_sql = (
+        S.when(sk % 8 == 0, S.concat("pkg:openssl/openssl@", sver))
+        .when(sk % 8 == 1, S.concat("pkg:openssl/", sname, "@", sver))
+        .when(sk % 8 == 2, S.concat("pkg:gnu/", sname, "@", sver))
+        .when(sk % 8 == 3, S.concat("pkg:gnu/", sname))
+        .when(sk % 8 == 4, S.concat("pkg:generic/busybox@", sver))
+        .when(sk % 8 == 5, S.concat("pkg:generic/", sname, "@", sver))
     )
-    fetch = b.filter(k % 8 <= 5).select(
+    routed_purl = F.expr(routed_sql.sql)
+    fetch = b.filter("k % 8 <= 5").select(
         routed_purl.alias("purl"),
         fetchcode_route_col(routed_purl).alias("route"),
-        F.lit(None).cast("string").alias("download_url"),
-        F.lit(None).cast("string").alias("index_url"),
+        F.expr("CAST(NULL AS string)").alias("download_url"),
+        F.expr("CAST(NULL AS string)").alias("index_url"),
     )
 
-    conda = b.filter(k % 8 == 6).select(
-        F.concat(F.lit("pkg:conda/"), name, F.lit("@"), ver).alias("purl"),
+    conda = b.filter("k % 8 = 6").select(
+        F.expr(S.concat("pkg:conda/", sname, "@", sver).sql).alias("purl"),
         F.lit("conda").alias("route"),
         conda_download_url(
             name,
@@ -270,16 +273,16 @@ def x_fetchcode_distro_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("linux-64"),
             F.lit("tar.bz2"),
         ).alias("download_url"),
-        F.lit(None).cast("string").alias("index_url"),
+        F.expr("CAST(NULL AS string)").alias("index_url"),
     )
 
-    alpm = b.filter(k % 8 == 7).select(
-        F.concat(F.lit("pkg:alpm/arch/"), name, F.lit("@"), ver).alias("purl"),
+    alpm = b.filter("k % 8 = 7").select(
+        F.expr(S.concat("pkg:alpm/arch/", sname, "@", sver).sql).alias("purl"),
         F.lit("alpm").alias("route"),
         alpm_archive_url(
             name, ver, F.when(k % 2 == 0, F.lit("x86_64"))
         ).alias("download_url"),
-        F.lit(None).cast("string").alias("index_url"),
+        F.expr("CAST(NULL AS string)").alias("index_url"),
     )
 
     idx_url, dl_url = alpine_archive_urls(
@@ -289,8 +292,8 @@ def x_fetchcode_distro_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("main"),
         F.lit("v3.20"),
     )
-    alpine = b.filter(k % 8 == 0).select(
-        F.concat(F.lit("pkg:apk/alpine/"), name, F.lit("@"), ver).alias("purl"),
+    alpine = b.filter("k % 8 = 0").select(
+        F.expr(S.concat("pkg:apk/alpine/", sname, "@", sver).sql).alias("purl"),
         F.lit("alpine").alias("route"),
         dl_url,
         idx_url,
@@ -341,40 +344,44 @@ def x_hackage_luarocks_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires a namespace to build its manifests URL and a HEAD-200
     existence hit to collect."""
     b = _base(spark, sf_dir)
-    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+    k, name, ver, ver2 = S.col("k"), S.col("name"), S.col("ver"), S.col("ver2")
 
-    hk_requests = b.select(
-        F.concat(F.lit("pkg:hackage/"), name, F.lit("@"), ver).alias("purl"),
+    hk_requests = S.sel(
+        b,
+        S.concat("pkg:hackage/", name, "@", ver).alias("purl"),
         name.alias("name"),
         ver.alias("version"),
     )
     # k%3 in (0,1): the version list contains the pinned version
-    hk_versions = b.filter(k % 3 < 2).select(
-        name.alias("name"), ver.alias("version")
-    ).unionByName(b.select(name.alias("name"), ver2.alias("version")))
+    hk_versions = S.sel(
+        b.filter((k % 3 < 2).sql),
+        name.alias("name"), ver.alias("version"),
+    ).unionByName(S.sel(b, name.alias("name"), ver2.alias("version")))
     hackage = map_hackage_requests(hk_requests, hk_versions).drop(
         "package_content"
     )
 
-    lr_ns = F.when(k % 2 == 0, F.lit("own"))
-    lr_requests = b.select(
-        F.concat(
-            F.lit("pkg:luarocks/"),
-            F.when(k % 2 == 0, F.lit("own/")).otherwise(F.lit("")),
-            name, F.lit("@"), ver,
+    lr_ns = S.when(k % 2 == 0, "own")
+    lr_requests = S.sel(
+        b,
+        S.concat(
+            "pkg:luarocks/",
+            S.when(k % 2 == 0, "own/").otherwise(""),
+            name, "@", ver,
         ).alias("purl"),
         lr_ns.alias("namespace"),
         name.alias("name"),
         ver.alias("version"),
     )
     # only k%3=0 URLs resolve 200
-    existing = b.filter(k % 3 == 0).select(
-        F.lower(
-            F.concat(
-                F.lit("https://luarocks.org/manifests/own/"), name, F.lit("-"),
-                ver, F.lit(".src.rock"),
+    existing = S.sel(
+        b.filter((k % 3 == 0).sql),
+        S.lower(
+            S.concat(
+                "https://luarocks.org/manifests/own/", name, "-",
+                ver, ".src.rock",
             )
-        ).alias("url")
+        ).alias("url"),
     )
     luarocks = map_luarocks_requests(lr_requests, existing).drop(
         "namespace", "package_content"
@@ -423,91 +430,95 @@ def x_nix_dockerhub_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests for sha256 versions, names otherwise, and fan out over all
     tags when versionless."""
     b = _base(spark, sf_dir)
-    k, name, ver, ver2 = F.col("k"), F.col("name"), F.col("ver"), F.col("ver2")
+    k, name, ver, ver2 = S.col("k"), S.col("name"), S.col("ver"), S.col("ver2")
 
-    nix_ns = F.when(k % 3 == 0, F.lit("Nixpkgs")).otherwise(
-        F.concat(F.lit("other-"), name)
+    nix_ns = S.when(k % 3 == 0, "Nixpkgs").otherwise(
+        S.concat("other-", name)
     )
     nix = b.select(
-        F.concat(F.lit("pkg:nix/nixpkgs/"), name, F.lit("@"), ver).alias("purl"),
-        nix_route_col(nix_ns).alias("status"),
+        F.expr(S.concat("pkg:nix/nixpkgs/", name, "@", ver).sql).alias("purl"),
+        nix_route_col(F.expr(nix_ns.sql)).alias("status"),
         F.when(
-            k % 3 == 0,
+            F.expr((k % 3 == 0).sql),
             nix_license_col(
-                F.when(k % 2 == 0, F.lit("MIT")),
+                F.when(F.expr((k % 2 == 0).sql), F.lit("MIT")),
                 F.lit("MIT License"),
                 F.lit("mit"),
             ),
         ).alias("license"),
-        F.lit(None).cast("string").alias("version"),
-        F.lit(None).cast("string").alias("digest"),
+        F.expr("CAST(NULL AS string)").alias("version"),
+        F.expr("CAST(NULL AS string)").alias("digest"),
     )
 
-    dk_digest = F.concat(F.lit("sha256:"), F.md5(name))
+    dk_digest = S.concat("sha256:", S.md5(name))
     dk_requests = (
-        b.filter(k % 4 == 0).select(
-            F.concat(F.lit("pkg:docker/"), name, F.lit("@"), ver).alias("purl"),
-            F.lit(None).cast("string").alias("namespace"),
+        S.sel(
+            b.filter((k % 4 == 0).sql),
+            S.concat("pkg:docker/", name, "@", ver).alias("purl"),
+            "CAST(NULL AS string) AS namespace",
             name.alias("name"),
             ver.alias("version"),
         )
         .unionByName(
-            b.filter(k % 4 == 1).select(
-                F.concat(
-                    F.lit("pkg:docker/org-"), name, F.lit("/"), name,
-                    F.lit("@"), dk_digest,
+            S.sel(
+                b.filter((k % 4 == 1).sql),
+                S.concat(
+                    "pkg:docker/org-", name, "/", name, "@", dk_digest
                 ).alias("purl"),
-                F.concat(F.lit("org-"), name).alias("namespace"),
+                S.concat("org-", name).alias("namespace"),
                 name.alias("name"),
                 dk_digest.alias("version"),
             )
         )
         .unionByName(
-            b.filter(k % 4 == 2).select(
-                F.concat(F.lit("pkg:docker/"), name).alias("purl"),
-                F.lit(None).cast("string").alias("namespace"),
+            S.sel(
+                b.filter((k % 4 == 2).sql),
+                S.concat("pkg:docker/", name).alias("purl"),
+                "CAST(NULL AS string) AS namespace",
                 name.alias("name"),
-                F.lit(None).cast("string").alias("version"),
+                "CAST(NULL AS string) AS version",
             )
         )
         .unionByName(
-            b.filter(k % 4 == 3).select(
-                F.concat(F.lit("pkg:docker/"), name, F.lit("@gone")).alias(
-                    "purl"
-                ),
-                F.lit(None).cast("string").alias("namespace"),
+            S.sel(
+                b.filter((k % 4 == 3).sql),
+                S.concat("pkg:docker/", name, "@gone").alias("purl"),
+                "CAST(NULL AS string) AS namespace",
                 name.alias("name"),
-                F.lit("gone").alias("version"),
+                S.lit("gone").alias("version"),
             )
         )
     )
-    tag_ns = F.when(k % 4 == 1, F.concat(F.lit("org-"), name)).otherwise(
-        F.lit("library")
+    tag_ns = S.when(k % 4 == 1, S.concat("org-", name)).otherwise(
+        "library"
     )
-    dk_tags = b.filter(k % 4 != 2).select(
+    dk_tags = S.sel(
+        b.filter((k % 4 != 2).sql),
         tag_ns.alias("namespace"),
         name.alias("name"),
         ver.alias("tag_name"),
         dk_digest.alias("digest"),
     ).unionByName(
-        b.filter(k % 4 == 2).select(
-            F.lit("library").alias("namespace"),
+        S.sel(
+            b.filter((k % 4 == 2).sql),
+            S.lit("library").alias("namespace"),
             name.alias("name"),
             ver.alias("tag_name"),
             dk_digest.alias("digest"),
         )
     ).unionByName(
-        b.filter(k % 4 == 2).select(
-            F.lit("library").alias("namespace"),
+        S.sel(
+            b.filter((k % 4 == 2).sql),
+            S.lit("library").alias("namespace"),
             name.alias("name"),
             ver2.alias("tag_name"),
-            F.lit(None).cast("string").alias("digest"),
+            "CAST(NULL AS string) AS digest",
         )
     )
-    docker = match_dockerhub_tags(dk_requests, dk_tags).select(
+    docker = match_dockerhub_tags(dk_requests, dk_tags).selectExpr(
         "purl",
         "status",
-        F.lit(None).cast("string").alias("license"),
+        "CAST(NULL AS string) AS license",
         "version",
         "digest",
     )

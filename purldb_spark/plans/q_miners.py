@@ -13,10 +13,10 @@ URL layout, RFC822 field extraction, JSON explode) breaks the hash match.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.operators.router import Router, seed_frontier
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners import (
     DEBIAN_BASE,
@@ -47,15 +47,16 @@ _MAVEN_RECORDS_SQL = """
 
 def _maven_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
-        F.concat(F.lit("org."), F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit(".")))).alias("group_id"),
-        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))).alias("artifact_id"),
-        F.concat((k % 9).cast("string"), F.lit("."), (k % 13).cast("string")).alias("version"),
-        F.when(k % 3 == 0, "jar").when(k % 3 == 1, "war").otherwise("zip").alias("extension"),
-        F.when(k % 5 == 0, "sources").alias("classifier"),
-        F.md5("p_name").alias("sha1"),
-        F.col("p_size").cast("long").alias("size"),
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
+        S.concat("org.", S.lower(S.replace(S.col("p_type"), " ", "."))).alias("group_id"),
+        S.lower(S.replace(S.col("p_brand"), "#", "-")).alias("artifact_id"),
+        S.concat((k % 9).cast("string"), ".", (k % 13).cast("string")).alias("version"),
+        S.when(k % 3 == 0, "jar").when(k % 3 == 1, "war").otherwise("zip").alias("extension"),
+        S.when(k % 5 == 0, "sources").alias("classifier"),
+        S.md5(S.col("p_name")).alias("sha1"),
+        S.col("p_size").cast("long").alias("size"),
     )
 
 
@@ -166,59 +167,62 @@ def x_pypi_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (the reference overrides the transient sdist/bdist pkginfo id,
     pypi.py:252+282 — kept as packagetype_id)."""
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    name = F.lower(F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))
-    version = F.concat((k % 10).cast("string"), F.lit("."), (k % 7).cast("string"))
-    filename_sdist = F.concat(name, F.lit("-"), version, F.lit(".tar.gz"))
-    filename_whl = F.concat(name, F.lit("-"), version, F.lit("-py3-none-any.whl"))
-    ts = F.concat(F.lit("2024-01-0"), (k % 9 + 1).cast("string"), F.lit("T00:00:00"))
-    sdist = F.struct(
-        F.concat(
-            F.lit("https://files.pythonhosted.org/packages/source/"),
-            F.substring(name, 1, 1), F.lit("/"), name, F.lit("/"), filename_sdist,
+    k = S.col("p_partkey")
+    name = S.lower(S.replace(S.col("p_name"), " ", "-"))
+    version = S.concat((k % 10).cast("string"), ".", (k % 7).cast("string"))
+    filename_sdist = S.concat(name, "-", version, ".tar.gz")
+    filename_whl = S.concat(name, "-", version, "-py3-none-any.whl")
+    ts = S.concat("2024-01-0", (k % 9 + 1).cast("string"), "T00:00:00")
+    sdist = S.struct(
+        S.concat(
+            "https://files.pythonhosted.org/packages/source/",
+            S.substring(name, 1, 1), "/", name, "/", filename_sdist,
         ).alias("url"),
-        F.lit("sdist").alias("packagetype"),
+        S.lit("sdist").alias("packagetype"),
         filename_sdist.alias("filename"),
-        F.col("p_size").cast("long").alias("size"),
+        S.col("p_size").cast("long").alias("size"),
         ts.alias("upload_time"),
-        F.md5("p_name").alias("md5_digest"),
-        F.struct(F.md5("p_brand").alias("sha256")).alias("digests"),
+        S.md5(S.col("p_name")).alias("md5_digest"),
+        S.struct(S.md5(S.col("p_brand")).alias("sha256")).alias("digests"),
     )
-    bdist = F.struct(
-        F.concat(
-            F.lit("https://files.pythonhosted.org/packages/py3/"),
-            F.substring(name, 1, 1), F.lit("/"), name, F.lit("/"), filename_whl,
+    bdist = S.struct(
+        S.concat(
+            "https://files.pythonhosted.org/packages/py3/",
+            S.substring(name, 1, 1), "/", name, "/", filename_whl,
         ).alias("url"),
-        F.lit("bdist_wheel").alias("packagetype"),
+        S.lit("bdist_wheel").alias("packagetype"),
         filename_whl.alias("filename"),
-        (F.col("p_size").cast("long") + 17).alias("size"),
+        (S.col("p_size").cast("long") + 17).alias("size"),
         ts.alias("upload_time"),
-        F.md5("p_type").alias("md5_digest"),
-        F.struct(F.md5(F.upper(F.col("p_name"))).alias("sha256")).alias("digests"),
+        S.md5(S.col("p_type")).alias("md5_digest"),
+        S.struct(S.md5(S.upper(S.col("p_name"))).alias("sha256")).alias("digests"),
     )
-    info = F.struct(
+    info = S.struct(
         name.alias("name"),
         version.alias("version"),
-        F.col("p_type").alias("summary"),
-        F.when(k % 6 == 0, F.lit("  ")).otherwise(F.col("p_brand")).alias("description"),
-        F.concat(F.lit("https://example.org/"), name).alias("home_page"),
-        F.lit(None).cast("string").alias("bugtrack_url"),
-        F.when(k % 4 == 0, "UNKNOWN").otherwise("MIT").alias("license"),
-        F.when(
-            k % 8 == 0, F.array(F.lit("Programming Language :: Python"))
+        S.col("p_type").alias("summary"),
+        S.when(k % 6 == 0, "  ").otherwise(S.col("p_brand")).alias("description"),
+        S.concat("https://example.org/", name).alias("home_page"),
+        S.lit(None).cast("string").alias("bugtrack_url"),
+        S.when(k % 4 == 0, "UNKNOWN").otherwise("MIT").alias("license"),
+        S.when(
+            k % 8 == 0, S.array("Programming Language :: Python")
         )
         .otherwise(
-            F.array(
-                F.lit("License :: OSI Approved :: BSD License"),
-                F.lit("Programming Language :: Python"),
+            S.array(
+                "License :: OSI Approved :: BSD License",
+                "Programming Language :: Python",
             )
         )
         .alias("classifiers"),
-        F.lit(None).cast("string").alias("author"),
-        F.lit(None).cast("string").alias("author_email"),
+        S.lit(None).cast("string").alias("author"),
+        S.lit(None).cast("string").alias("author_email"),
     )
-    urls = F.when(k % 3 != 0, F.array(sdist, bdist)).otherwise(F.array(sdist))
-    docs = p.select(F.to_json(F.struct(info.alias("info"), urls.alias("urls"))).alias("doc"))
+    urls = S.when(k % 3 != 0, S.array(sdist, bdist)).otherwise(S.array(sdist))
+    docs = S.sel(
+        p,
+        S.to_json(S.struct(info.alias("info"), urls.alias("urls"))).alias("doc"),
+    )
     return map_pypi_docs(parse_pypi_docs(docs))
 
 
@@ -234,37 +238,37 @@ def _debian_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One text blob per supplier holding TWO 'Packages' paragraphs (the
     package and its -doc twin) so the paragraph split is exercised."""
     s = load(spark, sf_dir, "supplier")
-    k = F.col("s_suppkey")
-    name = F.lower(F.replace(F.trim(F.col("s_name")), F.lit("#"), F.lit("-")))
-    ver = F.concat(F.lit("1."), (k % 20).cast("string"))
-    section = F.when(k % 3 == 0, "libs").when(k % 3 == 1, "utils").otherwise("net")
-    lang = F.when(k % 2 == 0, "c").otherwise("python")
+    k = S.col("s_suppkey")
+    name = S.lower(S.replace(S.trim(S.col("s_name")), "#", "-"))
+    ver = S.concat("1.", (k % 20).cast("string"))
+    section = S.when(k % 3 == 0, "libs").when(k % 3 == 1, "utils").otherwise("net")
+    lang = S.when(k % 2 == 0, "c").otherwise("python")
 
     def para(nm, with_homepage):
         parts = [
-            F.concat(F.lit("Package: "), nm),
-            F.concat(F.lit("Version: "), ver),
-            F.concat(F.lit("Maintainer: "), F.trim(F.col("s_name")), F.lit(" <"), nm, F.lit("@example.org>")),
+            S.concat("Package: ", nm),
+            S.concat("Version: ", ver),
+            S.concat("Maintainer: ", S.trim(S.col("s_name")), " <", nm, "@example.org>"),
         ]
         if with_homepage:
-            parts.append(F.concat(F.lit("Homepage: https://example.org/"), nm))
+            parts.append(S.concat("Homepage: https://example.org/", nm))
         parts += [
-            F.concat(F.lit("Section: "), section),
-            F.concat(F.lit("Tag: implemented-in::"), lang, F.lit(", role::program")),
-            F.concat(F.lit("MD5sum: "), F.md5("s_name")),
-            F.concat(F.lit("SHA256: "), F.md5(F.upper(F.col("s_name")))),
-            F.concat(
-                F.lit("Filename: pool/main/"), F.substring(nm, 1, 1), F.lit("/"), nm,
-                F.lit("/"), nm, F.lit("_"), ver, F.lit("_amd64.deb"),
+            S.concat("Section: ", section),
+            S.concat("Tag: implemented-in::", lang, ", role::program"),
+            S.concat("MD5sum: ", S.md5(S.col("s_name"))),
+            S.concat("SHA256: ", S.md5(S.upper(S.col("s_name")))),
+            S.concat(
+                "Filename: pool/main/", S.substring(nm, 1, 1), "/", nm,
+                "/", nm, "_", ver, "_amd64.deb",
             ),
-            F.concat(F.lit("Description: "), F.trim(F.col("s_name")), F.lit(" package")),
+            S.concat("Description: ", S.trim(S.col("s_name")), " package"),
         ]
-        return F.concat_ws("\n", *parts)
+        return S.concat_ws("\n", *parts)
 
-    doc = F.concat(
-        para(name, True), F.lit("\n\n"), para(F.concat(name, F.lit("-doc")), False)
+    doc = S.concat(
+        para(name, True), "\n\n", para(S.concat(name, "-doc"), False)
     )
-    return s.select(doc.alias("text"))
+    return S.sel(s, doc.alias("text"))
 
 
 _DEB_PARA_SQL = f"""
@@ -349,29 +353,30 @@ def x_npm_map_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded into one catalog row per release via
     sources/registry_json.packages_from_registry."""
     p = load(spark, sf_dir, "part")
-    name = F.lower(F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))
-    v1 = F.concat((F.col("p_partkey") % 7).cast("string"), F.lit(".0.0"))
-    v2 = F.concat((F.col("p_partkey") % 7).cast("string"), F.lit(".1.0"))
+    name = S.lower(S.replace(S.col("p_name"), " ", "-"))
+    v1 = S.concat((S.col("p_partkey") % 7).cast("string"), ".0.0")
+    v2 = S.concat((S.col("p_partkey") % 7).cast("string"), ".1.0")
 
     def vmeta(ver, shasum_src):
-        tarball = F.concat(
-            F.lit("https://registry.npmjs.org/"), name, F.lit("/-/"), name,
-            F.lit("-"), ver, F.lit(".tgz"),
+        tarball = S.concat(
+            "https://registry.npmjs.org/", name, "/-/", name, "-", ver, ".tgz"
         )
-        return F.struct(
+        return S.struct(
             ver.alias("version"),
-            F.lit("MIT").alias("license"),
-            F.concat(F.lit("https://example.org/"), name).alias("homepage"),
-            F.struct(
-                tarball.alias("tarball"), F.md5(shasum_src).alias("shasum")
+            S.lit("MIT").alias("license"),
+            S.concat("https://example.org/", name).alias("homepage"),
+            S.struct(
+                tarball.alias("tarball"),
+                S.md5(S.col(shasum_src)).alias("shasum"),
             ).alias("dist"),
         )
 
-    docs = p.select(
+    docs = S.sel(
+        p,
         name.alias("name"),
-        F.col("p_type").alias("description"),
-        F.create_map(F.lit("latest"), v2).alias("dist-tags"),
-        F.create_map(v1, vmeta(v1, "p_name"), v2, vmeta(v2, "p_brand")).alias(
+        S.col("p_type").alias("description"),
+        S.create_map("latest", v2).alias("dist-tags"),
+        S.create_map(v1, vmeta(v1, "p_name"), v2, vmeta(v2, "p_brand")).alias(
             "versions"
         ),
     )
@@ -434,8 +439,8 @@ def x_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     generating index directly, so the regex routing itself is what is being
     verified (including the unroutable row -> NULL)."""
     p = load(spark, sf_dir, "part")
-    n = F.lower(F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))
-    i = F.col("p_partkey") % 13
+    n = S.lower(S.replace(S.col("p_name"), " ", "-"))
+    i = S.col("p_partkey") % 13
     uri = None
     for idx, t in enumerate(_URI_TEMPLATES):
         pieces = []
@@ -443,12 +448,12 @@ def x_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             if seg_no:
                 pieces.append(n)
             if seg:
-                pieces.append(F.lit(seg))
-        built = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
-        uri = built if uri is None else F.when(i == idx, built).otherwise(uri)
+                pieces.append(S.lit(seg))
+        built = S.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        uri = built if uri is None else S.when(i == idx, built).otherwise(uri)
         if idx == 0:
-            uri = F.when(i == 0, built)
-    frontier = p.select(uri.alias("uri"))
+            uri = S.when(i == 0, built)
+    frontier = S.sel(p, uri.alias("uri"))
     router = Router()
     for pattern, handler in ECOSYSTEM_ROUTES:
         router.append(pattern, lambda _u: None, handler)
@@ -496,38 +501,38 @@ def x_debian_sources_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purldb_spark.sources.miners import map_debian_sources
 
     s = load(spark, sf_dir, "supplier")
-    k = F.col("s_suppkey")
-    name = F.lower(F.replace(F.trim(F.col("s_name")), F.lit("#"), F.lit("-")))
-    ver = F.concat(F.lit("1."), (k % 20).cast("string"))
-    section = F.when(k % 3 == 0, "libs").when(k % 3 == 1, "utils").otherwise("net")
-    h1 = F.md5("s_name")
-    h2 = F.md5(F.upper(F.col("s_name")))
-    h3 = F.md5(F.concat(F.col("s_name"), F.lit("x")))
-    sha1a = F.substring(F.concat(h3, h3), 1, 40)
-    sha1b = F.substring(F.concat(h3, h3), 1, 40)
-    uploaders = F.when(
+    k = S.col("s_suppkey")
+    name = S.lower(S.replace(S.trim(S.col("s_name")), "#", "-"))
+    ver = S.concat("1.", (k % 20).cast("string"))
+    section = S.when(k % 3 == 0, "libs").when(k % 3 == 1, "utils").otherwise("net")
+    h1 = S.md5(S.col("s_name"))
+    h2 = S.md5(S.upper(S.col("s_name")))
+    h3 = S.md5(S.concat(S.col("s_name"), "x"))
+    sha1a = S.substring(S.concat(h3, h3), 1, 40)
+    sha1b = S.substring(S.concat(h3, h3), 1, 40)
+    uploaders = S.when(
         k % 2 == 0,
-        F.lit("Uploaders: Up One <one@ex.org>, Up Two <two@ex.org>\n"),
-    ).otherwise(F.lit(""))
-    para = F.concat(
-        F.lit("Package: "), name,
-        F.lit("\nBinary: "), name, F.lit("-bin"),
-        F.lit("\nVersion: "), ver,
-        F.lit("\nMaintainer: "), F.trim(F.col("s_name")),
-        F.lit(" <"), name, F.lit("@example.org>\n"),
+        "Uploaders: Up One <one@ex.org>, Up Two <two@ex.org>\n",
+    ).otherwise("")
+    para = S.concat(
+        "Package: ", name,
+        "\nBinary: ", name, "-bin",
+        "\nVersion: ", ver,
+        "\nMaintainer: ", S.trim(S.col("s_name")),
+        " <", name, "@example.org>\n",
         uploaders,
-        F.lit("Files:\n "), h1, F.lit(" 100 "), name, F.lit("_"), ver, F.lit(".dsc\n "),
-        h2, F.lit(" 200 "), name, F.lit("_"), ver, F.lit(".orig.tar.xz\n"),
-        F.lit("Checksums-Sha1:\n "), sha1a, F.lit(" 100 a.dsc\n "),
-        sha1b, F.lit(" 200 b.tar.xz\n"),
-        F.lit("Checksums-Sha256:\n "), F.concat(h2, h3), F.lit(" 100 a.dsc\n "),
-        F.concat(h1, h2), F.lit(" 200 b.tar.xz\n"),
-        F.lit("Homepage: https://example.org/"), name,
-        F.lit("\nVcs-Browser: https://browse.example/"), name,
-        F.lit("\nVcs-Git: https://git.example/"), name, F.lit(".git\n"),
-        F.lit("Section: "), section,
-        F.lit("\nDirectory: pool/main/"), F.substring(name, 1, 1),
-        F.lit("/"), name, F.lit("\n"),
+        "Files:\n ", h1, " 100 ", name, "_", ver, ".dsc\n ",
+        h2, " 200 ", name, "_", ver, ".orig.tar.xz\n",
+        "Checksums-Sha1:\n ", sha1a, " 100 a.dsc\n ",
+        sha1b, " 200 b.tar.xz\n",
+        "Checksums-Sha256:\n ", S.concat(h2, h3), " 100 a.dsc\n ",
+        S.concat(h1, h2), " 200 b.tar.xz\n",
+        "Homepage: https://example.org/", name,
+        "\nVcs-Browser: https://browse.example/", name,
+        "\nVcs-Git: https://git.example/", name, ".git\n",
+        "Section: ", section,
+        "\nDirectory: pool/main/", S.substring(name, 1, 1),
+        "/", name, "\n",
     )
-    docs = s.select(para.alias("text"))
+    docs = S.sel(s, para.alias("text"))
     return map_debian_sources(split_paragraphs(docs, "text"))

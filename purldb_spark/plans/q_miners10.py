@@ -10,9 +10,9 @@ match)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.collectors import maven_metadata_uris
 from purldb_spark.sources.listings import parse_lslr
@@ -34,18 +34,19 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.col("p_size").cast("long").alias("size"),
+        S.col("p_size").cast("long").alias("size"),
     )
 
 
@@ -76,92 +77,74 @@ def x_gemspec_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_gemspec_yaml_docs, flatten the dependency structs for the hash
     compare."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
-    lic_block = F.when(k % 2 == 0, F.lit("licenses:\n- MIT\n")).otherwise(
-        F.lit("licenses:\n- MIT\n- Apache-2.0\n")
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
+    lic_block = S.when(k % 2 == 0, "licenses:\n- MIT\n").otherwise(
+        "licenses:\n- MIT\n- Apache-2.0\n"
     )
-    dep_b = F.when(
+    dep_b = S.when(
         k % 3 == 0,
-        F.lit(
-            "- !ruby/object:Gem::Dependency\n"
-            "  name: dep-b\n"
-            "  requirement: !ruby/object:Gem::Requirement\n"
-            "    requirements:\n"
-            '    - - ">="\n'
-            "      - !ruby/object:Gem::Version\n"
-            "        version: '0'\n"
-            "  type: :development\n"
-            "  prerelease: false\n"
-        ),
-    ).otherwise(F.lit(""))
-    yaml = F.concat(
-        F.lit("--- !ruby/object:Gem::Specification\nname: "),
+        "- !ruby/object:Gem::Dependency\n"
+        "  name: dep-b\n"
+        "  requirement: !ruby/object:Gem::Requirement\n"
+        "    requirements:\n"
+        '    - - ">="\n'
+        "      - !ruby/object:Gem::Version\n"
+        "        version: '0'\n"
+        "  type: :development\n"
+        "  prerelease: false\n",
+    ).otherwise("")
+    yaml = S.concat(
+        "--- !ruby/object:Gem::Specification\nname: ",
         name,
-        F.lit("\nversion: !ruby/object:Gem::Version\n  version: "),
+        "\nversion: !ruby/object:Gem::Version\n  version: ",
         ver,
-        F.lit("\nplatform: ruby\nauthors:\n- Ann Dev\n- Bo Dev\ndate: 2021-0"),
+        "\nplatform: ruby\nauthors:\n- Ann Dev\n- Bo Dev\ndate: 2021-0",
         (k % 9 + 1).cast("string"),
-        F.lit("-15 00:00:00.000000000 Z\ndependencies:\n"),
-        F.lit(
-            "- !ruby/object:Gem::Dependency\n"
-            "  name: dep-a\n"
-            "  requirement: !ruby/object:Gem::Requirement\n"
-            "    requirements:\n"
-            '    - - "~>"\n'
-            "      - !ruby/object:Gem::Version\n"
-            "        version: '1.0'\n"
-            "  type: :runtime\n"
-            "  prerelease: false\n"
-        ),
+        "-15 00:00:00.000000000 Z\ndependencies:\n",
+        "- !ruby/object:Gem::Dependency\n"
+        "  name: dep-a\n"
+        "  requirement: !ruby/object:Gem::Requirement\n"
+        "    requirements:\n"
+        '    - - "~>"\n'
+        "      - !ruby/object:Gem::Version\n"
+        "        version: '1.0'\n"
+        "  type: :runtime\n"
+        "  prerelease: false\n",
         dep_b,
-        F.lit("description: Gem "),
+        "description: Gem ",
         name,
-        F.lit("\nsummary: Gem "),
+        "\nsummary: Gem ",
         name,
-        F.lit("\nhomepage: https://example.org/"),
+        "\nhomepage: https://example.org/",
         name,
-        F.lit("\n"),
+        "\n",
         lic_block,
     )
-    docs = b.select(
+    docs = S.sel(
+        b,
         yaml.alias("metadata"),
-        F.concat(
-            F.lit("https://rubygems.org/downloads/"),
-            name,
-            F.lit("-"),
-            ver,
-            F.lit(".gem"),
+        S.concat(
+            "https://rubygems.org/downloads/", name, "-", ver, ".gem"
         ).alias("download_url"),
     )
     out = map_gemspec_yaml_docs(docs)
     # ArrayType columns are joined to flat strings for the driver's
     # pandas-based hash compare (lists are unhashable there); the oracle
     # emits the same '|'-joined form.
-    return out.select(
+    return out.selectExpr(
         "type",
         "name",
         "version",
         "purl",
         "description",
         "homepage_url",
-        F.array_join(F.col("extracted_license_statement"), "|").alias(
-            "extracted_license_statement"
-        ),
-        F.array_join(F.col("authors"), "|").alias("authors"),
+        "array_join(extracted_license_statement, '|')"
+        " AS extracted_license_statement",
+        "array_join(authors, '|') AS authors",
         "release_date",
         "download_url",
-        F.array_join(
-            F.transform(
-                F.col("dependencies"),
-                lambda d: F.concat_ws(
-                    "|",
-                    d["purl"],
-                    F.coalesce(d["extracted_requirement"], F.lit("")),
-                    d["scope"],
-                ),
-            ),
-            "; ",
-        ).alias("deps"),
+        "array_join(transform(dependencies, d -> concat_ws('|', d.purl,"
+        " coalesce(d.extracted_requirement, ''), d.scope)), '; ') AS deps",
     )
 
 
@@ -193,52 +176,54 @@ def x_cran_html_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse with map_cran_html_docs — one output row per source/binary
     download link."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
     # "bo.maint at example.org" armored as &#xHH; entities like CRAN does
     armored = "".join(f"&#x{ord(c):02x};" for c in "<bo.maint at example.org>")
-    html = F.concat(
-        F.lit("<html><body><h2>"),
+    html = S.concat(
+        "<html><body><h2>",
         name,
-        F.lit(": pkg</h2>\n<p>R package "),
+        ": pkg</h2>\n<p>R package ",
         name,
-        F.lit("</p>\n<table>\n<tr>\n<td>Version:</td>\n<td>"),
+        "</p>\n<table>\n<tr>\n<td>Version:</td>\n<td>",
         ver,
-        F.lit("</td>\n</tr>\n<tr>\n<td>Published:</td>\n<td>2021-0"),
+        "</td>\n</tr>\n<tr>\n<td>Published:</td>\n<td>2021-0",
         (k % 9 + 1).cast("string"),
-        F.lit("-15</td>\n</tr>\n<tr>\n<td>Author:</td>\n<td>Ann Dev</td>\n</tr>\n"),
-        F.lit("<tr>\n<td>Maintainer:</td>\n<td>Bo Maint  " + armored + "</td>\n</tr>\n"),
-        F.lit(
-            '<tr>\n<td>License:</td>\n<td><a href="../../licenses/GPL-3">'
-            "GPL-3</a></td>\n</tr>\n"
-        ),
-        F.lit('<tr>\n<td>URL:</td>\n<td><a href="https://example.org/'),
+        "-15</td>\n</tr>\n<tr>\n<td>Author:</td>\n<td>Ann Dev</td>\n</tr>\n",
+        "<tr>\n<td>Maintainer:</td>\n<td>Bo Maint  " + armored + "</td>\n</tr>\n",
+        '<tr>\n<td>License:</td>\n<td><a href="../../licenses/GPL-3">'
+        "GPL-3</a></td>\n</tr>\n",
+        '<tr>\n<td>URL:</td>\n<td><a href="https://example.org/',
         name,
-        F.lit('">site</a></td>\n</tr>\n</table>\n<table>\n'),
-        F.lit('<tr>\n<td> Package&nbsp;source: </td>\n<td> <a href="../../../src/contrib/'),
+        '">site</a></td>\n</tr>\n</table>\n<table>\n',
+        '<tr>\n<td> Package&nbsp;source: </td>\n<td> <a href="../../../src/contrib/',
         name,
-        F.lit("_"),
+        "_",
         ver,
-        F.lit('.tar.gz">tarball</a> </td>\n</tr>\n'),
-        F.lit('<tr>\n<td> Windows&nbsp;binaries: </td>\n<td> <a href="../../../bin/windows/contrib/4.3/'),
+        '.tar.gz">tarball</a> </td>\n</tr>\n',
+        '<tr>\n<td> Windows&nbsp;binaries: </td>\n<td> <a href="../../../bin/windows/contrib/4.3/',
         name,
-        F.lit("_"),
+        "_",
         ver,
-        F.lit('.zip">zip</a> </td>\n</tr>\n</table></body></html>'),
+        '.zip">zip</a> </td>\n</tr>\n</table></body></html>',
     )
-    docs = b.select(
+    docs = S.sel(
+        b,
         html.alias("html"),
-        F.concat(
-            F.lit("https://cloud.r-project.org/web/packages/"),
-            name,
-            F.lit("/index.html"),
+        S.concat(
+            "https://cloud.r-project.org/web/packages/", name, "/index.html"
         ).alias("uri"),
-        F.concat(F.lit("pkg:cran/"), name, F.lit("@"), ver).alias("purl"),
+        S.concat("pkg:cran/", name, "@", ver).alias("purl"),
     )
     out = map_cran_html_docs(docs)
     # flatten the license href array for the driver's hash compare
-    return out.withColumn(
-        "extracted_license_statement",
-        F.array_join(F.col("extracted_license_statement"), "|"),
+    return out.selectExpr(
+        *[
+            "array_join(extracted_license_statement, '|')"
+            " AS extracted_license_statement"
+            if c == "extracted_license_statement"
+            else c
+            for c in out.columns
+        ]
     )
 
 
@@ -265,29 +250,24 @@ def x_maven_metadata_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions per part row), run the visitor — jar + sources scan-only,
     pom to-visit, purls with the dotted groupId."""
     b = _base(spark, sf_dir)
-    name, ver = F.col("name"), F.col("ver")
-    xml = F.concat(
-        F.lit(
-            '<?xml version="1.0" encoding="UTF-8"?>\n<metadata>\n'
-            "  <groupId>org.example</groupId>\n  <artifactId>"
-        ),
+    name, ver = S.col("name"), S.col("ver")
+    xml = S.concat(
+        '<?xml version="1.0" encoding="UTF-8"?>\n<metadata>\n'
+        "  <groupId>org.example</groupId>\n  <artifactId>",
         name,
-        F.lit(
-            "</artifactId>\n  <versioning>\n    <versions>\n      <version>"
-        ),
+        "</artifactId>\n  <versioning>\n    <versions>\n      <version>",
         ver,
-        F.lit(".0</version>\n      <version>"),
+        ".0</version>\n      <version>",
         ver,
-        F.lit(
-            ".1</version>\n    </versions>\n  </versioning>\n</metadata>\n"
-        ),
+        ".1</version>\n    </versions>\n  </versioning>\n</metadata>\n",
     )
-    docs = b.select(
+    docs = S.sel(
+        b,
         xml.alias("xml"),
-        F.concat(
-            F.lit("https://repo1.maven.org/maven2/org/example/"),
+        S.concat(
+            "https://repo1.maven.org/maven2/org/example/",
             name,
-            F.lit("/maven-metadata.xml"),
+            "/maven-metadata.xml",
         ).alias("source_uri"),
     )
     return maven_metadata_uris(docs)
@@ -319,47 +299,51 @@ def x_debian_lslr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     README that must be filtered out), parse with parse_lslr + the
     directory-index visitor."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
-    month = F.date_format(
-        F.to_date(
-            F.concat(F.lit("2021-0"), (k % 9 + 1).cast("string"), F.lit("-15"))
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
+    month = S.fn(
+        "date_format",
+        S.fn(
+            "to_date",
+            S.concat("2021-0", (k % 9 + 1).cast("string"), "-15"),
         ),
         "MMM",
     )
-    day_year = F.concat(F.lit("15  2021"))
-    listing = F.concat(
-        F.lit("./pool/main/x/"),
+    day_year = S.lit("15  2021")
+    listing = S.concat(
+        "./pool/main/x/",
         name,
-        F.lit(":\ntotal 100\n-rw-rw-r-- 2 dak debadmin "),
-        F.col("size").cast("string"),
-        F.lit(" "),
+        ":\ntotal 100\n-rw-rw-r-- 2 dak debadmin ",
+        S.col("size").cast("string"),
+        " ",
         month,
-        F.lit(" "),
+        " ",
         day_year,
-        F.lit(" "),
+        " ",
         name,
-        F.lit("_"),
+        "_",
         ver,
-        F.lit("_amd64.deb\n-rw-rw-r-- 2 dak debadmin "),
-        (F.col("size") + 1).cast("string"),
-        F.lit(" "),
+        "_amd64.deb\n-rw-rw-r-- 2 dak debadmin ",
+        (S.col("size") + 1).cast("string"),
+        " ",
         month,
-        F.lit(" "),
+        " ",
         day_year,
-        F.lit(" "),
+        " ",
         name,
-        F.lit("_"),
+        "_",
         ver,
-        F.lit(".dsc\n-rw-rw-r-- 2 dak debadmin 12 "),
+        ".dsc\n-rw-rw-r-- 2 dak debadmin 12 ",
         month,
-        F.lit(" "),
+        " ",
         day_year,
-        F.lit(" README\n"),
+        " README\n",
     )
     # one synthetic listing file per row -> explode lines with a per-row
     # "file" identity so the window-scoped dir context stays per listing
-    lines = b.select(
-        F.col("k").alias("_doc"), F.explode(F.split(listing, "\n")).alias("value")
+    lines = S.sel(
+        b,
+        S.col("k").alias("_doc"),
+        S.fn("explode", S.split(listing, "\n")).alias("value"),
     )
     # parse_lslr partitions its window by input_file_name(); for in-memory
     # rows that is empty — substitute the per-row doc id as the file key

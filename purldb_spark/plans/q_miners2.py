@@ -7,9 +7,9 @@ real from_json mappers, expected rows computed directly by the oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners2 import (
     map_cargo_docs,
@@ -31,19 +31,20 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.col("p_size").cast("long").alias("size"),
-        F.md5("p_name").alias("cs"),
+        S.col("p_size").cast("long").alias("size"),
+        S.md5(S.col("p_name")).alias("cs"),
     )
 
 
@@ -73,45 +74,45 @@ def x_cargo_gem_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl_path drop, UNKNOWN-license null, published_by name/login fallback,
     licenses-array join."""
     b = _base(spark, sf_dir)
-    name, ver, cs = F.col("name"), F.col("ver"), F.col("cs")
-    lic = F.when(F.col("k") % 3 == 0, "MIT").when(F.col("k") % 3 == 1, "UNKNOWN").otherwise(
+    name, ver, cs = S.col("name"), S.col("ver"), S.col("cs")
+    lic = S.when(S.col("k") % 3 == 0, "MIT").when(S.col("k") % 3 == 1, "UNKNOWN").otherwise(
         "UNKNOWN"
     )
-    publisher = F.when(
-        F.col("k") % 2 == 0, F.lit('{"name":"Alice","login":"alice"}')
-    ).otherwise(F.lit('{"login":"bob"}'))
-    cargo_doc = F.concat(
-        F.lit('{"crate":{"keywords":["cli","data"]},"versions":[{"crate":"'), name,
-        F.lit('","num":"'), ver,
-        F.lit('","description":"Crate '), name,
-        F.lit('","homepage":"https://ex.dev/'), name,
-        F.lit('","repository":"https://github.com/ex/'), name,
-        F.lit('","license":"'), lic,
-        F.lit('","dl_path":"/api/v1/crates/'), name, F.lit("/"), ver,
-        F.lit('/download","crate_size":'), F.col("size").cast("string"),
-        F.lit(',"checksum":"'), cs,
-        F.lit('","published_by":'), publisher,
-        F.lit('},{"crate":"'), name, F.lit('","num":"0.0.1","dl_path":null}]}'),
+    publisher = S.when(
+        S.col("k") % 2 == 0, '{"name":"Alice","login":"alice"}'
+    ).otherwise('{"login":"bob"}')
+    cargo_doc = S.concat(
+        '{"crate":{"keywords":["cli","data"]},"versions":[{"crate":"', name,
+        '","num":"', ver,
+        '","description":"Crate ', name,
+        '","homepage":"https://ex.dev/', name,
+        '","repository":"https://github.com/ex/', name,
+        '","license":"', lic,
+        '","dl_path":"/api/v1/crates/', name, "/", ver,
+        '/download","crate_size":', S.col("size").cast("string"),
+        ',"checksum":"', cs,
+        '","published_by":', publisher,
+        '},{"crate":"', name, '","num":"0.0.1","dl_path":null}]}',
     )
-    gem_doc = F.concat(
-        F.lit('{"name":"'), name, F.lit('","version":"'), ver,
-        F.lit('","description":"Gem '), name,
-        F.lit('","homepage_uri":"https://ex.dev/'), name,
-        F.lit('","project_uri":"https://rubygems.org/gems/'), name,
-        F.lit('","version_created_at":"2020-01-01T00:00:00Z",'),
-        F.lit('"licenses":["MIT","Ruby"],"authors":"A, B",'),
-        F.lit('"gem_uri":"https://rubygems.org/gems/'), name, F.lit("-"), ver,
-        F.lit('.gem","sha":"'), cs, F.lit('"}'),
+    gem_doc = S.concat(
+        '{"name":"', name, '","version":"', ver,
+        '","description":"Gem ', name,
+        '","homepage_uri":"https://ex.dev/', name,
+        '","project_uri":"https://rubygems.org/gems/', name,
+        '","version_created_at":"2020-01-01T00:00:00Z",',
+        '"licenses":["MIT","Ruby"],"authors":"A, B",',
+        '"gem_uri":"https://rubygems.org/gems/', name, "-", ver,
+        '.gem","sha":"', cs, '"}',
     )
-    cargo = map_cargo_docs(b.select(cargo_doc.alias("doc"))).select(
+    cargo = map_cargo_docs(S.sel(b, cargo_doc.alias("doc"))).selectExpr(
         "type", "name", "version", "purl", "description", "declared_license",
         "author", "download_url", "size", "sha256",
     )
-    gem = map_gem_docs(b.select(gem_doc.alias("doc"))).select(
+    gem = map_gem_docs(S.sel(b, gem_doc.alias("doc"))).selectExpr(
         "type", "name", "version", "purl", "description", "declared_license",
         "author",
         "download_url",
-        F.lit(None).cast("long").alias("size"),
+        "CAST(NULL AS long) AS size",
         "sha256",
     )
     return cargo.unionByName(gem)
@@ -151,50 +152,50 @@ def x_packagist_nuget_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, empty-license null) + NuGet catalog entries (summary/description
     join rule, comma-split authors checked via the joined scalar)."""
     b = _base(spark, sf_dir)
-    name, ver = F.col("name"), F.col("ver")
-    pk_doc = F.concat(
-        F.lit('{"package":{"language":"PHP","versions":{"'), ver,
-        F.lit('":{"name":"'), name, F.lit('","version":"'), ver,
-        F.lit('","description":"Pkg '), name,
-        F.lit('","homepage":"https://ex.dev/'), name,
-        F.lit('","source":{"type":"git","url":"https://github.com/ex/'), name,
-        F.lit('.git"},"dist":{"url":"https://dist.example/'), name, F.lit("-"), ver,
-        F.lit('.zip","shasum":"abc"},"license":["MIT","BSD-3-Clause","MIT"]},'),
-        F.lit('"2.0.0-beta":{"name":"'), name,
-        F.lit('","version":"2.0.0-beta","source":{"type":"svn","url":"x"},'),
-        F.lit('"dist":{"url":"https://dist.example/'), name,
-        F.lit('-beta.zip","shasum":null},"license":[]}}}}'),
+    name, ver = S.col("name"), S.col("ver")
+    pk_doc = S.concat(
+        '{"package":{"language":"PHP","versions":{"', ver,
+        '":{"name":"', name, '","version":"', ver,
+        '","description":"Pkg ', name,
+        '","homepage":"https://ex.dev/', name,
+        '","source":{"type":"git","url":"https://github.com/ex/', name,
+        '.git"},"dist":{"url":"https://dist.example/', name, "-", ver,
+        '.zip","shasum":"abc"},"license":["MIT","BSD-3-Clause","MIT"]},',
+        '"2.0.0-beta":{"name":"', name,
+        '","version":"2.0.0-beta","source":{"type":"svn","url":"x"},',
+        '"dist":{"url":"https://dist.example/', name,
+        '-beta.zip","shasum":null},"license":[]}}}}',
     )
-    k = F.col("k")
-    summary = F.concat(F.lit("Sum "), name)
+    k = S.col("k")
+    summary = S.concat("Sum ", name)
     # k%5==0 rows omit the summary entirely (null summary + present
     # description must keep the description, per the reference)
-    sum_part = F.when(
-        k % 5 != 0, F.concat(F.lit('"summary":"'), summary, F.lit('",'))
-    ).otherwise(F.lit(""))
-    long_desc = F.when((k % 2 == 0) & (k % 5 != 0), summary).otherwise(
-        F.concat(F.lit("Desc "), name)
+    sum_part = S.when(
+        k % 5 != 0, S.concat('"summary":"', summary, '",')
+    ).otherwise("")
+    long_desc = S.when((k % 2 == 0) & (k % 5 != 0), summary).otherwise(
+        S.concat("Desc ", name)
     )
-    ng_doc = F.concat(
-        F.lit('{"id":"'), name, F.lit('","version":"'), ver,
-        F.lit('",'), sum_part,
-        F.lit('"description":"'), long_desc,
-        F.lit('","licenseUrl":"https://lic.example/'), name,
-        F.lit('","copyright":"(c) ex","authors":"A1, A2","tags":["t1"],'),
-        F.lit('"projectUrl":"https://proj.example/'), name,
-        F.lit('","packageContent":"https://api.nuget.org/pkg/'), name, F.lit("."), ver,
-        F.lit('.nupkg"}'),
+    ng_doc = S.concat(
+        '{"id":"', name, '","version":"', ver,
+        '",', sum_part,
+        '"description":"', long_desc,
+        '","licenseUrl":"https://lic.example/', name,
+        '","copyright":"(c) ex","authors":"A1, A2","tags":["t1"],',
+        '"projectUrl":"https://proj.example/', name,
+        '","packageContent":"https://api.nuget.org/pkg/', name, ".", ver,
+        '.nupkg"}',
     )
     cols = [
         "type", "name", "version", "purl", "description", "primary_language",
         "homepage_url", "vcs_url", "download_url", "declared_license",
     ]
-    composer = map_packagist_docs(b.select(pk_doc.alias("doc"))).select(*cols)
-    nuget = map_nuget_docs(b.select(ng_doc.alias("doc"))).select(
+    composer = map_packagist_docs(S.sel(b, pk_doc.alias("doc"))).selectExpr(*cols)
+    nuget = map_nuget_docs(S.sel(b, ng_doc.alias("doc"))).selectExpr(
         "type", "name", "version", "purl", "description",
-        F.lit(None).cast("string").alias("primary_language"),
+        "CAST(NULL AS string) AS primary_language",
         "homepage_url",
-        F.lit(None).cast("string").alias("vcs_url"),
+        "CAST(NULL AS string) AS vcs_url",
         "download_url", "declared_license",
     )
     return composer.unionByName(nuget)
@@ -252,11 +253,11 @@ def x_golang_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     git+ vcs_url for github; unknown hosts keep the full path and gain no
     qualifier."""
     b = _base(spark, sf_dir)
-    k, ks = F.col("k"), F.col("k").cast("string")
+    k, ks = S.col("k"), S.col("k").cast("string")
     path = (
-        F.when(k % 6 == 5, F.concat(F.lit("localpkg"), ks))
-        .when(k % 3 == 0, F.concat(F.lit("github.com/owner"), ks, F.lit("/repo"), ks, F.lit("/pkg/sub")))
-        .when(k % 3 == 1, F.concat(F.lit("gitlab.com/grp"), ks, F.lit("/proj"), ks))
-        .otherwise(F.concat(F.lit("example.org/lib"), ks, F.lit("/mod")))
+        S.when(k % 6 == 5, S.concat("localpkg", ks))
+        .when(k % 3 == 0, S.concat("github.com/owner", ks, "/repo", ks, "/pkg/sub"))
+        .when(k % 3 == 1, S.concat("gitlab.com/grp", ks, "/proj", ks))
+        .otherwise(S.concat("example.org/lib", ks, "/mod"))
     )
-    return map_golang_paths(b.select(path.alias("path"))).drop("datasource_id")
+    return map_golang_paths(S.sel(b, path.alias("path"))).drop("datasource_id")

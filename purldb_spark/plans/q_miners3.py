@@ -8,9 +8,9 @@ oracle from the generating index.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners3 import (
     map_alpine_blocks,
@@ -34,19 +34,20 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.col("p_size").cast("long").alias("size"),
-        F.md5("p_name").alias("cs"),
+        S.col("p_size").cast("long").alias("size"),
+        S.md5(S.col("p_name")).alias("cs"),
     )
 
 
@@ -80,36 +81,36 @@ def x_alpine_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     name/email split, colon-less lines skipped; the second block exercises
     the all-fields-missing path."""
     b = _base(spark, sf_dir)
-    name, ver = F.col("name"), F.col("ver")
+    name, ver = S.col("name"), S.col("ver")
     maint = (
-        F.when(F.col("k") % 3 == 0, F.lit("m:Ann Dev <ann@ex.dev>\n"))
-        .when(F.col("k") % 3 == 1, F.lit("m:solo\n"))
-        .otherwise(F.lit(""))
+        S.when(S.col("k") % 3 == 0, "m:Ann Dev <ann@ex.dev>\n")
+        .when(S.col("k") % 3 == 1, "m:solo\n")
+        .otherwise("")
     )
-    apkindex = F.concat(
-        F.lit("C:Q1"),
-        F.base64(F.unhex(F.col("cs"))),
-        F.lit("\nP:"),
+    apkindex = S.concat(
+        "C:Q1",
+        S.base64(S.unhex(S.col("cs"))),
+        "\nP:",
         name,
-        F.lit("\nV:"),
+        "\nV:",
         ver,
-        F.lit("\nA:x86_64\nS:"),
-        F.col("size").cast("string"),
-        F.lit("\nT:Package "),
+        "\nA:x86_64\nS:",
+        S.col("size").cast("string"),
+        "\nT:Package ",
         name,
-        F.lit("\nU:https://ex.dev/"),
+        "\nU:https://ex.dev/",
         name,
-        F.lit("\nL:MIT\n"),
+        "\nL:MIT\n",
         maint,
-        F.lit("junk line without separator\n"),
-        F.lit("\nP:o"),
+        "junk line without separator\n",
+        "\nP:o",
         name,
-        F.lit("\nV:0.0.1\nS:1\nT:Other\n"),
+        "\nV:0.0.1\nS:1\nT:Other\n",
     )
-    url = F.concat(
-        F.lit("https://dl.alpinelinux.org/"), name, F.lit("-"), ver, F.lit(".apk")
+    url = S.concat(
+        "https://dl.alpinelinux.org/", name, "-", ver, ".apk"
     )
-    docs = b.select(apkindex.alias("apkindex"), url.alias("download_url"))
+    docs = S.sel(b, apkindex.alias("apkindex"), url.alias("download_url"))
     return map_alpine_blocks(docs).drop("datasource_id")
 
 
@@ -158,92 +159,91 @@ def x_cran_conda_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     packages.conda branch, conan-typed dependency purls, and the
     conda-forge info merge (conda.py:15-82)."""
     b = _base(spark, sf_dir)
-    name, ver, cs = F.col("name"), F.col("ver"), F.col("cs")
-    k = F.col("k")
+    name, ver, cs = S.col("name"), S.col("ver"), S.col("cs")
+    k = S.col("k")
 
-    cran_doc = F.concat(
-        F.lit('{"Package":"'), name,
-        F.lit('","versions":{"'), ver,
-        F.lit('":{"Description":"R package '), name,
-        F.lit('","URL":"https://ex.dev/'), name,
-        F.lit('","License":"GPL-3","Author":"Ann"},'),
-        F.lit('"0.0.1":{"Description":"Old '), name,
-        F.lit('","License":"MIT"}}}'),
+    cran_doc = S.concat(
+        '{"Package":"', name,
+        '","versions":{"', ver,
+        '":{"Description":"R package ', name,
+        '","URL":"https://ex.dev/', name,
+        '","License":"GPL-3","Author":"Ann"},',
+        '"0.0.1":{"Description":"Old ', name,
+        '","License":"MIT"}}}',
     )
-    want = F.when(k % 2 == 0, ver)
+    want = S.when(k % 2 == 0, ver)
     cran = map_cran_docs(
-        b.select(cran_doc.alias("doc"), want.alias("want")), version_col="want"
-    ).select(
+        S.sel(b, cran_doc.alias("doc"), want.alias("want")), version_col="want"
+    ).selectExpr(
         "type",
         "name",
         "version",
         "purl",
         "description",
         "homepage_url",
-        F.col("extracted_license_statement").alias("licenses"),
+        "extracted_license_statement AS licenses",
         "author",
         "download_url",
-        F.lit(None).cast("string").alias("namespace"),
-        F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("string").alias("sha256"),
-        F.lit(None).cast("string").alias("md5"),
-        F.lit(None).cast("string").alias("deps"),
+        "CAST(NULL AS string) AS namespace",
+        "CAST(NULL AS long) AS size",
+        "CAST(NULL AS string) AS sha256",
+        "CAST(NULL AS string) AS md5",
+        "CAST(NULL AS string) AS deps",
     )
 
-    tarball = F.concat(name, F.lit("-"), ver, F.lit(".tar.bz2"))
-    condapkg = F.concat(name, F.lit("-"), ver, F.lit(".conda"))
-    lic = F.when(k % 3 == 0, F.lit('"license":"BSD-3-Clause",')).otherwise(F.lit(""))
-    meta_body = F.concat(
-        F.lit('{"sha256":"'), cs,
-        F.lit('","md5":"'), F.substring(cs, 1, 16),
-        F.lit('",'), lic,
-        F.lit('"depends":["python >=3.8","numpy"],"size":'),
+    tarball = S.concat(name, "-", ver, ".tar.bz2")
+    condapkg = S.concat(name, "-", ver, ".conda")
+    lic = S.when(k % 3 == 0, '"license":"BSD-3-Clause",').otherwise("")
+    meta_body = S.concat(
+        '{"sha256":"', cs,
+        '","md5":"', S.substring(cs, 1, 16),
+        '",', lic,
+        '"depends":["python >=3.8","numpy"],"size":',
     )
-    repodata = F.concat(
-        F.lit('{"packages":{"'), tarball, F.lit('":'),
-        meta_body, F.col("size").cast("string"), F.lit("}},"),
-        F.lit('"packages.conda":{"'), condapkg, F.lit('":'),
-        meta_body, (F.col("size") + 1).cast("string"), F.lit("}}}"),
+    repodata = S.concat(
+        '{"packages":{"', tarball, '":',
+        meta_body, S.col("size").cast("string"), "}},",
+        '"packages.conda":{"', condapkg, '":',
+        meta_body, (S.col("size") + 1).cast("string"), "}}}",
     )
-    identifier = F.when(k % 2 == 0, condapkg).otherwise(tarball)
-    namespace = F.when(k % 2 == 0, "conda-forge").otherwise("main")
-    info = F.when(
+    identifier = S.when(k % 2 == 0, condapkg).otherwise(tarball)
+    namespace = S.when(k % 2 == 0, "conda-forge").otherwise("main")
+    info = S.when(
         k % 4 == 0,
-        F.concat(
-            F.lit('{"description":"Conda pkg","summary":"sum",'),
-            F.lit('"html_url":"https://anaconda.org/'), name,
-            F.lit('","dev_url":"https://github.com/'), name,
-            F.lit('","license":"MIT"}'),
+        S.concat(
+            '{"description":"Conda pkg","summary":"sum",',
+            '"html_url":"https://anaconda.org/', name,
+            '","dev_url":"https://github.com/', name,
+            '","license":"MIT"}',
         ),
     )
-    conda_docs = b.select(
+    conda_docs = S.sel(
+        b,
         repodata.alias("doc"),
         identifier.alias("identifier"),
         name.alias("name"),
         namespace.alias("namespace"),
         ver.alias("version"),
-        F.concat(F.lit("https://repo.anaconda.com/"), name, F.lit("-"), ver).alias(
+        S.concat("https://repo.anaconda.com/", name, "-", ver).alias(
             "download_url"
         ),
         info.alias("package_info"),
     )
-    conda = map_conda_docs(conda_docs).select(
+    conda = map_conda_docs(conda_docs).selectExpr(
         "type",
         "name",
         "version",
         "purl",
         "description",
         "homepage_url",
-        F.nullif(
-            F.concat_ws("; ", F.col("extracted_license_statement")), F.lit("")
-        ).alias("licenses"),
-        F.lit(None).cast("string").alias("author"),
+        "nullif(concat_ws('; ', extracted_license_statement), '') AS licenses",
+        "CAST(NULL AS string) AS author",
         "download_url",
         "namespace",
         "size",
         "sha256",
         "md5",
-        F.concat_ws("; ", F.col("dependencies")).alias("deps"),
+        "concat_ws('; ', dependencies) AS deps",
     )
     return cran.unionByName(conda)
 
@@ -305,90 +305,88 @@ def x_sourceforge_fdroid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, one src row + one apk row per version with source_packages
     linkage."""
     b = _base(spark, sf_dir)
-    name, ver, cs, k = F.col("name"), F.col("ver"), F.col("cs"), F.col("k")
+    name, ver, cs, k = S.col("name"), S.col("ver"), S.col("cs"), S.col("k")
 
-    shortname = F.when(k % 3 != 2, F.concat(F.lit('"shortname":"'), name, F.lit('",'))).otherwise(
-        F.lit("")
+    shortname = S.when(k % 3 != 2, S.concat('"shortname":"', name, '",')).otherwise(
+        ""
     )
     short_desc = (
-        F.when(k % 3 == 0, F.concat(F.lit('"short_description":"Long '), name, F.lit('",')))
-        .when(k % 3 == 1, F.lit('"short_description":"   ",'))
-        .otherwise(F.lit(""))
+        S.when(k % 3 == 0, S.concat('"short_description":"Long ', name, '",'))
+        .when(k % 3 == 1, '"short_description":"   ",')
+        .otherwise("")
     )
-    homepage = F.when(
-        k % 2 == 0, F.concat(F.lit('"external_homepage":"https://proj.ex/'), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    sf_doc = F.concat(
-        F.lit('{"summary":"Sum '), name, F.lit('",'),
+    homepage = S.when(
+        k % 2 == 0, S.concat('"external_homepage":"https://proj.ex/', name, '",')
+    ).otherwise("")
+    sf_doc = S.concat(
+        '{"summary":"Sum ', name, '",',
         short_desc,
         shortname,
-        F.lit('"name":"n-'), name, F.lit('",'),
+        '"name":"n-', name, '",',
         homepage,
-        F.lit('"url":"https://sourceforge.net/projects/'), name, F.lit('",'),
-        F.lit('"developers":[{"name":"Dev A","url":"https://sf.net/u/a"},'),
-        F.lit('{"url":"https://sf.net/u/b"}],'),
-        F.lit('"categories":{"language":[{"shortname":"python"},{"shortname":"c"}],'),
-        F.lit('"license":[{"shortname":"mit","fullname":"MIT License"},'),
-        F.lit('{"shortname":"gpl"}],'),
-        F.lit('"topic":[{"shortname":"dev"}]}}'),
+        '"url":"https://sourceforge.net/projects/', name, '",',
+        '"developers":[{"name":"Dev A","url":"https://sf.net/u/a"},',
+        '{"url":"https://sf.net/u/b"}],',
+        '"categories":{"language":[{"shortname":"python"},{"shortname":"c"}],',
+        '"license":[{"shortname":"mit","fullname":"MIT License"},',
+        '{"shortname":"gpl"}],',
+        '"topic":[{"shortname":"dev"}]}}',
     )
-    sf = map_sourceforge_docs(b.select(sf_doc.alias("doc"))).select(
+    sf = map_sourceforge_docs(S.sel(b, sf_doc.alias("doc"))).selectExpr(
         "type",
         "name",
-        F.lit(None).cast("string").alias("version"),
+        "CAST(NULL AS string) AS version",
         "purl",
         "description",
         "homepage_url",
         "primary_language",
-        F.concat_ws("; ", F.col("extracted_license_statement")).alias("licenses"),
-        F.concat_ws("; ", F.col("keywords")).alias("keywords"),
-        F.concat_ws("; ", F.col("contributors")).alias("contributors"),
-        F.lit(None).cast("string").alias("vcs_url"),
-        F.lit(None).cast("string").alias("bug_tracking_url"),
-        F.lit(None).cast("string").alias("download_url"),
-        F.lit(None).cast("string").alias("sha256"),
-        F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("string").alias("source_packages"),
+        "concat_ws('; ', extracted_license_statement) AS licenses",
+        "concat_ws('; ', keywords) AS keywords",
+        "concat_ws('; ', contributors) AS contributors",
+        "CAST(NULL AS string) AS vcs_url",
+        "CAST(NULL AS string) AS bug_tracking_url",
+        "CAST(NULL AS string) AS download_url",
+        "CAST(NULL AS string) AS sha256",
+        "CAST(NULL AS long) AS size",
+        "CAST(NULL AS string) AS source_packages",
     )
 
     vc = (k % 100 + 1).cast("string")
-    fdroid_doc = F.concat(
-        F.lit('{"metadata":{"categories":["time"],'),
-        F.lit('"issueTracker":"https://github.com/ex/'), name, F.lit('/issues",'),
-        F.lit('"license":"GPL-2.0-only",'),
-        F.lit('"sourceCode":"https://github.com/ex/'), name, F.lit('",'),
-        F.lit('"webSite":"https://site.ex/'), name, F.lit('",'),
-        F.lit('"name":{"en-US":"'), name, F.lit('"},'),
-        F.lit('"summary":{"en-US":"'), name, F.lit(' tool"},'),
-        F.lit('"description":{"en-US":"Full desc of '), name, F.lit('"}},'),
-        F.lit('"versions":{"'), cs, F.lit('":{'),
-        F.lit('"manifest":{"versionCode":'), vc, F.lit("},"),
-        F.lit('"src":{"name":"/'), name, F.lit('-src.tar.gz","sha256":"'), cs,
-        F.lit('","size":'), F.col("size").cast("string"), F.lit("},"),
-        F.lit('"file":{"name":"/'), name, F.lit('.apk","sha256":"'),
-        F.substring(cs, 1, 16),
-        F.lit('","size":'), (F.col("size") + 7).cast("string"), F.lit("}}}}"),
+    fdroid_doc = S.concat(
+        '{"metadata":{"categories":["time"],',
+        '"issueTracker":"https://github.com/ex/', name, '/issues",',
+        '"license":"GPL-2.0-only",',
+        '"sourceCode":"https://github.com/ex/', name, '",',
+        '"webSite":"https://site.ex/', name, '",',
+        '"name":{"en-US":"', name, '"},',
+        '"summary":{"en-US":"', name, ' tool"},',
+        '"description":{"en-US":"Full desc of ', name, '"}},',
+        '"versions":{"', cs, '":{',
+        '"manifest":{"versionCode":', vc, "},",
+        '"src":{"name":"/', name, '-src.tar.gz","sha256":"', cs,
+        '","size":', S.col("size").cast("string"), "},",
+        '"file":{"name":"/', name, '.apk","sha256":"',
+        S.substring(cs, 1, 16),
+        '","size":', (S.col("size") + 7).cast("string"), "}}}}",
     )
     fd = map_fdroid_docs(
-        b.select(fdroid_doc.alias("doc"), name.alias("name"))
-    ).select(
+        S.sel(b, fdroid_doc.alias("doc"), name.alias("name"))
+    ).selectExpr(
         "type",
         "name",
         "version",
         "purl",
         "description",
         "homepage_url",
-        F.lit(None).cast("string").alias("primary_language"),
-        F.col("extracted_license_statement").alias("licenses"),
-        F.concat_ws("; ", F.col("keywords")).alias("keywords"),
-        F.lit(None).cast("string").alias("contributors"),
+        "CAST(NULL AS string) AS primary_language",
+        "extracted_license_statement AS licenses",
+        "concat_ws('; ', keywords) AS keywords",
+        "CAST(NULL AS string) AS contributors",
         "vcs_url",
         "bug_tracking_url",
         "download_url",
         "sha256",
         "size",
-        F.nullif(F.concat_ws("; ", F.col("source_packages")), F.lit("")).alias(
-            "source_packages"
-        ),
+        "nullif(concat_ws('; ', source_packages), '') AS source_packages",
     )
     return sf.unionByName(fd)

@@ -8,9 +8,9 @@ by the oracle from the generating index.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners4 import (
     map_bitbucket_download_docs,
@@ -37,20 +37,21 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.concat(F.lit("ns"), (k % 7).cast("string")).alias("ns"),
-        F.col("p_size").cast("long").alias("size"),
-        F.md5("p_name").alias("cs"),
+        S.concat("ns", (k % 7).cast("string")).alias("ns"),
+        S.col("p_size").cast("long").alias("size"),
+        S.md5(S.col("p_name")).alias("cs"),
     )
 
 
@@ -112,85 +113,85 @@ def x_bitbucket_gitlab_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     downloads value, and the gitlab purl name taken from the web_url slug
     (NOT the display name)."""
     b = _base(spark, sf_dir)
-    k, name, ns = F.col("k"), F.col("name"), F.col("ns")
+    k, name, ns = S.col("k"), S.col("name"), S.col("ns")
 
-    scm = F.when(k % 2 == 1, F.lit('"scm":"hg",')).otherwise(F.lit(""))
-    website = F.when(
-        k % 3 == 0, F.concat(F.lit('"website":"https://bb.ex/'), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    issues = F.when(k % 3 == 0, F.lit("true")).otherwise(F.lit("false"))
-    repo_doc = F.concat(
-        F.lit('{"full_name":"'), ns, F.lit("/"), name, F.lit('",'),
+    scm = S.when(k % 2 == 1, '"scm":"hg",').otherwise("")
+    website = S.when(
+        k % 3 == 0, S.concat('"website":"https://bb.ex/', name, '",')
+    ).otherwise("")
+    issues = S.when(k % 3 == 0, "true").otherwise("false")
+    repo_doc = S.concat(
+        '{"full_name":"', ns, "/", name, '",',
         scm, website,
-        F.lit('"description":"Repo '), name, F.lit('",'),
-        F.lit('"language":"python","has_issues":'), issues, F.lit(","),
-        F.lit('"owner":{"username":"u'), (k % 5).cast("string"),
-        F.lit('","links":{"html":{"href":"https://bitbucket.org/u'),
-        (k % 5).cast("string"), F.lit('"}}}}'),
+        '"description":"Repo ', name, '",',
+        '"language":"python","has_issues":', issues, ",",
+        '"owner":{"username":"u', (k % 5).cast("string"),
+        '","links":{"html":{"href":"https://bitbucket.org/u',
+        (k % 5).cast("string"), '"}}}}',
     )
-    repo = map_bitbucket_repo_docs(b.select(repo_doc.alias("doc"))).select(
+    repo = map_bitbucket_repo_docs(S.sel(b, repo_doc.alias("doc"))).selectExpr(
         "type", "namespace", "name", "purl", "homepage_url", "code_view_url",
         "bug_tracking_url", "description", "vcs_url", "primary_language",
         "owner", "owner_url",
-        F.lit(None).cast("string").alias("download_url"),
-        F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("string").alias("release_date"),
+        "CAST(NULL AS string) AS download_url",
+        "CAST(NULL AS long) AS size",
+        "CAST(NULL AS string) AS release_date",
     )
 
-    dl_href = F.concat(
-        F.lit("https://bitbucket.org/"), ns, F.lit("/"), name, F.lit("/downloads/f")
+    dl_href = S.concat(
+        "https://bitbucket.org/", ns, "/", name, "/downloads/f"
     )
-    dl_doc = F.concat(
-        F.lit('{"values":[{"name":"f1.zip","size":'), F.col("size").cast("string"),
-        F.lit(',"links":{"self":{"href":"'), dl_href, F.lit('1.zip"}}},'),
-        F.lit('{"name":"f2.zip","size":'), (F.col("size") + 5).cast("string"),
-        F.lit(',"links":{"self":{"href":"'), dl_href, F.lit('2.zip"}}}]}'),
+    dl_doc = S.concat(
+        '{"values":[{"name":"f1.zip","size":', S.col("size").cast("string"),
+        ',"links":{"self":{"href":"', dl_href, '1.zip"}}},',
+        '{"name":"f2.zip","size":', (S.col("size") + 5).cast("string"),
+        ',"links":{"self":{"href":"', dl_href, '2.zip"}}}]}',
     )
-    dl_purl = F.concat(F.lit("pkg:bitbucket/"), ns, F.lit("/"), name)
+    dl_purl = S.concat("pkg:bitbucket/", ns, "/", name)
     dls = map_bitbucket_download_docs(
-        b.select(dl_doc.alias("doc"), dl_purl.alias("package_url"))
-    ).select(
+        S.sel(b, dl_doc.alias("doc"), dl_purl.alias("package_url"))
+    ).selectExpr(
         "type", "namespace", "name", "purl",
-        F.lit(None).cast("string").alias("homepage_url"),
-        F.lit(None).cast("string").alias("code_view_url"),
-        F.lit(None).cast("string").alias("bug_tracking_url"),
-        F.lit(None).cast("string").alias("description"),
-        F.lit(None).cast("string").alias("vcs_url"),
-        F.lit(None).cast("string").alias("primary_language"),
-        F.lit(None).cast("string").alias("owner"),
-        F.lit(None).cast("string").alias("owner_url"),
+        "CAST(NULL AS string) AS homepage_url",
+        "CAST(NULL AS string) AS code_view_url",
+        "CAST(NULL AS string) AS bug_tracking_url",
+        "CAST(NULL AS string) AS description",
+        "CAST(NULL AS string) AS vcs_url",
+        "CAST(NULL AS string) AS primary_language",
+        "CAST(NULL AS string) AS owner",
+        "CAST(NULL AS string) AS owner_url",
         "download_url", "size",
-        F.lit(None).cast("string").alias("release_date"),
+        "CAST(NULL AS string) AS release_date",
     )
 
-    repo_url = F.when(
-        k % 4 != 0, F.concat(F.lit('"http_url_to_repo":"https://gitlab.com/grp/'),
-                             name, F.lit('.git",')),
-    ).otherwise(F.lit(""))
-    gl_doc = F.concat(
-        F.lit('{"name":"My '), name, F.lit('",'),
-        F.lit('"web_url":"https://gitlab.com/grp/'), name, F.lit('",'),
+    repo_url = S.when(
+        k % 4 != 0, S.concat('"http_url_to_repo":"https://gitlab.com/grp/',
+                             name, '.git",'),
+    ).otherwise("")
+    gl_doc = S.concat(
+        '{"name":"My ', name, '",',
+        '"web_url":"https://gitlab.com/grp/', name, '",',
         repo_url,
-        F.lit('"description":"GL '), name, F.lit('",'),
-        F.lit('"created_at":"2023-04-05T06:07:08.000Z"}'),
+        '"description":"GL ', name, '",',
+        '"created_at":"2023-04-05T06:07:08.000Z"}',
     )
-    gl = map_gitlab_docs(b.select(gl_doc.alias("doc"))).select(
+    gl = map_gitlab_docs(S.sel(b, gl_doc.alias("doc"))).selectExpr(
         "type",
-        F.lit(None).cast("string").alias("namespace"),
+        "CAST(NULL AS string) AS namespace",
         "name", "purl", "homepage_url", "code_view_url",
-        F.lit(None).cast("string").alias("bug_tracking_url"),
+        "CAST(NULL AS string) AS bug_tracking_url",
         "description", "vcs_url",
-        F.lit(None).cast("string").alias("primary_language"),
-        F.lit(None).cast("string").alias("owner"),
-        F.lit(None).cast("string").alias("owner_url"),
-        F.lit(None).cast("string").alias("download_url"),
-        F.lit(None).cast("long").alias("size"),
-        F.col("release_date").cast("string").alias("release_date"),
+        "CAST(NULL AS string) AS primary_language",
+        "CAST(NULL AS string) AS owner",
+        "CAST(NULL AS string) AS owner_url",
+        "CAST(NULL AS string) AS download_url",
+        "CAST(NULL AS long) AS size",
+        "CAST(release_date AS string) AS release_date",
     )
     return (
-        repo.select(*_BB_COLS)
-        .unionByName(dls.select(*_BB_COLS))
-        .unionByName(gl.select(*_BB_COLS))
+        repo.selectExpr(*_BB_COLS)
+        .unionByName(dls.selectExpr(*_BB_COLS))
+        .unionByName(gl.selectExpr(*_BB_COLS))
     )
 
 
@@ -239,45 +240,51 @@ def x_github_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     github.py:84-195)."""
     b = _base(spark, sf_dir)
     k, name, ns, ver, cs = (
-        F.col("k"), F.col("name"), F.col("ns"), F.col("ver"), F.col("cs")
+        S.col("k"), S.col("name"), S.col("ns"), S.col("ver"), S.col("cs")
     )
-    hurl = F.concat(F.lit("https://github.com/"), ns, F.lit("/"), name)
-    downloads = F.when(
+    hurl = S.concat("https://github.com/", ns, "/", name)
+    downloads = S.when(
         k % 2 == 0,
-        F.concat(
-            F.lit('[{"html_url":"'), hurl,
-            F.lit('/releases/d1","size":'), (F.col("size") + 1).cast("string"),
-            F.lit(',"created_at":"2023-01-02T03:04:05Z"}]'),
+        S.concat(
+            '[{"html_url":"', hurl,
+            '/releases/d1","size":', (S.col("size") + 1).cast("string"),
+            ',"created_at":"2023-01-02T03:04:05Z"}]',
         ),
-    ).otherwise(F.lit("[]"))
-    tags = F.when(
+    ).otherwise("[]")
+    tags = S.when(
         k % 3 != 0,
-        F.concat(
-            F.lit('[{"name":"v'), ver,
-            F.lit('","tarball_url":"'), hurl, F.lit("/tarball/v"), ver,
-            F.lit('","zipball_url":"'), hurl, F.lit("/zipball/v"), ver,
-            F.lit('","sha1":"'), cs, F.lit('"}]'),
+        S.concat(
+            '[{"name":"v', ver,
+            '","tarball_url":"', hurl, "/tarball/v", ver,
+            '","zipball_url":"', hurl, "/zipball/v", ver,
+            '","sha1":"', cs, '"}]',
         ),
-    ).otherwise(F.lit("[]"))
-    branches = F.when(
+    ).otherwise("[]")
+    branches = S.when(
         (k % 2 == 1) & (k % 3 == 0),
-        F.concat(F.lit('["'), hurl, F.lit('/archive/master.zip"]')),
-    ).otherwise(F.lit("[]"))
-    doc = F.concat(
-        F.lit('{"full_name":"'), ns, F.lit("/"), name, F.lit('",'),
-        F.lit('"name":"'), name, F.lit('",'),
-        F.lit('"description":"GH '), name, F.lit('",'),
-        F.lit('"language":"go",'),
-        F.lit('"html_url":"'), hurl, F.lit('",'),
-        F.lit('"git_url":"git://github.com/'), ns, F.lit("/"), name, F.lit('.git",'),
-        F.lit('"size":'), F.col("size").cast("string"), F.lit(","),
-        F.lit('"owner":"u'), (k % 5).cast("string"), F.lit('",'),
-        F.lit('"downloads":'), downloads, F.lit(","),
-        F.lit('"tags":'), tags, F.lit(","),
-        F.lit('"branches_download_urls":'), branches, F.lit("}"),
+        S.concat('["', hurl, '/archive/master.zip"]'),
+    ).otherwise("[]")
+    doc = S.concat(
+        '{"full_name":"', ns, "/", name, '",',
+        '"name":"', name, '",',
+        '"description":"GH ', name, '",',
+        '"language":"go",',
+        '"html_url":"', hurl, '",',
+        '"git_url":"git://github.com/', ns, "/", name, '.git",',
+        '"size":', S.col("size").cast("string"), ",",
+        '"owner":"u', (k % 5).cast("string"), '",',
+        '"downloads":', downloads, ",",
+        '"tags":', tags, ",",
+        '"branches_download_urls":', branches, "}",
     )
-    return map_github_docs(b.select(doc.alias("doc"))).withColumn(
-        "release_date", F.col("release_date").cast("string")
+    gh = map_github_docs(S.sel(b, doc.alias("doc")))
+    return gh.selectExpr(
+        *[
+            "CAST(release_date AS string) AS release_date"
+            if c == "release_date"
+            else c
+            for c in gh.columns
+        ]
     )
 
 
@@ -339,85 +346,85 @@ def x_eclipse_hex_pub_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     tarball), and pub.dev versions mapping (pub.py:11-78: per-version
     pubspec rows, case-insensitive 'unknown' license dropped)."""
     b = _base(spark, sf_dir)
-    k, name, ver, cs = F.col("k"), F.col("name"), F.col("ver"), F.col("cs")
+    k, name, ver, cs = S.col("k"), S.col("name"), S.col("ver"), S.col("cs")
 
-    desc_arr = F.when(
-        k % 2 == 0, F.concat(F.lit('[{"value":"Desc '), name, F.lit('"}]'))
-    ).otherwise(F.lit("[]"))
-    dl2 = F.when(
+    desc_arr = S.when(
+        k % 2 == 0, S.concat('[{"value":"Desc ', name, '"}]')
+    ).otherwise("[]")
+    dl2 = S.when(
         k % 3 == 0,
-        F.concat(F.lit(',{"url":"https://dl.ecl.ex/'), name, F.lit('-2.zip"}')),
-    ).otherwise(F.lit(""))
-    ecl_doc = F.concat(
-        F.lit('{"projects":{"'), name, F.lit('":{'),
-        F.lit('"title":"T '), name, F.lit('",'),
-        F.lit('"description":'), desc_arr, F.lit(","),
-        F.lit('"website_url":[{"url":"https://ecl.ex/'), name, F.lit('"}],'),
-        F.lit('"bugzilla":[{"query_url":"https://bugs.ex/'), name, F.lit('"}],'),
-        F.lit('"licenses":[{"name":"EPL-2.0"},{"name":"Apache-2.0"}],'),
-        F.lit('"download_url":[{"url":"https://dl.ecl.ex/'), name, F.lit('-1.zip"}'),
-        dl2, F.lit("]}}}"),
+        S.concat(',{"url":"https://dl.ecl.ex/', name, '-2.zip"}'),
+    ).otherwise("")
+    ecl_doc = S.concat(
+        '{"projects":{"', name, '":{',
+        '"title":"T ', name, '",',
+        '"description":', desc_arr, ",",
+        '"website_url":[{"url":"https://ecl.ex/', name, '"}],',
+        '"bugzilla":[{"query_url":"https://bugs.ex/', name, '"}],',
+        '"licenses":[{"name":"EPL-2.0"},{"name":"Apache-2.0"}],',
+        '"download_url":[{"url":"https://dl.ecl.ex/', name, '-1.zip"}',
+        dl2, "]}}}",
     )
-    ecl = map_eclipse_docs(b.select(ecl_doc.alias("doc"))).select(
+    ecl = map_eclipse_docs(S.sel(b, ecl_doc.alias("doc"))).selectExpr(
         "type", "name",
-        F.lit(None).cast("string").alias("version"),
+        "CAST(NULL AS string) AS version",
         "purl", "description", "homepage_url", "bug_tracking_url",
-        F.col("extracted_license_statement").alias("licenses"),
+        "extracted_license_statement AS licenses",
         "download_url",
-        F.lit(None).cast("string").alias("sha256"),
-        F.lit(None).cast("string").alias("api_data_url"),
-        F.lit(None).cast("string").alias("release_date"),
-        F.lit(None).cast("string").alias("owners"),
-        F.lit(None).cast("string").alias("owner_emails"),
-        F.lit(None).cast("string").alias("repository_homepage_url"),
+        "CAST(NULL AS string) AS sha256",
+        "CAST(NULL AS string) AS api_data_url",
+        "CAST(NULL AS string) AS release_date",
+        "CAST(NULL AS string) AS owners",
+        "CAST(NULL AS string) AS owner_emails",
+        "CAST(NULL AS string) AS repository_homepage_url",
     )
 
-    o2 = F.when(k % 2 == 0, F.lit(',{"username":"o2"}')).otherwise(F.lit(""))
-    hex_doc = F.concat(
-        F.lit('{"meta":{"description":"Hex '), name,
-        F.lit('","licenses":["MIT","Apache-2.0"]},'),
-        F.lit('"owners":[{"username":"o1","email":"o1@ex.dev"}'), o2, F.lit("],"),
-        F.lit('"inserted_at":"2022-03-04T05:06:07Z",'),
-        F.lit('"name":"'), name, F.lit('",'),
-        F.lit('"version_info":{"version":"'), ver,
-        F.lit('","checksum":"'), cs,
-        F.lit('","html_url":"https://hex.pm/packages/'), name, F.lit('"}}'),
+    o2 = S.when(k % 2 == 0, ',{"username":"o2"}').otherwise("")
+    hex_doc = S.concat(
+        '{"meta":{"description":"Hex ', name,
+        '","licenses":["MIT","Apache-2.0"]},',
+        '"owners":[{"username":"o1","email":"o1@ex.dev"}', o2, "],",
+        '"inserted_at":"2022-03-04T05:06:07Z",',
+        '"name":"', name, '",',
+        '"version_info":{"version":"', ver,
+        '","checksum":"', cs,
+        '","html_url":"https://hex.pm/packages/', name, '"}}',
     )
-    hx = map_hex_docs(b.select(hex_doc.alias("doc"))).select(
+    hx = map_hex_docs(S.sel(b, hex_doc.alias("doc"))).selectExpr(
         "type", "name", "version", "purl", "description",
         "homepage_url",
-        F.lit(None).cast("string").alias("bug_tracking_url"),
-        F.col("declared_license").alias("licenses"),
+        "CAST(NULL AS string) AS bug_tracking_url",
+        "declared_license AS licenses",
         "download_url", "sha256", "api_data_url",
-        F.col("release_date").cast("string").alias("release_date"),
+        "CAST(release_date AS string) AS release_date",
         "owners", "owner_emails",
-        F.lit(None).cast("string").alias("repository_homepage_url"),
+        "CAST(NULL AS string) AS repository_homepage_url",
     )
 
-    pub_doc = F.concat(
-        F.lit('{"name":"'), name, F.lit('","versions":['),
-        F.lit('{"version":"'), ver, F.lit('","pubspec":{'),
-        F.lit('"description":"P '), name, F.lit('",'),
-        F.lit('"homepage":"https://pub.ex/'), name, F.lit('",'),
-        F.lit('"repository":"https://github.com/ex/'), name, F.lit('",'),
-        F.lit('"issue_tracker":"https://github.com/ex/'), name, F.lit('/issues",'),
-        F.lit('"license":"BSD-3-Clause"}},'),
-        F.lit('{"version":"0.0.1","pubspec":{"license":"UNKNOWN"}}]}'),
+    pub_doc = S.concat(
+        '{"name":"', name, '","versions":[',
+        '{"version":"', ver, '","pubspec":{',
+        '"description":"P ', name, '",',
+        '"homepage":"https://pub.ex/', name, '",',
+        '"repository":"https://github.com/ex/', name, '",',
+        '"issue_tracker":"https://github.com/ex/', name, '/issues",',
+        '"license":"BSD-3-Clause"}},',
+        '{"version":"0.0.1","pubspec":{"license":"UNKNOWN"}}]}',
     )
-    pub = map_pub_docs(b.select(pub_doc.alias("doc"))).select(
+    pub = map_pub_docs(S.sel(b, pub_doc.alias("doc"))).selectExpr(
         "type", "name", "version", "purl", "description", "homepage_url",
         "bug_tracking_url",
-        F.col("extracted_license_statement").alias("licenses"),
+        "extracted_license_statement AS licenses",
         "download_url",
-        F.lit(None).cast("string").alias("sha256"),
-        F.lit(None).cast("string").alias("api_data_url"),
-        F.lit(None).cast("string").alias("release_date"),
-        F.lit(None).cast("string").alias("owners"),
-        F.lit(None).cast("string").alias("owner_emails"),
+        "CAST(NULL AS string) AS sha256",
+        "CAST(NULL AS string) AS api_data_url",
+        "CAST(NULL AS string) AS release_date",
+        "CAST(NULL AS string) AS owners",
+        "CAST(NULL AS string) AS owner_emails",
         "repository_homepage_url",
     )
     return (
-        ecl.select(*_EHP_COLS)
-        .unionByName(hx.select(*_EHP_COLS))
-        .unionByName(pub.select(*_EHP_COLS))
+        ecl.selectExpr(*_EHP_COLS)
+        .unionByName(hx.selectExpr(*_EHP_COLS))
+        .unionByName(pub.selectExpr(*_EHP_COLS))
     )

@@ -16,9 +16,9 @@ relative).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.rpm_repodata import map_repomd_packages
 
@@ -39,22 +39,23 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    cs = F.md5("p_name")
-    return p.select(
+    k = S.col("p_partkey")
+    cs = S.md5(S.col("p_name"))
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.col("p_size").cast("long").alias("size"),
+        S.col("p_size").cast("long").alias("size"),
         cs.alias("cs"),
-        F.concat(F.lit("ff"), F.substring(cs, 3, 32)).alias("cs2"),
-        F.concat(F.lit("https://mirror.ex/repo"), k.cast("string")).alias("base_url"),
+        S.concat("ff", S.substring(cs, 3, 32)).alias("cs2"),
+        S.concat("https://mirror.ex/repo", k.cast("string")).alias("base_url"),
         (k % 2).cast("string").alias("e"),
     )
 
@@ -106,122 +107,123 @@ def x_rpm_repodata_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative branches."""
     b = _base(spark, sf_dir)
     name, ver, cs, cs2, e, k = (
-        F.col("name"),
-        F.col("ver"),
-        F.col("cs"),
-        F.col("cs2"),
-        F.col("e"),
-        F.col("k"),
+        S.col("name"),
+        S.col("ver"),
+        S.col("cs"),
+        S.col("cs2"),
+        S.col("e"),
+        S.col("k"),
     )
-    size_s = F.col("size").cast("string")
+    size_s = S.col("size").cast("string")
 
     href_b = (
-        F.when(k % 3 == 0, F.concat(F.lit("https://other.mirror/x/lib"), name, F.lit(".rpm")))
-        .when(k % 3 == 1, F.concat(F.lit("/pool1/lib"), name, F.lit(".rpm")))
-        .otherwise(F.concat(F.lit("pool2/lib"), name, F.lit(".rpm")))
+        S.when(k % 3 == 0, S.concat("https://other.mirror/x/lib", name, ".rpm"))
+        .when(k % 3 == 1, S.concat("/pool1/lib", name, ".rpm"))
+        .otherwise(S.concat("pool2/lib", name, ".rpm"))
     )
-    ver_a_attr = F.concat(
-        F.lit('<version epoch="'), e, F.lit('" ver="'), ver, F.lit('" rel="1.el9"/>')
+    ver_a_attr = S.concat(
+        '<version epoch="', e, '" ver="', ver, '" rel="1.el9"/>'
     )
-    primary = F.concat(
-        F.lit(
+    primary = S.concat(
+        S.lit(
             '<?xml version="1.0" encoding="UTF-8"?>\n'
             '<metadata xmlns="http://linux.duke.edu/metadata/common" '
             'xmlns:rpm="http://linux.duke.edu/metadata/rpm" packages="2">\n'
             '<package type="rpm"><name>'
         ),
         name,
-        F.lit("</name><arch>x86_64</arch>"),
+        S.lit("</name><arch>x86_64</arch>"),
         ver_a_attr,
-        F.lit('<checksum type="sha256" pkgid="YES">'), cs,
-        F.lit("</checksum><summary>Sum "), name,
-        F.lit("</summary><description>RPM package "), name,
-        F.lit("</description><packager>Ann</packager><url>https://ex.dev/"), name,
-        F.lit('</url><time file="1449" build="1440"/><size package="'), size_s,
-        F.lit('" installed="'), (F.col("size") * 3).cast("string"),
-        F.lit('" archive="0"/><location href="Packages/'), name,
-        F.lit("-"), ver,
-        F.lit(
+        S.lit('<checksum type="sha256" pkgid="YES">'), cs,
+        S.lit("</checksum><summary>Sum "), name,
+        S.lit("</summary><description>RPM package "), name,
+        S.lit("</description><packager>Ann</packager><url>https://ex.dev/"), name,
+        S.lit('</url><time file="1449" build="1440"/><size package="'), size_s,
+        S.lit('" installed="'), (S.col("size") * 3).cast("string"),
+        S.lit('" archive="0"/><location href="Packages/'), name,
+        S.lit("-"), ver,
+        S.lit(
             '.rpm"/><format><rpm:license>MIT</rpm:license>'
             "<rpm:vendor>Ex Corp</rpm:vendor>"
             "<rpm:group>Development/Libraries</rpm:group>"
             "<rpm:buildhost>build.ex.dev</rpm:buildhost><rpm:sourcerpm>"
         ),
-        name, F.lit("-"), ver,
-        F.lit(
+        name, S.lit("-"), ver,
+        S.lit(
             '-1.el9.src.rpm</rpm:sourcerpm><rpm:header-range start="280" end="1500"/>'
             '<rpm:provides><rpm:entry name="'
         ),
         name,
-        F.lit(
+        S.lit(
             '"/></rpm:provides><rpm:requires><rpm:entry name="glibc"/>'
             '<rpm:entry name="openssl"/></rpm:requires></format></package>\n'
             '<package type="rpm"><name>lib'
         ),
         name,
-        F.lit('</name><arch>noarch</arch><version ver="0.0.1"/>'),
-        F.lit('<checksum type="sha256" pkgid="YES">'), cs2,
-        F.lit('</checksum><description>Lib variant</description><location href="'),
+        S.lit('</name><arch>noarch</arch><version ver="0.0.1"/>'),
+        S.lit('<checksum type="sha256" pkgid="YES">'), cs2,
+        S.lit('</checksum><description>Lib variant</description><location href="'),
         href_b,
-        F.lit('"/><format></format></package>\n</metadata>'),
+        S.lit('"/><format></format></package>\n</metadata>'),
     )
-    filelists = F.concat(
-        F.lit(
+    filelists = S.concat(
+        S.lit(
             '<filelists xmlns="http://linux.duke.edu/metadata/filelists" '
             'packages="2">\n<package pkgid="'
         ),
         cs,
-        F.lit('" name="'), name,
-        F.lit('" arch="x86_64">'),
+        S.lit('" name="'), name,
+        S.lit('" arch="x86_64">'),
         ver_a_attr,
-        F.lit("<file>/usr/bin/"), name,
-        F.lit("</file><file>/usr/share/doc/"), name,
-        F.lit('</file><file type="dir">/usr/share/'), name,
-        F.lit('</file></package>\n<package pkgid="'), cs2,
-        F.lit('" name="lib'), name,
-        F.lit('" arch="noarch"><version ver="0.0.1"/><file>/usr/lib/lib'), name,
-        F.lit(".so</file></package>\n</filelists>"),
+        S.lit("<file>/usr/bin/"), name,
+        S.lit("</file><file>/usr/share/doc/"), name,
+        S.lit('</file><file type="dir">/usr/share/'), name,
+        S.lit('</file></package>\n<package pkgid="'), cs2,
+        S.lit('" name="lib'), name,
+        S.lit('" arch="noarch"><version ver="0.0.1"/><file>/usr/lib/lib'), name,
+        S.lit(".so</file></package>\n</filelists>"),
     )
-    other = F.concat(
-        F.lit(
+    other = S.concat(
+        S.lit(
             '<otherdata xmlns="http://linux.duke.edu/metadata/other" '
             'packages="2">\n<package pkgid="'
         ),
         cs,
-        F.lit('" name="'), name,
-        F.lit('" arch="x86_64">'),
+        S.lit('" name="'), name,
+        S.lit('" arch="x86_64">'),
         ver_a_attr,
-        F.lit(
+        S.lit(
             '<changelog author="Ann" date="100">fix a</changelog>'
             '<changelog author="Bob" date="200">fix b</changelog>'
             '</package>\n<package pkgid="'
         ),
         cs2,
-        F.lit('" name="lib'), name,
-        F.lit('" arch="noarch"><version ver="0.0.1"/></package>\n</otherdata>'),
+        S.lit('" name="lib'), name,
+        S.lit('" arch="noarch"><version ver="0.0.1"/></package>\n</otherdata>'),
     )
-    repomd = F.concat(
-        F.lit(
+    repomd = S.concat(
+        S.lit(
             '<repomd xmlns="http://linux.duke.edu/metadata/repo">'
             '<data type="primary"><checksum type="sha256">aa</checksum>'
             '<location href="repodata/'
         ),
         cs,
-        F.lit(
+        S.lit(
             '-primary.xml.gz"/><timestamp>1449</timestamp></data>'
             '<data type="filelists"><location href="repodata/'
         ),
         cs,
-        F.lit(
+        S.lit(
             '-filelists.xml.gz"/></data>'
             '<data type="other"><location href="repodata/'
         ),
         cs,
-        F.lit('-other.xml.gz"/></data></repomd>'),
+        S.lit('-other.xml.gz"/></data></repomd>'),
     )
-    repos = b.select(
-        F.col("k").alias("repo_id"),
-        F.col("base_url"),
+    repos = S.sel(
+        b,
+        S.col("k").alias("repo_id"),
+        S.col("base_url").alias("base_url"),
         repomd.alias("repomd_xml"),
         primary.alias("primary_xml"),
         filelists.alias("filelists_xml"),

@@ -8,9 +8,9 @@ generating index.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners6 import (
     map_bower_docs,
@@ -34,21 +34,22 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    cs = F.md5("p_name")
-    return p.select(
+    k = S.col("p_partkey")
+    cs = S.md5(S.col("p_name"))
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.col("p_size").cast("long").alias("size"),
+        S.col("p_size").cast("long").alias("size"),
         cs.alias("cs"),
-        F.concat(F.lit("ff"), F.substring(cs, 3, 32)).alias("cs2"),
+        S.concat("ff", S.substring(cs, 3, 32)).alias("cs2"),
     )
 
 
@@ -91,31 +92,31 @@ def x_bower_haxe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributor parties, dependency purls with blank requirements
     dropped, /download/ URL."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
     lic = (
-        F.when(k % 3 == 0, F.lit('"licenses":["MIT","Apache-2.0","MIT"],'))
-        .when(k % 3 == 1, F.lit('"licenses":"MIT",'))
-        .otherwise(F.lit(""))
+        S.when(k % 3 == 0, '"licenses":["MIT","Apache-2.0","MIT"],')
+        .when(k % 3 == 1, '"licenses":"MIT",')
+        .otherwise("")
     )
-    authors = F.when(k % 2 == 0, F.lit('"author":"Ann",')).otherwise(
-        F.lit('"authors":["x: Bob","nocolon","y:Cid"],')
+    authors = S.when(k % 2 == 0, '"author":"Ann",').otherwise(
+        '"authors":["x: Bob","nocolon","y:Cid"],'
     )
-    devdeps = F.when(k % 4 == 0, F.lit('"devDependencies":{"grunt":""},')).otherwise(
-        F.lit("")
+    devdeps = S.when(k % 4 == 0, '"devDependencies":{"grunt":""},').otherwise(
+        ""
     )
-    bower_doc = F.concat(
-        F.lit('{"name":"'), name,
-        F.lit('","version":"'), ver,
-        F.lit('","description":"Bower pkg '), name,
-        F.lit('","homepage":"https://bower.ex/'), name,
-        F.lit('","keywords":["web","ui"],'),
+    bower_doc = S.concat(
+        '{"name":"', name,
+        '","version":"', ver,
+        '","description":"Bower pkg ', name,
+        '","homepage":"https://bower.ex/', name,
+        '","keywords":["web","ui"],',
         lic,
         authors,
         devdeps,
-        F.lit('"repository":{"type":"git","url":"https://github.com/ex/'), name,
-        F.lit('.git"},"dependencies":{"jquery":"^1.0"}}'),
+        '"repository":{"type":"git","url":"https://github.com/ex/', name,
+        '.git"},"dependencies":{"jquery":"^1.0"}}',
     )
-    bower = map_bower_docs(b.select(bower_doc.alias("doc"))).select(
+    bower = map_bower_docs(S.sel(b, bower_doc.alias("doc"))).selectExpr(
         "type",
         "name",
         "version",
@@ -126,23 +127,23 @@ def x_bower_haxe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keywords",
         "parties",
         "vcs_url",
-        F.lit(None).cast("string").alias("download_url"),
+        "CAST(NULL AS string) AS download_url",
         "dependencies",
         "dev_dependencies",
         "datasource_id",
     )
-    tags = F.when(k % 2 == 0, F.lit('"tags":["t1"],')).otherwise(F.lit(""))
-    haxe_doc = F.concat(
-        F.lit('{"name":"'), name,
-        F.lit('","version":"'), ver,
-        F.lit('","url":"https://haxe.ex/'), name,
-        F.lit('","license":"GPL",'),
+    tags = S.when(k % 2 == 0, '"tags":["t1"],').otherwise("")
+    haxe_doc = S.concat(
+        '{"name":"', name,
+        '","version":"', ver,
+        '","url":"https://haxe.ex/', name,
+        '","license":"GPL",',
         tags,
-        F.lit('"description":"Haxe lib '), name,
-        F.lit('","contributors":["c-'), name,
-        F.lit('"],"dependencies":{"actuate":"1.8.7","openfl":" "}}'),
+        '"description":"Haxe lib ', name,
+        '","contributors":["c-', name,
+        '"],"dependencies":{"actuate":"1.8.7","openfl":" "}}',
     )
-    haxe = map_haxe_docs(b.select(haxe_doc.alias("doc"))).select(
+    haxe = map_haxe_docs(S.sel(b, haxe_doc.alias("doc"))).selectExpr(
         "type",
         "name",
         "version",
@@ -152,10 +153,10 @@ def x_bower_haxe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_license_statement",
         "keywords",
         "parties",
-        F.lit(None).cast("string").alias("vcs_url"),
+        "CAST(NULL AS string) AS vcs_url",
         "download_url",
         "dependencies",
-        F.lit(None).cast("string").alias("dev_dependencies"),
+        "CAST(NULL AS string) AS dev_dependencies",
         "datasource_id",
     )
     return bower.unionByName(haxe)
@@ -239,109 +240,109 @@ def x_dockerhub_nix_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unresolved -> null)."""
     b = _base(spark, sf_dir)
     k, name, ver, cs, cs2 = (
-        F.col("k"),
-        F.col("name"),
-        F.col("ver"),
-        F.col("cs"),
-        F.col("cs2"),
+        S.col("k"),
+        S.col("name"),
+        S.col("ver"),
+        S.col("cs"),
+        S.col("cs2"),
     )
-    short = F.when(k % 3 != 0, F.concat(F.lit('"description":"short '), name, F.lit('",'))).otherwise(
-        F.lit("")
+    short = S.when(k % 3 != 0, S.concat('"description":"short ', name, '",')).otherwise(
+        ""
     )
-    full = F.when(k % 3 == 1, F.lit('"full_description":"  ",')).otherwise(
-        F.concat(F.lit('"full_description":"Full desc '), name, F.lit('",'))
+    full = S.when(k % 3 == 1, '"full_description":"  ",').otherwise(
+        S.concat('"full_description":"Full desc ', name, '",')
     )
-    docker_doc = F.concat(
-        F.lit('{"summary":{'),
+    docker_doc = S.concat(
+        '{"summary":{',
         short,
         full,
-        F.lit('"is_private":'),
-        F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
-        F.lit('},"tags":[{"name":"latest","full_size":'),
-        F.col("size").cast("string"),
-        F.lit(',"digest":"sha256:'), cs,
-        F.lit('","last_updater_username":"u-'), name,
-        F.lit('"},{"name":"1.0","full_size":'),
-        (F.col("size") + 5).cast("string"),
-        F.lit(',"digest":"sha256:'), cs2,
-        F.lit('"}]}'),
+        '"is_private":',
+        S.when(k % 2 == 0, "true").otherwise("false"),
+        '},"tags":[{"name":"latest","full_size":',
+        S.col("size").cast("string"),
+        ',"digest":"sha256:', cs,
+        '","last_updater_username":"u-', name,
+        '"},{"name":"1.0","full_size":',
+        (S.col("size") + 5).cast("string"),
+        ',"digest":"sha256:', cs2,
+        '"}]}',
     )
     docker = map_dockerhub_docs(
-        b.select(
+        S.sel(
+            b,
             docker_doc.alias("doc"),
             name.alias("name"),
-            F.when(k % 2 == 1, F.lit("myorg")).alias("namespace"),
+            S.when(k % 2 == 1, "myorg").alias("namespace"),
         )
-    ).select(
+    ).selectExpr(
         "type",
         "name",
         "namespace",
         "version",
         "purl",
         "description",
-        F.lit(None).cast("string").alias("extracted_license_statement"),
-        F.col("is_private").cast("string").alias("is_private"),
+        "CAST(NULL AS string) AS extracted_license_statement",
+        "CAST(is_private AS string) AS is_private",
         "sha256",
         "size",
         "parties",
         "homepage_url",
-        F.lit(None).cast("string").alias("release_date"),
+        "CAST(NULL AS string) AS release_date",
         "download_url",
         "datasource_id",
     )
 
-    rel2 = F.when(
+    rel2 = S.when(
         k % 2 == 1,
-        F.lit(
-            ',{"version":"0.0.1","platforms":[{"system":"s2",'
-            '"outputs":[{"name":"out","path":"/nix/store/c-x"}]}]}'
-        ),
-    ).otherwise(F.lit(""))
-    lic = F.when(k % 2 == 0, F.lit('"license":["MIT","BSD"],')).otherwise(
-        F.lit('"license":"GPL",')
+        ',{"version":"0.0.1","platforms":[{"system":"s2",'
+        '"outputs":[{"name":"out","path":"/nix/store/c-x"}]}]}',
+    ).otherwise("")
+    lic = S.when(k % 2 == 0, '"license":["MIT","BSD"],').otherwise(
+        '"license":"GPL",'
     )
-    nix_doc = F.concat(
-        F.lit('{"name":"'), name,
-        F.lit('","summary":"Nix '), name,
-        F.lit('","homepage_url":"https://nix.ex/'), name,
-        F.lit('",'),
+    nix_doc = S.concat(
+        '{"name":"', name,
+        '","summary":"Nix ', name,
+        '","homepage_url":"https://nix.ex/', name,
+        '",',
         lic,
-        F.lit('"releases":[{"version":"'), ver,
-        F.lit('","platforms":[{"date":"2024-01-15","system":"x86_64-linux",'),
-        F.lit('"commit_hash":"c'), F.substring(cs, 1, 8),
-        F.lit('","outputs":[{"name":"out","path":"/nix/store/a'), cs,
-        F.lit("-"), name, F.lit("-"), ver,
-        F.lit('"},{"name":"","path":"/nix/store/b'), cs,
-        F.lit('-dev"}]},{"system":"aarch64-linux","commit_hash":"",'),
-        F.lit('"outputs":null}]}'),
+        '"releases":[{"version":"', ver,
+        '","platforms":[{"date":"2024-01-15","system":"x86_64-linux",',
+        '"commit_hash":"c', S.substring(cs, 1, 8),
+        '","outputs":[{"name":"out","path":"/nix/store/a', cs,
+        "-", name, "-", ver,
+        '"},{"name":"","path":"/nix/store/b', cs,
+        '-dev"}]},{"system":"aarch64-linux","commit_hash":"",',
+        '"outputs":null}]}',
         rel2,
-        F.lit("]}"),
+        "]}",
     )
     # cs = md5(p_name) repeats across part rows; the narinfo store is keyed
     # by hash — dedupe so the fixture join stays 1:1 like production
-    narinfo = b.select(
-        F.concat(F.lit("a"), cs).alias("hash"),
-        F.concat(F.lit("nar/"), cs, F.lit(".nar.xz")).alias("url_path"),
+    narinfo = S.sel(
+        b,
+        S.concat("a", cs).alias("hash"),
+        S.concat("nar/", cs, ".nar.xz").alias("url_path"),
     ).dropDuplicates(["hash"])
-    want = F.when(k % 2 == 0, ver)
+    want = S.when(k % 2 == 0, ver)
     nix = map_nix_docs(
-        b.select(nix_doc.alias("doc"), want.alias("want")),
+        S.sel(b, nix_doc.alias("doc"), want.alias("want")),
         narinfo=narinfo,
         version_col="want",
-    ).select(
+    ).selectExpr(
         "type",
         "name",
-        F.lit(None).cast("string").alias("namespace"),
+        "CAST(NULL AS string) AS namespace",
         "version",
         "purl",
         "description",
         "extracted_license_statement",
-        F.lit(None).cast("string").alias("is_private"),
-        F.lit(None).cast("string").alias("sha256"),
-        F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("string").alias("parties"),
+        "CAST(NULL AS string) AS is_private",
+        "CAST(NULL AS string) AS sha256",
+        "CAST(NULL AS long) AS size",
+        "CAST(NULL AS string) AS parties",
         "homepage_url",
-        F.col("release_date").cast("string").alias("release_date"),
+        "CAST(release_date AS string) AS release_date",
         "download_url",
         "datasource_id",
     )

@@ -13,9 +13,9 @@ part-derived names.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners7 import (
     map_apache_downloads,
@@ -39,20 +39,21 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    cs = F.md5("p_name")
-    return p.select(
+    k = S.col("p_partkey")
+    cs = S.md5(S.col("p_name"))
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
         cs.alias("cs"),
-        F.concat(F.lit("ff"), F.substring(cs, 3, 32)).alias("cs2"),
+        S.concat("ff", S.substring(cs, 3, 32)).alias("cs2"),
     )
 
 
@@ -104,51 +105,48 @@ def x_cpan_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-vs-list license, dict-vs-string repository, "git:"-only vcs,
     description defaulting to the name, author name/email split."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
 
     rel_lic = (
-        F.when(k % 3 == 0, F.lit('"license":["perl_5"," "],'))
-        .when(k % 3 == 1, F.lit('"license":["perl_5","mit"],'))
-        .otherwise(F.lit('"license":[],'))
+        S.when(k % 3 == 0, '"license":["perl_5"," "],')
+        .when(k % 3 == 1, '"license":["perl_5","mit"],')
+        .otherwise('"license":[],')
     )
-    res_lic = F.when(
-        k % 2 == 0, F.lit('"license":["http://dev.perl.org/licenses/"],')
-    ).otherwise(F.lit(""))
-    res_home = F.when(
-        k % 2 == 0, F.concat(F.lit('"homepage":"http://'), name, F.lit('.ex",'))
-    ).otherwise(F.lit(""))
+    res_lic = S.when(
+        k % 2 == 0, '"license":["http://dev.perl.org/licenses/"],'
+    ).otherwise("")
+    res_home = S.when(
+        k % 2 == 0, S.concat('"homepage":"http://', name, '.ex",')
+    ).otherwise("")
     res_repo = (
-        F.when(
+        S.when(
             k % 3 == 0,
-            F.concat(
-                F.lit('"repository":{"url":"git://github.com/ex/'), name,
-                F.lit('.git"},'),
-            ),
+            S.concat('"repository":{"url":"git://github.com/ex/', name, '.git"},'),
         )
         .when(
             k % 3 == 1,
-            F.concat(F.lit('"repository":{"url":"https://svn.ex/'), name, F.lit('"},')),
+            S.concat('"repository":{"url":"https://svn.ex/', name, '"},'),
         )
-        .otherwise(F.lit(""))
+        .otherwise("")
     )
-    res_bug = F.when(
+    res_bug = S.when(
         k % 3 == 0,
-        F.concat(F.lit('"bugtracker":{"web":"https://rt.cpan.org/'), name, F.lit('"},')),
-    ).otherwise(F.lit(""))
-    release_doc = F.concat(
-        F.lit('{"hits":{"hits":[{"_source":{"name":"'), name,
-        F.lit('","abstract":"Perl '), name,
-        F.lit('","version":"'), ver,
-        F.lit('","download_url":"https://cpan.metacpan.org/authors/'), name,
-        F.lit("-"), ver,
-        F.lit('.tar.gz",'),
+        S.concat('"bugtracker":{"web":"https://rt.cpan.org/', name, '"},'),
+    ).otherwise("")
+    release_doc = S.concat(
+        '{"hits":{"hits":[{"_source":{"name":"', name,
+        '","abstract":"Perl ', name,
+        '","version":"', ver,
+        '","download_url":"https://cpan.metacpan.org/authors/', name,
+        "-", ver,
+        '.tar.gz",',
         rel_lic,
-        F.lit('"date":"2014-04-20T21:30:13","author":"A-'), name,
-        F.lit('","resources":{'),
+        '"date":"2014-04-20T21:30:13","author":"A-', name,
+        '","resources":{',
         res_home, res_lic, res_repo, res_bug,
-        F.lit('"x":null}}},{"_source":{}}]}}'),
+        '"x":null}}},{"_source":{}}]}}',
     )
-    rel = map_cpan_release_docs(b.select(release_doc.alias("doc"))).select(
+    rel = map_cpan_release_docs(S.sel(b, release_doc.alias("doc"))).selectExpr(
         "type",
         "name",
         "version",
@@ -160,48 +158,43 @@ def x_cpan_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "homepage_url",
         "vcs_url",
         "bug_tracking_url",
-        F.lit(None).cast("string").alias("keywords"),
+        "CAST(NULL AS string) AS keywords",
         "parties",
-        F.lit(None).cast("string").alias("party_emails"),
+        "CAST(NULL AS string) AS party_emails",
         "datasource_id",
     )
 
-    meta_abs = F.when(
-        k % 4 != 0, F.concat(F.lit('"abstract":"Meta '), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    meta_lic = F.when(k % 2 == 0, F.lit('"license":["perl_5"],')).otherwise(
-        F.lit('"license":"mit",')
+    meta_abs = S.when(
+        k % 4 != 0, S.concat('"abstract":"Meta ', name, '",')
+    ).otherwise("")
+    meta_lic = S.when(k % 2 == 0, '"license":["perl_5"],').otherwise(
+        '"license":"mit",'
     )
-    meta_kw = F.when(k % 3 == 0, F.lit('"keywords":["k1"],')).otherwise(F.lit(""))
+    meta_kw = S.when(k % 3 == 0, '"keywords":["k1"],').otherwise("")
     meta_repo = (
-        F.when(
+        S.when(
             k % 3 == 0,
-            F.concat(
-                F.lit('"resources":{"repository":{"url":"git://g.ex/'), name,
-                F.lit('"}},'),
-            ),
+            S.concat('"resources":{"repository":{"url":"git://g.ex/', name, '"}},'),
         )
         .when(
             k % 3 == 1,
-            F.concat(F.lit('"resources":{"repository":"git://s.ex/'), name, F.lit('"},')),
+            S.concat('"resources":{"repository":"git://s.ex/', name, '"},'),
         )
-        .otherwise(
-            F.lit('"resources":{"repository":{"url":"https://h.ex"}},')
-        )
+        .otherwise('"resources":{"repository":{"url":"https://h.ex"}},')
     )
-    meta_doc = F.concat(
-        F.lit('{"name":"'), name,
-        F.lit('","version":"'), ver,
-        F.lit('",'),
+    meta_doc = S.concat(
+        '{"name":"', name,
+        '","version":"', ver,
+        '",',
         meta_abs, meta_lic, meta_kw, meta_repo,
-        F.lit('"author":["Ann <a@ex.dev>","Solo"]}'),
+        '"author":["Ann <a@ex.dev>","Solo"]}',
     )
-    meta_uri = F.concat(
-        F.lit("http://www.cpan.org/authors/id/"), name, F.lit("-"), ver, F.lit(".meta")
+    meta_uri = S.concat(
+        "http://www.cpan.org/authors/id/", name, "-", ver, ".meta"
     )
     meta = map_cpan_meta_docs(
-        b.select(meta_doc.alias("doc"), meta_uri.alias("uri"))
-    ).select(
+        S.sel(b, meta_doc.alias("doc"), meta_uri.alias("uri"))
+    ).selectExpr(
         "type",
         "name",
         "version",
@@ -209,10 +202,10 @@ def x_cpan_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "description",
         "download_url",
         "extracted_license_statement",
-        F.lit(None).cast("string").alias("release_date"),
-        F.lit(None).cast("string").alias("homepage_url"),
+        "CAST(NULL AS string) AS release_date",
+        "CAST(NULL AS string) AS homepage_url",
         "vcs_url",
-        F.lit(None).cast("string").alias("bug_tracking_url"),
+        "CAST(NULL AS string) AS bug_tracking_url",
         "keywords",
         "parties",
         "party_emails",
@@ -301,49 +294,49 @@ def x_apache_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (apache.py:513-591): checksum files folded onto their archive row,
     version from the first numeric dash segment."""
     b = _base(spark, sf_dir)
-    k, name, cs, cs2 = F.col("k"), F.col("name"), F.col("cs"), F.col("cs2")
-    dlname = F.replace(name, F.lit("-"), F.lit("_"))
+    k, name, cs, cs2 = S.col("k"), S.col("name"), S.col("cs"), S.col("cs2")
+    dlname = S.replace(name, "-", "_")
 
-    shortd = F.when(
-        k % 3 != 1, F.concat(F.lit('"shortdesc":"S '), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    longd = F.when(
-        k % 3 != 2, F.concat(F.lit('"description":"L '), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    dlpage = F.when(
+    shortd = S.when(
+        k % 3 != 1, S.concat('"shortdesc":"S ', name, '",')
+    ).otherwise("")
+    longd = S.when(
+        k % 3 != 2, S.concat('"description":"L ', name, '",')
+    ).otherwise("")
+    dlpage = S.when(
         k % 4 == 0,
-        F.concat(F.lit('"download-page":"https://'), name, F.lit('.apache.org/download",')),
-    ).otherwise(F.lit(""))
-    lic = F.when(
-        k % 2 == 0, F.lit('"license":"http://usefulinc.com/doap/licenses/asl20",')
-    ).otherwise(F.lit('"license":"https://custom.ex/lic",'))
-    releases = F.when(
+        S.concat('"download-page":"https://', name, '.apache.org/download",'),
+    ).otherwise("")
+    lic = S.when(
+        k % 2 == 0, '"license":"http://usefulinc.com/doap/licenses/asl20",'
+    ).otherwise('"license":"https://custom.ex/lic",')
+    releases = S.when(
         k % 3 == 0,
-        F.lit(
-            ',"release":[{"revision":"1.0","created":"2020-01-02"},'
-            '{"revision":"2.0","created":"2020"}]'
-        ),
-    ).otherwise(F.lit(""))
-    projects_doc = F.concat(
-        F.lit('{"proj-'), name, F.lit('":{'),
+        ',"release":[{"revision":"1.0","created":"2020-01-02"},'
+        '{"revision":"2.0","created":"2020"}]',
+    ).otherwise("")
+    projects_doc = S.concat(
+        '{"proj-', name, '":{',
         shortd, longd,
-        F.lit('"homepage":"https://'), name, F.lit('.apache.org",'),
-        F.lit('"bug-database":"https://issues.apache.org/jira/'), name, F.lit('",'),
-        F.lit('"programming-language":"Java",'),
+        '"homepage":"https://', name, '.apache.org",',
+        '"bug-database":"https://issues.apache.org/jira/', name, '",',
+        '"programming-language":"Java",',
         dlpage, lic,
-        F.lit('"category":" db , library ,",'),
-        F.lit('"repository":["https://svn.apache.org/repos/'), name,
-        F.lit('","second"],'),
-        F.lit('"maintainer":[{"name":"M1","mbox":"mailto:m1@a.org"},{"name":"M2"}]'),
+        '"category":" db , library ,",',
+        '"repository":["https://svn.apache.org/repos/', name,
+        '","second"],',
+        '"maintainer":[{"name":"M1","mbox":"mailto:m1@a.org"},{"name":"M2"}]',
         releases,
-        F.lit("}}"),
+        "}}",
     )
-    projects = map_apache_projects(b.select(projects_doc.alias("doc"))).select(
+    projects = map_apache_projects(
+        S.sel(b, projects_doc.alias("doc"))
+    ).selectExpr(
         "type",
         "name",
-        F.lit(None).cast("string").alias("namespace"),
+        "CAST(NULL AS string) AS namespace",
         "version",
-        F.lit(None).cast("string").alias("purl"),
+        "CAST(NULL AS string) AS purl",
         "description",
         "homepage_url",
         "bug_tracking_url",
@@ -357,31 +350,31 @@ def x_apache_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "party_emails",
         "release_date",
         *[
-            F.lit(None).cast("string").alias(f"download_{t}")
+            f"CAST(NULL AS string) AS download_{t}"
             for t in ("sha256", "sha512", "md5", "sha", "sha1")
         ],
         "datasource_id",
     )
 
-    pod_doc = F.when(
+    pod_doc = S.when(
         k % 2 == 0,
-        F.concat(
-            F.lit('{"name":"pod-'), name,
-            F.lit('","description":"Pod '), name,
-            F.lit('","homepage":"https://'), name,
-            F.lit('.incubator.apache.org"}'),
+        S.concat(
+            '{"name":"pod-', name,
+            '","description":"Pod ', name,
+            '","homepage":"https://', name,
+            '.incubator.apache.org"}',
         ),
-    ).otherwise(F.lit("{}"))
-    podlings = map_apache_podlings(b.select(pod_doc.alias("doc"))).select(
+    ).otherwise("{}")
+    podlings = map_apache_podlings(S.sel(b, pod_doc.alias("doc"))).selectExpr(
         "type",
         "name",
-        F.lit(None).cast("string").alias("namespace"),
-        F.lit(None).cast("string").alias("version"),
+        "CAST(NULL AS string) AS namespace",
+        "CAST(NULL AS string) AS version",
         "purl",
         "description",
         "homepage_url",
         *[
-            F.lit(None).cast("string").alias(c)
+            f"CAST(NULL AS string) AS {c}"
             for c in (
                 "bug_tracking_url",
                 "primary_language",
@@ -403,47 +396,55 @@ def x_apache_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    arc1 = F.concat(
-        F.lit("https://archive.apache.org/dist/"), dlname,
-        F.lit("/2.4/apache-"), dlname, F.lit("-2.4.6.zip"),
+    arc1 = S.concat(
+        "https://archive.apache.org/dist/", dlname,
+        "/2.4/apache-", dlname, "-2.4.6.zip",
     )
-    arc2 = F.concat(
-        F.lit("https://apache.org/dist/"), dlname,
-        F.lit("/x-"), dlname, F.lit("-0.1-M1.tar.gz"),
+    arc2 = S.concat(
+        "https://apache.org/dist/", dlname,
+        "/x-", dlname, "-0.1-M1.tar.gz",
     )
-    dl_purl = F.concat(F.lit("pkg:apache/"), dlname)
+    dl_purl = S.concat("pkg:apache/", dlname)
     uris = (
-        b.select(arc1.alias("uri"), dl_purl.alias("package_url"), F.lit(None).cast("string").alias("data"))
+        S.sel(
+            b,
+            arc1.alias("uri"),
+            dl_purl.alias("package_url"),
+            "CAST(NULL AS string) AS data",
+        )
         .unionByName(
-            b.select(
-                F.concat(arc1, F.lit(".sha256")).alias("uri"),
+            S.sel(
+                b,
+                S.concat(arc1, ".sha256").alias("uri"),
                 dl_purl.alias("package_url"),
                 cs.alias("data"),
             )
         )
         .unionByName(
-            b.select(
-                F.concat(arc1, F.lit(".md5")).alias("uri"),
+            S.sel(
+                b,
+                S.concat(arc1, ".md5").alias("uri"),
                 dl_purl.alias("package_url"),
                 cs2.alias("data"),
             )
         )
         .unionByName(
-            b.select(
+            S.sel(
+                b,
                 arc2.alias("uri"),
                 dl_purl.alias("package_url"),
-                F.lit(None).cast("string").alias("data"),
+                "CAST(NULL AS string) AS data",
             )
         )
     )
-    downloads = map_apache_downloads(uris).select(
+    downloads = map_apache_downloads(uris).selectExpr(
         "type",
         "name",
         "namespace",
         "version",
-        F.col("purl"),
+        "purl",
         *[
-            F.lit(None).cast("string").alias(c)
+            f"CAST(NULL AS string) AS {c}"
             for c in (
                 "description",
                 "homepage_url",
@@ -451,9 +452,9 @@ def x_apache_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "primary_language",
             )
         ],
-        F.col("download_url"),
+        "download_url",
         *[
-            F.lit(None).cast("string").alias(c)
+            f"CAST(NULL AS string) AS {c}"
             for c in (
                 "code_view_url",
                 "extracted_license_statement",
@@ -469,6 +470,6 @@ def x_apache_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "download_md5",
         "download_sha",
         "download_sha1",
-        F.lit(None).cast("string").alias("datasource_id"),
+        "CAST(NULL AS string) AS datasource_id",
     )
     return projects.unionByName(podlings).unionByName(downloads)

@@ -5,9 +5,9 @@ earlier batches."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.miners9 import (
     map_freedesktop_pages,
@@ -32,18 +32,19 @@ _BASE_SQL = f"""
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    return p.select(
+    k = S.col("p_partkey")
+    return S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
-        F.col("p_size").cast("long").alias("size"),
+        S.col("p_size").cast("long").alias("size"),
     )
 
 
@@ -82,28 +83,28 @@ def x_openwrt_gstreamer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpartition keeping the archive extension in the version (reference
     quirk), dash-less names dropped."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
-    deps = F.when(
-        k % 2 == 0, F.lit("Depends: libc, libubox (>= 1.0)\n")
-    ).otherwise(F.lit(""))
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
+    deps = S.when(
+        k % 2 == 0, "Depends: libc, libubox (>= 1.0)\n"
+    ).otherwise("")
     maint = (
-        F.when(k % 3 == 0, F.lit("Maintainer: Ann <ann@o.ex>\n"))
-        .when(k % 3 == 1, F.lit("Maintainer: solo\n"))
-        .otherwise(F.lit(""))
+        S.when(k % 3 == 0, "Maintainer: Ann <ann@o.ex>\n")
+        .when(k % 3 == 1, "Maintainer: solo\n")
+        .otherwise("")
     )
-    control = F.concat(
-        F.lit("Package: wrt-"), name,
-        F.lit("\nVersion: "), ver,
-        F.lit("-2\n"),
+    control = S.concat(
+        "Package: wrt-", name,
+        "\nVersion: ", ver,
+        "-2\n",
         deps,
-        F.lit("Section: net\nArchitecture: mips_24kc\nInstalled-Size: "),
-        F.col("size").cast("string"),
-        F.lit("\n"),
+        "Section: net\nArchitecture: mips_24kc\nInstalled-Size: ",
+        S.col("size").cast("string"),
+        "\n",
         maint,
-        F.lit("Description: OpenWrt pkg "), name,
-        F.lit("\nLicense: GPL-2.0\n"),
+        "Description: OpenWrt pkg ", name,
+        "\nLicense: GPL-2.0\n",
     )
-    wrt = map_openwrt_docs(b.select(control.alias("control"))).select(
+    wrt = map_openwrt_docs(S.sel(b, control.alias("control"))).selectExpr(
         "type",
         "name",
         "version",
@@ -115,32 +116,34 @@ def x_openwrt_gstreamer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maintainer_email",
         "declared_license",
         "keywords",
-        F.lit(None).cast("string").alias("download_url"),
-        F.lit(None).cast("string").alias("homepage_url"),
+        "CAST(NULL AS string) AS download_url",
+        "CAST(NULL AS string) AS homepage_url",
         "datasource_id",
     )
-    uris = b.select(
-        F.concat(
-            F.lit("https://gstreamer.freedesktop.org/src/gst-plugins/gst-"),
-            name, F.lit("-"), ver, F.lit(".tar.bz2"),
-        ).alias("uri")
+    uris = S.sel(
+        b,
+        S.concat(
+            "https://gstreamer.freedesktop.org/src/gst-plugins/gst-",
+            name, "-", ver, ".tar.bz2",
+        ).alias("uri"),
     ).unionByName(
         # dash-less base name -> dropped by the mapper (gstreamer.py:100)
-        b.select(
-            F.lit("https://gstreamer.freedesktop.org/src/tarball.tar.gz").alias(
+        S.sel(
+            b,
+            S.lit("https://gstreamer.freedesktop.org/src/tarball.tar.gz").alias(
                 "uri"
-            )
+            ),
         )
     )
-    gst = map_gstreamer_urls(uris).select(
+    gst = map_gstreamer_urls(uris).selectExpr(
         "type",
         "name",
         "version",
         "purl",
-        F.lit(None).cast("string").alias("description"),
-        F.lit(None).cast("long").alias("size"),
+        "CAST(NULL AS string) AS description",
+        "CAST(NULL AS long) AS size",
         *[
-            F.lit(None).cast("string").alias(c)
+            f"CAST(NULL AS string) AS {c}"
             for c in (
                 "dependencies",
                 "maintainer_name",
@@ -151,7 +154,7 @@ def x_openwrt_gstreamer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "download_url",
         "homepage_url",
-        F.lit(None).cast("string").alias("datasource_id"),
+        "CAST(NULL AS string) AS datasource_id",
     )
     return wrt.unionByName(gst)
 
@@ -240,55 +243,56 @@ def x_fd_gc_openssl_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (openssl.py:118-157): suffix-stripped versions, constant project
     fields."""
     b = _base(spark, sf_dir)
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
 
-    bug_a = F.when(
+    bug_a = S.when(
         k % 2 == 0,
-        F.concat(
-            F.lit('<a href="https://bugs.freedesktop.org/buglist.cgi?product='),
-            name, F.lit('">bugs</a>'),
+        S.concat(
+            '<a href="https://bugs.freedesktop.org/buglist.cgi?product=',
+            name, '">bugs</a>',
         ),
-    ).otherwise(F.lit(""))
-    code_a = F.when(
+    ).otherwise("")
+    code_a = S.when(
         k % 3 == 0,
-        F.concat(
-            F.lit('<a href="http://cgit.freedesktop.org/'), name,
-            F.lit('/tree/">code</a>'),
+        S.concat(
+            '<a href="http://cgit.freedesktop.org/', name,
+            '/tree/">code</a>',
         ),
-    ).otherwise(F.lit(""))
-    git_li = F.when(
+    ).otherwise("")
+    git_li = S.when(
         k % 3 != 1,
-        F.concat(
-            F.lit("<li><b>git://anongit.freedesktop.org/git/"), name,
-            F.lit("</b></li>"),
+        S.concat(
+            "<li><b>git://anongit.freedesktop.org/git/", name,
+            "</b></li>",
         ),
-    ).otherwise(F.lit(""))
-    html = F.concat(
-        F.lit("<html><h1> Project "), name, F.lit(" </h1>"),
-        F.lit('<a href="https://www.freedesktop.org/software/'), name,
-        F.lit("/releases/"), name, F.lit('-1.0.tar.gz">old</a>'),
-        F.lit('<a href="https://www.freedesktop.org/software/'), name,
-        F.lit("/dist/"), name, F.lit('-2.0.tar.gz">new</a>'),
+    ).otherwise("")
+    html = S.concat(
+        "<html><h1> Project ", name, " </h1>",
+        '<a href="https://www.freedesktop.org/software/', name,
+        "/releases/", name, '-1.0.tar.gz">old</a>',
+        '<a href="https://www.freedesktop.org/software/', name,
+        "/dist/", name, '-2.0.tar.gz">new</a>',
         bug_a,
-        F.lit('<a href="https://example.com/other">x</a>'),
+        '<a href="https://example.com/other">x</a>',
         code_a,
         git_li,
-        F.lit("<li>not a repo</li></html>"),
+        "<li>not a repo</li></html>",
     )
     fd = map_freedesktop_pages(
-        b.select(
+        S.sel(
+            b,
             html.alias("html"),
-            F.concat(
-                F.lit("https://www.freedesktop.org/wiki/Software/"), name, F.lit("/")
+            S.concat(
+                "https://www.freedesktop.org/wiki/Software/", name, "/"
             ).alias("uri"),
-            F.concat(F.lit("pkg:freedesktop/"), name, F.lit("@0.9")).alias(
+            S.concat("pkg:freedesktop/", name, "@0.9").alias(
                 "package_url"
             ),
         )
-    ).select(
+    ).selectExpr(
         "type",
         "name",
-        F.lit(None).cast("string").alias("namespace"),
+        "CAST(NULL AS string) AS namespace",
         "version",
         "purl",
         "description",
@@ -297,58 +301,58 @@ def x_fd_gc_openssl_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bug_tracking_url",
         "code_view_url",
         "vcs_url",
-        F.lit(None).cast("string").alias("extracted_license_statement"),
-        F.lit(None).cast("string").alias("keywords"),
-        F.lit(None).cast("long").alias("size"),
-        F.lit(None).cast("string").alias("release_date"),
-        F.lit(None).cast("string").alias("copyright"),
-        F.lit(None).cast("string").alias("datasource_id"),
+        "CAST(NULL AS string) AS extracted_license_statement",
+        "CAST(NULL AS string) AS keywords",
+        "CAST(NULL AS long) AS size",
+        "CAST(NULL AS string) AS release_date",
+        "CAST(NULL AS string) AS copyright",
+        "CAST(NULL AS string) AS datasource_id",
     )
 
-    summary = F.when(
-        k % 3 != 0, F.concat(F.lit('"summary":"Sum '), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    longd = F.when(
-        k % 3 != 1, F.concat(F.lit('"description":"Long '), name, F.lit('",'))
-    ).otherwise(F.lit(""))
-    gc_lic = F.when(k % 2 == 0, F.lit('"license":"Apache-2.0",')).otherwise(F.lit(""))
-    labels = F.when(k % 5 != 0, F.lit('"labels":["a"," b ",""],')).otherwise(
-        F.lit("")
+    summary = S.when(
+        k % 3 != 0, S.concat('"summary":"Sum ', name, '",')
+    ).otherwise("")
+    longd = S.when(
+        k % 3 != 1, S.concat('"description":"Long ', name, '",')
+    ).otherwise("")
+    gc_lic = S.when(k % 2 == 0, '"license":"Apache-2.0",').otherwise("")
+    labels = S.when(k % 5 != 0, '"labels":["a"," b ",""],').otherwise(
+        ""
     )
-    v2_doc = F.concat(
-        F.lit('{"name":"gc-'), name, F.lit('",'),
+    v2_doc = S.concat(
+        '{"name":"gc-', name, '",',
         summary, longd, gc_lic, labels,
-        F.lit('"x":1}'),
+        '"x":1}',
     )
-    gc2 = map_googlecode_v2_docs(b.select(v2_doc.alias("doc")))
+    gc2 = map_googlecode_v2_docs(S.sel(b, v2_doc.alias("doc")))
 
-    v1_name = F.when(k % 7 != 0, F.concat(F.lit('"name":"v1-'), name, F.lit('",'))).otherwise(
-        F.lit("")
+    v1_name = S.when(k % 7 != 0, S.concat('"name":"v1-', name, '",')).otherwise(
+        ""
     )
-    v1_domain = F.when(k % 2 == 0, F.lit('"domain":"code.google.com",')).otherwise(
-        F.lit("")
+    v1_domain = S.when(k % 2 == 0, '"domain":"code.google.com",').otherwise(
+        ""
     )
-    v1_doc = F.concat(
-        F.lit("{"),
+    v1_doc = S.concat(
+        "{",
         v1_name,
-        F.lit('"description":"V1 '), name, F.lit('",'),
+        '"description":"V1 ', name, '",',
         v1_domain,
-        F.lit('"license":"BSD","labels":["x"],'),
-        F.lit('"ancestorRepo":"https://code.google.com/archive/p/'), name,
-        F.lit('"}'),
+        '"license":"BSD","labels":["x"],',
+        '"ancestorRepo":"https://code.google.com/archive/p/', name,
+        '"}',
     )
-    gc1 = map_googlecode_v1_docs(b.select(v1_doc.alias("doc")))
+    gc1 = map_googlecode_v1_docs(S.sel(b, v1_doc.alias("doc")))
 
     def _gc_align(df: DataFrame) -> DataFrame:
-        return df.select(
+        return df.selectExpr(
             "type",
             "name",
             "namespace",
-            F.lit(None).cast("string").alias("version"),
+            "CAST(NULL AS string) AS version",
             "purl",
             "description",
             *[
-                F.lit(None).cast("string").alias(c)
+                f"CAST(NULL AS string) AS {c}"
                 for c in (
                     "homepage_url",
                     "download_url",
@@ -359,27 +363,28 @@ def x_fd_gc_openssl_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vcs_url",
             "extracted_license_statement",
             "keywords",
-            F.lit(None).cast("long").alias("size"),
-            F.lit(None).cast("string").alias("release_date"),
-            F.lit(None).cast("string").alias("copyright"),
+            "CAST(NULL AS long) AS size",
+            "CAST(NULL AS string) AS release_date",
+            "CAST(NULL AS string) AS copyright",
             "datasource_id",
         )
 
-    ext = F.when(k % 2 == 0, F.lit(".tar.gz")).otherwise(F.lit(".tar.gz.sha256"))
-    ssl_uri = F.concat(
-        F.lit("https://ftp.openssl.org/source/openssl-"), ver,
-        F.lit("-"), k.cast("string"), ext,
+    ext = S.when(k % 2 == 0, ".tar.gz").otherwise(".tar.gz.sha256")
+    ssl_uri = S.concat(
+        "https://ftp.openssl.org/source/openssl-", ver,
+        "-", k.cast("string"), ext,
     )
     ssl = map_openssl_listing(
-        b.select(
+        S.sel(
+            b,
             ssl_uri.alias("uri"),
-            F.col("size").alias("size"),
-            F.lit("2018-09-11 13:01:22").alias("last_modified_date"),
+            S.col("size").alias("size"),
+            S.lit("2018-09-11 13:01:22").alias("last_modified_date"),
         )
-    ).select(
+    ).selectExpr(
         "type",
         "name",
-        F.lit(None).cast("string").alias("namespace"),
+        "CAST(NULL AS string) AS namespace",
         "version",
         "purl",
         "description",
@@ -389,7 +394,7 @@ def x_fd_gc_openssl_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_view_url",
         "vcs_url",
         "extracted_license_statement",
-        F.lit(None).cast("string").alias("keywords"),
+        "CAST(NULL AS string) AS keywords",
         "size",
         "release_date",
         "copyright",
