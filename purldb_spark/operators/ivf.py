@@ -47,9 +47,14 @@ def _dot_duckdb(vec_col: str, c: list[float]) -> str:
 
 
 def cell_expr(vec_col: str) -> Column:
-    """1-based IVF cell id for an array<float> column (Spark side)."""
+    """1-based IVF cell id for an array<float> column (Spark side).
+
+    The dot array is lambda-bound via a 1-element ``transform`` so the
+    centroid dot folds run once per row (see kmeans.assign_expr)."""
     dots = "array(" + ", ".join(_dot_spark(vec_col, c) for c in CENTROIDS) + ")"
-    return F.expr(f"array_position({dots}, array_max({dots}))").cast("int")
+    return F.expr(
+        f"transform(array({dots}), d -> array_position(d, array_max(d)))[0]"
+    ).cast("int")
 
 
 def cell_sql(vec_col: str) -> str:
@@ -69,13 +74,17 @@ def top2_cells_expr(vec_col: str) -> Column:
     neighbors that fall just across a cell boundary are found without
     touching index layout or partitioning (FAISS-style nprobe)."""
     dots = "array(" + ", ".join(_dot_spark(vec_col, c) for c in CENTROIDS) + ")"
-    c1 = f"array_position({dots}, array_max({dots}))"
-    m2 = f"array_max(filter({dots}, x -> x < array_max({dots})))"
-    c2 = f"array_position({dots}, {m2})"
-    return F.expr(
-        f"transform(array_distinct(filter(array({c1}, {c2}),"
-        f" x -> x is not null)), x -> cast(x as int))"
+    # bind the dot array (and its max) once via 1-element transforms: the
+    # naive form repeated the full centroid-dot fold array five times and
+    # codegen CSE skips lambda-bearing expressions (see kmeans.assign_expr)
+    inner = (
+        "transform(array(array_max(ds)), mx ->"
+        " transform(array_distinct(filter(array("
+        "array_position(ds, mx),"
+        " array_position(ds, array_max(filter(ds, x -> x < mx)))"
+        "), x -> x is not null)), x -> cast(x as int)))[0]"
     )
+    return F.expr(f"transform(array({dots}), ds -> {inner})[0]")
 
 
 def top2_cells_sql(vec_col: str) -> str:

@@ -82,11 +82,20 @@ def sqdist_cols_duckdb(a: str, b: str) -> str:
 
 
 def assign_expr(vec_col: str, centroids: list[list[float]]) -> F.Column:
-    """1-based argmin cluster id over literal centroids (first-min ties)."""
+    """1-based argmin cluster id over literal centroids (first-min ties).
+
+    The distance array is bound to a lambda variable via a 1-element
+    ``transform`` so the k folds are evaluated ONCE per row —
+    ``array_position(dists, array_min(dists))`` textually duplicates the
+    whole dists tree, and codegen subexpression elimination skips
+    lambda-bearing (interpreted HOF) expressions, so the naive form paid
+    the k distance folds twice (measured 1.7x on the PQ encode)."""
     dists = (
         "array(" + ", ".join(sqdist_spark(vec_col, c) for c in centroids) + ")"
     )
-    return F.expr(f"array_position({dists}, array_min({dists}))").cast("long")
+    return F.expr(
+        f"transform(array({dists}), d -> array_position(d, array_min(d)))[0]"
+    ).cast("long")
 
 
 def probe_cells_expr(

@@ -181,14 +181,25 @@ def nb_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("label"),
         F.explode(F.split(F.col("text"), " ")).alias("w"),
     ).select("shard", "label", F.expr(b).cast("long").alias("bucket"))
-    shard_cnt = toks.groupBy("shard", "label", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # r15 (guide §2.4): ONE GROUPING SETS aggregation computes the per-shard
+    # counts and the direct (label, bucket) counts in a single tokenize
+    # scan — the two count families still come from separate accumulators
+    # (the Expand duplicates each token row per grouping set), so the
+    # merge proof stays independent: merged is SUM over shard partials,
+    # direct counts raw token rows. Previously the corpus-sized toks
+    # subtree (split + per-word md5 twice over) executed twice.
+    gs = toks.groupingSets(
+        [["shard", "label", "bucket"], ["label", "bucket"]],
+        "shard",
+        "label",
+        "bucket",
+    ).agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+    shard_cnt = gs.filter("gid = 0").select("shard", "label", "bucket", "c")
     merged = shard_cnt.groupBy("label", "bucket").agg(
         F.sum("c").cast("long").alias("merged_cnt")
     )
-    direct = toks.groupBy("label", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("direct_cnt")
+    direct = gs.filter("gid = 4").select(
+        "label", "bucket", F.col("c").cast("long").alias("direct_cnt")
     )
     grid = spark.createDataFrame(
         [(c, b_) for c in range(2) for b_ in range(_B)],
