@@ -21,6 +21,7 @@ from purldb_spark.operators.collect import (
 )
 from purldb_spark.operators.merge import MergeSpec, Policy
 from purldb_spark.operators.router import Router
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 
 _NAME_SQL = "lower(replace(p_brand, '#', '-')) || '-' || CAST(p_partkey AS VARCHAR)"
@@ -63,39 +64,41 @@ _FETCHED_LIC_SQL = """
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
+    k = S.col("p_partkey")
     eco = (
-        F.when(k % 5 == 1, "pypi")
+        S.when(k % 5 == 1, "pypi")
         .when(k % 5 == 2, "maven")
         .when(k % 5 == 4, "weird")
         .otherwise("npm")
     )
-    b = p.select(
+    b = S.sel(
+        p,
         k.alias("k"),
-        F.concat(
-            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-            F.lit("-"),
+        S.concat(
+            S.lower(S.replace(S.col("p_brand"), "#", "-")),
+            "-",
             k.cast("string"),
         ).alias("name"),
-        F.concat(
-            (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+        S.concat(
+            (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
         ).alias("ver"),
         eco.alias("eco"),
     )
-    return b.select(
+    return S.sel(
+        b,
         "k",
         "name",
         "ver",
         "eco",
-        F.when(F.col("eco") == "maven", "org.ex").alias("namespace"),
-        F.concat(
-            F.lit("pkg:"),
-            F.col("eco"),
-            F.when(F.col("eco") == "maven", F.lit("/org.ex")).otherwise(F.lit("")),
-            F.lit("/"),
-            F.col("name"),
-            F.lit("@"),
-            F.col("ver"),
+        S.when(S.col("eco") == "maven", "org.ex").alias("namespace"),
+        S.concat(
+            "pkg:",
+            S.col("eco"),
+            S.when(S.col("eco") == "maven", "/org.ex").otherwise(""),
+            "/",
+            S.col("name"),
+            "@",
+            S.col("ver"),
         ).alias("purl"),
     )
 
@@ -178,13 +181,14 @@ def x_collect_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (find_source_repo.py:137-188): md5(source purl) set id on both the
     binary and the created source_repo row."""
     b = _base(spark, sf_dir)
-    catalog = b.filter((F.col("k") % 3 == 0) & (F.col("eco") != "weird")).select(
-        F.col("eco").alias("type"),
+    catalog = S.sel(
+        b.filter("k % 3 = 0 AND eco != 'weird'"),
+        S.col("eco").alias("type"),
         "namespace",
         "name",
-        F.col("ver").alias("version"),
-        F.concat(F.lit("https://cdn.ex/"), F.col("name")).alias("download_url"),
-        F.lit("MIT").alias("declared_license"),
+        S.col("ver").alias("version"),
+        S.concat("https://cdn.ex/", S.col("name")).alias("download_url"),
+        S.lit("MIT").alias("declared_license"),
     )
     requests = b.select("purl")
 

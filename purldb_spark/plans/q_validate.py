@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.operators.validate import (
     MSG_NOT_VALID,
     MSG_UNSUPPORTED,
@@ -69,46 +70,53 @@ def x_purl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     supported ecosystems, NULL + dedicated message for unsupported
     ones, and the endpoint's literal message strings."""
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    name = F.concat(
-        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-        F.lit("-"),
+    k = S.col("p_partkey")
+    name = S.concat(
+        S.lower(S.replace(S.col("p_brand"), "#", "-")),
+        "-",
         k.cast("string"),
     )
-    ver = F.concat(
-        (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+    ver = S.concat(
+        (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
     )
-    b = p.select(k.alias("k"), name.alias("name"), ver.alias("ver"))
-    k, name, ver = F.col("k"), F.col("name"), F.col("ver")
+    b = S.sel(p, k.alias("k"), name.alias("name"), ver.alias("ver"))
+    k, name, ver = S.col("k"), S.col("name"), S.col("ver")
 
-    versioned = F.concat(F.lit("pkg:npm/"), name, F.lit("@"), ver)
-    versionless = F.concat(F.lit("pkg:npm/"), name)
+    versioned = S.concat("pkg:npm/", name, "@", ver)
+    versionless = S.concat("pkg:npm/", name)
     purl = (
-        F.when(k % 8 == 0, F.concat(F.lit("npm/"), name, F.lit("@"), ver))
+        S.when(k % 8 == 0, S.concat("npm/", name, "@", ver))
         .when((k % 8 == 5) | (k % 8 == 6), versionless)
         .when(
             k % 8 == 7,
-            F.concat(F.lit("pkg:swift/github.com/o/"), name, F.lit("@"), ver),
+            S.concat("pkg:swift/github.com/o/", name, "@", ver),
         )
         .otherwise(versioned)
     )
-    requests = b.select(
-        purl.alias("purl"), (k % 8 != 1).alias("check_existence")
+    requests = S.sel(
+        b, purl.alias("purl"), (k % 8 != 1).alias("check_existence")
     )
-    catalog = b.filter(k % 8 == 2).select(versioned.alias("purl"))
-    vkey = F.concat(F.lit("pkg:npm/"), name)
+    catalog = S.sel(b.filter((k % 8 == 2).sql), versioned.alias("purl"))
+    vkey = S.concat("pkg:npm/", name)
     upstream = (
         # k%8=3: the pinned version exists upstream
-        b.filter(k % 8 == 3).select(vkey.alias("vkey"), ver.alias("version"))
+        S.sel(
+            b.filter((k % 8 == 3).sql),
+            vkey.alias("vkey"), ver.alias("version"),
+        )
         # k%8=4: upstream has only a DIFFERENT version
         .unionByName(
-            b.filter(k % 8 == 4).select(
-                vkey.alias("vkey"), F.concat(ver, F.lit(".9")).alias("version")
+            S.sel(
+                b.filter((k % 8 == 4).sql),
+                vkey.alias("vkey"), S.concat(ver, ".9").alias("version"),
             )
         )
         # k%8=5: versionless purl, any upstream version counts
         .unionByName(
-            b.filter(k % 8 == 5).select(vkey.alias("vkey"), ver.alias("version"))
+            S.sel(
+                b.filter((k % 8 == 5).sql),
+                vkey.alias("vkey"), ver.alias("version"),
+            )
         )
         # k%8=6: nothing upstream
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.version_apis import (
     parse_composer,
@@ -51,23 +52,26 @@ _BASE_SQL = """
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
-    k = F.col("s_suppkey")
-    day = lambda n, t: F.concat(  # noqa: E731
-        F.date_add(F.to_date(F.lit("2020-01-01")), (k % n).cast("int")).cast("string"),
-        F.lit(t),
+    k = S.col("s_suppkey")
+    day = lambda n, t: S.concat(  # noqa: E731
+        S.fn(
+            "date_add", S.fn("to_date", "2020-01-01"), (k % n).cast("int")
+        ).cast("string"),
+        t,
     )
-    return s.select(
-        F.concat(F.lit("pkg"), k.cast("string")).alias("pkg"),
-        F.concat((k % 5).cast("string"), F.lit("."), (k % 3).cast("string"), F.lit(".0")).alias("v1"),
-        F.concat((k % 5).cast("string"), F.lit("."), (k % 3).cast("string"), F.lit(".1")).alias("v2"),
+    return S.sel(
+        s,
+        S.concat("pkg", k.cast("string")).alias("pkg"),
+        S.concat((k % 5).cast("string"), ".", (k % 3).cast("string"), ".0").alias("v1"),
+        S.concat((k % 5).cast("string"), ".", (k % 3).cast("string"), ".1").alias("v2"),
         day(400, "T00:00:00Z").alias("d1"),
         day(300, "T12:00:00Z").alias("d2"),
     )
 
 
 def _tagged(parser, base: DataFrame, doc, source: str) -> DataFrame:
-    return parser(base.select("pkg", doc.alias("doc"))).select(
-        F.lit(source).alias("source"), "pkg", "version", "release_date"
+    return parser(S.sel(base, "pkg", doc.alias("doc"))).selectExpr(
+        f"{S.lit(source).sql} AS source", "pkg", "version", "release_date"
     )
 
 
@@ -94,23 +98,23 @@ def x_version_api_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup, versions arrays, and pypi's latest-upload-date fold; plus the
     VersionAPI.get_until valid/newer split as is_newer."""
     b = _base(spark, sf_dir)
-    v1, v2, d1, d2 = F.col("v1"), F.col("v2"), F.col("d1"), F.col("d2")
-    npm = F.concat(
-        F.lit('{"versions":{"'), v1, F.lit('":{},"'), v2, F.lit('":{}},"time":{"'),
-        v1, F.lit('":"'), d1, F.lit('","'), v2, F.lit('":"'), d2, F.lit('"}}'),
+    v1, v2, d1, d2 = S.col("v1"), S.col("v2"), S.col("d1"), S.col("d2")
+    npm = S.concat(
+        '{"versions":{"', v1, '":{},"', v2, '":{}},"time":{"',
+        v1, '":"', d1, '","', v2, '":"', d2, '"}}',
     )
-    crates = F.concat(
-        F.lit('{"versions":[{"num":"'), v1, F.lit('","updated_at":"'), d1,
-        F.lit('"},{"num":"'), v2, F.lit('","updated_at":"'), d2, F.lit('"}]}'),
+    crates = S.concat(
+        '{"versions":[{"num":"', v1, '","updated_at":"', d1,
+        '"},{"num":"', v2, '","updated_at":"', d2, '"}]}',
     )
-    hexd = F.concat(
-        F.lit('{"releases":[{"version":"'), v1, F.lit('","inserted_at":"'), d1,
-        F.lit('"},{"version":"'), v2, F.lit('","inserted_at":"'), d2, F.lit('"}]}'),
+    hexd = S.concat(
+        '{"releases":[{"version":"', v1, '","inserted_at":"', d1,
+        '"},{"version":"', v2, '","inserted_at":"', d2, '"}]}',
     )
     # v2 has an empty download list -> dropped; v1's date folds to the max
-    pypi = F.concat(
-        F.lit('{"releases":{"'), v1, F.lit('":[{"upload_time_iso_8601":"'), d1,
-        F.lit('"},{"upload_time_iso_8601":"'), d2, F.lit('"}],"'), v2, F.lit('":[]}}'),
+    pypi = S.concat(
+        '{"releases":{"', v1, '":[{"upload_time_iso_8601":"', d1,
+        '"},{"upload_time_iso_8601":"', d2, '"}],"', v2, '":[]}}',
     )
     out = (
         _tagged(parse_npm, b, npm, "npm")
@@ -146,35 +150,35 @@ def x_version_api_parse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Debian/Launchpad epoch strip, composer dev-skip + v-strip, nuget nested
     registration pages, rubygems published/created fallback."""
     b = _base(spark, sf_dir)
-    v1, v2, d1, d2 = F.col("v1"), F.col("v2"), F.col("d1"), F.col("d2")
-    maven = F.concat(
-        F.lit("<metadata><versioning><versions><version>"), v1,
-        F.lit("</version><version>"), v2,
-        F.lit("</version></versions></versioning></metadata>"),
+    v1, v2, d1, d2 = S.col("v1"), S.col("v2"), S.col("d1"), S.col("d2")
+    maven = S.concat(
+        "<metadata><versioning><versions><version>", v1,
+        "</version><version>", v2,
+        "</version></versions></versioning></metadata>",
     )
-    goproxy = F.concat(F.lit("v"), v1, F.lit(" "), d1, F.lit("\nv"), v2, F.lit("\n"))
-    debian = F.concat(
-        F.lit('{"versions":[{"version":"0:'), v1, F.lit('-1"},{"version":"'),
-        v2, F.lit('"}]}'),
+    goproxy = S.concat("v", v1, " ", d1, "\nv", v2, "\n")
+    debian = S.concat(
+        '{"versions":[{"version":"0:', v1, '-1"},{"version":"',
+        v2, '"}]}',
     )
-    launchpad = F.concat(
-        F.lit('{"entries":[{"source_package_version":"0:'), v1,
-        F.lit('","date_published":"'), d1,
-        F.lit('"},{"date_published":"'), d2, F.lit('"}]}'),
+    launchpad = S.concat(
+        '{"entries":[{"source_package_version":"0:', v1,
+        '","date_published":"', d1,
+        '"},{"date_published":"', d2, '"}]}',
     )
-    composer = F.concat(
-        F.lit('{"packages":{"'), F.col("pkg"), F.lit('":{"v'), v1,
-        F.lit('":{"time":"'), d1, F.lit('"},"'), v2, F.lit('-dev":{"time":"'),
-        d2, F.lit('"}}}}'),
+    composer = S.concat(
+        '{"packages":{"', S.col("pkg"), '":{"v', v1,
+        '":{"time":"', d1, '"},"', v2, '-dev":{"time":"',
+        d2, '"}}}}',
     )
-    nuget = F.concat(
-        F.lit('{"items":[{"items":[{"catalogEntry":{"version":"'), v1,
-        F.lit('","published":"'), d1, F.lit('"}},{"catalogEntry":{}}]}]}'),
+    nuget = S.concat(
+        '{"items":[{"items":[{"catalogEntry":{"version":"', v1,
+        '","published":"', d1, '"}},{"catalogEntry":{}}]}]}',
     )
-    gem = F.concat(
-        F.lit('[{"number":"'), v1, F.lit('","published_at":"'), d1,
-        F.lit('"},{"number":"'), v2, F.lit('","created_at":"'), d2,
-        F.lit('"},{"published_at":"'), d1, F.lit('"}]'),
+    gem = S.concat(
+        '[{"number":"', v1, '","published_at":"', d1,
+        '"},{"number":"', v2, '","created_at":"', d2,
+        '"},{"published_at":"', d1, '"}]',
     )
     return (
         _tagged(parse_maven_metadata, b, maven, "maven")
