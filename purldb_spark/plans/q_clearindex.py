@@ -12,9 +12,9 @@ newline-joined copyright / license rollups.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 from purldb_spark.sources.clearindex import harvest_packages, harvest_resources
 
@@ -39,44 +39,45 @@ def _cditems(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated copyright/license entries, a directory, and a duplicate of
     the first path that must lose first-wins."""
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    name = F.concat(
-        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-        F.lit("-"),
+    k = S.col("p_partkey")
+    name = S.concat(
+        S.lower(S.replace(S.col("p_brand"), "#", "-")),
+        "-",
         k.cast("string"),
     )
-    version = F.concat((k % 7).cast("string"), F.lit("."), (k % 4).cast("string"))
-    purl = F.concat(F.lit("pkg:generic/"), name, F.lit("@"), version)
-    url = F.concat(F.lit("https://dl.example/"), name, F.lit("-"), version, F.lit(".tar.gz"))
-    sz = F.col("p_size").cast("long").cast("string")
-    sha1 = F.md5("p_name")
-    pkg_json = F.concat(
-        F.lit('{"purl":"'), purl,
-        F.lit('","type":"generic","name":"'), name,
-        F.lit('","version":"'), version, F.lit('"'),
-        F.when(k % 5 == 0, F.lit("")).otherwise(
-            F.concat(F.lit(',"download_url":"'), url, F.lit('"'))
+    version = S.concat((k % 7).cast("string"), ".", (k % 4).cast("string"))
+    purl = S.concat("pkg:generic/", name, "@", version)
+    url = S.concat("https://dl.example/", name, "-", version, ".tar.gz")
+    sz = S.col("p_size").cast("long").cast("string")
+    sha1 = S.md5(S.col("p_name"))
+    pkg_json = S.concat(
+        '{"purl":"', purl,
+        '","type":"generic","name":"', name,
+        '","version":"', version, '"',
+        S.when(k % 5 == 0, "").otherwise(
+            S.concat(',"download_url":"', url, '"')
         ),
-        F.lit(',"size":'), sz,
-        F.lit(',"sha1":"'), sha1, F.lit('"}'),
+        ',"size":', sz,
+        ',"sha1":"', sha1, '"}',
     )
-    f1 = F.concat(
-        F.lit('{"path":"src/'), name, F.lit('/main.c","type":"file","size":'), sz,
-        F.lit(',"sha1":"'), sha1, F.lit('",'),
-        F.lit('"copyrights":[{"value":"(c) B"},{"value":"(c) A"},{"value":"(c) A"}],'),
-        F.lit('"license_expressions":["mit","apache-2.0","mit"]}'),
+    f1 = S.concat(
+        '{"path":"src/', name, '/main.c","type":"file","size":', sz,
+        ',"sha1":"', sha1, '",',
+        '"copyrights":[{"value":"(c) B"},{"value":"(c) A"},{"value":"(c) A"}],',
+        '"license_expressions":["mit","apache-2.0","mit"]}',
     )
-    f2 = F.concat(F.lit('{"path":"src/'), name, F.lit('","type":"directory"}'))
-    f3 = F.concat(
-        F.lit('{"path":"src/'), name, F.lit('/main.c","type":"file","size":'),
-        (F.col("p_size").cast("long") + 1).cast("string"), F.lit("}"),
+    f2 = S.concat('{"path":"src/', name, '","type":"directory"}')
+    f3 = S.concat(
+        '{"path":"src/', name, '/main.c","type":"file","size":',
+        (S.col("p_size").cast("long") + 1).cast("string"), "}",
     )
-    doc = F.concat(
-        F.lit('{"content":{"files":['), f1, F.lit(","), f2, F.lit(","), f3,
-        F.lit('],"summary":{"packages":['), pkg_json, F.lit("]}}}"),
+    doc = S.concat(
+        '{"content":{"files":[', f1, ",", f2, ",", f3,
+        '],"summary":{"packages":[', pkg_json, "]}}}",
     )
-    return load(spark, sf_dir, "part").select(
-        F.concat(F.lit("harvest/"), name, F.lit(".json")).alias("path"),
+    return S.sel(
+        p,
+        S.concat("harvest/", name, ".json").alias("path"),
         doc.alias("data"),
     )
 

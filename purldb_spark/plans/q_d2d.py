@@ -7,7 +7,6 @@ rejection with the literal error message, and blank-element dropping."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.operators.d2d import (
@@ -16,6 +15,7 @@ from purldb_spark.operators.d2d import (
     RUN_NOT_STARTED,
     d2d_create,
 )
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 
 _NAME_SQL = "lower(replace(p_brand, '#', '-')) || '-' || CAST(p_partkey AS VARCHAR)"
@@ -76,26 +76,20 @@ def x_d2d_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     message); k%4=3 a list with a whitespace-only element (dropped,
     api.py:553-556)."""
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    name = F.concat(
-        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-        F.lit("-"),
+    k = S.col("p_partkey")
+    name = S.concat(
+        S.lower(S.replace(S.col("p_brand"), "#", "-")),
+        "-",
         k.cast("string"),
     )
-    u_from = F.concat(
-        F.lit("https://repo.example.org/"), name, F.lit("-from.zip#from")
-    )
-    u_to = F.concat(F.lit("https://repo.example.org/"), name, F.lit("-to.zip#to"))
+    u_from = S.concat("https://repo.example.org/", name, "-from.zip#from")
+    u_to = S.concat("https://repo.example.org/", name, "-to.zip#to")
     input_urls = (
-        F.when(k % 4 == 0, F.array(u_from, u_to))
+        S.when(k % 4 == 0, S.array(u_from, u_to))
         .when(
             k % 8 == 1,
             # one textarea string: urls newline-joined, padded, blank line
-            F.array(
-                F.concat(
-                    F.lit(" "), u_from, F.lit("\n"), u_to, F.lit("\n\n ")
-                )
-            ),
+            S.array(S.concat(" ", u_from, "\n", u_to, "\n\n ")),
         )
         .when(
             k % 8 == 5,
@@ -103,20 +97,19 @@ def x_d2d_request(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the first split (matchcode/api.py:551), so the second textarea
             # contributes only the first line of the FIRST one — expected
             # input_sources is from|to|from, not from|to|to|from
-            F.array(
-                F.concat(
-                    F.lit(" "), u_from, F.lit("\n"), u_to, F.lit("\n\n ")
-                ),
-                F.concat(u_to, F.lit("\n"), u_from),
+            S.array(
+                S.concat(" ", u_from, "\n", u_to, "\n\n "),
+                S.concat(u_to, "\n", u_from),
             ),
         )
-        .when(k % 4 == 2, F.array(u_from, u_to))
-        .otherwise(F.array(F.lit("   "), u_to))
+        .when(k % 4 == 2, S.array(u_from, u_to))
+        .otherwise(S.array("   ", u_to))
     )
-    unreachable = F.when(k % 4 == 2, F.array(u_from)).otherwise(
-        F.array().cast("array<string>")
+    unreachable = S.when(k % 4 == 2, S.array(u_from)).otherwise(
+        S.array().cast("array<string>")
     )
-    requests = p.select(
+    requests = S.sel(
+        p,
         k.cast("long").alias("request_id"),
         input_urls.alias("input_urls"),
         unreachable.alias("unreachable"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
 from purldb_spark.functions.licenses import simplify_expression
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 
 # two disjoint atom pools -> l1 != l2 always; pool B includes a WITH-bound
@@ -58,32 +59,32 @@ def x_license_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative dedup of AND/OR pairs, idempotence, flatten — simplified by
     the boolean engine; expected outputs computed arithmetically."""
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
+    k = S.col("p_partkey")
     l1 = (
-        F.when(k % 4 == 0, _POOL_A[0])
+        S.when(k % 4 == 0, _POOL_A[0])
         .when(k % 4 == 1, _POOL_A[1])
         .when(k % 4 == 2, _POOL_A[2])
         .otherwise(_POOL_A[3])
     )
     l2 = (
-        F.when(k % 3 == 0, _POOL_B[0])
+        S.when(k % 3 == 0, _POOL_B[0])
         .when(k % 3 == 1, _POOL_B[1])
         .otherwise(_POOL_B[2])
     )
     t = k % 6
     raw = (
-        F.when(t == 0, F.concat(l1, F.lit(" AND ("), l1, F.lit(" OR "), l2, F.lit(")")))
-        .when(t == 1, F.concat(l1, F.lit(" OR ("), l1, F.lit(" AND "), l2, F.lit(")")))
-        .when(t == 2, F.concat(F.lit("("), l1, F.lit(" AND "), l2, F.lit(") OR ("), l2, F.lit(" AND "), l1, F.lit(")")))
-        .when(t == 3, F.concat(l1, F.lit(" AND "), l1, F.lit(" AND "), l2))
-        .when(t == 4, F.concat(F.lit("("), l1, F.lit(" OR "), l2, F.lit(") AND ("), l2, F.lit(" OR "), l1, F.lit(")")))
-        .otherwise(F.concat(l1, F.lit(" OR ("), l2, F.lit(" OR "), l1, F.lit(")")))
+        S.when(t == 0, S.concat(l1, " AND (", l1, " OR ", l2, ")"))
+        .when(t == 1, S.concat(l1, " OR (", l1, " AND ", l2, ")"))
+        .when(t == 2, S.concat("(", l1, " AND ", l2, ") OR (", l2, " AND ", l1, ")"))
+        .when(t == 3, S.concat(l1, " AND ", l1, " AND ", l2))
+        .when(t == 4, S.concat("(", l1, " OR ", l2, ") AND (", l2, " OR ", l1, ")"))
+        .otherwise(S.concat(l1, " OR (", l2, " OR ", l1, ")"))
     )
 
     @F.pandas_udf("string")
     def simplify_udf(s: pd.Series) -> pd.Series:
         return s.map(simplify_expression)
 
-    return p.select(k.alias("k"), raw.alias("raw")).select(
+    return S.sel(p, k.alias("k"), raw.alias("raw")).select(
         "k", simplify_udf("raw").alias("simplified")
     )

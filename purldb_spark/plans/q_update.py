@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.plans import sqltext as S
 from purldb_spark.plans.registry import query
 
 # PackageContentType (packagedb/models.py:438-449): name -> integer value
@@ -89,40 +90,45 @@ def x_update_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
     packages (download_url ' ', PackageContentType value) in the given
     (k%5=0) or a fresh set -> 'Updated'."""
     p = load(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    name = F.concat(
-        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("-"))),
-        F.lit("-"),
+    k = S.col("p_partkey")
+    name = S.concat(
+        S.lower(S.replace(S.col("p_brand"), "#", "-")),
+        "-",
         k.cast("string"),
     )
-    ver = F.concat(
-        (k % 9).cast("string"), F.lit("."), (k % 5).cast("string"), F.lit(".0")
+    ver = S.concat(
+        (k % 9).cast("string"), ".", (k % 5).cast("string"), ".0"
     )
-    ct_names = F.array(*[F.lit(n) for n in _CONTENT_TYPES])
-    req = p.select(
+    ct_names = S.array(*_CONTENT_TYPES)
+    req = S.sel(
+        p,
         k.cast("long").alias("request_id"),
-        F.concat(F.lit("pkg:npm/"), name, F.lit("@"), ver).alias("purl"),
-        F.element_at(ct_names, (k % 7 + 1).cast("int")).alias("content_type"),
-        F.when(k % 5 == 0, F.concat(F.lit("set-"), k.cast("string")))
-        .when(k % 5 == 4, F.concat(F.lit("feed-"), k.cast("string")))
+        S.concat("pkg:npm/", name, "@", ver).alias("purl"),
+        S.fn("element_at", ct_names, (k % 7 + 1).cast("int")).alias(
+            "content_type"
+        ),
+        S.when(k % 5 == 0, S.concat("set-", k.cast("string")))
+        .when(k % 5 == 4, S.concat("feed-", k.cast("string")))
         .alias("set_uuid"),
     )
     # catalog + package-set fixtures (field columns, as packagedb stores them)
-    catalog = p.filter(k % 3 == 0).select(
-        F.lit("npm").alias("c_type"),
+    catalog = S.sel(
+        p.filter((k % 3 == 0).sql),
+        S.lit("npm").alias("c_type"),
         name.alias("c_name"),
         ver.alias("c_version"),
     )
-    sets = p.filter(k % 5 == 0).select(
-        F.concat(F.lit("set-"), k.cast("string")).alias("known_set")
+    sets = S.sel(
+        p.filter((k % 5 == 0).sql),
+        S.concat("set-", k.cast("string")).alias("known_set"),
     )
 
     # purl -> lookups, column-side (the purl_to_lookups field split)
-    parsed = req.select(
+    parsed = req.selectExpr(
         "*",
-        F.regexp_extract("purl", r"^pkg:([^/]+)/", 1).alias("r_type"),
-        F.regexp_extract("purl", r"^pkg:[^/]+/([^@]+)@", 1).alias("r_name"),
-        F.regexp_extract("purl", r"@(.+)$", 1).alias("r_version"),
+        r"regexp_extract(purl, '^pkg:([^/]+)/', 1) AS r_type",
+        r"regexp_extract(purl, '^pkg:[^/]+/([^@]+)@', 1) AS r_name",
+        "regexp_extract(purl, '@(.+)$', 1) AS r_version",
     )
     with_set = parsed.join(
         F.broadcast(sets), parsed["set_uuid"] == sets["known_set"], "left"
@@ -147,7 +153,9 @@ def x_update_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     set_missing = F.col("set_uuid").isNotNull() & F.col("known_set").isNull()
     exists = F.col("hit_id").isNotNull()
-    content_val = F.array_position(ct_names, F.col("content_type")).cast("long")
+    content_val = F.expr(
+        f"CAST(array_position({ct_names.sql}, content_type) AS BIGINT)"
+    )
     return out.select(
         "request_id",
         F.when(~set_missing, F.col("purl")).alias("purl"),
@@ -263,60 +271,61 @@ def x_package_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only: at 100 TB of federation traffic this is a scan->project
     pipeline with no shuffle; the store append is the only write."""
     ev = load(spark, sf_dir, "events")
-    k = F.col("event_id")
-    purl = F.concat(
-        F.lit("pkg:npm/lib-"),
+    k = S.col("event_id")
+    purl = S.concat(
+        "pkg:npm/lib-",
         (k % 97).cast("string"),
-        F.lit("@1."),
+        "@1.",
         (k % 7).cast("string"),
-        F.lit(".0"),
+        ".0",
     )
     msg_type = (
-        F.when(k % 4 == 0, F.lit("Create"))
-        .when(k % 4 == 1, F.lit("create"))
-        .when(k % 4 == 2, F.lit("Update"))
-        .otherwise(F.lit("Create"))
+        S.when(k % 4 == 0, "Create")
+        .when(k % 4 == 1, "create")
+        .when(k % 4 == 2, "Update")
+        .otherwise("Create")
     )
-    content = F.when(k % 4 == 3, F.lit("")).otherwise(
-        F.concat(
-            F.lit("purl: "),
+    content = S.when(k % 4 == 3, "").otherwise(
+        S.concat(
+            "purl: ",
             purl,
-            F.lit(
-                "\\nscans:\\n  - tool: pkg:pypi/scancode-toolkit"
-                "\\n    file_name: scancodeio.json\\n"
-            ),
+            "\\nscans:\\n  - tool: pkg:pypi/scancode-toolkit"
+            "\\n    file_name: scancodeio.json\\n",
         )
     )
-    update_date = F.concat(
-        F.lit("2024-12-"),
-        F.lpad(((k % 28) + 1).cast("string"), 2, "0"),
-        F.lit(" 10:49:26.201915+00:00"),
+    update_date = S.concat(
+        "2024-12-",
+        S.fn("lpad", ((k % 28) + 1).cast("string"), 2, "0"),
+        " 10:49:26.201915+00:00",
     )
-    body = F.concat(
-        F.lit(
-            '{"@context": ["https://www.w3.org/ns/activitystreams", '
-            '"https://www.aboutcode.org/ns/federatedcode"], '
-            '"type": "'
-        ),
+    body = S.concat(
+        '{"@context": ["https://www.w3.org/ns/activitystreams", '
+        '"https://www.aboutcode.org/ns/federatedcode"], '
+        '"type": "',
         msg_type,
-        F.lit('", "actor": {"type": "Package", "purl": "'),
+        '", "actor": {"type": "Package", "purl": "',
         purl,
-        F.lit('"}, "object": {"type": "Note", "author": "'),
+        '"}, "object": {"type": "Note", "author": "',
         purl,
-        F.lit('@federation.example.org", "content": "'),
+        '@federation.example.org", "content": "',
         content,
-        F.lit('", "update_date": "'),
+        '", "update_date": "',
         update_date,
-        F.lit('"}}'),
+        '"}}',
     )
-    parsed = ev.select(
-        k.cast("long").alias("request_id"), body.alias("body")
-    ).select(
+    parsed = S.sel(
+        S.sel(ev, k.cast("long").alias("request_id"), body.alias("body")),
         "request_id",
-        F.get_json_object("body", "$.type").alias("p_type"),
-        F.get_json_object("body", "$.object.author").alias("p_author"),
-        F.get_json_object("body", "$.object.content").alias("p_content"),
-        F.get_json_object("body", "$.object.update_date").alias("p_date"),
+        S.fn("get_json_object", S.col("body"), "$.type").alias("p_type"),
+        S.fn("get_json_object", S.col("body"), "$.object.author").alias(
+            "p_author"
+        ),
+        S.fn("get_json_object", S.col("body"), "$.object.content").alias(
+            "p_content"
+        ),
+        S.fn("get_json_object", S.col("body"), "$.object.update_date").alias(
+            "p_date"
+        ),
     )
     ok = (F.lower(F.col("p_type")) == "create") & (F.col("p_content") != "")
     return parsed.select(
