@@ -71,11 +71,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("words")
     )
     n = F.size("words")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("words"), i + 1), F.element_at(F.col("words"), i + 2)
-        ),
+    # zip_with over two linear slices: same (words[i], words[i+1]) pairs as
+    # indexing through sequence(0, n-2), but one pass over contiguous arrays
+    # instead of two random element_at lookups per index — ~7x cheaper in
+    # the interpreted HOF evaluator (guide §4.1), bit-identical output
+    bigrams = F.zip_with(
+        F.slice("words", 1, n - 1),
+        F.slice("words", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     # top word count without a shuffle and without a quadratic scan:
     # sort the row's words and fold the max consecutive-run length —
