@@ -640,10 +640,15 @@ def map_cran_html_docs(
         maint_email.alias("maintainer_email"),
         published.alias("release_date"),
         F.lit("cran_metadata").alias("datasource_id"),
-        F.when(F.size(dl_urls) > 0, dl_urls)
-        .otherwise(F.array(F.lit(None).cast("string")))
-        .alias("_dls"),
+        dl_urls.alias("_dls"),
     )
+    # explode_outer, not when(size>0, dls).otherwise(array(NULL)) + explode:
+    # the row sets are identical (dl_urls is never NULL; an empty array
+    # yields one NULL download_url either way), but the non-outer form lets
+    # InferFiltersFromGenerate push a size(_dls)>0 predicate below the
+    # projection, where it re-inlines the whole page-build + download-row
+    # regex FOUR more times per row (measured r15: 4 extra copies of the
+    # html concat in the optimized plan, ~4x the query's real work)
     return base.select(
-        "*", F.explode("_dls").alias("download_url")
+        "*", F.explode_outer("_dls").alias("download_url")
     ).drop("_dls")
