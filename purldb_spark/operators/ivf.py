@@ -50,11 +50,21 @@ def cell_expr(vec_col: str) -> Column:
     """1-based IVF cell id for an array<float> column (Spark side).
 
     The dot array is lambda-bound via a 1-element ``transform`` so the
-    centroid dot folds run once per row (see kmeans.assign_expr)."""
+    centroid dot folds run once per row (see kmeans.assign_expr).
+
+    The coalesce makes the column NON-NULLABLE (it never fires on data —
+    the argmax over the literal centroids is non-null whenever the vector
+    is): r15, when the cell is a join key, InferFiltersFromConstraints
+    adds ``isnotnull(<key>)`` for nullable keys only, and pushing that
+    inferred filter below the projection re-inlined this whole
+    centroid-dot expression a second time per row on both join sides."""
     dots = "array(" + ", ".join(_dot_spark(vec_col, c) for c in CENTROIDS) + ")"
-    return F.expr(
-        f"transform(array({dots}), d -> array_position(d, array_max(d)))[0]"
-    ).cast("int")
+    return F.coalesce(
+        F.expr(
+            f"transform(array({dots}), d -> array_position(d, array_max(d)))[0]"
+        ).cast("int"),
+        F.lit(-1),
+    )
 
 
 def cell_sql(vec_col: str) -> str:

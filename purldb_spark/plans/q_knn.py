@@ -232,7 +232,11 @@ def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("q_embedding"),
-            F.explode(top2_cells_expr("embedding")).alias("probe_cell"),
+            # explode_outer: row-identical (top2_cells_expr always yields 1-2
+            # cells) but InferFiltersFromGenerate skips outer generates, so the
+            # size>0/isnotnull filter cannot re-inline the centroid-dot
+            # expression below the projection (r15, see x_cran_html_map)
+            F.explode_outer(top2_cells_expr("embedding")).alias("probe_cell"),
         )
     )
     joined = q.join(
@@ -388,7 +392,11 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
-        F.explode(top2_cells_expr("embedding")).alias("probe_cell"),
+        # explode_outer: row-identical (top2_cells_expr always yields 1-2
+            # cells) but InferFiltersFromGenerate skips outer generates, so the
+            # size>0/isnotnull filter cannot re-inline the centroid-dot
+            # expression below the projection (r15, see x_cran_html_map)
+            F.explode_outer(top2_cells_expr("embedding")).alias("probe_cell"),
     )
     a2 = (
         probes.join(
