@@ -91,28 +91,72 @@ def cosine_sql_duckdb(a: str, b: str) -> str:
     return f"{dot} / ({norm.format(v=a)} * {norm.format(v=b)})"
 
 
+def grid_cross_pairs(
+    queries: DataFrame,
+    index: DataFrame,
+    q_id: str = "q_vec_id",
+    i_id: str = "vec_id",
+    n_query_blocks: int = 2,
+) -> DataFrame:
+    """Every (query, index) pair exactly once, as a blocked-grid EQUI-join
+    instead of a crossJoin (guide §3): queries get a block id
+    qb = pmod(q_id, Qb); index rows ib = pmod(i_id, Ib); each side is
+    exploded across the other side's block axis so cell (qb, ib) holds
+    exactly the pairs {q: qb(q)} x {i: ib(i)}.  The join key is the cell
+    id, so the planner picks broadcast-hash at verification scale and a
+    shuffled join at production scale — a BroadcastNestedLoopJoin (which
+    MUST broadcast one full side, capped at 8 GB / 512M rows) never
+    appears.  Qb is sized by the caller so one query block fits a task's
+    build budget (scale_params.side_blocks); Ib tops up cell count to
+    2 x shuffle partitions so a shuffled cell join spreads (guide §2.5).
+
+    Shuffle volume is Q x Ib + N x Qb rows; compute stays the inherent
+    O(Q x N) scoring of an exact baseline."""
+    from purldb_spark.conf import shuffle_partitions
+
+    n_part = shuffle_partitions(index.sparkSession)
+    qb = max(2, int(n_query_blocks))
+    ib = max(2, -(-2 * n_part // qb))
+    qrep = (
+        queries.withColumn("_qb", F.pmod(F.col(q_id), F.lit(qb)).cast("int"))
+        .withColumn("_ib", F.explode(F.sequence(F.lit(0), F.lit(ib - 1))))
+        # spread the replicated query side over the cell key: anchors come
+        # off a single-file scan (1 partition), and when the planner builds
+        # the index side the STREAM side's partitioning is what the whole
+        # O(Q·N) scoring pass inherits (measured serial without this)
+        .repartition(n_part, "_qb", "_ib")
+    )
+    irep = index.withColumn(
+        "_ib", F.pmod(F.col(i_id), F.lit(ib)).cast("int")
+    ).withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(qb - 1))))
+    return qrep.join(irep, ["_qb", "_ib"]).drop("_qb", "_ib")
+
+
 def brute_force_topk(
     queries: DataFrame,
     index: DataFrame,
     k: int,
     q_id: str = "q_vec_id",
     i_id: str = "vec_id",
+    n_query_blocks: int = 2,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (desc), tie-broken on the
     index id. queries: (q_vec_id, q_embedding); index: (vec_id, embedding).
 
-    The INDEX is the streamed side, spread across the cluster, with the
-    (small) query set broadcast — streaming the query side instead runs the
-    whole O(Q·N) score pass on however few partitions the queries occupy
-    (measured 1 task here: single-file parquet)."""
+    r16: the pair space is a blocked grid equi-join (grid_cross_pairs) —
+    no full-corpus BroadcastNestedLoopJoin.  The INDEX side is spread
+    across the cluster first — the single-file parquet scan otherwise
+    runs the whole O(Q·N) score pass on one task."""
     from purldb_spark.conf import shuffle_partitions
 
     n_part = shuffle_partitions(index.sparkSession)
-    joined = (
-        index.repartition(n_part, i_id)
-        .crossJoin(F.broadcast(queries))
-        .filter(F.col(q_id) != F.col(i_id))
-    )
+    joined = grid_cross_pairs(
+        queries,
+        index.repartition(n_part, i_id),
+        q_id,
+        i_id,
+        n_query_blocks,
+    ).filter(F.col(q_id) != F.col(i_id))
     scored = joined.withColumn("cosine", cosine_expr("q_embedding", "embedding"))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(i_id))
     return (

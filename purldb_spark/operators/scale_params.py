@@ -52,6 +52,8 @@ Parameters audit (round 10), one entry per banded/bucketed family:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from purldb_spark.catalog.tables import load
@@ -135,3 +137,57 @@ def lsh_planes_for(
             stacklevel=2,
         )
     return w
+
+
+# ---------------------------------------------------------------------------
+# Blocked pair-space decomposition for the exact all-pairs baselines (r16)
+# ---------------------------------------------------------------------------
+
+# One block of an all-pairs decomposition must fit a task's build/broadcast
+# budget (guide §3.1: a few hundred MB of hash relation is fine, GBs are
+# not).  64 MB keeps a cell's build side comfortably inside a task even at
+# 1 GB-heap executors; env-overridable for clusters with bigger tasks.
+PAIR_BLOCK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PAIR_BLOCK_BYTES", str(64 << 20))
+)
+
+# vec_id (8) + 64-dim double vector (512) + array/offset overhead
+EMBEDDING_ROW_BYTES = 536
+
+
+def side_blocks(n_rows: int, row_bytes: int = EMBEDDING_ROW_BYTES) -> int:
+    """Blocks for ONE side of a blocked all-pairs grid join, sized so each
+    block's rows fit PAIR_BLOCK_BYTES (the per-cell build side a task holds
+    in memory).  Floors at 2 so the blocked plan shape — equi-join on the
+    cell key, never a full-corpus nested loop — is exercised at every
+    verification scale."""
+    if n_rows <= 0:
+        return 2
+    return max(2, -(-(n_rows * row_bytes) // PAIR_BLOCK_BYTES))
+
+
+def pair_blocks(
+    spark: SparkSession, sf_dir: str, table: str = "embeddings"
+) -> int:
+    """Block count B for a B x B SELF-pair decomposition (the i < j
+    triangle of table x table).  Two lower bounds:
+
+    * memory: each block (one cell's buffered side) fits PAIR_BLOCK_BYTES
+      — the side_blocks law, dominant at production scale;
+    * parallelism: B(B+1)/2 cells >= 2 x shuffle partitions, so when the
+      planner runs the cell join as a shuffled join the cell key has
+      enough distinct values to spread over the cluster (guide §2.5's
+      too-few-synthetic-keys trap), dominant at verification scale.
+
+    Each row is replicated to ~B+1 cells, so shuffle volume is O(N x B)
+    vector rows while compute stays the inherent O(N^2/2) dots — the
+    guide-§8 proxy rule does not apply (every pair needs both payloads),
+    but no single task ever holds more than one block per side."""
+    import math
+
+    n = corpus_count(spark, sf_dir, table)
+    from purldb_spark.conf import shuffle_partitions
+
+    n_part = shuffle_partitions(spark)
+    b_par = math.isqrt(max(2 * n_part - 1, 1)) + 1
+    return max(side_blocks(n), b_par)

@@ -915,15 +915,30 @@ def _exact_l2_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from purldb_spark.plans.fixture_cache import cached_fixture
 
     def build() -> DataFrame:
+        # r16: blocked-grid equi-join (operators.knn.grid_cross_pairs)
+        # instead of crossJoin+broadcast — same exact anchors x corpus
+        # pair set, no BroadcastNestedLoopJoin (guide §3)
+        from purldb_spark.operators.knn import grid_cross_pairs
+        from purldb_spark.operators.scale_params import (
+            corpus_count,
+            side_blocks,
+        )
+
         e = load(spark, sf_dir, "embeddings")
         q = e.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("q_emb"),
         )
         n_part = shuffle_partitions(spark)
+        qb = side_blocks(corpus_count(spark, sf_dir, "embeddings") // 50)
         scored = (
-            e.repartition(n_part, "vec_id")
-            .crossJoin(F.broadcast(q))
+            grid_cross_pairs(
+                q,
+                e.repartition(n_part, "vec_id"),
+                "q_vec_id",
+                "vec_id",
+                qb,
+            )
             .filter(F.col("q_vec_id") != F.col("vec_id"))
             .withColumn(
                 "exact_d", F.expr(sqdist_cols_spark("q_emb", "embedding"))

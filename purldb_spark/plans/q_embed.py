@@ -283,26 +283,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     less flops and no per-pair norm recomputation; the oracle mirrors the
     same normalize-then-dot association so doubles stay bit-exact. Brute
     force is the correctness baseline; LSH bucketing (knn_lsh_bucketed) is
-    the scale path. At 100 TB: block the pair space (bucket x bucket) and
-    broadcast one side per block."""
-    e = unit_embeddings(spark, sf_dir).select("vec_id", "u")
-    # the checkpointed fixture is a handful of partitions: spread the
-    # streamed side across the cluster (HASH partitioning: round-robin
-    # forces a determinism sort and measured 7x slower here) and broadcast
-    # the (small) build side so every task scans its slice of A against
-    # all of B
-    from purldb_spark.conf import shuffle_partitions
+    the scale path.
 
-    n_part = shuffle_partitions(spark)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")).repartition(
-        n_part, "id_a"
+    r16 (guide §3, VERDICT r15 item 1): the i < j pair triangle is an
+    EXACT B x B block decomposition — blk = pmod(vec_id, B); a row serves
+    as the a-side of cells (blk, q >= blk) and the b-side of cells
+    (p <= blk, blk), so every unordered pair lands in EXACTLY ONE cell
+    (its sorted block pair) and the join is an equi-join on the cell id:
+    broadcast-hash at verification scale, shuffled at production scale,
+    never a full-corpus BroadcastNestedLoopJoin (whose broadcast side is
+    capped at 8 GB / 512M rows).  B is scale-adaptive
+    (scale_params.pair_blocks): each block fits a task's build budget and
+    the B(B+1)/2 cells cover the cluster.  Cross-block cells carry no id
+    ordering (blocks are mod classes), so the output pair is re-oriented
+    with least/greatest; the dot product is bit-symmetric (x*y == y*x
+    per IEEE term, same fold order), so cosine is unchanged."""
+    from purldb_spark.operators.scale_params import pair_blocks
+
+    e = unit_embeddings(spark, sf_dir).select("vec_id", "u")
+    nb = pair_blocks(spark, sf_dir)
+    blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    a = (
+        e.withColumn("_ba", blk)
+        .withColumn("_bb", F.explode(F.sequence(F.col("_ba"), F.lit(nb - 1))))
+        .select(
+            "_ba", "_bb", F.col("vec_id").alias("ia"), F.col("u").alias("u_a")
+        )
     )
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    b = (
+        e.withColumn("_bb", blk)
+        .withColumn("_ba", F.explode(F.sequence(F.lit(0), F.col("_bb"))))
+        .select(
+            "_ba", "_bb", F.col("vec_id").alias("ib"), F.col("u").alias("u_b")
+        )
+    )
+    pairs = a.join(b, ["_ba", "_bb"]).filter(
+        (F.col("_ba") != F.col("_bb")) | (F.col("ia") < F.col("ib"))
+    )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"), "inner")
-        .withColumn("cosine", dot_expr("u_a", "u_b"))
+        pairs.withColumn("cosine", dot_expr("u_a", "u_b"))
         .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "cosine",
+        )
     )
 
 

@@ -53,13 +53,19 @@ from purldb_spark.plans.registry import query
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN baseline: exact top-5 cosine neighbors for each query vector
-    (vec_id % 50 == 0). crossJoin + higher-order-function dot products, all
-    JVM-side; the window keeps 5 per query with an id tie-break."""
+    (vec_id % 50 == 0) via the blocked-grid equi-join (r16, guide §3 —
+    no full-corpus BroadcastNestedLoopJoin) + higher-order-function dot
+    products, all JVM-side; the window keeps 5 per query with an id
+    tie-break.  Query blocks are sized so one block fits a task's build
+    budget (~N/50 anchors at EMBEDDING_ROW_BYTES each)."""
+    from purldb_spark.operators.scale_params import corpus_count, side_blocks
+
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
     )
-    out = brute_force_topk(q, e, k=5)
+    qb = side_blocks(corpus_count(spark, sf_dir, "embeddings") // 50)
+    out = brute_force_topk(q, e, k=5, n_query_blocks=qb)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -349,6 +355,8 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall monitoring samples; the approximate sides stay cell-bounded
     equi-joins. Recall integers ride the e6 grid, so the whole report is
     BIGINT-exact."""
+    from purldb_spark.operators.scale_params import corpus_count, side_blocks
+
     # r15: materialize (vec_id, embedding, ivf_cell) once — the frozen-
     # centroid argmax (8 centroids x 64-dim interpreted dots per row) was
     # re-executed by each of the three subtrees referencing e (q, a1's
@@ -365,7 +373,14 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ivf_cell").alias("q_cell"),
     )
     gt = (
-        brute_force_topk(q.select("q_vec_id", "q_embedding"), e, k=3)
+        brute_force_topk(
+            q.select("q_vec_id", "q_embedding"),
+            e,
+            k=3,
+            n_query_blocks=side_blocks(
+                corpus_count(spark, sf_dir, "embeddings") // 50
+            ),
+        )
         .select("q_vec_id", "vec_id")
         .localCheckpoint(eager=True)
     )

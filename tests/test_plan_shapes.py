@@ -2,18 +2,14 @@
 
 Every registered query's physical plan must be free of
 CartesianProduct / BroadcastNestedLoopJoin — the shapes that stop
-scaling past one executor — except the labeled all-pairs
-baselines below, whose bucketed scale twins (or sampled-anchor
-production shapes) are the scale path:
-
-- knn_bruteforce (exact top-k ground truth; twin knn_lsh_bucketed)
-- dedup_embedding_cosine (exact pair verify; twin dedup_embedding_blocked)
-- knn_recall_eval / knn_recall_fully_trained (recall@k harnesses —
-  their ground-truth side IS the labeled anchors x corpus exact scan;
-  the approximate sides under evaluation stay cell-bounded equi-joins)
-- embed_recall_blocked (the banding-recall harness: its ground-truth
-  side IS dedup_embedding_cosine's labeled all-pairs scan; both
-  approximate sides under evaluation are banded equi-joins)
+scaling past one executor.  Since r16 this includes the labeled
+all-pairs baselines (knn_bruteforce, dedup_embedding_cosine, the
+recall harnesses' exact ground-truth sides): their O(N²) pair scans
+are exact B x B block decompositions of the pair space joined on the
+cell id (operators.knn.grid_cross_pairs; q_embed's triangle blocks),
+so the planner sees a plain equi-join — broadcast-hash at
+verification scale, shuffled at production scale — and no task ever
+holds more than one bounded block per side.
 
 This is the regression fence for the DESIGN.md claim that every
 candidate generation is an equi-join: a constant-folded join key (the
@@ -34,14 +30,13 @@ from tests.conftest import SF_SMOKE
 
 load_inventory()
 
-ALLPAIRS_BASELINES = {
-    "knn_bruteforce",
-    "dedup_embedding_cosine",
-    "knn_recall_eval",
-    "knn_recall_fully_trained",
-    "knn_recall_residual",
-    "embed_recall_blocked",
-}
+# r16: EMPTY — the labeled all-pairs baselines (knn_bruteforce,
+# dedup_embedding_cosine, the recall harnesses' ground-truth sides) now
+# run as blocked-grid equi-joins on a cell key (operators.knn.
+# grid_cross_pairs / q_embed's B x B triangle decomposition), so even the
+# inherently O(N²) exact scans compile to BroadcastHashJoin /
+# SortMergeJoin over bounded blocks, never a full-corpus nested loop.
+ALLPAIRS_BASELINES: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - ALLPAIRS_BASELINES))

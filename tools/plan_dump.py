@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for named queries to plans/r15/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/plan_dump.py before q1 q2 ...   (tag = before|after)
 SPARK_GRAFT_SF_DIR selects the data dir (default sf0.1).
+PLAN_DUMP_ROUND selects the output subdir (default r16).
 """
 
 from __future__ import annotations
@@ -22,9 +23,11 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r15")
+    out_dir = os.path.join(
+        HERE, "plans", os.environ.get("PLAN_DUMP_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark("plan_dump_r15")
+    spark = get_spark("plan_dump_r16")
     load_inventory()
     for name in names:
         df = QUERIES[name](spark, sf_dir)
