@@ -52,12 +52,19 @@ def cell_expr(vec_col: str) -> Column:
     The dot array is lambda-bound via a 1-element ``transform`` so the
     centroid dot folds run once per row (see kmeans.assign_expr).
 
-    The coalesce makes the column NON-NULLABLE (it never fires on data —
-    the argmax over the literal centroids is non-null whenever the vector
-    is): r15, when the cell is a join key, InferFiltersFromConstraints
-    adds ``isnotnull(<key>)`` for nullable keys only, and pushing that
-    inferred filter below the projection re-inlined this whole
-    centroid-dot expression a second time per row on both join sides."""
+    The coalesce makes the column NON-NULLABLE (r15: when the cell is a
+    join key, InferFiltersFromConstraints adds ``isnotnull(<key>)`` for
+    nullable keys only, and pushing that inferred filter below the
+    projection re-inlined this whole centroid-dot expression a second
+    time per row on both join sides).
+
+    INGEST INVARIANT (r16, VERDICT r15 item 4): the -1 arm must be
+    UNREACHABLE — every caller filters ``<vec_col> IS NOT NULL`` before
+    assigning cells (a vector with no embedding has no cell).  Without
+    that filter a NULL vector would get cell -1 instead of the nullable
+    key's NULL, and two null-vector rows would MATCH in an equi-join on
+    the cell — a silent semantic change on dirty data at scale.
+    tests/test_ivf_null_hardening.py pins the invariant."""
     dots = "array(" + ", ".join(_dot_spark(vec_col, c) for c in CENTROIDS) + ")"
     return F.coalesce(
         F.expr(

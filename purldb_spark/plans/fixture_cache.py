@@ -397,7 +397,13 @@ def ivf_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         n_part = shuffle_partitions(spark)
-        e = load(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
+        # not-null before cell assignment: a production index table never
+        # holds a vectorless row (operators/ivf.py ingest invariant)
+        e = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .repartition(n_part, "vec_id")
+        )
         return e.select(
             "vec_id", cell_expr("embedding").cast("long").alias("cell")
         ).localCheckpoint(eager=True)

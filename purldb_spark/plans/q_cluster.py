@@ -155,11 +155,18 @@ def semantic_dedup_frame(
     from purldb_spark.operators.knn import dot_expr
     from purldb_spark.plans.fixture_cache import unit_embeddings
 
-    e = unit_embeddings(spark, sf_dir).select(
-        "vec_id",
-        "u",
-        cell_expr("embedding").alias("cell"),
-        maxdot_expr("embedding").alias("prio"),
+    # not-null before cell assignment (operators/ivf.py ingest invariant):
+    # a null vector must never reach cell_expr's non-nullable -1 arm, or
+    # two vectorless rows would equi-join on cell at scale
+    e = (
+        unit_embeddings(spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            "u",
+            cell_expr("embedding").alias("cell"),
+            maxdot_expr("embedding").alias("prio"),
+        )
     )
     a = e.select(
         F.col("vec_id").alias("id_a"),

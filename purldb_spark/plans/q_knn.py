@@ -172,8 +172,12 @@ def knn_ivf_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's inverted list (top-3 by cosine). Complements knn_lsh_bucketed;
     at 100 TB `ivf_cell` is the partition key and nprobe>1 raises recall by
     probing adjacent cells."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "ivf_cell", cell_expr("embedding")
+    # embedding IS NOT NULL before cell assignment: keeps cell_expr's
+    # non-nullable -1 arm unreachable (operators/ivf.py ingest invariant)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("ivf_cell", cell_expr("embedding"))
     )
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"),
@@ -230,8 +234,12 @@ def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 at sf0.1: recall@3 0.28 (nprobe=1) -> 0.48 (nprobe=2); the low
     absolute numbers are a property of near-random 64-dim vectors split 8
     ways, the doubling is the operator's point."""
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "ivf_cell", cell_expr("embedding")
+    # embedding IS NOT NULL before cell assignment: keeps cell_expr's
+    # non-nullable -1 arm unreachable (operators/ivf.py ingest invariant)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .withColumn("ivf_cell", cell_expr("embedding"))
     )
     q = (
         e.filter(F.col("vec_id") % 50 == 0)
@@ -362,8 +370,10 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executed by each of the three subtrees referencing e (q, a1's
     # index side, a2's index side); the table is corpus-small (the index
     # row set, KB-scale here, the stored cell column in production)
+    # not-null before cell assignment (operators/ivf.py ingest invariant)
     e = (
         load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
         .withColumn("ivf_cell", cell_expr("embedding"))
         .localCheckpoint(eager=True)
     )
