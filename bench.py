@@ -98,6 +98,8 @@ def main() -> None:
     out_name = (
         "bench_full.json" if sf_val == 0.01 else f"bench_full_sf{sf}.json"
     )
+    import platform
+
     with open(os.path.join(here, out_name), "w") as fh:
         json.dump(
             {
@@ -109,6 +111,18 @@ def main() -> None:
                 "lazy_fixture_build_sec": round(lazy_fixture_build_sec, 4),
                 "queries": timings,
                 "sf": sf_val,
+                # host annotation (r16, ADVICE r15): wall seconds in this
+                # FILE are host-lottery-dependent (the r15 driver measured
+                # byte-identical code 5-10x apart across hosts); compare
+                # commits only via min-of-N solo A/B on one quiet host.
+                # The annotation lives here only — the driver-parsed
+                # stdout line below is unchanged.
+                "host": {
+                    "node": platform.node(),
+                    "machine": platform.machine(),
+                    "os_cpus": os.cpu_count(),
+                    "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                },
             },
             fh,
         )

@@ -863,6 +863,24 @@ def decode_media(media_type: str, content: bytes) -> tuple[int, int]:
     )
 
 
+def fuse(*stages):
+    """Compose per-batch pandas generators into ONE mapInPandas pass
+    (r16, guide §4): an encode stage and its decode/stats stage chained
+    as ``df.mapInPandas(fuse(enc, image_stats_batches), schema)`` cross
+    the JVM<->Python Arrow boundary ONCE — the intermediate binary
+    column lives and dies inside the worker instead of being serialized
+    back to the JVM only to re-enter Python for the next stage. Row
+    semantics are identical to chaining the mapInPandas faces: each
+    stage sees exactly the batches the previous stage yields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for stage in stages:
+            batches = stage(batches)
+        yield from batches
+
+    return run
+
+
 def extract_meta(df: DataFrame) -> DataFrame:
     """mapInPandas pass: (media_id, media_type, content) -> typed metadata.
     One Arrow batch at a time; the content column never leaves the worker."""
@@ -909,6 +927,38 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
+def image_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """image_stats' per-batch body, exposed for fuse() callers."""
+    from purldb_spark.multimodal.jpeg import decode_jpeg
+
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                b = bytes(c)
+                if b[:8] == _PNG_SIG:
+                    codec = decode_png
+                elif b[:2] == b"\xff\xd8":
+                    codec = decode_jpeg
+                else:
+                    codec = decode_bmp
+                d = codec(b)
+            except (ValueError, NotImplementedError, IndexError, struct.error):
+                d = {
+                    "width": -1,
+                    "height": -1,
+                    "channels": -1,
+                    "n_pixels": 0,
+                    "mean_b_e3": 0,
+                    "mean_g_e3": 0,
+                    "mean_r_e3": 0,
+                }
+            rows.append({"media_id": mid, **d})
+        yield pd.DataFrame(rows)
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """REAL image decode through the Arrow plumbing: (media_id, content)
     of BMP, PNG or baseline-JPEG blobs -> per-image dimensions +
@@ -918,35 +968,7 @@ def image_stats(df: DataFrame) -> DataFrame:
     Undecodable rows (wrong magic, unsupported variant) surface as
     width = -1 rather than failing the batch — at 100 TB a poison blob
     must not kill the stage."""
-    from purldb_spark.multimodal.jpeg import decode_jpeg
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    b = bytes(c)
-                    if b[:8] == _PNG_SIG:
-                        codec = decode_png
-                    elif b[:2] == b"\xff\xd8":
-                        codec = decode_jpeg
-                    else:
-                        codec = decode_bmp
-                    d = codec(b)
-                except (ValueError, NotImplementedError, IndexError, struct.error):
-                    d = {
-                        "width": -1,
-                        "height": -1,
-                        "channels": -1,
-                        "n_pixels": 0,
-                        "mean_b_e3": 0,
-                        "mean_g_e3": 0,
-                        "mean_r_e3": 0,
-                    }
-                rows.append({"media_id": mid, **d})
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+    return df.mapInPandas(image_stats_batches, schema=IMAGE_STATS_SCHEMA)
 
 
 IMAGE_SUMS_SCHEMA = T.StructType(
@@ -963,34 +985,38 @@ IMAGE_SUMS_SCHEMA = T.StructType(
 )
 
 
+def jpeg_sum_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """jpeg_sum_stats' per-batch body, exposed for fuse() callers."""
+    from purldb_spark.multimodal.jpeg import jpeg_sums
+
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                d = jpeg_sums(bytes(c))
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error):
+                d = {
+                    "width": -1,
+                    "height": -1,
+                    "channels": -1,
+                    "n_pixels": 0,
+                    "sum_r": 0,
+                    "sum_g": 0,
+                    "sum_b": 0,
+                }
+            rows.append({"media_id": mid, **d})
+        yield pd.DataFrame(rows)
+
+
 def jpeg_sum_stats(df: DataFrame) -> DataFrame:
     """JPEG decode to integer-exact per-channel pixel SUMS (no float
     mean rounding anywhere — the oracle-checkable face for
     mm_jpeg_roundtrip, multimodal/jpeg.jpeg_sums). Poison contract as
     image_stats: undecodable rows -> width = -1 sentinel."""
-    from purldb_spark.multimodal.jpeg import jpeg_sums
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    d = jpeg_sums(bytes(c))
-                except (ValueError, NotImplementedError, IndexError,
-                        struct.error):
-                    d = {
-                        "width": -1,
-                        "height": -1,
-                        "channels": -1,
-                        "n_pixels": 0,
-                        "sum_r": 0,
-                        "sum_g": 0,
-                        "sum_b": 0,
-                    }
-                rows.append({"media_id": mid, **d})
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=IMAGE_SUMS_SCHEMA)
+    return df.mapInPandas(jpeg_sum_stats_batches, schema=IMAGE_SUMS_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(
@@ -1006,31 +1032,34 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
+def audio_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """audio_stats' per-batch body, exposed for fuse() callers."""
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                d = decode_wav(bytes(c))
+            except (ValueError, NotImplementedError, IndexError, struct.error):
+                d = {
+                    "sample_rate": -1,
+                    "channels": -1,
+                    "bits": -1,
+                    "n_frames": 0,
+                    "duration_ms": 0,
+                    "rms_e3": 0,
+                }
+            rows.append({"media_id": mid, **d})
+        yield pd.DataFrame(rows)
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """REAL audio decode through the Arrow plumbing: (media_id, content)
     of WAV blobs -> rate/channels/bits/frames/duration/RMS (decode_wav,
     pure-Python RIFF walk + PCM frames). Same poison-blob contract as
     image_stats (sample_rate = -1)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    d = decode_wav(bytes(c))
-                except (ValueError, NotImplementedError, IndexError, struct.error):
-                    d = {
-                        "sample_rate": -1,
-                        "channels": -1,
-                        "bits": -1,
-                        "n_frames": 0,
-                        "duration_ms": 0,
-                        "rms_e3": 0,
-                    }
-                rows.append({"media_id": mid, **d})
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+    return df.mapInPandas(audio_stats_batches, schema=AUDIO_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -1159,13 +1188,8 @@ def _media_window_rows(mid, content: bytes, n_windows: int) -> list[dict]:
         ]
 
 
-def audio_window_stats(df: DataFrame, n_windows: int = 4) -> DataFrame:
-    """Frame-sample + decode in one Arrow pass: (media_id, content) WAV
-    blobs -> n_windows rows of per-window frame count / duration / RMS,
-    each window decoded as its own complete WAV (slice_wav_windows).
-    Poison blobs emit one sentinel row (window_idx = -1) instead of
-    killing the batch — the windowed twin of audio_stats' contract
-    (_media_window_rows holds the all-or-nothing commit)."""
+def audio_window_stats_batches(n_windows: int = 4):
+    """audio_window_stats' per-batch body as a fuse() stage factory."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1174,7 +1198,19 @@ def audio_window_stats(df: DataFrame, n_windows: int = 4) -> DataFrame:
                 rows.extend(_media_window_rows(mid, c, n_windows))
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=WINDOW_STATS_SCHEMA)
+    return run
+
+
+def audio_window_stats(df: DataFrame, n_windows: int = 4) -> DataFrame:
+    """Frame-sample + decode in one Arrow pass: (media_id, content) WAV
+    blobs -> n_windows rows of per-window frame count / duration / RMS,
+    each window decoded as its own complete WAV (slice_wav_windows).
+    Poison blobs emit one sentinel row (window_idx = -1) instead of
+    killing the batch — the windowed twin of audio_stats' contract
+    (_media_window_rows holds the all-or-nothing commit)."""
+    return df.mapInPandas(
+        audio_window_stats_batches(n_windows), schema=WINDOW_STATS_SCHEMA
+    )
 
 
 EMBED_DIM = 16
@@ -1339,35 +1375,41 @@ def embed_media(df: DataFrame) -> DataFrame:
     (the embedding-space twin of the poison-blob sentinel contract).
     Accepts frames without a media_type column (legacy callers) — those
     take the hash path."""
+    return df.mapInPandas(embed_media_batches, schema=EMBED_SCHEMA)
 
-    def _vec(mt: str | None, b: bytes) -> list[float]:
-        import struct
 
-        try:
-            if mt == "image/bmp":
-                return bmp_features(b)
-            if mt == "image/png":
-                return png_features(b)
-            if mt == "image/jpeg":
-                return jpeg_features(b)
-            if mt == "audio/wav":
-                return wav_features(b)
-        except (ValueError, NotImplementedError, IndexError, struct.error):
-            pass
-        d = hashlib.md5(b).digest()
-        return [x / 255.0 for x in d[:EMBED_DIM]]
+def _embed_vec(mt: str | None, b: bytes) -> list[float]:
+    import struct
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mts = (
-                pdf["media_type"]
-                if "media_type" in pdf.columns
-                else [None] * len(pdf)
-            )
-            vecs = [_vec(mt, bytes(c)) for mt, c in zip(mts, pdf["content"])]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+    try:
+        if mt == "image/bmp":
+            return bmp_features(b)
+        if mt == "image/png":
+            return png_features(b)
+        if mt == "image/jpeg":
+            return jpeg_features(b)
+        if mt == "audio/wav":
+            return wav_features(b)
+    except (ValueError, NotImplementedError, IndexError, struct.error):
+        pass
+    d = hashlib.md5(b).digest()
+    return [x / 255.0 for x in d[:EMBED_DIM]]
 
-    return df.mapInPandas(run, schema=EMBED_SCHEMA)
+
+def embed_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """embed_media's per-batch body, exposed for fuse() callers."""
+    for pdf in batches:
+        mts = (
+            pdf["media_type"]
+            if "media_type" in pdf.columns
+            else [None] * len(pdf)
+        )
+        vecs = [
+            _embed_vec(mt, bytes(c)) for mt, c in zip(mts, pdf["content"])
+        ]
+        yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -1391,6 +1433,13 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     must not kill the stage, and downstream schema behavior stays
     testable). Blobs stay inside their Arrow batch — no shuffle, no JVM
     copy of the payload beyond the mapInPandas exchange."""
+    return df.mapInPandas(
+        resize_media_batches(width, height), schema=RESIZE_SCHEMA
+    )
+
+
+def resize_media_batches(width: int, height: int):
+    """resize_media's per-batch body as a fuse() stage factory."""
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1423,7 +1472,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+    return run
 
 
 def encode_bmp_rle8(

@@ -39,51 +39,54 @@ MP4_META_SCHEMA = T.StructType(
 )
 
 
+def mp4_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp4_meta_stats' per-batch body, exposed for fuse() callers."""
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                d = parse_mp4(bytes(c))
+                t = d["tracks"][0]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "brand": d["brand"],
+                        "codec": t["codec"],
+                        "width": t["width"],
+                        "height": t["height"],
+                        "n_samples": t["n_samples"],
+                        "n_chunks": t["n_chunks"],
+                        "n_sync": len(t["sync"]),
+                        "duration_ms": d["duration_ms"],
+                        "sample_bytes": sum(s for _, s in t["samples"]),
+                    }
+                )
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "brand": "",
+                        "codec": "",
+                        "width": -1,
+                        "height": -1,
+                        "n_samples": -1,
+                        "n_chunks": -1,
+                        "n_sync": -1,
+                        "duration_ms": 0,
+                        "sample_bytes": 0,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
 def mp4_meta_stats(df: DataFrame) -> DataFrame:
     """REAL container metadata off (media_id, content) MP4 blobs: brand,
     first video track's codec/dims, resolved sample-table shape and
     total payload volume. Poison contract: undecodable rows -> one
     width = -1 sentinel row, the batch survives."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    d = parse_mp4(bytes(c))
-                    t = d["tracks"][0]
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "brand": d["brand"],
-                            "codec": t["codec"],
-                            "width": t["width"],
-                            "height": t["height"],
-                            "n_samples": t["n_samples"],
-                            "n_chunks": t["n_chunks"],
-                            "n_sync": len(t["sync"]),
-                            "duration_ms": d["duration_ms"],
-                            "sample_bytes": sum(s for _, s in t["samples"]),
-                        }
-                    )
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "brand": "",
-                            "codec": "",
-                            "width": -1,
-                            "height": -1,
-                            "n_samples": -1,
-                            "n_chunks": -1,
-                            "n_sync": -1,
-                            "duration_ms": 0,
-                            "sample_bytes": 0,
-                        }
-                    )
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=MP4_META_SCHEMA)
+    return df.mapInPandas(mp4_meta_batches, schema=MP4_META_SCHEMA)
 
 
 MP4_FRAME_SCHEMA = T.StructType(
@@ -97,6 +100,45 @@ MP4_FRAME_SCHEMA = T.StructType(
 )
 
 
+def mp4_sync_frames_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp4_sync_frames' per-batch body, exposed for fuse() callers."""
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                b = bytes(c)
+                d = parse_mp4(b)
+                t = d["tracks"][0]
+                media_rows = []
+                for sno in t["sync"]:
+                    payload = sample_bytes(b, t, sno)
+                    media_rows.append(
+                        {
+                            "media_id": mid,
+                            "sample_no": sno,
+                            "ts_ms": t["ts"][sno - 1]
+                            * 1000
+                            // t["timescale"],
+                            "n_bytes": len(payload),
+                            "byte_sum": sum(payload),
+                        }
+                    )
+                rows.extend(media_rows)
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_no": -1,
+                        "ts_ms": 0,
+                        "n_bytes": 0,
+                        "byte_sum": 0,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
 def mp4_sync_frames(df: DataFrame) -> DataFrame:
     """REAL video frame-sampling: per MP4 blob, extract every SYNC
     sample's payload bytes via the resolved sample table (stss x
@@ -106,43 +148,7 @@ def mp4_sync_frames(df: DataFrame) -> DataFrame:
     media, the audio_window_stats discipline): rows for a media are
     committed only after every sync sample extracted; on any failure a
     single sample_no = -1 sentinel row stands in."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    b = bytes(c)
-                    d = parse_mp4(b)
-                    t = d["tracks"][0]
-                    media_rows = []
-                    for sno in t["sync"]:
-                        payload = sample_bytes(b, t, sno)
-                        media_rows.append(
-                            {
-                                "media_id": mid,
-                                "sample_no": sno,
-                                "ts_ms": t["ts"][sno - 1]
-                                * 1000
-                                // t["timescale"],
-                                "n_bytes": len(payload),
-                                "byte_sum": sum(payload),
-                            }
-                        )
-                    rows.extend(media_rows)
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "sample_no": -1,
-                            "ts_ms": 0,
-                            "n_bytes": 0,
-                            "byte_sum": 0,
-                        }
-                    )
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=MP4_FRAME_SCHEMA)
+    return df.mapInPandas(mp4_sync_frames_batches, schema=MP4_FRAME_SCHEMA)
 
 
 MP3_META_SCHEMA = T.StructType(
@@ -161,50 +167,53 @@ MP3_META_SCHEMA = T.StructType(
 )
 
 
+def mp3_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp3_meta_stats' per-batch body, exposed for fuse() callers."""
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                d = walk_mp3(bytes(c))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": d["sample_rate"],
+                        "bitrate_kbps": d["bitrate_kbps"],
+                        "n_frames": d["n_frames"],
+                        "audio_frames": d["audio_frames"],
+                        "is_vbr": d["is_vbr"],
+                        "duration_ms": d["duration_ms"],
+                        "id3_bytes": d["id3_bytes"],
+                        "junk_bytes": d["junk_bytes"],
+                        "stream_bytes": d["stream_bytes"],
+                    }
+                )
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": -1,
+                        "bitrate_kbps": -1,
+                        "n_frames": -1,
+                        "audio_frames": -1,
+                        "is_vbr": False,
+                        "duration_ms": 0,
+                        "id3_bytes": 0,
+                        "junk_bytes": 0,
+                        "stream_bytes": 0,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
 def mp3_meta_stats(df: DataFrame) -> DataFrame:
     """REAL mp3 frame-layer metadata off (media_id, content): walked
     physical frames, Xing-aware audio frame count and duration, tag /
     junk / stream byte accounting. Poison contract: undecodable rows ->
     one sample_rate = -1 sentinel row."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    d = walk_mp3(bytes(c))
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "sample_rate": d["sample_rate"],
-                            "bitrate_kbps": d["bitrate_kbps"],
-                            "n_frames": d["n_frames"],
-                            "audio_frames": d["audio_frames"],
-                            "is_vbr": d["is_vbr"],
-                            "duration_ms": d["duration_ms"],
-                            "id3_bytes": d["id3_bytes"],
-                            "junk_bytes": d["junk_bytes"],
-                            "stream_bytes": d["stream_bytes"],
-                        }
-                    )
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "sample_rate": -1,
-                            "bitrate_kbps": -1,
-                            "n_frames": -1,
-                            "audio_frames": -1,
-                            "is_vbr": False,
-                            "duration_ms": 0,
-                            "id3_bytes": 0,
-                            "junk_bytes": 0,
-                            "stream_bytes": 0,
-                        }
-                    )
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=MP3_META_SCHEMA)
+    return df.mapInPandas(mp3_meta_batches, schema=MP3_META_SCHEMA)
 
 
 MP4_TEXT_SCHEMA = T.StructType(
@@ -218,6 +227,59 @@ MP4_TEXT_SCHEMA = T.StructType(
 )
 
 
+def mp4_text_samples_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp4_text_samples' per-batch body, exposed for fuse() callers."""
+    from purldb_spark.multimodal.mp4 import parse_tx3g
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                b = bytes(c)
+                d = parse_mp4(b)
+                text_tracks = [
+                    t for t in d["tracks"] if t["kind"] == "text"
+                ]
+                if not text_tracks:
+                    continue
+                t = text_tracks[0]
+                scale = t["timescale"]
+                media_rows = []
+                for k in range(t["n_samples"]):
+                    start = t["ts"][k]
+                    end = (
+                        t["ts"][k + 1]
+                        if k + 1 < t["n_samples"]
+                        else t["duration"]
+                    )
+                    media_rows.append(
+                        {
+                            "media_id": mid,
+                            "caption_idx": k + 1,
+                            "ts_ms": start * 1000 // scale,
+                            "end_ts_ms": end * 1000 // scale,
+                            "text": parse_tx3g(
+                                sample_bytes(b, t, k + 1)
+                            ),
+                        }
+                    )
+                rows.extend(media_rows)
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "caption_idx": -1,
+                        "ts_ms": 0,
+                        "end_ts_ms": 0,
+                        "text": "",
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in MP4_TEXT_SCHEMA.fields]
+        )
+
+
 def mp4_text_samples(df: DataFrame) -> DataFrame:
     """REAL subtitle-track extraction: for each MP4 blob, decode every
     sample of the first 'text' track as a tx3g timed-text sample —
@@ -227,57 +289,7 @@ def mp4_text_samples(df: DataFrame) -> DataFrame:
     (absence is a fact, not poison); a torn container contributes one
     caption_idx = -1 sentinel row (all-or-nothing per media, as
     mp4_sync_frames)."""
-    from purldb_spark.multimodal.mp4 import parse_tx3g
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    b = bytes(c)
-                    d = parse_mp4(b)
-                    text_tracks = [
-                        t for t in d["tracks"] if t["kind"] == "text"
-                    ]
-                    if not text_tracks:
-                        continue
-                    t = text_tracks[0]
-                    scale = t["timescale"]
-                    media_rows = []
-                    for k in range(t["n_samples"]):
-                        start = t["ts"][k]
-                        end = (
-                            t["ts"][k + 1]
-                            if k + 1 < t["n_samples"]
-                            else t["duration"]
-                        )
-                        media_rows.append(
-                            {
-                                "media_id": mid,
-                                "caption_idx": k + 1,
-                                "ts_ms": start * 1000 // scale,
-                                "end_ts_ms": end * 1000 // scale,
-                                "text": parse_tx3g(
-                                    sample_bytes(b, t, k + 1)
-                                ),
-                            }
-                        )
-                    rows.extend(media_rows)
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "caption_idx": -1,
-                            "ts_ms": 0,
-                            "end_ts_ms": 0,
-                            "text": "",
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MP4_TEXT_SCHEMA.fields]
-            )
-
-    return df.mapInPandas(run, schema=MP4_TEXT_SCHEMA)
+    return df.mapInPandas(mp4_text_samples_batches, schema=MP4_TEXT_SCHEMA)
 
 
 MP3_TAG_SCHEMA = T.StructType(
@@ -292,47 +304,50 @@ MP3_TAG_SCHEMA = T.StructType(
 )
 
 
+def mp3_tag_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp3_tag_stats' per-batch body, exposed for fuse() callers."""
+    from purldb_spark.multimodal.mp3 import parse_id3_frames
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                d = parse_id3_frames(bytes(c))
+                f = d["frames"]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "tag_version": d["version"],
+                        "n_frames_tag": d["n_frames"],
+                        "title": f.get("TIT2"),
+                        "artist": f.get("TPE1"),
+                        "album": f.get("TALB"),
+                    }
+                )
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "tag_version": -1,
+                        "n_frames_tag": -1,
+                        "title": None,
+                        "artist": None,
+                        "album": None,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in MP3_TAG_SCHEMA.fields]
+        )
+
+
 def mp3_tag_stats(df: DataFrame) -> DataFrame:
     """REAL ID3v2 FRAME extraction (not just tag skip): per blob the
     leading tag's text frames decode to (title TIT2, artist TPE1,
     album TALB — null when the frame is absent) plus version and frame
     count. Poison contract: no tag / malformed tag -> one
     tag_version = -1 sentinel row."""
-    from purldb_spark.multimodal.mp3 import parse_id3_frames
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    d = parse_id3_frames(bytes(c))
-                    f = d["frames"]
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "tag_version": d["version"],
-                            "n_frames_tag": d["n_frames"],
-                            "title": f.get("TIT2"),
-                            "artist": f.get("TPE1"),
-                            "album": f.get("TALB"),
-                        }
-                    )
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "tag_version": -1,
-                            "n_frames_tag": -1,
-                            "title": None,
-                            "artist": None,
-                            "album": None,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MP3_TAG_SCHEMA.fields]
-            )
-
-    return df.mapInPandas(run, schema=MP3_TAG_SCHEMA)
+    return df.mapInPandas(mp3_tag_batches, schema=MP3_TAG_SCHEMA)
 
 
 MP4_FRAG_SCHEMA = T.StructType(
@@ -347,53 +362,56 @@ MP4_FRAG_SCHEMA = T.StructType(
 )
 
 
+def mp4_fragment_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp4_fragment_stats' per-batch body, exposed for fuse() callers."""
+    from purldb_spark.multimodal.mp4 import parse_fmp4
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                b = bytes(c)
+                d = parse_fmp4(b)
+                scale = d["timescale"]
+                media_rows = []
+                for f in d["fragments"]:
+                    media_rows.append(
+                        {
+                            "media_id": mid,
+                            "seq": f["seq"],
+                            "base_ts_ms": f["base_ts"] * 1000 // scale,
+                            "n_samples": len(f["samples"]),
+                            "frag_bytes": sum(
+                                s for _, s, _ in f["samples"]
+                            ),
+                            "byte_sum": sum(
+                                sum(b[o : o + s])
+                                for o, s, _ in f["samples"]
+                            ),
+                        }
+                    )
+                rows.extend(media_rows)
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "seq": -1,
+                        "base_ts_ms": 0,
+                        "n_samples": 0,
+                        "frag_bytes": 0,
+                        "byte_sum": 0,
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
 def mp4_fragment_stats(df: DataFrame) -> DataFrame:
     """REAL fragmented-MP4 (DASH/HLS) walk: one row per moof fragment —
     mfhd sequence, tfdt base decode time in ms, trun-resolved sample
     count, byte volume and extracted byte sum. Poison contract
     (all-or-nothing per media): one seq = -1 sentinel row."""
-    from purldb_spark.multimodal.mp4 import parse_fmp4
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    b = bytes(c)
-                    d = parse_fmp4(b)
-                    scale = d["timescale"]
-                    media_rows = []
-                    for f in d["fragments"]:
-                        media_rows.append(
-                            {
-                                "media_id": mid,
-                                "seq": f["seq"],
-                                "base_ts_ms": f["base_ts"] * 1000 // scale,
-                                "n_samples": len(f["samples"]),
-                                "frag_bytes": sum(
-                                    s for _, s, _ in f["samples"]
-                                ),
-                                "byte_sum": sum(
-                                    sum(b[o : o + s])
-                                    for o, s, _ in f["samples"]
-                                ),
-                            }
-                        )
-                    rows.extend(media_rows)
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "seq": -1,
-                            "base_ts_ms": 0,
-                            "n_samples": 0,
-                            "frag_bytes": 0,
-                            "byte_sum": 0,
-                        }
-                    )
-            yield pd.DataFrame(rows)
-
-    return df.mapInPandas(run, schema=MP4_FRAG_SCHEMA)
+    return df.mapInPandas(mp4_fragment_batches, schema=MP4_FRAG_SCHEMA)
 
 
 MP4_AUDIO_SCHEMA = T.StructType(
@@ -409,52 +427,55 @@ MP4_AUDIO_SCHEMA = T.StructType(
 )
 
 
+def mp4_audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mp4_audio_stats' per-batch body, exposed for fuse() callers."""
+    for pdf in batches:
+        rows = []
+        for mid, c in zip(pdf["media_id"], pdf["content"]):
+            try:
+                d = parse_mp4(bytes(c))
+                souns = [t for t in d["tracks"] if t["kind"] == "soun"]
+                if not souns:
+                    continue
+                t = souns[0]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "codec": t["codec"],
+                        "channels": t["audio_channels"],
+                        "sample_rate": t["audio_rate"],
+                        "n_samples": t["n_samples"],
+                        "sample_bytes": sum(
+                            sz for _, sz in t["samples"]
+                        ),
+                        "duration_ms": t["duration"]
+                        * 1000
+                        // t["timescale"],
+                    }
+                )
+            except _POISON:
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "codec": "",
+                        "channels": -1,
+                        "sample_rate": -1,
+                        "n_samples": 0,
+                        "sample_bytes": 0,
+                        "duration_ms": 0,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in MP4_AUDIO_SCHEMA.fields]
+        )
+
+
 def mp4_audio_stats(df: DataFrame) -> DataFrame:
     """REAL MP4 audio-track metadata: the first 'soun' track's
     AudioSampleEntry fields (codec fourcc, channel count, 16.16
     sample rate), resolved sample count/volume and media duration in
     ms. Containers WITHOUT an audio track contribute nothing; torn
     containers one channels = -1 sentinel row."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, c in zip(pdf["media_id"], pdf["content"]):
-                try:
-                    d = parse_mp4(bytes(c))
-                    souns = [t for t in d["tracks"] if t["kind"] == "soun"]
-                    if not souns:
-                        continue
-                    t = souns[0]
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "codec": t["codec"],
-                            "channels": t["audio_channels"],
-                            "sample_rate": t["audio_rate"],
-                            "n_samples": t["n_samples"],
-                            "sample_bytes": sum(
-                                sz for _, sz in t["samples"]
-                            ),
-                            "duration_ms": t["duration"]
-                            * 1000
-                            // t["timescale"],
-                        }
-                    )
-                except _POISON:
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "codec": "",
-                            "channels": -1,
-                            "sample_rate": -1,
-                            "n_samples": 0,
-                            "sample_bytes": 0,
-                            "duration_ms": 0,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MP4_AUDIO_SCHEMA.fields]
-            )
-
-    return df.mapInPandas(run, schema=MP4_AUDIO_SCHEMA)
+    return df.mapInPandas(mp4_audio_batches, schema=MP4_AUDIO_SCHEMA)

@@ -83,8 +83,10 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from purldb_spark.multimodal.binaryops import (
-        audio_window_stats,
+        WINDOW_STATS_SCHEMA,
+        audio_window_stats_batches,
         encode_wav,
+        fuse,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,13 +105,14 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_wav(8000, 1, 16, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    win = (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
-    )
-    win = audio_window_stats(media, n_windows=4).select(
-        "media_id", "window_idx", "duration_ms", "rms_e3"
+        .mapInPandas(
+            fuse(enc, audio_window_stats_batches(4)),
+            schema=WINDOW_STATS_SCHEMA,
+        )
+        .select("media_id", "window_idx", "duration_ms", "rms_e3")
     )
     w = Window.partitionBy("media_id").orderBy("window_idx")
     flagged = win.withColumn(
@@ -163,7 +166,11 @@ def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.containers import mp3_tag_stats
+    from purldb_spark.multimodal.binaryops import fuse
+    from purldb_spark.multimodal.containers import (
+        MP3_TAG_SCHEMA,
+        mp3_tag_batches,
+    )
     from purldb_spark.multimodal.mp3 import encode_id3, encode_mp3
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -183,12 +190,11 @@ def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(fuse(enc, mp3_tag_batches), schema=MP3_TAG_SCHEMA)
     )
-    return mp3_tag_stats(media)
 
 
 @query(
@@ -220,7 +226,12 @@ def mm_wav24_float_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.binaryops import audio_stats, encode_wav
+    from purldb_spark.multimodal.binaryops import (
+        AUDIO_STATS_SCHEMA,
+        audio_stats_batches,
+        encode_wav,
+        fuse,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,9 +249,10 @@ def mm_wav24_float_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     outs.append(encode_wav(8000, 1, 32, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, audio_stats_batches), schema=AUDIO_STATS_SCHEMA
+        )
     )
-    return audio_stats(media)

@@ -586,10 +586,12 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each subspace fit is the k-means cost model on a
     dim/{_PQM}-wide column (map-only literal assignment + ksub*subdim-row
-    shuffle per iteration); the final encode is ONE corpus scan computing
-    all {_PQM} argmins, then a (subspace, code)-keyed count — at 100 TB
-    the training runs on a sampled slice (FAISS trains on ~100k-1M
-    vectors), the encode is the full-corpus map-only pass.
+    shuffle per iteration); the encode — ONE corpus scan computing all
+    {_PQM} argmins, performed by the trained_pq_code_index fixture build,
+    not by this query body (r15, next paragraph) — feeds the query's
+    (subspace, code)-keyed count. At 100 TB the training runs on a
+    sampled slice (FAISS trains on ~100k-1M vectors), the encode is the
+    indexing pipeline's full-corpus map-only pass.
 
     r15: the encode is read from the session code index
     (fixture_cache.trained_pq_code_index — the same materialized artifact

@@ -35,49 +35,54 @@ _SR_SQL = """CASE doc_id % 3
   WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END"""
 
 
-def _mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mp4_enc(batches):
     """Per document, a complete MP4: n = doc%24+2 frames of ramp bytes
     (byte j of frame k = (doc + 37k + j) % 256, size (doc + 11k) % 64
     + 8), delta doc%40+10 ms at timescale 1000, doc%3+1 samples per
     chunk, sync every doc%4+1 (cadence 1 exercises the omitted-stss
-    branch), co64 when doc%7=0, version-1 headers when doc%5=0."""
-    from collections.abc import Iterator
-
+    branch), co64 when doc%7=0, version-1 headers when doc%5=0.
+    A fuse() stage (r16): every consumer chains its container walk onto
+    this encode inside ONE mapInPandas pass, so the blob never crosses
+    the Arrow boundary."""
     import pandas as pd
 
     from purldb_spark.multimodal.mp4 import encode_mp4
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                n = i % 24 + 2
-                payloads = [
-                    bytes(
-                        ((i + 37 * k + j) % 256)
-                        for j in range((i + 11 * k) % 64 + 8)
-                    )
-                    for k in range(n)
-                ]
-                outs.append(
-                    encode_mp4(
-                        16 * (i % 20 + 1),
-                        16 * (i % 12 + 1),
-                        payloads,
-                        delta=i % 40 + 10,
-                        sync_every=i % 4 + 1,
-                        samples_per_chunk=i % 3 + 1,
-                        use_co64=(i % 7 == 0),
-                        v1=(i % 5 == 0),
-                    )
+    for pdf in batches:
+        outs = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            n = i % 24 + 2
+            payloads = [
+                bytes(
+                    ((i + 37 * k + j) % 256)
+                    for j in range((i + 11 * k) % 64 + 8)
                 )
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+                for k in range(n)
+            ]
+            outs.append(
+                encode_mp4(
+                    16 * (i % 20 + 1),
+                    16 * (i % 12 + 1),
+                    payloads,
+                    delta=i % 40 + 10,
+                    sync_every=i % 4 + 1,
+                    samples_per_chunk=i % 3 + 1,
+                    use_co64=(i % 7 == 0),
+                    v1=(i % 5 == 0),
+                )
+            )
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
+
+
+def _mp4_fused(spark: SparkSession, sf_dir: str, stats_batches, schema):
+    """documents -> _mp4_enc -> stats_batches in one fused Arrow pass."""
+    from purldb_spark.multimodal.binaryops import fuse
 
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(fuse(_mp4_enc, stats_batches), schema=schema)
     )
 
 
@@ -117,9 +122,12 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-predicted arithmetically from doc_id. The co64 / version-1 /
     omitted-stss variants rotate by doc_id, so every parse branch is
     hash-checked across the corpus, not just unit-tested."""
-    from purldb_spark.multimodal.containers import mp4_meta_stats
+    from purldb_spark.multimodal.containers import (
+        MP4_META_SCHEMA,
+        mp4_meta_batches,
+    )
 
-    return mp4_meta_stats(_mp4_media(spark, sf_dir))
+    return _mp4_fused(spark, sf_dir, mp4_meta_batches, MP4_META_SCHEMA)
 
 
 @query(
@@ -161,9 +169,14 @@ def mm_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks both sum and size. Map-only: blobs never leave the worker,
     only (id, frame stats) rows do — at 100 TB the keyframe index build
     over a video corpus is a single scan."""
-    from purldb_spark.multimodal.containers import mp4_sync_frames
+    from purldb_spark.multimodal.containers import (
+        MP4_FRAME_SCHEMA,
+        mp4_sync_frames_batches,
+    )
 
-    return mp4_sync_frames(_mp4_media(spark, sf_dir))
+    return _mp4_fused(
+        spark, sf_dir, mp4_sync_frames_batches, MP4_FRAME_SCHEMA
+    )
 
 
 @query(
@@ -211,7 +224,11 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.containers import mp3_meta_stats
+    from purldb_spark.multimodal.binaryops import fuse
+    from purldb_spark.multimodal.containers import (
+        MP3_META_SCHEMA,
+        mp3_meta_batches,
+    )
     from purldb_spark.multimodal.mp3 import encode_mp3
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,12 +250,11 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(fuse(enc, mp3_meta_batches), schema=MP3_META_SCHEMA)
     )
-    return mp3_meta_stats(media)
 
 _FRAME_SIG_CTES = """
     p AS (
@@ -312,9 +328,14 @@ def mm_shot_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from purldb_spark.multimodal.containers import mp4_sync_frames
+    from purldb_spark.multimodal.containers import (
+        MP4_FRAME_SCHEMA,
+        mp4_sync_frames_batches,
+    )
 
-    frames = mp4_sync_frames(_mp4_media(spark, sf_dir)).select(
+    frames = _mp4_fused(
+        spark, sf_dir, mp4_sync_frames_batches, MP4_FRAME_SCHEMA
+    ).select(
         "media_id",
         "sample_no",
         "ts_ms",
@@ -386,9 +407,14 @@ def dedup_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from purldb_spark.multimodal.containers import mp4_sync_frames
+    from purldb_spark.multimodal.containers import (
+        MP4_FRAME_SCHEMA,
+        mp4_sync_frames_batches,
+    )
 
-    frames = mp4_sync_frames(_mp4_media(spark, sf_dir)).select(
+    frames = _mp4_fused(
+        spark, sf_dir, mp4_sync_frames_batches, MP4_FRAME_SCHEMA
+    ).select(
         "media_id",
         "sample_no",
         (F.col("byte_sum") * 1000 / F.col("n_bytes"))
@@ -467,10 +493,15 @@ def shot_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(epoch + active videos), the streaming contract."""
     from pyspark.sql import functions as F
 
-    from purldb_spark.multimodal.containers import mp4_sync_frames
+    from purldb_spark.multimodal.containers import (
+        MP4_FRAME_SCHEMA,
+        mp4_sync_frames_batches,
+    )
     from purldb_spark.streaming.shot_stream import extend_shot_chains
 
-    frames = mp4_sync_frames(_mp4_media(spark, sf_dir)).select(
+    frames = _mp4_fused(
+        spark, sf_dir, mp4_sync_frames_batches, MP4_FRAME_SCHEMA
+    ).select(
         "media_id",
         "sample_no",
         "ts_ms",
@@ -507,7 +538,7 @@ def shot_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mp4_av_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_mp4_media's video track plus a tx3g caption track: doc%6+1
+    """_mp4_enc's video track plus a tx3g caption track: doc%6+1
     captions 'cap <doc>-<k>' of doc%35+20 ms each, in the same mdat."""
     from collections.abc import Iterator
 
@@ -716,7 +747,11 @@ def mm_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.containers import mp4_fragment_stats
+    from purldb_spark.multimodal.binaryops import fuse
+    from purldb_spark.multimodal.containers import (
+        MP4_FRAG_SCHEMA,
+        mp4_fragment_batches,
+    )
     from purldb_spark.multimodal.mp4 import encode_fmp4
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -748,12 +783,13 @@ def mm_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, mp4_fragment_batches), schema=MP4_FRAG_SCHEMA
+        )
     )
-    return mp4_fragment_stats(media)
 
 
 @query(
@@ -799,7 +835,11 @@ def mm_mp4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.containers import mp4_audio_stats
+    from purldb_spark.multimodal.binaryops import fuse
+    from purldb_spark.multimodal.containers import (
+        MP4_AUDIO_SCHEMA,
+        mp4_audio_batches,
+    )
     from purldb_spark.multimodal.mp4 import encode_mp4
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -823,9 +863,10 @@ def mm_mp4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, mp4_audio_batches), schema=MP4_AUDIO_SCHEMA
+        )
     )
-    return mp4_audio_stats(media)

@@ -73,8 +73,10 @@ def mm_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
         encode_png_adam7,
-        image_stats,
+        fuse,
+        image_stats_batches,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,12 +97,13 @@ def mm_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_png_adam7(rows, ct))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)
 
 
 @query(
@@ -131,7 +134,12 @@ def mm_bmp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.binaryops import encode_bmp16, image_stats
+    from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
+        encode_bmp16,
+        fuse,
+        image_stats_batches,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,12 +155,13 @@ def mm_bmp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)
 
 
 @query(
@@ -208,8 +217,10 @@ def mm_bmp_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
         encode_bmp_rle8,
-        image_stats,
+        fuse,
+        image_stats_batches,
     )
 
     _PAL = [(10 + 60 * j, 20 + 60 * j, 30 + 60 * j) for j in range(4)]
@@ -228,12 +239,13 @@ def mm_bmp_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_bmp_rle8(w, h, idxs, _PAL))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)
 
 
 @query(
@@ -288,8 +300,10 @@ def mm_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
         encode_png_pixels16,
-        image_stats,
+        fuse,
+        image_stats_batches,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,12 +326,13 @@ def mm_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_png_pixels16(rows, ct))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)
 
 
 @query(
@@ -375,8 +390,10 @@ def mm_png_sub8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
         encode_png_sub8,
-        image_stats,
+        fuse,
+        image_stats_batches,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -401,9 +418,10 @@ def mm_png_sub8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     outs.append(encode_png_sub8(rows, d, 0))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)

@@ -100,12 +100,18 @@ def mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary columns. The oracle predicts every decoded stat arithmetically
     from doc_id, so an encoder/decoder bug that shifts a byte or counts a
     padding column breaks the match. Blobs are built and decoded inside
-    mapInPandas batches — nothing but (id, stats) leaves the worker."""
+    ONE fused mapInPandas pass (r16, guide §4) — nothing but (id, stats)
+    leaves the worker, and the blob never crosses Arrow at all."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from purldb_spark.multimodal.binaryops import encode_bmp, image_stats
+    from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
+        encode_bmp,
+        fuse,
+        image_stats_batches,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,12 +133,13 @@ def mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)
 
 
 @query(
@@ -160,7 +167,12 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.binaryops import audio_stats, encode_wav
+    from purldb_spark.multimodal.binaryops import (
+        AUDIO_STATS_SCHEMA,
+        audio_stats_batches,
+        encode_wav,
+        fuse,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -173,12 +185,13 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_wav(8000, 1, 16, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, audio_stats_batches), schema=AUDIO_STATS_SCHEMA
+        )
     )
-    return audio_stats(media)
 
 
 @query(
@@ -215,7 +228,12 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.binaryops import encode_png, image_stats
+    from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
+        encode_png,
+        fuse,
+        image_stats_batches,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -229,12 +247,13 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
+        )
     )
-    return image_stats(media)
 
 
 @query(
@@ -303,7 +322,11 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from purldb_spark.multimodal.binaryops import jpeg_sum_stats
+    from purldb_spark.multimodal.binaryops import (
+        IMAGE_SUMS_SCHEMA,
+        fuse,
+        jpeg_sum_stats_batches,
+    )
     from purldb_spark.multimodal.jpeg import (
         encode_jpeg_gray_mosaic,
         encode_jpeg_solid_ycbcr,
@@ -338,12 +361,13 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, jpeg_sum_stats_batches), schema=IMAGE_SUMS_SCHEMA
+        )
     )
-    return jpeg_sum_stats(media)
 
 
 def _cell_w(n_docs: int) -> int:
@@ -439,7 +463,12 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import Window
 
-    from purldb_spark.multimodal.binaryops import embed_media, encode_bmp
+    from purldb_spark.multimodal.binaryops import (
+        EMBED_SCHEMA,
+        embed_media_batches,
+        encode_bmp,
+        fuse,
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -463,14 +492,9 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w_cell = _cell_w(docs.count())
-    media = (
-        docs
-        .select("doc_id")
-        .mapInPandas(
-            enc, schema="media_id long, media_type string, content binary"
-        )
+    feats = docs.select("doc_id").mapInPandas(
+        fuse(enc, embed_media_batches), schema=EMBED_SCHEMA
     )
-    feats = embed_media(media)
     # bmp_features layout: dims 1/5/9 (1-based) are the B/G/R channel
     # means scaled to [0,1]; e3-integer-scale them into grid-cell codes
     coded = feats.select(
@@ -617,9 +641,11 @@ def mm_pair_alignment_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from purldb_spark.multimodal.binaryops import (
-        embed_media,
+        EMBED_SCHEMA,
+        embed_media_batches,
         encode_bmp,
         encode_png,
+        fuse,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -648,15 +674,9 @@ def mm_pair_alignment_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w_cell = _cell_w(docs.count())
-    media = (
-        docs
-        .select("doc_id")
-        .mapInPandas(
-            enc, schema="media_id long, media_type string, content binary"
-        )
-    )
     img = (
-        embed_media(media)
+        docs.select("doc_id")
+        .mapInPandas(fuse(enc, embed_media_batches), schema=EMBED_SCHEMA)
         .select(
             F.col("media_id").alias("cand_id"),
             F.round(F.element_at("embedding", 1) * 1000)
@@ -768,9 +788,11 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from purldb_spark.multimodal.binaryops import (
+        IMAGE_STATS_SCHEMA,
         encode_bmp_pixels,
-        image_stats,
-        resize_media,
+        fuse,
+        image_stats_batches,
+        resize_media_batches,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -786,13 +808,17 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_bmp_pixels(arr))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    # encode -> resize -> decode in ONE fused Arrow pass (the resize
+    # stage's extra meta columns pass through; the stats stage reads
+    # only media_id/content) — two JVM<->Python blob roundtrips removed
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, resize_media_batches(3, 3), image_stats_batches),
+            schema=IMAGE_STATS_SCHEMA,
+        )
     )
-    resized = resize_media(media, 3, 3).select("media_id", "content")
-    return image_stats(resized)
 
 
 @query(
@@ -825,8 +851,10 @@ def mm_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from purldb_spark.multimodal.binaryops import (
-        audio_window_stats,
+        WINDOW_STATS_SCHEMA,
+        audio_window_stats_batches,
         encode_wav,
+        fuse,
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -840,9 +868,11 @@ def mm_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs.append(encode_wav(8000, 1, 16, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": outs})
 
-    media = (
+    return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(enc, schema="media_id long, content binary")
+        .mapInPandas(
+            fuse(enc, audio_window_stats_batches(4)),
+            schema=WINDOW_STATS_SCHEMA,
+        )
     )
-    return audio_window_stats(media, n_windows=4)
