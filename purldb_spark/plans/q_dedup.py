@@ -253,6 +253,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session-shared shingle fixture feeds candidate generation and
     # both sides of the verify (fixture_cache.doc_shingles)
     sh = doc_shingles(spark, sf_dir)
+    # r16: materialize the candidate pair-id set once — verify_jaccard
+    # references it THREE times (semi-join id union x2 + the intersect
+    # probe), each re-running the pair join + support groupBy + prune
+    # joins; the checkpointed payload is pair ids only (KB-scale, the
+    # dedup_recall_eval r15 pattern, guide §5)
     cands = df_capped_candidate_pairs(
         sh,
         "doc_id",
@@ -260,7 +265,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MIN_SUPPORT,
         jaccard_floor=0.5,
         posting=capped_posting(spark, sf_dir, _DF_CAP),
-    )
+    ).localCheckpoint(eager=True)
     return verify_jaccard(cands, sh, "doc_id", 0.5)
 
 
