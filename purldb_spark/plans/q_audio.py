@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.conf import spread_small_input
 from purldb_spark.plans.registry import query
 
 _SILENCE_E3 = 250  # amp levels 0 and 1 (rms 0 / 125 e3) are silence
@@ -108,6 +109,7 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, audio_window_stats_batches(4)),
             schema=WINDOW_STATS_SCHEMA,
@@ -193,6 +195,7 @@ def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(fuse(enc, mp3_tag_batches), schema=MP3_TAG_SCHEMA)
     )
 
@@ -252,6 +255,7 @@ def mm_wav24_float_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, audio_stats_batches), schema=AUDIO_STATS_SCHEMA
         )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.conf import spread_small_input
 from purldb_spark.plans.registry import query
 
 _KBPS = (32, 48, 64, 96, 128, 160, 192, 224)
@@ -82,6 +83,7 @@ def _mp4_fused(spark: SparkSession, sf_dir: str, stats_batches, schema):
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(fuse(_mp4_enc, stats_batches), schema=schema)
     )
 
@@ -253,6 +255,7 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(fuse(enc, mp3_meta_batches), schema=MP3_META_SCHEMA)
     )
 
@@ -580,6 +583,7 @@ def _mp4_av_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(enc, schema="media_id long, content binary")
     )
 
@@ -786,6 +790,7 @@ def mm_fmp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, mp4_fragment_batches), schema=MP4_FRAG_SCHEMA
         )
@@ -866,6 +871,7 @@ def mm_mp4_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, mp4_audio_batches), schema=MP4_AUDIO_SCHEMA
         )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.conf import spread_small_input
 from purldb_spark.plans.registry import query
 
 
@@ -100,6 +101,7 @@ def mm_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )
@@ -158,6 +160,7 @@ def mm_bmp16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )
@@ -242,6 +245,7 @@ def mm_bmp_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )
@@ -329,6 +333,7 @@ def mm_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )
@@ -421,6 +426,7 @@ def mm_png_sub8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from purldb_spark.catalog.tables import load
+from purldb_spark.conf import spread_small_input
 from purldb_spark.multimodal.binaryops import extract_meta, sample_frames
 from purldb_spark.plans.registry import query
 
@@ -136,6 +137,7 @@ def mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )
@@ -188,6 +190,7 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, audio_stats_batches), schema=AUDIO_STATS_SCHEMA
         )
@@ -250,6 +253,7 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, image_stats_batches), schema=IMAGE_STATS_SCHEMA
         )
@@ -364,6 +368,7 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, jpeg_sum_stats_batches), schema=IMAGE_SUMS_SCHEMA
         )
@@ -492,8 +497,10 @@ def mm_embed_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w_cell = _cell_w(docs.count())
-    feats = docs.select("doc_id").mapInPandas(
-        fuse(enc, embed_media_batches), schema=EMBED_SCHEMA
+    feats = (
+        docs.select("doc_id")
+        .transform(spread_small_input)
+        .mapInPandas(fuse(enc, embed_media_batches), schema=EMBED_SCHEMA)
     )
     # bmp_features layout: dims 1/5/9 (1-based) are the B/G/R channel
     # means scaled to [0,1]; e3-integer-scale them into grid-cell codes
@@ -676,6 +683,7 @@ def mm_pair_alignment_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cell = _cell_w(docs.count())
     img = (
         docs.select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(fuse(enc, embed_media_batches), schema=EMBED_SCHEMA)
         .select(
             F.col("media_id").alias("cand_id"),
@@ -814,6 +822,7 @@ def mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, resize_media_batches(3, 3), image_stats_batches),
             schema=IMAGE_STATS_SCHEMA,
@@ -871,6 +880,7 @@ def mm_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id")
+        .transform(spread_small_input)
         .mapInPandas(
             fuse(enc, audio_window_stats_batches(4)),
             schema=WINDOW_STATS_SCHEMA,
